@@ -1,0 +1,251 @@
+"""Join surface (SURVEY.md §2.C "Joins").
+
+The reference has no binary-input operator at all -- a join is only
+expressible there as a user executable over tagged unioned inputs, and none
+ships.  Here every join flavor is declarative and Catalyst/AQE picks the
+physical strategy; we force ``broadcast()`` for the dimension tables
+(nation/region are tiny at any scale factor -- at 100 TB they are still
+25/5 rows) so the fact-table side never shuffles for them.
+
+Scale notes per query in the docstrings: which side broadcasts, where the
+shuffle lands, and why the plan survives 1000x data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.numeric import davg_sql, dsum, dsum_sql, davg
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+
+@query(
+    "join_customer_orders",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+           {dsum_sql('o.o_totalprice')} AS total_spent
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join + agg. Both sides shuffle on custkey; at 100 TB AQE
+    turns this into a sort-merge join with skew splitting, and the
+    groupBy reuses the join's hash partitioning (no second shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spent"))
+    )
+
+
+@query(
+    "join_broadcast_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_customers, {davg_sql('c.c_acctbal')} AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def join_broadcast_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema broadcast: nation/region ship to every executor, the
+    customer scan never shuffles for the join (only for the final agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_customers"), davg("c_acctbal").alias("avg_bal"))
+    )
+
+
+@query(
+    "join_revenue_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {dsum_sql('l.l_extendedprice * (1.0 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join: two big-big shuffle joins (custkey,
+    orderkey) + one broadcast (nation). The status filter prunes orders at
+    the scan before either shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("o_orderkey") == l.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one big order. Semi joins
+    dedupe the build side, shipping only the key column -- far cheaper
+    than inner-join+distinct."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no high-value order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_acctbal")
+
+
+@query(
+    "join_outer",
+    oracle=f"""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           {dsum_sql('coalesce(o.o_totalprice, 0.0)')} AS total_spent
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (count 0, total 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("total_spent"),
+        )
+    )
+
+
+_TIERS = [  # (tier, lo, hi) -- inline literal dimension
+    ("small", 0.0, 100000.0),
+    ("mid", 100000.0, 300000.0),
+    ("large", 300000.0, 1e18),
+]
+
+
+@query(
+    "join_range_tiers",
+    oracle="""
+    SELECT t.tier, COUNT(*) AS n_orders
+    FROM orders o
+    JOIN (VALUES ('small', 0.0, 100000.0),
+                 ('mid', 100000.0, 300000.0),
+                 ('large', 300000.0, 1e18)) AS t(tier, lo, hi)
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    GROUP BY t.tier
+    """,
+)
+def join_range_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a literal tier table: broadcast
+    nested-loop join (the only sane plan for a non-equi condition with a
+    tiny side; a banded equi-join pre-bucketing would be the 100 TB path
+    for range joins against a *large* side)."""
+    o = load_table(spark, sf_dir, "orders")
+    t = F.broadcast(
+        spark.createDataFrame(_TIERS, ["tier", "lo", "hi"])
+    )
+    return (
+        o.join(t, (o.o_totalprice >= t.lo) & (o.o_totalprice < t.hi))
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "join_asof_events",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           v.event_id AS last_click_id, v.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') v
+      ON p.user_id = v.user_id AND v.ts < p.ts
+    """,
+)
+def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest strictly-earlier click by
+    the same user.
+
+    Spark has no ASOF JOIN; the scalable encoding is the union-merge
+    pattern: tag both streams, union, then one window sorted by (user, ts)
+    carries the last click forward (``last(..., ignorenulls)``).  One
+    shuffle on user_id, zero pairwise explosion -- survives 100 TB where a
+    range self-join would not.  (DuckDB oracle uses its native ASOF JOIN,
+    proving the rewrite's semantics.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(1).alias("is_click")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(0).alias("is_click")
+    )
+    # Clicks sort before purchases at identical ts via is_click DESC so a
+    # same-instant click is NOT visible (strictly-earlier semantics v.ts < c.ts
+    # require click ts < purchase ts; ordering ties click-first would wrongly
+    # include equal-ts clicks, so purchases sort first on ties).
+    u = clicks.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        u.withColumn(
+            "last_click_id",
+            F.last(F.when(F.col("is_click") == 1, F.col("src_id")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "last_click_ts",
+            F.last(F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("is_click") == 0)
+    )
+    return out.select(
+        F.col("src_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        "last_click_id",
+        "last_click_ts",
+    )

@@ -1,0 +1,263 @@
+"""Core relational surface over the TPC-H-ish tables (SURVEY.md §2.C).
+
+Aggregation variants, sort/limit/top-k, set operations, and the scalar
+function surface -- all Catalyst built-ins (the reference can only express
+these by writing a new pair of streaming executables per query).
+
+Float discipline: every SUM/AVG over a double measure goes through
+``functions.numeric.dsum/davg`` (exact decimal accumulate, double result)
+so results are bitwise stable against the DuckDB oracle regardless of
+partial-aggregation order.  See functions/numeric.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      {dsum_sql('l_quantity')} AS sum_qty,
+      {dsum_sql('l_extendedprice')} AS sum_base_price,
+      {dsum_sql('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+      {dsum_sql('(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)')} AS sum_charge,
+      {davg_sql('l_quantity')} AS avg_qty,
+      {davg_sql('l_extendedprice')} AS avg_price,
+      {davg_sql('l_discount')} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter -> hash agg (partial+final).
+
+    The shipdate predicate reaches the parquet scan (PushedFilters) and the
+    aggregate runs map-side partial first -- the combiner the reference's
+    sort-based reduce never had (SURVEY.md §2.B2).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_variants",
+    oracle=f"""
+    SELECT
+      o_orderstatus,
+      COUNT(*) AS n_orders,
+      COUNT(DISTINCT o_custkey) AS n_custs,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price,
+      {dsum_sql('o_totalprice')} AS sum_price,
+      {davg_sql('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count / count-distinct / min / max / sum / avg in one hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dsum("o_totalprice").alias("sum_price"),
+        davg("o_totalprice").alias("avg_price"),
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject, no full sort materialized."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "setops_nations",
+    oracle="""
+    SELECT nk, 'both' AS tag FROM
+      (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nk, 'cust_only' AS tag FROM
+      (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nk, 'all' AS tag FROM
+      (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+    """,
+)
+def setops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one result, tagged."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("tag", F.lit("cust_only"))  # EXCEPT (distinct)
+    allk = c.union(s).distinct().withColumn("tag", F.lit("all"))
+    return both.unionAll(cust_only).unionAll(allk)
+
+
+@query(
+    "scalar_string_fns",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_brand) AS brand_u,
+      length(p_name) AS name_len,
+      substring(p_type, 1, 5) AS type5,
+      concat(p_brand, ':', p_type) AS brand_type,
+      replace(p_name, ' ', '_') AS name_us,
+      ltrim(rtrim(p_name)) AS name_trim,
+      left(p_name, 3) AS name3,
+      reverse(p_brand) AS brand_rev,
+      p_name LIKE '%al%' AS has_al,
+      position('o' IN p_name) AS first_o
+    FROM part
+    WHERE p_size BETWEEN 10 AND 40
+    """,
+)
+def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function surface (upper/length/substr/concat/replace/
+    trim/left/reverse/like/instr) with a pushed-down range predicate."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_size").between(10, 40)).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.ltrim(F.rtrim(F.col("p_name"))).alias("name_trim"),
+        F.substring("p_name", 1, 3).alias("name3"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.col("p_name").like("%al%").alias("has_al"),
+        F.instr(F.col("p_name"), "o").alias("first_o"),
+    )
+
+
+@query(
+    "scalar_datetime_fns",
+    oracle=f"""
+    SELECT
+      year(o_orderdate) AS yr,
+      month(o_orderdate) AS mo,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      COUNT(*) AS n_orders,
+      {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def scalar_datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: year/month extraction + date_trunc bucketing."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    ).agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+
+
+@query(
+    "scalar_math_fns",
+    oracle="""
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      abs(l_discount - 0.05) AS disc_dev,
+      ceil(l_quantity) AS qty_ceil,
+      floor(l_extendedprice) AS price_floor,
+      sqrt(l_quantity) AS qty_sqrt,
+      CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+      greatest(l_tax, l_discount) AS max_rate,
+      least(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_quantity > 45
+    """,
+)
+def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface (abs/ceil/floor/sqrt/mod/greatest/least).
+
+    sqrt is IEEE-correctly-rounded so it is oracle-exact; transcendental
+    fns (ln/exp/pow) are libm-dependent and deliberately excluded from
+    oracle-checked queries.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_linenumber") == 1) & (F.col("l_quantity") > 45)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@query(
+    "case_json_fns",
+    oracle="""
+    SELECT
+      event_type,
+      CASE WHEN value >= 50 THEN 'high' WHEN value >= 10 THEN 'mid' ELSE 'low' END AS band,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def case_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN + JSON extraction (events.props is a JSON string)."""
+    e = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") >= 50, "high")
+        .when(F.col("value") >= 10, "mid")
+        .otherwise("low")
+    )
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.withColumn("band", band)
+        .withColumn("k", k)
+        .groupBy("event_type", "band")
+        .agg(F.count("*").alias("n"), F.sum("k").cast("bigint").alias("k_sum"))
+    )

@@ -1,0 +1,237 @@
+"""Window functions, grouping sets, and batch twins of streaming windows
+(SURVEY.md §2.C "Window functions", "Grouping sets", "Streaming").
+
+The batch tumbling/sliding/session queries here are the DuckDB-checkable
+twins of the Structured Streaming operators in
+:mod:`eecs485_p4_mapreduce_spark.streaming` -- same grouping semantics,
+same column names, so the streaming path can be validated against them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.numeric import dsum, dsum_sql
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk, drk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER w AS rk,
+             DENSE_RANK() OVER w AS drk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rk <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number/dense_rank -- the
+    partitioned top-k idiom (one shuffle on the partition key; each
+    partition sorts locally, no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "window_lag_events",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+)
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event timeline (ts is unique per user)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+                (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS seq
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per user (decimal-exact, see functions/numeric.py)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    ws = Window.partitionBy("user_id").orderBy("ts")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        F.row_number().over(ws).alias("seq"),
+    )
+
+
+@query(
+    "rollup_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> status+priority -> grand total)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+@query(
+    "cube_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass --
+    Spark expands then hash-aggregates; partial agg keeps the shuffle
+    proportional to group cardinality, not input rows."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), dsum("o_totalprice").alias("revenue")
+    )
+
+
+@query(
+    "tumbling_window_1h",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming 1h tumbling window
+    (streaming/windows.py): F.window == date_trunc for tumbling."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_1h_30m",
+    oracle=f"""
+    SELECT window_start, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM (
+      SELECT unnest([
+               date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+               date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                 - INTERVAL 30 MINUTE
+             ]) AS window_start,
+             value
+      FROM events)
+    GROUP BY 1
+    """,
+)
+def sliding_window_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide): each event lands in exactly
+    two windows. Spark's F.window explodes assignments the same way the
+    oracle's unnest does."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@query(
+    "session_window_30m",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30m inactivity gap) via lag + cumulative
+    flag sum -- one shuffle on user_id; the batch twin of
+    ``F.session_window`` in the streaming module."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(wo)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(wrun).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

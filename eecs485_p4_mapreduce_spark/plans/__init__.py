@@ -1,0 +1,23 @@
+"""Query plan registry.
+
+Importing this package registers every declared query.  ``__spark_entry__``
+reads :data:`REGISTRY` to build its ``queries()`` / ``oracle_sql()`` maps.
+"""
+
+from eecs485_p4_mapreduce_spark.plans.registry import REGISTRY, QuerySpec, query
+
+# Import for side effect: each operators module registers its queries.
+from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
+    dedup,
+    joins,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    textstats,
+    windows,
+)
+from eecs485_p4_mapreduce_spark import mapreduce  # noqa: F401
+from eecs485_p4_mapreduce_spark import streaming  # noqa: F401
+
+__all__ = ["REGISTRY", "QuerySpec", "query"]

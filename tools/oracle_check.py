@@ -1,0 +1,119 @@
+"""Dev-loop mirror of the driver's DuckDB-oracle correctness gate.
+
+Runs every registered query at a given sf dir through Spark AND its oracle
+SQL through DuckDB, then compares row count, column names, and values
+(order-insensitive, strict string render with floats at %.17g plus a
+tolerance fallback report).  Usage:
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from eecs485_p4_mapreduce_spark import get_spark  # noqa: E402
+from eecs485_p4_mapreduce_spark.plans import REGISTRY  # noqa: E402
+from eecs485_p4_mapreduce_spark.sources import TABLES  # noqa: E402
+
+
+def _render(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return "%.17g" % v
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_render(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_render(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out, [cols[i] for i in order]
+
+
+def _close(a: str, b: str, tol=1e-9) -> bool:
+    if a == b:
+        return True
+    try:
+        fa, fb = float(a), float(b)
+        return math.isclose(fa, fb, rel_tol=tol, abs_tol=1e-12)
+    except ValueError:
+        return False
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    names = [a for a in sys.argv[1:] if not os.path.isdir(a)] or list(REGISTRY)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("oracle-check")
+    failures = 0
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            drows = rel.fetchall()
+            dcols = rel.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        s_canon, s_cols = _canon(srows, scols)
+        d_canon, d_cols = _canon(drows, dcols)
+        status = []
+        if s_cols != d_cols:
+            status.append(f"cols {s_cols} != {d_cols}")
+        if len(s_canon) != len(d_canon):
+            status.append(f"rowcount {len(s_canon)} != {len(d_canon)}")
+        if not status and s_canon != d_canon:
+            exact_bad = sum(1 for a, b in zip(s_canon, d_canon) if a != b)
+            near = all(
+                all(_close(x, y) for x, y in zip(a, b)) for a, b in zip(s_canon, d_canon)
+            )
+            diffs = [(a, b) for a, b in zip(s_canon, d_canon) if a != b][:3]
+            status.append(
+                f"{exact_bad}/{len(s_canon)} rows differ ({'within 1e-9' if near else 'VALUE MISMATCH'}); e.g. {diffs}"
+            )
+        if status:
+            print(f"FAIL  {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
+            failures += 1
+        else:
+            print(f"ok    {name}: {len(s_canon)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
