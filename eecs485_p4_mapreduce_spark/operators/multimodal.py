@@ -1,1 +1,153 @@
-"""multimodal operators (filled in incrementally this round)."""
+"""Multimodal column plumbing (SURVEY.md §2.C ⊕).
+
+Media (image/audio/video) is modeled the way a 100 TB lake stores it:
+an opaque ``binary`` payload column plus typed metadata columns, with
+decode / feature-extraction as Arrow-batched Python stages
+(``mapInPandas``) because codecs live in Python libraries, not Catalyst.
+
+The container has no image/audio libs, so the *decode kernel* is a
+deterministic stand-in (clearly marked, raises ``NotImplementedError``
+when a real codec is requested); everything Spark-side -- schema,
+binary handling, batch iteration, fan-out of one row to N frame rows,
+partitioning -- is real and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """documents -> media-shaped table: opaque binary payload + metadata.
+
+    Stand-in for reading e.g. image bytes from parquet/webdataset; the
+    payload is the utf-8 encoding of ``text`` so results are checkable.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.col("source").alias("media_source"),
+        F.col("n_chars").alias("content_len"),
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT source AS media_source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+           MIN(md5(text)) AS first_digest
+    FROM documents
+    GROUP BY source
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: byte sizes and content
+    digests, aggregated per source -- the payload bytes never shuffle
+    (only their lengths/digests do)."""
+    media = with_payload(load_table(spark, sf_dir, "documents"))
+    return media.groupBy("media_source").agg(
+        F.count("*").cast("bigint").alias("n_assets"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_bytes"),
+        F.max(F.length("payload")).cast("bigint").alias("max_bytes"),
+        F.min(F.md5("payload")).alias("first_digest"),
+    )
+
+
+# ---- decode kernel (STUB) -------------------------------------------------
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("feature", LongType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def _decode_frames(payload: bytes, content_len: int, *, codec: str = "fake") -> list[dict]:
+    """Decode a media payload into frames.
+
+    STUB: the real path (``codec='pil'``/``'ffmpeg'``) needs image/video
+    libraries that are not in this container and raises
+    ``NotImplementedError``.  The ``'fake'`` codec is deterministic so the
+    Spark plumbing around it can be oracle-checked: a payload of n bytes
+    yields ``n % 4 + 1`` frames; frame features are simple arithmetic on
+    (n, frame_idx); the "thumbnail" is the first 8 payload bytes.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} requires media libraries not present in this "
+            "container; only the deterministic 'fake' codec is available"
+        )
+    n = len(payload)
+    return [
+        {
+            "frame_idx": i,
+            "width": 16 * (n % 8 + 1),
+            "height": 9 * (n % 8 + 1),
+            "feature": (content_len * 31 + i * 7) % 997,
+            "thumb": payload[:8],
+        }
+        for i in range(n % 4 + 1)
+    ]
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n, n_chars FROM documents)
+    SELECT m.doc_id, t.i AS frame_idx,
+           CAST(16 * (n % 8 + 1) AS BIGINT) AS width,
+           CAST(9 * (n % 8 + 1) AS BIGINT) AS height,
+           CAST((n_chars * 31 + t.i * 7) % 997 AS BIGINT) AS feature
+    FROM m, unnest(range(0, n % 4 + 1)) AS t(i)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling via ``mapInPandas``: each asset row fans out to N
+    frame rows through the (stubbed) decode kernel.
+
+    Real Spark plumbing: Arrow batches in, per-batch Python iteration,
+    binary columns both directions, explicit output schema.  At 100 TB
+    this stage is sized by ``maxRecordsPerBatch`` and the payload bytes
+    stay within one task -- no shuffle crosses the Python boundary.
+    """
+    media = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_id, payload, content_len in zip(
+                pdf["doc_id"], pdf["payload"], pdf["content_len"]
+            ):
+                for fr in _decode_frames(bytes(payload), int(content_len)):
+                    out.append({"doc_id": int(doc_id), **fr})
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "width", "height", "feature", "thumb"],
+            )
+
+    frames = media.mapInPandas(decode_batches, schema=_FRAME_SCHEMA)
+    # thumb is real binary output of the UDF but has no clean DuckDB twin
+    # (md5(BLOB) unsupported there), so the checked projection drops it.
+    return frames.select("doc_id", "frame_idx", "width", "height", "feature")

@@ -1,1 +1,192 @@
-"""textstats operators (filled in incrementally this round)."""
+"""Text analysis operators (SURVEY.md §2.C ⊕): language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All hot-path expressions are JVM built-ins (split/filter/transform/
+regexp) -- no Python UDFs -- so at 100 TB these are embarrassingly
+parallel scan+project plans with a final small aggregate where needed.
+Every query is oracle-checked; the Spark and DuckDB expressions are
+generated from the same templates below to keep them bitwise-aligned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+# n-gram/stopword profiles for the language-ID heuristic.  Tiny on purpose:
+# at scale these ship as a broadcast literal, not a join.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "los", "de", "que", "una"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+    "zh": ["de", "le", "shi", "zai", "you"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # tie-break priority
+
+# BPE-ish word/number/punctuation splitter (identical RE2/Java regex).
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def _score_exprs(dialect: str) -> dict[str, str]:
+    """Per-language stopword-hit counts; same SQL for both engines modulo
+    list-function names."""
+    size, flt, arr = ("size", "filter", "array") if dialect == "spark" else ("len", "list_filter", "list_value")
+    toks = "toks"
+    out = {}
+    for lang, words in STOPWORDS.items():
+        lits = ", ".join(f"'{w}'" for w in words)
+        out[lang] = f"{size}({flt}({toks}, t -> array_contains({arr}({lits}), t)))" if dialect == "spark" else \
+            f"{size}({flt}({toks}, t -> list_contains({arr}({lits}), t)))"
+    return out
+
+
+def _argmax_case(scores: dict[str, str]) -> str:
+    """Deterministic argmax with _LANG_ORDER tie-break, as a CASE chain."""
+    clauses = []
+    for i, lang in enumerate(_LANG_ORDER):
+        others = [f"({scores[lang]}) >= ({scores[o]})" for o in _LANG_ORDER[i + 1:]]
+        cond = " AND ".join(others) if others else "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents),
+    scored AS (SELECT doc_id, lang, {_argmax_case(_score_exprs('duckdb'))} AS pred_lang,
+                      ({_score_exprs('duckdb')['en']}) AS en_hits
+               FROM tok)
+    SELECT pred_lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_label_agree,
+           CAST(SUM(en_hits) AS BIGINT) AS total_en_hits
+    FROM scored GROUP BY pred_lang
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: stopword-profile hit counts + deterministic
+    argmax.  Pure scan+project (broadcast-literal profiles), then a
+    5-group aggregate -- no shuffle of document text at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = _score_exprs("spark")
+    tok = docs.withColumn("toks", tokens("text"))
+    scored = tok.select(
+        "doc_id",
+        "lang",
+        F.expr(_argmax_case(scores)).alias("pred_lang"),
+        F.expr(scores["en"]).alias("en_hits"),
+    )
+    return scored.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_label_agree"),
+        F.sum("en_hits").cast("bigint").alias("total_en_hits"),
+    )
+
+
+@query(
+    "token_count",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))) AS BIGINT) AS re_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    lexer (words / numbers / single punctuation), aggregated per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("ws_tokens"),
+        F.sum(F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), F.lit(0))))
+        .cast("bigint")
+        .alias("re_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             len({_DUCK_TOKENS}) AS n_words,
+             length(text) AS n_chars_txt,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+             len(list_filter({_DUCK_TOKENS},
+                 t -> list_contains(['the','a','and','of','to','is','in'], t))) AS n_stop
+      FROM documents)
+    SELECT doc_id, lang, n_words,
+           CAST(n_punct AS DOUBLE) / n_chars_txt AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+           CAST(n_chars_txt AS DOUBLE) / n_words AS avg_word_span,
+           (CAST(n_stop AS DOUBLE) / n_words) * 2.0
+             + CASE WHEN n_words >= 20 THEN 1.0 ELSE 0.0 END
+             - (CAST(n_punct AS DOUBLE) / n_chars_txt) * 5.0 AS quality
+    FROM feat
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length / punctuation / stopword
+    ratios) combined into a deterministic composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_words"),
+        F.length("text").alias("n_chars_txt"),
+        F.length(F.regexp_replace("text", "[^.,!?;:]", "")).alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_en, t))).alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_txt")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    return feat.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (F.col("n_chars_txt").cast("double") / F.col("n_words")).alias("avg_word_span"),
+        (
+            stop_ratio * F.lit(2.0)
+            + F.when(F.col("n_words") >= 20, 1.0).otherwise(0.0)
+            - punct_ratio * F.lit(5.0)
+        ).alias("quality"),
+    )
+
+
+@query(
+    "fingerprint",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowered
+    text; grouping by fingerprint is the exact-dedup scale path (the
+    shuffle key is a 32-byte hash, never the document body)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    return docs.groupBy(fp.alias("fp")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
