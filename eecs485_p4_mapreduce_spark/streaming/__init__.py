@@ -1,1 +1,212 @@
-"""Structured Streaming operators (filled in this round)."""
+"""Structured Streaming operators over the events table (SURVEY.md §2.C ⊕).
+
+The reference is batch-only; the engine adds the streaming surface the
+north star requires: windowed aggregation with watermarks, session
+windows, and a custom stateful operator.  Each streaming query here reads
+the same events parquet through ``readStream`` (file source), processes
+it with ``trigger(availableNow=True)`` into an in-memory sink, and
+returns the final result as a batch DataFrame -- so the driver's DuckDB
+oracle can check streaming results exactly against their batch twins in
+operators/windows.py.
+
+Scale notes: file-source streaming at 100 TB reads incrementally
+(maxFilesPerTrigger), state lives in the state store keyed by
+(window/user), and watermarks bound state size; ``complete`` output mode
+is used here only because the harness wants the full final table.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.numeric import dsum, dsum_sql
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema from the batch reader,
+    including the ns->us timestamp normalization in sources/tables.py)."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source monitors a *directory*; select just the events file.
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1000")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    _ = batch  # keeps the ns handling in one place; see sources/tables.py
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(stream_df: DataFrame, *, mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a
+    memory sink; return the final table as a batch DataFrame."""
+    name = f"sg_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@query(
+    "streaming_tumbling_1h",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tumbling window aggregation as a real stream (watermarked).
+
+    Same oracle as the batch twin ``tumbling_window_1h``: over bounded
+    input, complete-mode streaming aggregation must equal the batch
+    aggregate -- this query *is* that equivalence check.
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return run_to_completion(agg)
+
+
+@query(
+    "streaming_session_30m",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30m gap) via ``session_window``.
+
+    The oracle is the independent lag+cumsum sessionization from the batch
+    twin -- two different algorithms, same sessions.  session_window's end
+    is last-event + gap, so subtract the gap to recover max(ts).
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_completion(agg)
+
+
+@query(
+    "streaming_stateful_user_stats",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(value) AS max_value, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (count, max, decimal-exact sum) kept in explicit
+    GroupState across micro-batches, emitted on stream end.
+
+    This is the escape hatch for stateful logic Spark lacks natively;
+    state is a tiny tuple per user, so state-store size is O(|users|).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("mx", DoubleType()),
+            # decimal-exact running sum kept in micro-units (value * 1e6
+            # as integer) so emission matches the oracle's decimal sum
+            StructField("sum_micro", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, mx, sum_micro = state.get if state.exists else (0, None, 0)
+        for pdf in pdfs:
+            vals = pdf["value"]
+            n += len(vals)
+            batch_max = vals.max()
+            mx = batch_max if mx is None else max(mx, batch_max)
+            sum_micro += int(round(vals.map(lambda v: round(v * 1_000_000)).sum()))
+        state.update((int(n), float(mx), int(sum_micro)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [int(n)],
+                "max_value": [float(mx)],
+                "total_value": [sum_micro / 1_000_000],
+            }
+        )
+
+    ev = events_stream(spark, sf_dir)
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # update-mode memory sink keeps every emission; the last per user wins.
+    result = run_to_completion(stats, mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        result.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "max_value", "total_value")
+    )

@@ -1,0 +1,151 @@
+"""Reference-parity tests for the exe-compat MapReduce path.
+
+Runs the reference's OWN unmodified executables (read at test time from
+/root/reference, never copied) through MapReduceJob and compares against
+the reference's golden outputs, plus unit pins of the partition function
+and file-split semantics the reference's tests specify.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from eecs485_p4_mapreduce_spark.mapreduce import (
+    MapReduceJob,
+    keyof,
+    md5_partition,
+    round_robin_groups,
+)
+
+REF = "/root/reference"
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "tests", "testdata")),
+    reason="reference repo not available",
+)
+
+
+def test_keyof_first_tab_and_empty_key():
+    # key = text before FIRST tab [ref wc_reduce.py:20-22]; empty key valid
+    # [ref test_worker_04.py:119-125]; tabless line -> whole line is key.
+    assert keyof("hello\t1") == "hello"
+    assert keyof("a\tb\tc") == "a"
+    assert keyof("\t1") == ""
+    assert keyof("notab") == "notab"
+
+
+def test_md5_partition_matrix():
+    # Placement pinned by ref tests/test_worker_08.py:226-243 at P=2:
+    # '', 'bye', 'hello' -> partition 0; 'world', 'goodbye', 'hadoop' -> 1.
+    for key, part in [("", 0), ("bye", 0), ("hello", 0),
+                      ("world", 1), ("goodbye", 1), ("hadoop", 1)]:
+        assert md5_partition(f"{key}\t1", 2) == part, key
+
+
+def test_round_robin_split():
+    # Task i gets sorted files i, i+m, ... [ref test_manager_02.py:166-190].
+    files = [f"file{i:02d}" for i in range(1, 9)]
+    groups = round_robin_groups(files, 2)
+    assert groups[0] == ["file01", "file03", "file05", "file07"]
+    assert groups[1] == ["file02", "file04", "file06", "file08"]
+    # more groups than files: no empty groups
+    assert round_robin_groups(["a"], 4) == [["a"]]
+
+
+def _read_parts(out_dir: str) -> list[str]:
+    lines = []
+    for name in sorted(os.listdir(out_dir)):
+        with open(os.path.join(out_dir, name), encoding="utf-8") as fh:
+            lines.extend(fh.read().splitlines())
+    return lines
+
+
+@needs_ref
+def test_wordcount_golden_parity(spark, tmp_path):
+    """Reference wc executables + reference input -> reference golden
+    (order-insensitive, as in ref test_integration_01.py:34-40)."""
+    out = str(tmp_path / "out")
+    job = MapReduceJob(
+        input_directory=os.path.join(REF, "tests", "testdata", "input"),
+        output_directory=out,
+        mapper_executable=os.path.join(REF, "tests", "testdata", "exec", "wc_map.sh"),
+        reducer_executable=os.path.join(REF, "tests", "testdata", "exec", "wc_reduce.sh"),
+        num_mappers=4,
+        num_reducers=2,
+    )
+    outputs = job.run(spark)
+    assert [os.path.basename(p) for p in outputs] == ["part-00000", "part-00001"]
+    assert sorted(os.listdir(out)) == ["part-00000", "part-00001"]  # nothing else
+    golden = os.path.join(REF, "tests", "testdata", "correct", "word_count_correct.txt")
+    with open(golden, encoding="utf-8") as fh:
+        expected = fh.read().splitlines()
+    assert sorted(_read_parts(out)) == sorted(expected)
+    # the empty key ("\t9") partitions to p0 (md5('')%2==0) and sorts first
+    # [ref test_worker_04.py:119-125, test_worker_08.py:226-243]
+    with open(os.path.join(out, "part-00000"), encoding="utf-8") as fh:
+        assert fh.readline().startswith("\t")
+
+
+@needs_ref
+def test_wordcount_parts_sorted_c_locale(spark, tmp_path):
+    """Each part file is key-sorted in C-locale byte order with the empty
+    key first [ref test_worker_07.py:131-135, test_worker_11.py:105]."""
+    out = str(tmp_path / "out")
+    MapReduceJob(
+        input_directory=os.path.join(REF, "tests", "testdata", "input"),
+        output_directory=out,
+        mapper_executable=os.path.join(REF, "tests", "testdata", "exec", "wc_map.py"),
+        reducer_executable=os.path.join(REF, "tests", "testdata", "exec", "wc_reduce.py"),
+        num_mappers=2,
+        num_reducers=2,
+    ).run(spark)
+    for name in ["part-00000", "part-00001"]:
+        with open(os.path.join(out, name), encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+        assert lines, f"{name} empty"
+        assert lines == sorted(lines), f"{name} not byte-sorted"
+
+
+@needs_ref
+def test_grep_golden_parity(spark, tmp_path):
+    """Reference grep executables -> golden, byte-exact content
+    [ref test_integration_00.py:33-38]."""
+    out = str(tmp_path / "out")
+    MapReduceJob(
+        input_directory=os.path.join(REF, "tests", "testdata", "input"),
+        output_directory=out,
+        mapper_executable=os.path.join(REF, "tests", "testdata", "exec", "grep_map.py"),
+        reducer_executable=os.path.join(REF, "tests", "testdata", "exec", "grep_reduce.py"),
+        num_mappers=4,
+        num_reducers=1,
+    ).run(spark)
+    golden = os.path.join(REF, "tests", "testdata", "correct", "grep_correct.txt")
+    with open(golden, encoding="utf-8") as fh:
+        expected = fh.read().splitlines()
+    assert sorted(_read_parts(out)) == sorted(expected)
+
+
+@needs_ref
+def test_identity_mapper_partition_placement(spark, tmp_path):
+    """cat-as-mapper repartition+sort (the reference's test_worker_11
+    shape): every intermediate line lands in the md5-chosen partition."""
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    with open(os.path.join(src, "file01"), "w", encoding="utf-8") as fh:
+        fh.write("hello\t1\nworld\t1\nbye\t1\ngoodbye\t1\nhadoop\t1\n\t1\n")
+    MapReduceJob(
+        input_directory=src,
+        output_directory=out,
+        mapper_executable="cat",
+        reducer_executable="cat",
+        num_mappers=1,
+        num_reducers=2,
+    ).run(spark)
+    with open(os.path.join(out, "part-00000"), encoding="utf-8") as fh:
+        p0 = fh.read().splitlines()
+    with open(os.path.join(out, "part-00001"), encoding="utf-8") as fh:
+        p1 = fh.read().splitlines()
+    assert p0 == ["\t1", "bye\t1", "hello\t1"]  # ref test_worker_08.py:226-243
+    assert p1 == ["goodbye\t1", "hadoop\t1", "world\t1"]

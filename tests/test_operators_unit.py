@@ -1,0 +1,108 @@
+"""Focused unit tests for operator building blocks and edge cases."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.numeric import dsum
+from eecs485_p4_mapreduce_spark.functions.textfn import tokens, shingles
+
+
+def test_tokens_edges(spark):
+    df = spark.createDataFrame(
+        [("  Hello  WORLD ",), ("",), ("a\tb\nc",)], ["text"]
+    ).select(tokens("text").alias("t"))
+    got = [r["t"] for r in df.collect()]
+    assert got == [["hello", "world"], [], ["a", "b", "c"]]
+
+
+def test_shingles_short_text(spark):
+    # text shorter than k still yields one (whole-text) shingle
+    df = spark.createDataFrame([("ab",), ("abcdef",)], ["text"]).select(
+        shingles("text", k=5).alias("s")
+    )
+    got = [r["s"] for r in df.collect()]
+    assert got[0] == ["ab"]
+    assert got[1] == ["abcde", "bcdef"]
+
+
+def test_dsum_order_independent(spark):
+    # pathological float ordering: naive double sum differs by eval order;
+    # decimal-exact dsum must not.
+    vals = [(1e9,), (0.000001,)] * 1000 + [(-1e9,)] * 1000
+    df = spark.createDataFrame(vals, ["x"])
+    got = df.select(dsum("x").alias("s")).collect()[0]["s"]
+    assert got == 0.001  # exact: 1000 * 1e-6
+    got_rev = (
+        df.orderBy(F.rand(seed=7)).repartition(13).select(dsum("x").alias("s")).collect()[0]["s"]
+    )
+    assert got_rev == got
+
+
+def test_asof_join_tiny(spark, monkeypatch):
+    """Hand-built as-of scenario: purchase picks the latest strictly
+    earlier click, same-instant clicks excluded, no-click users NULL."""
+    from eecs485_p4_mapreduce_spark.operators import joins
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(eid, minutes, user, etype):
+        return Row(
+            event_id=eid,
+            ts=t0 + dt.timedelta(minutes=minutes),
+            user_id=user,
+            event_type=etype,
+            value=1.0,
+            props="{}",
+        )
+
+    events = spark.createDataFrame(
+        [
+            mk(1, 0, 1, "click"),
+            mk(2, 5, 1, "click"),
+            mk(3, 5, 1, "purchase"),   # click 2 is same-instant -> excluded; matches click 1
+            mk(4, 10, 1, "purchase"),  # latest strictly-earlier click = click 2
+            mk(5, 3, 2, "purchase"),   # user 2 has no clicks -> NULL
+        ]
+    )
+    monkeypatch.setattr(joins, "load_table", lambda spark_, sf, name: events)
+    out = {r["purchase_id"]: r for r in joins.join_asof_events(spark, "unused").collect()}
+    assert out[3]["last_click_id"] == 1  # equal-ts click excluded
+    assert out[4]["last_click_id"] == 2
+    assert out[5]["last_click_id"] is None
+
+
+def test_minhash_detects_identical_docs(spark, monkeypatch):
+    """Two identical texts must collide in every band with est_jaccard 1."""
+    from eecs485_p4_mapreduce_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog", lang="en",
+                source="s", n_chars=43),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog", lang="en",
+                source="s", n_chars=43),
+            Row(doc_id=3, text="completely different content about spark engines", lang="en",
+                source="s", n_chars=49),
+        ]
+    )
+    monkeypatch.setattr(dedup, "load_table", lambda spark_, sf, name: docs)
+    rows = dedup.dedup_minhash_lsh(spark, "unused").collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in rows}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_dedup_counts(spark, monkeypatch):
+    from eecs485_p4_mapreduce_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same", lang="en", source="s", n_chars=4) for i in range(3)]
+        + [Row(doc_id=9, text="other", lang="en", source="s", n_chars=5)]
+    )
+    monkeypatch.setattr(dedup, "load_table", lambda spark_, sf, name: docs)
+    rows = {r["keeper"]: r["n_copies"] for r in dedup.dedup_exact(spark, "unused").collect()}
+    assert rows == {0: 3, 9: 1}
