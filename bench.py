@@ -51,6 +51,14 @@ BENCH_QUERIES = [
     "knn_ivf_label",
     "multimodal_meta",
     "multimodal_frames",
+    "grouping_sets_orders",
+    "join_full_outer",
+    "pivot_year_status",
+    "percentiles_price",
+    "window_range_frame",
+    "udaf_grouped_pandas",
+    "udtf_chunk_text",
+    "pipeline_training_data",
     "mr_wordcount",
     "streaming_tumbling_1h",
 ]

@@ -1,0 +1,283 @@
+"""Second relational coverage wave (SURVEY.md §2.C gaps): grouping sets,
+full-outer/cross joins, ALL-variant set ops, array/map functions, pivot,
+percentiles, deterministic sampling, regex functions, null-safe equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.numeric import dsum, dsum_sql
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+
+@query(
+    "grouping_sets_orders",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n, {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id -- the general form cube/
+    rollup specialize; Spark expands to a single Expand+HashAggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sg_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               {dsum_sql('o_totalprice')} AS revenue
+        FROM sg_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle=f"""
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           COUNT(o.o_orderkey) AS n_big_orders,
+           {dsum_sql('coalesce(o.o_totalprice, 0.0)')} AS big_total
+    FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: keeps customers without big orders AND big orders
+    whose customer fails the filter."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .groupBy(F.coalesce("c_custkey", "o_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))).alias("big_total"),
+        )
+    )
+
+
+@query(
+    "join_cross_regions",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    WHERE a.r_name <> b.r_name
+    """,
+)
+def join_cross_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (route matrix) -- fine for tiny dims, and the
+    plan shows a BroadcastNestedLoopJoin, never a shuffle."""
+    a = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
+    b = load_table(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return a.crossJoin(b).filter(F.col("from_region") != F.col("to_region"))
+
+
+@query(
+    "setops_all_variants",
+    oracle="""
+    SELECT nk, 'union_all' AS tag FROM
+      (SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nk, 'intersect_all' AS tag FROM
+      (SELECT c_nationkey AS nk FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT nk, 'except_all' AS tag FROM
+      (SELECT c_nationkey AS nk FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+    """,
+)
+def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operations -- multiplicity-preserving forms."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    u = c.unionAll(s).withColumn("tag", F.lit("union_all"))
+    i = c.intersectAll(s).withColumn("tag", F.lit("intersect_all"))
+    e = c.exceptAll(s).withColumn("tag", F.lit("except_all"))
+    return u.unionAll(i).unionAll(e)
+
+
+@query(
+    "array_map_fns",
+    oracle="""
+    SELECT p_brand,
+           list(DISTINCT p_type ORDER BY p_type) AS types,
+           len(list(DISTINCT p_type ORDER BY p_type)) AS n_types,
+           list(DISTINCT p_type ORDER BY p_type)[1] AS first_type,
+           list_contains(list(DISTINCT p_type ORDER BY p_type), 'PROMO') AS has_promo
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def array_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + inspection: collect_set -> array_sort (the
+    deterministic spelling of list aggregation), size/element_at/contains."""
+    p = load_table(spark, sf_dir, "part")
+    types = F.array_sort(F.collect_set("p_type"))
+    return p.groupBy("p_brand").agg(
+        types.alias("types"),
+        F.size(types).alias("n_types"),
+        F.element_at(types, 1).alias("first_type"),
+        F.array_contains(types, "PROMO").alias("has_promo"),
+    )
+
+
+@query(
+    "pivot_year_status",
+    oracle=f"""
+    SELECT year(o_orderdate) AS yr,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def pivot_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): order counts per year x status.  Explicit value
+    list so the plan is a single pass (no distinct-values pre-query)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@query(
+    "percentiles_price",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont, both linear interpolation on the sorted set)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(name)
+            for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+        ]
+    )
+
+
+@query(
+    "sample_hash_bernoulli",
+    oracle=f"""
+    SELECT COUNT(*) AS n, {dsum_sql('l_extendedprice')} AS sampled_revenue
+    FROM lineitem
+    WHERE substring(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% Bernoulli sample via content hashing -- the
+    reproducible alternative to rand()-based sampling (identical sample on
+    every engine and every run, which rand() cannot give across engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    return li.filter(F.substring(F.md5(key), 1, 1).isin("0", "1")).agg(
+        F.count("*").alias("n"), dsum("l_extendedprice").alias("sampled_revenue")
+    )
+
+
+@query(
+    "regex_fns",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^([A-Z]+)', 1) AS type_word,
+           regexp_replace(p_name, '[aeiouAEIOU]', '_', 'g') AS name_devoweled,
+           regexp_matches(p_type, '^(SMALL|LARGE)') AS is_sized,
+           len(regexp_extract_all(lower(p_name), '[a-z]+')) AS word_count
+    FROM part
+    WHERE regexp_matches(p_type, 'O')
+    """,
+)
+def regex_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract (group 1), replace-all, rlike predicate,
+    extract_all count -- patterns chosen inside the Java/RE2 common set."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").rlike("O")).select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_word"),
+        F.regexp_replace("p_name", "[aeiouAEIOU]", "_").alias("name_devoweled"),
+        F.col("p_type").rlike("^(SMALL|LARGE)").alias("is_sized"),
+        F.size(F.regexp_extract_all(F.lower(F.col("p_name")), F.lit("[a-z]+"), F.lit(0))).alias(
+            "word_count"
+        ),
+    )
+
+
+@query(
+    "nullsafe_eq",
+    oracle="""
+    SELECT
+      CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT DISTINCT FROM 7 AS k_is_7,
+      CAST(json_extract_string(props, '$.missing') AS BIGINT)
+        IS NOT DISTINCT FROM NULL AS missing_is_null,
+      COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) over JSON-extracted
+    nullable values."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    missing = F.get_json_object("props", "$.missing").cast("bigint")
+    return (
+        e.select(
+            k.eqNullSafe(F.lit(7)).alias("k_is_7"),
+            missing.eqNullSafe(F.lit(None).cast("bigint")).alias("missing_is_null"),
+        )
+        .groupBy("k_is_7", "missing_is_null")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_BUILDING_CASE = "CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal ELSE 0.0 END"
+
+
+@query(
+    "cond_agg_fns",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT) AS n_negative,
+           bool_or(c_acctbal > 9000) AS any_rich,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           {dsum_sql(_BUILDING_CASE)} AS building_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def cond_agg_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if, bool_or/bool_and, CASE-gated sum."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+            F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+            F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+            dsum(
+                F.when(F.col("c_mktsegment") == "BUILDING", F.col("c_acctbal")).otherwise(0.0)
+            ).alias("building_bal"),
+        )
+    )

@@ -1,0 +1,166 @@
+"""User-defined function surface (SURVEY.md §2.C "UDF/UDAF/UDTF").
+
+The reference's *entire* query surface is user code (arbitrary streaming
+executables, ref tests/testdata/exec/*; see the exe-compat path in
+eecs485_p4_mapreduce_spark/mapreduce).  The engine-native equivalents:
+
+- scalar Python UDF        (row-at-a-time; the slow path, shown once)
+- vectorized Pandas UDF    (Arrow batches; see also similarity.py)
+- grouped-map UDAF         (applyInPandas: whole group in, frame out)
+- Python UDTF              (one row in, N rows out, lateral-join shape)
+- stateful streaming op    (applyInPandasWithState; streaming/__init__.py)
+
+Each has a DuckDB oracle so the Python results are pinned to relational
+semantics, and each docstring says when NOT to use it (built-ins beat
+all of these whenever they can express the logic).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+@query(
+    "udf_scalar_python",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+                AS BIGINT) AS n_vowels
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (vowel count), deliberately over a pruned
+    50-row slice: this is the SLOW path -- one Python call per row, no
+    Arrow batching, pickled values both ways.  Exists for API coverage;
+    everything it does here is expressible (and oracle'd) as built-ins."""
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType())
+    def n_vowels(text: str) -> int:
+        return sum(1 for ch in text.lower() if ch in "aeiou")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 50).select("doc_id", n_vowels("text").alias("n_vowels"))
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+           round(quantile_cont(len({_DUCK_TOKENS}), 0.5), 4) AS median_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via applyInPandas: each language group arrives as
+    one pandas frame, the aggregate (medians) is computed in Python, one
+    row leaves.  The 100 TB caveat: group size must fit an executor's
+    memory -- for unbounded groups use built-in aggregates or pre-reduce."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        toks = pdf["text"].str.lower().str.split()
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "median_chars": [round(float(pdf["n_chars"].median()), 4)],
+                "median_tokens": [round(float(toks.map(len).median()), 4)],
+            }
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").applyInPandas(
+        stats, schema="lang string, n_docs bigint, median_chars double, median_tokens double"
+    )
+
+
+@query(
+    "udtf_chunk_text",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents WHERE doc_id < 100),
+    n AS (SELECT doc_id, toks, (len(toks) + 9) // 10 AS n_chunks FROM toks)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(toks[10 * i + 1 : 10 * i + 10], ' ') AS chunk,
+           CAST(len(toks[10 * i + 1 : 10 * i + 10]) AS INT) AS chunk_len
+    FROM n, unnest(range(0, n_chunks)) AS t(i)
+    """,
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: one document row in, N chunk rows out (10-token
+    chunks -- the LLM-context-windowing shape).  Lateral-join semantics
+    with an arbitrary Python generator body; prefer explode(built-in
+    expression) when the fan-out is expressible, as the oracle proves it
+    is here."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, chunk_len int")
+    class ChunkText:
+        def eval(self, doc_id: int, text: str):  # noqa: D102
+            toks = [t for t in text.lower().split() if t]
+            for i in range(0, (len(toks) + 9) // 10):
+                window = toks[10 * i : 10 * i + 10]
+                yield doc_id, i, " ".join(window), len(window)
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("sg_docs_chunk")
+    spark.udtf.register("sg_chunk_text", ChunkText)
+    return spark.sql(
+        "SELECT c.* FROM sg_docs_chunk, LATERAL sg_chunk_text(doc_id, text) AS c"
+    )
+
+
+@query(
+    "pipeline_training_data",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len({_DUCK_TOKENS}) AS n_words,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+      WHERE lang IN ('en', 'de')),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_words >= 20
+        AND doc_id = (SELECT MIN(doc_id) FROM scored s2 WHERE s2.fp = scored.fp))
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens
+    FROM kept
+    GROUP BY source
+    """,
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline composite: language filter ->
+    quality gate (>= 20 tokens) -> exact dedup on normalized fingerprint
+    (keeper = min doc_id) -> per-source token budget.  One declarative
+    plan: scan-side filters, a window for the keeper, one final agg --
+    the shape of a real corpus-prep job, all Catalyst-optimized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    scored = docs.select(
+        "doc_id", "source", F.size(toks).alias("n_words"), fp.alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    kept = (
+        scored.withColumn("keeper", F.min("doc_id").over(w))
+        .filter((F.col("n_words") >= 20) & (F.col("doc_id") == F.col("keeper")))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+    )

@@ -12,9 +12,12 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     joins,
     multimodal,
     relational,
+    relational2,
     similarity,
+    sourcesink,
     text,
     textstats,
+    udx,
     windows,
 )
 from eecs485_p4_mapreduce_spark import mapreduce  # noqa: F401
