@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "knn_cosine",
     "knn_ivf_label",
+    "ann_lsh_hyperplane",
     "multimodal_meta",
     "multimodal_frames",
     "grouping_sets_orders",

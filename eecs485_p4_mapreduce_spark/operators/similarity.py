@@ -179,3 +179,116 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rk")
     )
+
+
+# ---------------------------------------------------- LSH-bucketed ANN
+
+_H = 8    # random hyperplanes -> 8-bit bucket (~1/256 of the table per probe)
+_D = 64   # embedding dim
+
+# hyperplane weights derived from md5 so both engines compute the exact
+# same reals: w[h][d] = (hexval(md5('h_d')[0]) / 15) - 0.5
+def _w_sql(dialect: str, h: str, d: str) -> str:
+    pos = "instr" if dialect == "spark" else "strpos"
+    cat = f"concat(cast({h} as string), '_', cast({d} as string))" if dialect == "spark" \
+        else f"concat(CAST({h} AS VARCHAR), '_', CAST({d} AS VARCHAR))"
+    return f"(({pos}('0123456789abcdef', substring(md5({cat}), 1, 1)) - 1) / 15.0 - 0.5)"
+
+
+def _bucket_sql(dialect: str) -> str:
+    """Sign bitstring (one char per hyperplane): sign of v . w."""
+    if dialect == "spark":
+        tr, join_fn, seq_h, seq_d, idx = (
+            "transform", "array_join", f"sequence(0, {_H - 1})", f"sequence(1, {_D})",
+            "element_at",
+        )
+        fold = "aggregate({arr}, cast(0.0 as double), (acc, x) -> acc + x)"
+    else:
+        tr, join_fn, seq_h, seq_d, idx = (
+            "list_transform", "array_to_string", f"range(0, {_H})", f"range(1, {_D} + 1)",
+            "list_extract",
+        )
+        fold = "CAST(list_sum({arr}) AS DOUBLE)"
+    terms = f"{tr}({seq_d}, d -> {idx}(v, d) * {_w_sql(dialect, 'h', '(d - 1)')})"
+    score = fold.format(arr=terms)
+    return f"{join_fn}({tr}({seq_h}, h -> CASE WHEN {score} >= 0 THEN '1' ELSE '0' END), '')"
+
+
+@query(
+    "ann_lsh_hyperplane",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bucketed AS MATERIALIZED (
+      SELECT vec_id, v, {_bucket_sql('duckdb')} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+          WHERE vec_id < {_NQ}),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             list_inner_product(q.qv, b.v)
+               / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(b.v, b.v)))
+               AS cos_raw
+      FROM q JOIN bucketed b ON b.bucket = q.bucket AND b.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: md5-derived hyperplanes
+    give every vector an 8-bit sign bucket; queries only score vectors in
+    their own bucket.
+
+    The scale story: bucket assignment is scan-side (no shuffle), the
+    candidate join is an equi-join on a 12-bit key, and the exact-cosine
+    rerank touches ~1/256 of the table per query.  Recall is tunable by
+    bucket bits / multi-probe; the brute-force twin (``knn_cosine``) is
+    the ground truth to measure that recall against.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # bucket is an expensive derived column used by both join sides ->
+    # materialize once (cf. the projection-collapse notes in dedup.py)
+    bucketed = e.withColumn("bucket", F.expr(_bucket_sql("spark"))).localCheckpoint()
+    q = F.broadcast(
+        bucketed.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        )
+    )
+    scored = (
+        q.join(bucketed, ["bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", F.expr(_cos_expr("qv", "v")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )
+
+
+@query("approx_distinct_tokens", oracle=None)
+def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct token count per language.
+
+    No DuckDB oracle: HLL sketches are implementation-specific, so
+    cross-engine hashes cannot match (driver records a rows-only check);
+    tests/test_operators_unit.py bounds it within 5% of the exact count.
+    At 100 TB this is THE distinct-count operator -- fixed-size sketch,
+    map-side mergeable, no giant shuffle of distinct values.
+    """
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .groupBy("lang")
+        .agg(F.approx_count_distinct("word", rsd=0.02).alias("n_distinct_approx"))
+    )

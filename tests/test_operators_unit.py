@@ -106,3 +106,30 @@ def test_exact_dedup_counts(spark, monkeypatch):
     monkeypatch.setattr(dedup, "load_table", lambda spark_, sf, name: docs)
     rows = {r["keeper"]: r["n_copies"] for r in dedup.dedup_exact(spark, "unused").collect()}
     assert rows == {0: 3, 9: 1}
+
+
+def test_approx_distinct_within_bounds(spark, sf_dir):
+    """HLL++ estimate stays within 5% of the exact distinct count."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import approx_distinct_tokens
+    from eecs485_p4_mapreduce_spark.operators.text import distinct_tokens
+
+    approx = {r["lang"]: r["n_distinct_approx"] for r in approx_distinct_tokens(spark, sf_dir).collect()}
+    exact = {r["lang"]: r["n_distinct"] for r in distinct_tokens(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for lang, n in exact.items():
+        assert abs(approx[lang] - n) <= max(1, 0.05 * n), (lang, approx[lang], n)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """LSH top-k hits are a subset of brute-force candidates with correct
+    cosines: every (query, neighbor) pair in the LSH result must carry the
+    same cosine the brute-force query computes for it."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import ann_lsh_hyperplane, knn_cosine
+
+    lsh = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+           for r in ann_lsh_hyperplane(spark, sf_dir).collect()}
+    brute = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in knn_cosine(spark, sf_dir).collect()}
+    agree = set(lsh) & set(brute)
+    for k in agree:
+        assert abs(lsh[k] - brute[k]) < 1e-9
