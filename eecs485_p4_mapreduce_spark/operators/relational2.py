@@ -281,3 +281,72 @@ def cond_agg_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("building_bal"),
         )
     )
+
+
+@query(
+    "stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round(sxx / n - (sx / n) * (sx / n), 6) AS var_pop,
+           round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS stddev_pop
+    FROM s
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance/stddev from exact decimal moment sums.
+
+    Built-in var_pop/stddev_pop stream Welford-style updates whose float
+    error depends on partition order -- unusable against a cross-engine
+    oracle.  Computing from exact decimal SUM(x)/SUM(x^2) is
+    order-independent and, as a bonus, a single-pass partial-aggregable
+    plan (x*x is one double multiply, identical in both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = F.col("sxx") / F.col("n") - mean * mean
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(var, 6).alias("var_pop"),
+        F.round(F.sqrt(var), 6).alias("stddev_pop"),
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k,
+           CAST(last_day(o_orderdate) AS VARCHAR) AS month_end,
+           dayofweek(o_orderdate) + 1 AS dow,  -- DuckDB: 0=Sunday; Spark: 1=Sunday
+           weekofyear(o_orderdate) AS woy
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: interval add, datediff, last_day,
+    day-of-week, ISO week-of-year."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).cast("bigint")
+        .alias("days_to_y2k"),
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.weekofyear("o_orderdate").alias("woy"),
+    )

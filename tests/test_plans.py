@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: pin the plan *shapes* that make these
+queries scale (pushdown, pruning, broadcast, TakeOrdered, partial agg).
+
+A correctness-preserving change that regresses one of these (e.g. a lost
+broadcast or a filter that stops reaching the scan) fails here long
+before it would show up as a slow benchmark.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+
+def explain(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        REGISTRY[name].fn(spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = explain(spark, sf_dir, "q1_pricing_summary")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "LessThanOrEqual(l_shipdate" in m.group(1), m
+
+
+def test_column_pruning(spark, sf_dir):
+    # a 2-column projection must not scan all 11 lineitem columns
+    plan = explain(spark, sf_dir, "topk_orders")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "o_orderkey", "o_custkey", "o_totalprice",
+    }, m
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in explain(spark, sf_dir, "topk_orders")
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = explain(spark, sf_dir, "join_broadcast_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_strategy(spark, sf_dir):
+    plan = explain(spark, sf_dir, "join_semi")
+    assert "LeftSemi" in plan
+
+
+def test_hash_agg_partial_final(spark, sf_dir):
+    # two HashAggregate nodes (partial + final) around one exchange
+    plan = explain(spark, sf_dir, "wordcount")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_range_tiers_broadcast_nested_loop(spark, sf_dir):
+    # non-equi join against the literal tier table must be broadcast NL,
+    # never a cartesian shuffle
+    plan = explain(spark, sf_dir, "join_range_tiers")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_grep_prunes_to_two_columns(spark, sf_dir):
+    plan = explain(spark, sf_dir, "grep")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"doc_id", "text"}, m

@@ -1,0 +1,141 @@
+"""Streaming semantics the oracle can't see: watermark late-data drops
+and incremental (multi-batch) processing equivalence."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, dest_dir: str, name: str, rows, mtime: float):
+    """Write one parquet file with a controlled name+mtime so the file
+    stream source (which orders by modification time) processes batches
+    in the intended order."""
+    import glob
+    import shutil
+
+    tmp = tempfile.mkdtemp(prefix="sg-batch-")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.makedirs(dest_dir, exist_ok=True)
+    dst = os.path.join(dest_dir, name)
+    shutil.copy(src, dst)
+    os.utime(dst, (mtime, mtime))
+
+
+@pytest.fixture()
+def two_batch_dir(spark):
+    """Batch 1: events up to 12:00.  Batch 2: one on-time event (12:30)
+    plus one LATE event (09:00) that falls behind the 1h watermark."""
+    import time
+
+    d = os.path.join(tempfile.mkdtemp(prefix="sg-late-"), "events")
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    now = time.time()
+    _write_batch(
+        spark, d, "b1.parquet",
+        [(1, t(10, 0), 1, 1.0), (2, t(11, 0), 1, 1.0), (3, t(12, 0), 1, 1.0)],
+        now - 200,
+    )
+    _write_batch(
+        spark, d, "b2.parquet",
+        [(4, t(12, 30), 1, 1.0), (5, t(9, 0), 1, 100.0)],
+        now - 100,
+    )
+    return d
+
+
+def test_watermark_drops_late_rows(spark):
+    """Two sequential runs of the same query share a checkpoint, so the
+    watermark persists: run 1 sees events up to 12:00 (watermark advances
+    to 11:00); run 2 delivers a 09:00 straggler, which the watermark must
+    drop -- the 09:00 window may never appear in append output."""
+    import time
+
+    d = os.path.join(tempfile.mkdtemp(prefix="sg-late-"), "events")
+    ckpt = tempfile.mkdtemp(prefix="sg-ckpt-")
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    sink = tempfile.mkdtemp(prefix="sg-sink-")
+
+    def run_once(run: int):
+        # file sink supports checkpoint recovery (memory sink does not);
+        # the checkpoint -- and with it the watermark -- is shared.
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, value double"
+            )
+            .parquet(d)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .select(F.col("w.start").alias("ws"), "n", "total")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).collect()
+
+    now = time.time()
+    _write_batch(
+        spark, d, "b1.parquet",
+        [(1, t(10, 0), 1, 1.0), (2, t(11, 0), 1, 1.0), (3, t(12, 0), 1, 1.0)],
+        now - 200,
+    )
+    out1 = run_once(1)
+    _write_batch(
+        spark, d, "b2.parquet",
+        [(4, t(12, 30), 1, 1.0), (5, t(9, 0), 1, 100.0)],
+        now - 100,
+    )
+    out2 = run_once(2)
+    rows = {r["ws"].hour: (r["n"], r["total"]) for r in out1 + out2}
+    # the 10:00 window closed with exactly its one on-time event, and the
+    # late 09:00 event (value 100) must NOT have resurrected a 09:00 window
+    assert rows.get(10) == (1, 1.0)
+    assert 9 not in rows
+
+
+def test_incremental_equals_batch(spark, two_batch_dir):
+    """Complete-mode incremental aggregation over N micro-batches equals
+    the one-shot batch aggregate of all data (late rows included: no
+    watermark here, so nothing may be dropped)."""
+    agg = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(two_batch_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    name = f"inc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sg-ckpt-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["n"], r["total"]) for r in spark.table(name).collect()}
+    exp = {
+        (r["user_id"], r["n"], r["total"])
+        for r in spark.read.parquet(two_batch_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == exp
