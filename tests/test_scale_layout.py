@@ -1,0 +1,91 @@
+"""Storage-layout scale techniques: bucketed co-located joins and
+partition-pruned scans.
+
+These are the two levers that remove whole shuffle/scan phases at 100 TB:
+bucketing pre-shuffles fact tables once at write time so every future
+equi-join/aggregation on the bucket key is exchange-free, and partition
+pruning turns a full-table scan into a directory lookup.  Both are
+asserted on the physical plan, not timings, so they hold at any scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, sf_dir):
+    """Write customer + orders bucketed by custkey as external tables in a
+    temp location (warehouse.dir is a static conf, so external paths)."""
+    wh = tempfile.mkdtemp(prefix="sg-wh-")
+    load_table(spark, sf_dir, "customer").write.bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).option("path", os.path.join(wh, "b_customer")).mode("overwrite").saveAsTable("b_customer")
+    load_table(spark, sf_dir, "orders").write.bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).option("path", os.path.join(wh, "b_orders")).mode("overwrite").saveAsTable("b_orders")
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse):
+    """Equi-join on the bucket key of two co-bucketed tables must not
+    shuffle either side: bucketing at write time IS the shuffle, paid
+    once instead of per query."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        c = spark.table("b_customer")
+        o = spark.table("b_orders")
+        joined = c.join(o, c.c_custkey == o.o_custkey).groupBy("c_custkey").count()
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # sanity: result matches the unbucketed computation
+        n = joined.count()
+        base = (
+            spark.table("b_customer")
+            .join(spark.table("b_orders"), F.expr("c_custkey = o_custkey"))
+            .select("c_custkey")
+            .distinct()
+            .count()
+        )
+        assert n == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_partition_pruning(spark, sf_dir):
+    """Writing events partitioned by day and filtering one day must prune
+    partitions at planning time (PartitionFilters, not a post-scan
+    filter over all files)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sg-part-"), "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    one_day = spark.read.parquet(out).filter(F.col("day") == "2024-01-05")
+    plan = _explain(one_day.groupBy("event_type").count())
+    assert "PartitionFilters" in plan and "day" in plan
+    # pruned scan reads only that day's rows
+    expected = ev.filter(F.col("day") == "2024-01-05").count()
+    assert one_day.count() == expected
+    # and the partition count in the scan is 1 directory's worth:
+    # selected partitions reported in the FileScan line
+    assert one_day.rdd.getNumPartitions() <= 4
