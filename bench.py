@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "udaf_grouped_pandas",
     "udtf_chunk_text",
     "pipeline_training_data",
+    "graph_pagerank",
+    "stats_moments",
     "mr_wordcount",
     "streaming_tumbling_1h",
 ]

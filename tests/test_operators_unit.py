@@ -133,3 +133,41 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     agree = set(lsh) & set(brute)
     for k in agree:
         assert abs(lsh[k] - brute[k]) < 1e-9
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must not change the joined row multiset."""
+    from eecs485_p4_mapreduce_spark.functions.skew import salted_join
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    plain = sorted(
+        (r["c_custkey"], r["o_orderkey"])
+        for r in c.join(o, c.c_custkey == o.o_custkey).collect()
+    )
+    salted = sorted(
+        (r["c_custkey"], r["o_orderkey"])
+        for r in salted_join(o, c, "o_custkey", "c_custkey", salt=4).collect()
+    )
+    assert plain == salted
+
+
+def test_salted_agg_equals_plain_count(spark, sf_dir):
+    from eecs485_p4_mapreduce_spark.functions.skew import salted_agg_count
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    plain = {r["o_custkey"]: r["count"] for r in o.groupBy("o_custkey").count().collect()}
+    salted = {r["o_custkey"]: r["cnt"] for r in salted_agg_count(o, "o_custkey", salt=8).collect()}
+    assert plain == salted
+
+
+def test_hot_keys_diagnostic(spark, sf_dir):
+    from eecs485_p4_mapreduce_spark.functions.skew import hot_keys
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    hot = hot_keys(e, "event_type", threshold_ratio=0.1)
+    # five event types at ~20% each -> all are "hot" at a 10% threshold
+    assert hot.count() == 5
