@@ -210,3 +210,53 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rk") == 1)
         .select("user_id", "n_events", "max_value", "total_value")
     )
+
+
+@query(
+    "streaming_join_purchase_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    """,
+)
+def streaming_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to clicks by the same
+    user within the preceding hour, both sides watermarked.
+
+    The watermark + time-range condition bound the join state (clicks
+    older than purchase-watermark - 1h are evicted) -- the only way a
+    stream-stream join survives unbounded input.  Over bounded input the
+    result equals the batch interval join, which is the oracle.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    return run_to_completion(joined, mode="append")
