@@ -350,3 +350,50 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("o_orderdate").alias("dow"),
         F.weekofyear("o_orderdate").alias("woy"),
     )
+
+
+@query(
+    "merge_upsert_snapshot",
+    oracle=f"""
+    WITH changes AS (
+      SELECT o_custkey AS custkey, COUNT(*) AS new_orders,
+             {dsum_sql('o_totalprice')} AS spend
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+    SELECT coalesce(c.c_custkey, ch.custkey) AS c_custkey,
+           coalesce(c.c_name, 'NEW#' || CAST(ch.custkey AS VARCHAR)) AS c_name,
+           CASE WHEN ch.custkey IS NULL THEN 'unchanged'
+                WHEN c.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action,
+           coalesce(ch.new_orders, 0) AS new_orders,
+           coalesce(ch.spend, 0.0) AS spend
+    FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.custkey
+    """,
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert pattern without a table format: target FULL OUTER
+    JOIN changes, per-row action (update / insert / unchanged) decided by
+    match side.  This is what Delta/Iceberg MERGE INTO lowers to; on plain
+    parquet the merged snapshot is rewritten partition-wise (at 100 TB:
+    partition the target by key range and rewrite only partitions with
+    changes -- the join prunes the rest)."""
+    c = load_table(spark, sf_dir, "customer")
+    changes = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("new_orders"), dsum("o_totalprice").alias("spend"))
+    )
+    merged = c.join(changes, c.c_custkey == changes.custkey, "full_outer")
+    action = (
+        F.when(F.col("custkey").isNull(), "unchanged")
+        .when(F.col("c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+    )
+    return merged.select(
+        F.coalesce("c_custkey", "custkey").alias("c_custkey"),
+        F.coalesce(F.col("c_name"), F.concat(F.lit("NEW#"), F.col("custkey").cast("string")))
+        .alias("c_name"),
+        action.alias("merge_action"),
+        F.coalesce("new_orders", F.lit(0)).alias("new_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+    )

@@ -260,3 +260,23 @@ def streaming_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame
         "inner",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
     return run_to_completion(joined, mode="append")
+
+
+@query(
+    "streaming_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates: emit each (user, event_type) key once
+    across the whole stream, state bounded by the watermark.
+
+    Only the key columns are output -- which row of a duplicate group
+    survives is processing-order-dependent and so unsuitable for an
+    oracle, but the surviving key set is exact."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    dedup = ev.select("user_id", "event_type", "ts").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return run_to_completion(dedup, mode="append").select("user_id", "event_type")
