@@ -31,7 +31,9 @@ from __future__ import annotations
 
 import hashlib
 import os
+import shlex
 import shutil
+import subprocess
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -89,18 +91,28 @@ class MapReduceJob:
             raise FileNotFoundError(f"no input files in {self.input_directory}")
         groups = round_robin_groups(files, self.num_mappers)
 
-        # Map stage: one RDD partition (=> one mapper subprocess, matching
-        # the reference's Popen-per-file) per input file.  At cluster scale
-        # textFile would split large files -- more mapper invocations than
-        # files, which only parallelizes further; the exec contract (lines
-        # in, key\tvalue lines out) is per-line, so results are identical.
+        # Map stage: one mapper subprocess per input FILE with stdin = the
+        # file's RAW bytes -- exactly the reference's Popen(stdin=file)
+        # contract.  (rdd.pipe would re-terminate the final line with a
+        # newline, which diverges for files whose last line is
+        # unterminated: the reference's input_large corpus exposes this.)
+        # binaryFiles buffers a whole file per task; at cluster scale huge
+        # inputs would use a chunked streaming feeder instead -- the
+        # subprocess topology is identical.
+        cmd = shlex.split(self.mapper_executable)
+
+        def run_mapper(record):
+            _path, content = record
+            proc = subprocess.run(
+                cmd, input=bytes(content), capture_output=True, check=True
+            )
+            return proc.stdout.decode("utf-8").splitlines()
+
         mapped = []
         for group in groups:
             for path in group:
-                rdd = sc.textFile(path, minPartitions=1)
-                if rdd.getNumPartitions() > 1:
-                    rdd = rdd.coalesce(1)
-                mapped.append(rdd.pipe(self.mapper_executable))
+                rdd = sc.binaryFiles(path)
+                mapped.append(rdd.flatMap(run_mapper))
         inter = sc.union(mapped)
 
         nred = self.num_reducers

@@ -103,9 +103,9 @@ def _sig_sql(dialect: str) -> str:
 def _bands_sql(dialect: str) -> str:
     """band b (1.._BANDS) key = md5 over its r signature entries."""
     if dialect == "spark":
-        tr, idx, seq, s = "transform", "element_at", f"sequence(1, {_BANDS})", "string"
+        tr, idx, seq = "transform", "element_at", f"sequence(1, {_BANDS})"
         ints = ", ".join(
-            f"cast({idx}(sig, (b - 1) * {_R} + {j + 1}) as {s})" for j in range(_R)
+            f"cast({idx}(sig, (b - 1) * {_R} + {j + 1}) as string)" for j in range(_R)
         )
     else:
         tr, idx, seq = "list_transform", "list_extract", f"range(1, {_BANDS} + 1)"

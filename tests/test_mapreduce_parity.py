@@ -149,3 +149,80 @@ def test_identity_mapper_partition_placement(spark, tmp_path):
         p1 = fh.read().splitlines()
     assert p0 == ["\t1", "bye\t1", "hello\t1"]  # ref test_worker_08.py:226-243
     assert p1 == ["goodbye\t1", "hadoop\t1", "world\t1"]
+
+
+@needs_ref
+def test_baseline_map_stage_ceiling(spark, tmp_path):
+    """BASELINE.md row 1: identity mapper over ~5.14 MB
+    (input_large_intermediate, 4 files), 2 partitions, < 10 s wall.
+
+    The engine runs the WHOLE job (map + shuffle-sort + reduce + sink)
+    inside the reference's map-stage-only budget.  Output must be
+    C-locale sorted per part with every input line preserved."""
+    import time
+
+    src = os.path.join(REF, "tests", "testdata", "input_large_intermediate")
+    out = str(tmp_path / "out")
+    t0 = time.time()
+    MapReduceJob(
+        input_directory=src,
+        output_directory=out,
+        mapper_executable="cat",
+        reducer_executable="cat",
+        num_mappers=4,
+        num_reducers=2,
+    ).run(spark)
+    wall = time.time() - t0
+    assert wall < 10.0, f"took {wall:.1f}s, reference ceiling is 10s"
+    n_out = 0
+    for name in ["part-00000", "part-00001"]:
+        with open(os.path.join(out, name), encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+        assert lines == sorted(lines), f"{name} not byte-sorted"
+        n_out += len(lines)
+    n_in = 0
+    for f in sorted(os.listdir(src)):
+        with open(os.path.join(src, f), encoding="utf-8") as fh:
+            n_in += sum(1 for _ in fh)
+    assert n_out == n_in
+
+
+@needs_ref
+def test_baseline_wordcount_large(spark, tmp_path):
+    """Wordcount over input_large (~3.7 MB of novels) with the reference's
+    own executables, against the reference's 10s E2E ceiling (x2 grace for
+    full-corpus input 650x larger than the ceiling's 5.5 kB)."""
+    import time
+
+    out = str(tmp_path / "out")
+    t0 = time.time()
+    MapReduceJob(
+        input_directory=os.path.join(REF, "tests", "testdata", "input_large"),
+        output_directory=out,
+        mapper_executable=os.path.join(REF, "tests", "testdata", "exec", "wc_map.sh"),
+        reducer_executable=os.path.join(REF, "tests", "testdata", "exec", "wc_reduce.sh"),
+        num_mappers=4,
+        num_reducers=2,
+    ).run(spark)
+    wall = time.time() - t0
+    assert wall < 20.0, f"took {wall:.1f}s"
+    total = 0
+    for name in ["part-00000", "part-00001"]:
+        with open(os.path.join(out, name), encoding="utf-8") as fh:
+            for line in fh:
+                total += int(line.rsplit("\t", 1)[1])
+    # every token the reference mapper emits is counted exactly once
+    # (ground truth = the mapper itself run per file, matching the
+    # one-subprocess-per-file contract; wc -w would miss the empty-key
+    # tokens awk emits for blank lines and unterminated final lines)
+    import subprocess
+
+    expected = 0
+    mapper = os.path.join(REF, "tests", "testdata", "exec", "wc_map.sh")
+    for f in sorted(os.listdir(os.path.join(REF, "tests", "testdata", "input_large"))):
+        r = subprocess.run(
+            ["bash", "-c", f"{mapper} < {REF}/tests/testdata/input_large/{f} | wc -l"],
+            capture_output=True, text=True, check=True,
+        )
+        expected += int(r.stdout.strip())
+    assert total == expected
