@@ -397,3 +397,44 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("new_orders", F.lit(0)).alias("new_orders"),
         F.coalesce("spend", F.lit(0.0)).alias("spend"),
     )
+
+
+@query(
+    "map_fns",
+    oracle="""
+    WITH sub AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    m AS (
+      SELECT o_orderstatus,
+             map(list(o_orderpriority ORDER BY o_orderpriority),
+                 list(n ORDER BY o_orderpriority)) AS pm
+      FROM sub GROUP BY o_orderstatus)
+    SELECT o_orderstatus,
+           CAST(cardinality(pm) AS INT) AS n_keys,
+           map_keys(pm)[1] AS first_key,
+           CAST(pm['1-URGENT'][1] AS BIGINT) AS urgent_n,
+           CAST(list_sum(map_values(pm)) AS BIGINT) AS total_n
+    FROM m
+    """,
+)
+def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a priority->count map per status
+    (entries sorted for determinism), then keys/lookup/cardinality/values.
+    Maps never surface raw in the output -- engines render them
+    differently -- only scalar projections of them do."""
+    o = load_table(spark, sf_dir, "orders")
+    sub = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    m = sub.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderpriority", "n")))
+        ).alias("pm")
+    )
+    return m.select(
+        "o_orderstatus",
+        F.size("pm").alias("n_keys"),
+        F.element_at(F.map_keys("pm"), 1).alias("first_key"),
+        F.element_at("pm", "1-URGENT").cast("bigint").alias("urgent_n"),
+        F.aggregate(F.map_values("pm"), F.lit(0).cast("bigint"), lambda a, x: a + x)
+        .alias("total_n"),
+    )

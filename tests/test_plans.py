@@ -72,3 +72,10 @@ def test_grep_prunes_to_two_columns(spark, sf_dir):
     plan = explain(spark, sf_dir, "grep")
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {"doc_id", "text"}, m
+
+
+def test_window_topk_group_limit(spark, sf_dir):
+    # rank-filter pushdown: Spark 3.5+ plans rk<=3 as WindowGroupLimit,
+    # keeping only k rows per partition before the full window sort
+    plan = explain(spark, sf_dir, "window_rank_orders")
+    assert "WindowGroupLimit" in plan
