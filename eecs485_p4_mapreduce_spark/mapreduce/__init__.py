@@ -10,7 +10,6 @@ exe path computes exactly what the DataFrame plans compute.
 from __future__ import annotations
 
 import os
-import shutil
 import sys
 import tempfile
 

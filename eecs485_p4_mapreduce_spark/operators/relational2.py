@@ -1,6 +1,8 @@
 """Second relational coverage wave (SURVEY.md §2.C gaps): grouping sets,
 full-outer/cross joins, ALL-variant set ops, array/map functions, pivot,
-percentiles, deterministic sampling, regex functions, null-safe equality.
+percentiles, deterministic sampling, regex functions, null-safe equality,
+conditional aggregation, decimal-exact statistical moments, date
+arithmetic, and the MERGE/upsert join pattern.
 """
 
 from __future__ import annotations

@@ -1,0 +1,28 @@
+"""Invariants of the driver contract (__spark_entry__)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    osql = entrymod.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 77
+    # all but the explicitly rows-only queries carry oracles
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {"approx_distinct_tokens"}
+
+
+def test_entry_runs_and_is_stable(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert df.schema == entrymod.entry(spark).schema
+
+
+def test_oracle_sql_is_parseable_by_duckdb(duck):
+    """Every oracle must at least bind/plan in DuckDB (catches typos in
+    rarely-exercised SQL before the driver does)."""
+    for name, sql in entrymod.oracle_sql().items():
+        duck.sql(f"EXPLAIN {sql}")
