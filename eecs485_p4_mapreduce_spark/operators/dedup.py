@@ -449,3 +449,127 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
 
     return emb.mapInPandas(block, schema="vec_a bigint, vec_b bigint, cosine double")
+
+
+# ----------------------------------------------- duplicate clustering
+
+_CLUSTER_TAU = 0.2  # minhash est_jaccard edge threshold
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS MATERIALIZED (SELECT doc_id, {_SH_DUCK} AS sh FROM documents),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    hx AS MATERIALIZED (SELECT doc_id, md5(g) AS h FROM ex),
+    hint AS MATERIALIZED (SELECT doc_id,
+           {_hex_int_sql('duckdb', 'h', 1)} AS h1,
+           {_hex_int_sql('duckdb', 'h', 9)} AS h2 FROM hx),
+    sig AS MATERIALIZED (SELECT doc_id, list_value({_MIN_EXPRS_DUCK}) AS sig
+                         FROM hint GROUP BY doc_id),
+    withbands AS MATERIALIZED (SELECT doc_id, sig, {_BANDS_DUCK} AS bands FROM sig),
+    banded AS (
+      SELECT doc_id, sig, b, list_extract(bands, b) AS band_hash
+      FROM withbands, unnest(range(1, {_BANDS} + 1)) AS t(b)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+      WHERE CAST(len(list_filter(range(1, {_K} + 1),
+            i -> list_extract(sa.sig, i) = list_extract(sb.sig, i))) AS DOUBLE) / {_K}
+            >= {_CLUSTER_TAU}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM scored
+      UNION SELECT doc_b, doc_a FROM scored),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    reach AS (
+      SELECT node AS src, node AS dst FROM nodes
+      UNION
+      SELECT r.src, e.d AS dst FROM reach r JOIN edges e ON e.s = r.dst),
+    labeled AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM labeled
+    GROUP BY cluster_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the MinHash
+    near-dup graph (est_jaccard >= 0.2), canonical doc = min doc_id.
+
+    Spark side runs iterative min-label propagation to a fixpoint --
+    each round is one join + one aggregate on (node, label), the
+    standard large-graph CC shape (label exchange only, never
+    adjacency materialization).  The oracle computes the same
+    components via a recursive transitive closure, which is exact but
+    quadratic per component -- fine for an oracle, wrong at scale;
+    the iterative form converges in O(diameter) rounds.
+    Docs in no near-dup pair form singleton clusters of themselves.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= _CLUSTER_TAU
+    ).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # nodes restricted to the pair graph; isolated docs join back at the end
+    nodes = edges.select(F.col("s").alias("node")).distinct()
+    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint()
+    for it in range(12):
+        # propagate: min over neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy(F.col("s").alias("node2"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        prop = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+        )
+        # pointer-jump: adopt the label of one's label (path halving), so
+        # chains collapse in O(log diameter) rounds instead of O(diameter)
+        lbl_of_lbl = labels.select(
+            F.col("node").alias("lnode"), F.col("lbl").alias("llbl")
+        )
+        new_labels = (
+            prop.join(lbl_of_lbl, prop.lbl == F.col("lnode"), "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("llbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        converged = False
+        if it % 2 == 1 or it == 11:  # convergence check every other round
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.expr("n.lbl <> o.lbl"))
+                .count()
+            )
+            converged = changed == 0
+        labels = new_labels
+        if converged:
+            break
+    member = labels  # (node=doc_id, lbl=cluster)
+    isolated = docs.join(nodes, docs.doc_id == nodes.node, "left_anti").select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
+    )
+    allm = member.union(isolated)
+    return allm.groupBy(F.col("lbl").cast("bigint").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("cluster_size"),
+        F.min("node").cast("bigint").alias("canonical_doc"),
+    )
