@@ -525,7 +525,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nodes restricted to the pair graph; isolated docs join back at the end
     nodes = edges.select(F.col("s").alias("node")).distinct()
     labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint()
-    for it in range(12):
+    max_rounds = 30
+    for it in range(max_rounds):
         # propagate: min over neighbors' labels
         neighbor_min = (
             edges.join(labels, edges.d == labels.node)
@@ -553,7 +554,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         converged = False
-        if it % 2 == 1 or it == 11:  # convergence check every other round
+        if it % 2 == 1 or it == max_rounds - 1:  # check every other round
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
@@ -564,6 +565,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if converged:
             break
+    else:
+        raise RuntimeError("dedup_clusters: label propagation did not converge")
     member = labels  # (node=doc_id, lbl=cluster)
     isolated = docs.join(nodes, docs.doc_id == nodes.node, "left_anti").select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
