@@ -292,3 +292,66 @@ def approx_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.approx_count_distinct("word", rsd=0.02).alias("n_distinct_approx"))
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+          FROM e),
+    q AS (SELECT vec_id, scale,
+                 list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv,
+                 v
+          FROM s),
+    err AS (SELECT vec_id, scale,
+                   list_max(list_transform(range(1, 65),
+                       i -> abs(list_extract(qv, i) * scale - list_extract(v, i)))) AS max_err,
+                   list_max(list_transform(qv, x -> abs(x))) AS max_q
+            FROM q)
+    SELECT vec_id, round(scale, 9) AS scale, round(max_err, 9) AS max_abs_err,
+           CAST(max_q AS BIGINT) AS max_q
+    FROM err
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization: per-vector scale = max|x|/127,
+    q = round(x/scale), plus reconstruction-error audit columns.
+
+    The storage-side op of a vector pipeline (4x smaller embeddings for
+    ANN candidate scans; full-precision only for rerank).  round()
+    spelled floor(x+0.5) so both engines use identical
+    round-half-up-toward-+inf semantics (values here are symmetric, so
+    ties are vanishingly rare but still deterministic).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    s = e.withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / 127.0,
+    )
+    q = s.withColumn(
+        "qv", F.transform("v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("bigint"))
+    )
+    err = q.select(
+        "vec_id",
+        "scale",
+        F.array_max(
+            F.expr(
+                "transform(sequence(1, 64),"
+                " i -> abs(element_at(qv, i) * scale - element_at(v, i)))"
+            )
+        ).alias("max_err"),
+        F.array_max(F.transform("qv", lambda x: F.abs(x))).alias("max_q"),
+    )
+    return err.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.round("max_err", 9).alias("max_abs_err"),
+        F.col("max_q").cast("bigint").alias("max_q"),
+    )
