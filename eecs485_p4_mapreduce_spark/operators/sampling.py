@@ -1,0 +1,102 @@
+"""Training-data sampling operators over ``documents``: deterministic
+train/val/test splits and per-stratum quota sampling.
+
+A 100 TB corpus pipeline cannot use ``rand()`` for splits -- the split
+must be a pure function of the row so it is reproducible across runs,
+engines, and re-partitions, and so a document never migrates between
+train and test when the corpus is re-ingested.  Both operators therefore
+derive their randomness from md5 of the document id (the only hash both
+Spark and DuckDB implement identically, cf. COVERAGE.md determinism
+rules), which also spreads buckets uniformly regardless of id skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+# hex digit -> value via position scan: DuckDB has no conv(); instr() over
+# this alphabet is identical in both engines (1-based, so subtract 1).
+_HEX = "0123456789abcdef"
+
+
+def _bucket256_sql(key_expr: str) -> str:
+    """SQL for a uniform 0..255 bucket from md5(key): first two hex digits.
+
+    Spells the cast ``AS STRING`` — the one spelling both engines parse
+    (Spark rejects length-less VARCHAR; DuckDB aliases STRING→VARCHAR).
+    """
+    h = f"md5(CAST({key_expr} AS STRING))"
+    return (
+        f"((instr('{_HEX}', substring({h}, 1, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substring({h}, 2, 1)) - 1))"
+    )
+
+
+@query(
+    "sample_split_train_val_test",
+    oracle=f"""
+    WITH b AS (
+        SELECT lang, n_chars, {_bucket256_sql('doc_id')} AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def sample_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split by hashing doc_id into
+    256 buckets (train = 0..204, val = 205..229, test = 230..255), with
+    per-split per-language counts.  Content-hash splits are stable under
+    re-partitioning and incremental ingest -- a new batch of documents
+    never reshuffles the split of existing ones."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket256_sql("doc_id"))
+    split = (
+        F.when(bucket < 205, "train").when(bucket < 230, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "sample_per_lang_quota",
+    oracle="""
+    SELECT doc_id, lang, rk
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    WHERE rk <= 20
+    """,
+)
+def sample_per_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota sample: 20 documents per language, chosen by
+    md5(doc_id) order -- a uniform draw that every engine reproduces
+    byte-identically.  The plan is a single hash-partition-by-lang plus
+    WindowGroupLimit (rank pushdown), so each stratum's sort stops at the
+    quota instead of fully sorting 100 TB; for heavily skewed strata,
+    compose with the salted-agg helpers in functions/skew.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )

@@ -14,6 +14,8 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     relational2,
+    relational3,
+    sampling,
     similarity,
     sourcesink,
     text,

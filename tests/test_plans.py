@@ -79,3 +79,32 @@ def test_window_topk_group_limit(spark, sf_dir):
     # keeping only k rows per partition before the full window sort
     plan = explain(spark, sf_dir, "window_rank_orders")
     assert "WindowGroupLimit" in plan
+
+
+def test_subquery_in_lowered_to_semi_join(spark, sf_dir):
+    # IN (SELECT ... HAVING ...) must become a left-semi join against the
+    # aggregated side, not a per-row re-scan
+    plan = explain(spark, sf_dir, "subquery_in_q18")
+    assert "LeftSemi" in plan
+
+
+def test_subquery_exists_lowered_to_semi_and_anti(spark, sf_dir):
+    plan = explain(spark, sf_dir, "subquery_exists_correlated")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q3_broadcasts_filtered_dims_and_takes_ordered(spark, sf_dir):
+    plan = explain(spark, sf_dir, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    m = re.search(r"PushedFilters: \[([^\]]*EqualTo\(c_mktsegment[^\]]*)\]", plan)
+    assert m, "segment filter must reach the customer scan"
+
+
+def test_quota_sample_group_limit(spark, sf_dir):
+    # rk <= 20 must plan as WindowGroupLimit so each stratum's sort stops
+    # at the quota instead of fully sorting the corpus
+    plan = explain(spark, sf_dir, "sample_per_lang_quota")
+    assert "WindowGroupLimit" in plan
