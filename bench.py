@@ -64,6 +64,13 @@ BENCH_QUERIES = [
     "stats_moments",
     "mr_wordcount",
     "streaming_tumbling_1h",
+    "tpch_q3_shipping_priority",
+    "subquery_in_q18",
+    "sample_split_train_val_test",
+    "sample_per_lang_quota",
+    "resample_gapfill_1h",
+    "dedup_fuzzy_levenshtein",
+    "ann_lsh_multiprobe",
 ]
 
 

@@ -576,3 +576,78 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cluster_size"),
         F.min("node").cast("bigint").alias("canonical_doc"),
     )
+
+
+# ------------------------------------------------- fuzzy (edit distance)
+
+@query(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, text,
+             substring(text, 1, 16) AS pfx,
+             substring(text, length(text) - 15, 16) AS sfx
+      FROM documents),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.text AS ta, b.text AS tb
+      FROM d a JOIN d b
+        ON a.pfx = b.pfx AND a.lang = b.lang AND a.doc_id < b.doc_id
+           AND abs(a.n_chars - b.n_chars) <= 20
+      UNION
+      SELECT a.doc_id, b.doc_id, a.text, b.text
+      FROM d a JOIN d b
+        ON a.sfx = b.sfx AND a.lang = b.lang AND a.doc_id < b.doc_id
+           AND abs(a.n_chars - b.n_chars) <= 20)
+    SELECT doc_a, doc_b, levenshtein(ta, tb) AS edit_dist
+    FROM cand
+    WHERE levenshtein(ta, tb) <= 30
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance with prefix/suffix blocking.
+
+    Levenshtein is O(len^2) per pair, so the all-pairs form is impossible
+    at scale; the standard fix is *blocking*: candidates must share a
+    16-char prefix OR suffix (two equi-join passes, unioned and deduped),
+    plus same language and |len diff| <= 20 -- each block key is an
+    equality shuffle key, so this is two ordinary hash joins whose
+    fan-out is the block sizes, not n^2.  Spark evaluates the distance
+    with the early-exit threshold form ``levenshtein(a, b, 30)`` (bails
+    once the running minimum exceeds 30, returning -1); kept pairs'
+    distances are exact, so they match DuckDB's unthresholded values.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "text",
+        F.substring("text", 1, 16).alias("pfx"),
+        F.expr("substring(text, length(text) - 15, 16)").alias("sfx"),
+    )
+
+    def block(key: str) -> DataFrame:
+        a, b = d.alias("a"), d.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.text").alias("ta"),
+                F.col("b.text").alias("tb"),
+            )
+        )
+
+    cand = block("pfx").union(block("sfx")).dropDuplicates(["doc_a", "doc_b"])
+    dist = F.expr("levenshtein(ta, tb, 30)")
+    return (
+        cand.withColumn("edit_dist", dist)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 30))
+        .select("doc_a", "doc_b", "edit_dist")
+    )

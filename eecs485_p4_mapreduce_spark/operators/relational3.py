@@ -208,3 +208,38 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+@query(
+    "subquery_q2_max_acctbal",
+    oracle="""
+    SELECT r.r_name, n.n_name, s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE s.s_acctbal = (
+        SELECT MAX(s2.s_acctbal) FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey
+    )
+    """,
+)
+def subquery_q2_max_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2's shape (equality against a correlated aggregate) on the
+    tables this corpus has: the top-balance supplier(s) per nation, with
+    nation/region names joined in.  Catalyst de-correlates the MAX into a
+    per-nation aggregate joined back on the correlation key; nation and
+    region broadcast.  MAX of a double is a pure selection (no
+    accumulation), so no decimal guard is needed for parity."""
+    _views(spark, sf_dir, "supplier", "nation", "region")
+    return spark.sql(
+        """
+        SELECT r.r_name, n.n_name, s.s_name, s.s_acctbal
+        FROM r3_supplier s
+        JOIN r3_nation n ON s.s_nationkey = n.n_nationkey
+        JOIN r3_region r ON n.n_regionkey = r.r_regionkey
+        WHERE s.s_acctbal = (
+            SELECT MAX(s2.s_acctbal) FROM r3_supplier s2
+            WHERE s2.s_nationkey = s.s_nationkey
+        )
+        """
+    )

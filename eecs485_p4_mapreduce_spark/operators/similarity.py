@@ -355,3 +355,86 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_err", 9).alias("max_abs_err"),
         F.col("max_q").cast("bigint").alias("max_q"),
     )
+
+
+def _probes_sql(dialect: str) -> str:
+    """All buckets within Hamming distance 1 of `bucket` (itself + one
+    flip per bit position) -- the multi-probe sequence."""
+    if dialect == "spark":
+        flip = (
+            f"transform(sequence(1, {_H}), i -> concat("
+            "substring(bucket, 1, i - 1), "
+            "case when substring(bucket, i, 1) = '1' then '0' else '1' end, "
+            f"substring(bucket, i + 1, {_H} - i)))"
+        )
+        return f"concat(array(bucket), {flip})"
+    flip = (
+        f"list_transform(range(1, {_H} + 1), i -> concat("
+        "substring(bucket, 1, i - 1), "
+        "CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END, "
+        f"substring(bucket, i + 1, {_H} - i)))"
+    )
+    return f"list_concat([bucket], {flip})"
+
+
+@query(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    bucketed AS MATERIALIZED (
+      SELECT vec_id, v, {_bucket_sql('duckdb')} AS bucket FROM e),
+    q AS (
+      SELECT query_id, qv, unnest(probes) AS probe
+      FROM (SELECT vec_id AS query_id, v AS qv,
+                   {_probes_sql('duckdb')} AS probes
+            FROM bucketed WHERE vec_id < {_NQ})),
+    scored AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             list_inner_product(q.qv, b.v)
+               / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(b.v, b.v)))
+               AS cos_raw
+      FROM q JOIN bucketed b ON b.bucket = q.probe AND b.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query scores its own sign bucket PLUS the
+    8 buckets at Hamming distance 1 (flip one hyperplane sign), recovering
+    most of the recall single-probe LSH loses to near-boundary vectors at
+    ~9/256 of the table per query -- still two orders of magnitude under
+    brute force.
+
+    Scale shape: the table side is bucketed once (scan-side expression);
+    only the QUERY side fans out x9 (explode of a 9-element array), so
+    the candidate join stays a broadcast equi-join on the bucket string.
+    A probed bucket never repeats per query (all 9 probes are distinct
+    strings), so no candidate dedup pass is needed before the rerank.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    bucketed = e.withColumn("bucket", F.expr(_bucket_sql("spark"))).localCheckpoint()
+    q = F.broadcast(
+        bucketed.filter(F.col("vec_id") < _NQ)
+        .withColumn("probe", F.explode(F.expr(_probes_sql("spark"))))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "probe")
+    )
+    scored = (
+        q.join(bucketed, q.probe == bucketed.bucket)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", F.expr(_cos_expr("qv", "v")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )

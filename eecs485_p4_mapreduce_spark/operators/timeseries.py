@@ -1,0 +1,89 @@
+"""Time-series resampling: regularize an event stream onto a fixed grid
+and gap-fill missing buckets (the batch counterpart of a hypertable
+rollup / continuous aggregate; the reference framework can only emulate
+this with a custom reducer over a pre-sorted partition, cf. SURVEY.md
+§2.C "Window functions ... absent").
+
+Scale shape: the per-bucket aggregate is a map-side-combinable hash agg
+over the raw events (the only pass that touches the 100 TB input); the
+spine (buckets x series) is tiny -- hours-in-range x event types -- so
+the grid join and the forward-fill window run on data proportional to
+the OUTPUT, not the input.  The fill window partitions by series, so at
+1000 executors each series' fill is one task; for very long ranges,
+range-partition time into chunks and carry the last value across chunk
+boundaries with a second tiny pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.numeric import davg, davg_sql
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+
+@query(
+    "resample_gapfill_1h",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             COUNT(*) AS n, {davg_sql('value')} AS avg_value
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(hour_start) AS mn, max(hour_start) AS mx FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour_start
+      FROM b),
+    grid AS (
+      SELECT hour_start, event_type
+      FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM hourly)),
+    j AS (
+      SELECT g.hour_start, g.event_type, h.n, h.avg_value
+      FROM grid g LEFT JOIN hourly h USING (hour_start, event_type))
+    SELECT hour_start, event_type, COALESCE(n, 0) AS n,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_avg
+    FROM j
+    """,
+)
+def resample_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to an hourly grid per event type and forward-fill
+    empty buckets with the last observed hourly average (locf).  Buckets
+    before a series' first observation stay NULL -- there is nothing to
+    carry, and inventing a value would be wrong.
+
+    The spine is built with ``sequence(min, max, 1 hour)`` from a 1-row
+    aggregate -- no ``collect()``, no driver loop -- then cross-joined
+    with the distinct series keys (both sides tiny, Catalyst broadcasts).
+    The forward-filled average is the decimal-exact ``davg`` so the fill
+    copies bitwise-identical doubles in both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), davg("value").alias("avg_value"))
+    )
+    bounds = hourly.agg(
+        F.min("hour_start").alias("mn"), F.max("hour_start").alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias(
+            "hour_start"
+        )
+    )
+    grid = spine.crossJoin(hourly.select("event_type").distinct())
+    j = grid.join(hourly, ["hour_start", "event_type"], "left")
+    fill = Window.partitionBy("event_type").orderBy("hour_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return j.select(
+        "hour_start",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("avg_value", ignorenulls=True).over(fill).alias("filled_avg"),
+    )

@@ -19,6 +19,7 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     similarity,
     sourcesink,
     text,
+    timeseries,
     textstats,
     udx,
     windows,

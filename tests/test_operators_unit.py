@@ -171,3 +171,22 @@ def test_hot_keys_diagnostic(spark, sf_dir):
     hot = hot_keys(e, "event_type", threshold_ratio=0.1)
     # five event types at ~20% each -> all are "hot" at a 10% threshold
     assert hot.count() == 5
+
+
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Probing Hamming-1 neighbor buckets must not lose recall vs the
+    single-probe LSH, measured against brute-force top-k ground truth."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import (
+        ann_lsh_hyperplane,
+        ann_lsh_multiprobe,
+        knn_cosine,
+    )
+
+    def pairs(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    truth = pairs(knn_cosine(spark, sf_dir))
+    single = pairs(ann_lsh_hyperplane(spark, sf_dir))
+    multi = pairs(ann_lsh_multiprobe(spark, sf_dir))
+    assert len(multi & truth) >= len(single & truth)
+    assert len(multi) >= len(single)

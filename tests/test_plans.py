@@ -108,3 +108,28 @@ def test_quota_sample_group_limit(spark, sf_dir):
     # at the quota instead of fully sorting the corpus
     plan = explain(spark, sf_dir, "sample_per_lang_quota")
     assert "WindowGroupLimit" in plan
+
+
+def test_multiprobe_explodes_query_side_only(spark, sf_dir):
+    # the x9 probe fan-out must hit the tiny broadcast query side, never
+    # the table side, and the candidate join must stay broadcast-hash
+    plan = explain(spark, sf_dir, "ann_lsh_multiprobe")
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_dedup_blocking_is_equi_join(spark, sf_dir):
+    # prefix/suffix blocking must plan as hash-partitioned equi-joins --
+    # a nested-loop or cartesian plan would be the O(n^2) failure mode
+    plan = explain(spark, sf_dir, "dedup_fuzzy_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_spine_has_no_collect_shaped_plan(spark, sf_dir):
+    # the hourly grid comes from sequence()+explode over a 1-row agg --
+    # the plan must contain the generator and the locf window
+    plan = explain(spark, sf_dir, "resample_gapfill_1h")
+    assert "Generate" in plan
+    assert "Window" in plan
