@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "resample_gapfill_1h",
     "dedup_fuzzy_levenshtein",
     "ann_lsh_multiprobe",
+    "dedup_incremental_minhash",
+    "stats_zscore_outliers",
+    "lateral_topk_orders",
+    "sample_stratified_fraction",
 ]
 
 

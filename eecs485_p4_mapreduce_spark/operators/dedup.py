@@ -133,9 +133,9 @@ _MIN_EXPRS_DUCK = ", ".join(
     f"MIN((h1 + {i} * (2 * h2 + 1)) % {_M32})" for i in range(_K)
 )
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# shared CTE chain: documents -> shingles -> signatures -> per-band rows
+# (used by the full-corpus LSH oracle and the incremental-batch oracle)
+_MINHASH_BANDED_DUCK = f"""
     WITH sh AS MATERIALIZED (SELECT doc_id, {_SH_DUCK} AS sh FROM documents),
     ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
     hx AS MATERIALIZED (SELECT doc_id, md5(g) AS h FROM ex),
@@ -147,30 +147,17 @@ _MIN_EXPRS_DUCK = ", ".join(
     withbands AS MATERIALIZED (SELECT doc_id, sig, {_BANDS_DUCK} AS bands FROM sig),
     banded AS (
       SELECT doc_id, sig, b, list_extract(bands, b) AS band_hash
-      FROM withbands, unnest(range(1, {_BANDS} + 1)) AS t(b)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.sig AS sig_a, b.sig AS sig_b
-      FROM banded a JOIN banded b
-        ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, {_EST_DUCK} AS est_jaccard
-    FROM cand
-    """,
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH(8 bands x 2): shingle -> minhash -> band ->
-    bucket-join -> estimated Jaccard.
+      FROM withbands, unnest(range(1, {_BANDS} + 1)) AS t(b))"""
 
-    Signature construction is Broder-style: ONE md5 per shingle yields
-    two 32-bit ints; hash i is the affine mix (h1 + i*(2*h2+1)) mod 2^32,
-    so adding hashes costs integer ops, not extra digests.  The signature
-    is then one shuffle: explode shingles, hash, groupBy(doc) with K
-    integer MIN aggregates (partial agg collapses map-side).  Only
-    (band, band_hash, doc_id) rows shuffle for the candidate equi-join --
-    at 100 TB its key cardinality ~= corpus size * bands -- and
-    signatures re-attach to the surviving pairs via broadcast.
+
+def _minhash_banded(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(signatures, per-band rows) for MinHash LSH over ``docs``.
+
+    Returns ``sig_df`` (doc_id, sig) localCheckpointed -- every consumer
+    references it repeatedly and projection collapse would otherwise
+    recompute the explode+agg per reference -- and ``sig`` exploded to
+    one row per (doc_id, band, band_hash).
     """
-    docs = load_table(spark, sf_dir, "documents")
     # Two expression-inlining traps avoided here: lower(text) is hoisted to
     # its own projection so the generator does not re-lowercase the whole
     # document for every shingle index, and md5 runs inside the generator
@@ -197,16 +184,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("sig")
     )
-    # Materialize signatures once: the plan below references sig_df three
-    # times (band explode + two re-attach joins) and Spark would otherwise
-    # recompute the whole explode+agg per reference.  At cluster scale this
-    # is a checkpoint/cached table between stages.
+    # Materialize signatures once; at cluster scale this is a
+    # checkpoint/cached table between stages.
     sig_df = sig_df.localCheckpoint()
     sig = (
         sig_df.withColumn("bands", F.expr(_BANDS_SPARK))
         .select("doc_id", "sig", F.posexplode("bands").alias("b0", "band_hash"))
         .select("doc_id", "sig", (F.col("b0") + 1).alias("b"), "band_hash")
     )
+    return sig_df, sig
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""{_MINHASH_BANDED_DUCK},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, {_EST_DUCK} AS est_jaccard
+    FROM cand
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(8 bands x 2): shingle -> minhash -> band ->
+    bucket-join -> estimated Jaccard.
+
+    Signature construction is Broder-style: ONE md5 per shingle yields
+    two 32-bit ints; hash i is the affine mix (h1 + i*(2*h2+1)) mod 2^32,
+    so adding hashes costs integer ops, not extra digests.  The signature
+    is then one shuffle: explode shingles, hash, groupBy(doc) with K
+    integer MIN aggregates (partial agg collapses map-side).  Only
+    (band, band_hash, doc_id) rows shuffle for the candidate equi-join --
+    at 100 TB its key cardinality ~= corpus size * bands -- and
+    signatures re-attach to the surviving pairs via broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig_df, sig = _minhash_banded(docs)
     a = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "b", "band_hash"
     )
@@ -650,4 +665,63 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("edit_dist", dist)
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 30))
         .select("doc_a", "doc_b", "edit_dist")
+    )
+
+
+# --------------------------------------------- incremental (new batch)
+
+_SPLIT = 400  # doc_id >= _SPLIT plays the role of the newly ingested batch
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""{_MINHASH_BANDED_DUCK},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_old, b.doc_id AS doc_new,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_hash = b.band_hash
+           AND a.doc_id < {_SPLIT} AND b.doc_id >= {_SPLIT})
+    SELECT doc_old, doc_new, {_EST_DUCK} AS est_jaccard
+    FROM cand
+    WHERE {_EST_DUCK} >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screen: which documents of a newly ingested
+    batch (doc_id >= 400 stands in for it) near-duplicate the existing
+    corpus, via the same MinHash band machinery as ``dedup_minhash_lsh``
+    but joining NEW bands against OLD bands only.
+
+    This is the shape that matters for a continuously fed 100 TB corpus:
+    the corpus side's signatures/bands are computed once and stored (here
+    they come from the shared helper; in production a bucketed table keyed
+    by (band, band_hash)), so each ingest only shingles the NEW batch and
+    probes it against the index -- cost proportional to the batch, not
+    the corpus.  The est >= 0.5 filter (exact multiples of 1/16, so the
+    comparison is engine-safe) keeps only pairs worth a verify pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig_df, sig = _minhash_banded(docs)
+    old = sig.filter(F.col("doc_id") < _SPLIT).select(
+        F.col("doc_id").alias("doc_old"), "b", "band_hash"
+    )
+    new = sig.filter(F.col("doc_id") >= _SPLIT).select(
+        F.col("doc_id").alias("doc_new"), "b", "band_hash"
+    )
+    pairs = (
+        old.join(new, ["b", "band_hash"]).select("doc_old", "doc_new").distinct()
+    )
+    sigs = F.broadcast(sig_df)
+    cand = pairs.join(
+        sigs.select(F.col("doc_id").alias("doc_old"), F.col("sig").alias("sig_a")),
+        "doc_old",
+    ).join(
+        sigs.select(F.col("doc_id").alias("doc_new"), F.col("sig").alias("sig_b")),
+        "doc_new",
+    )
+    return (
+        cand.withColumn("est_jaccard", F.expr(_EST_SPARK))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_old", "doc_new", "est_jaccard")
     )

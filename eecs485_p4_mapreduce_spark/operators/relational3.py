@@ -243,3 +243,39 @@ def subquery_q2_max_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "lateral_topk_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+    ) t
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT: each
+    customer's top-3 orders by price.  Catalyst de-correlates this into a
+    WindowGroupLimit over orders partitioned by o_custkey (partial limit
+    before the shuffle, final after) joined back to customers -- the
+    top-k never materializes more than k rows per key per partition, so
+    the plan scales with customers x k, not with all orders.  Tie-break
+    on o_orderkey keeps the per-customer cut deterministic."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM r3_customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM r3_orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 3
+        ) t
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """
+    )

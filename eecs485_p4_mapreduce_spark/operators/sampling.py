@@ -100,3 +100,32 @@ def sample_per_lang_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 20)
     )
+
+
+@query(
+    "sample_stratified_fraction",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, {_bucket256_sql('doc_id')} AS bucket FROM documents),
+    kept AS (
+      SELECT lang FROM b
+      WHERE bucket < CASE WHEN lang = 'en' THEN 128 ELSE 32 END)
+    SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang
+    """,
+)
+def sample_stratified_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ``sampleBy``: per-stratum keep-fractions (50% of
+    'en', 12.5% of everything else) decided by the md5 bucket of doc_id
+    against a per-stratum threshold.  Unlike ``DataFrame.sampleBy`` this
+    is reproducible across runs/engines/partitionings, and it is a pure
+    scan-side filter -- no shuffle at all until the audit count; in a
+    pipeline the kept rows stream straight into the next stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket256_sql("doc_id"))
+    thresh = F.when(F.col("lang") == "en", 128).otherwise(32)
+    return (
+        docs.select("lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < thresh)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )

@@ -87,3 +87,58 @@ def resample_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.last("avg_value", ignorenulls=True).over(fill).alias("filled_avg"),
     )
+
+
+@query(
+    "stats_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+      FROM events GROUP BY 1),
+    st AS (
+      SELECT event_type, round(sx / n, 6) AS mean,
+             round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS std
+      FROM s)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - st.mean) / st.std, 3) AS z
+    FROM events e JOIN st USING (event_type)
+    WHERE abs((e.value - st.mean) / st.std) >= 2.5
+    """,
+)
+def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score anomaly flagging: events more than 2.5 standard
+    deviations from their event type's mean.
+
+    Two passes over the input: a map-side-combinable moment aggregate
+    (decimal-exact SUM(x)/SUM(x^2), same construction as
+    ``stats_moments`` -- order-independent, so both engines derive
+    bitwise-identical mean/std), then a broadcast join of the tiny
+    per-type stats back onto the stream.  No window over the full data,
+    so nothing is globally sorted.  Mean/std are rounded to 6 places
+    BEFORE the z computation: both engines then feed identical doubles
+    into (value - mean) / std, making the 2.5 threshold engine-safe.
+    """
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    st = F.broadcast(
+        s.select(
+            "event_type",
+            F.round(mean, 6).alias("mean"),
+            F.round(F.sqrt(F.col("sxx") / F.col("n") - mean * mean), 6).alias("std"),
+        )
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        e.join(st, "event_type")
+        .filter(F.abs(z) >= 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 3).alias("z"))
+    )

@@ -133,3 +133,25 @@ def test_gapfill_spine_has_no_collect_shaped_plan(spark, sf_dir):
     plan = explain(spark, sf_dir, "resample_gapfill_1h")
     assert "Generate" in plan
     assert "Window" in plan
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark, sf_dir):
+    # LATERAL (... ORDER BY ... LIMIT 3) must become WindowGroupLimit +
+    # join, never a per-customer re-scan of orders
+    plan = explain(spark, sf_dir, "lateral_topk_orders")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_stats_broadcast_back(spark, sf_dir):
+    # the per-type stats are tiny and must broadcast onto the event scan
+    plan = explain(spark, sf_dir, "stats_zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_scan_side(spark, sf_dir):
+    # the keep/drop decision must be a filter over the scan -- exactly one
+    # exchange (the audit count), nothing before it
+    plan = explain(spark, sf_dir, "sample_stratified_fraction")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
