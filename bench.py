@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "stats_zscore_outliers",
     "lateral_topk_orders",
     "sample_stratified_fraction",
+    "funnel_view_click_purchase",
+    "histogram_value_bins",
+    "unpivot_lineitem_metrics",
+    "window_value_fns",
 ]
 
 

@@ -78,3 +78,31 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice").alias("revenue"),
         F.min(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")).alias("first_date"),
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle=f"""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('c_acctbal')} AS total_bal,
+           MIN(c_name) AS first_name
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer -> ORC -> read back -> aggregate.  Exercises the second
+    columnar container (stripe-based, same predicate-pushdown and
+    column-pruning machinery as parquet); the oracle aggregates the
+    original table, so any loss in the writer/reader shows up as a hash
+    mismatch."""
+    c = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="spark-graft-orc-")
+    path = os.path.join(out, "customer")
+    c.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("c_acctbal").alias("total_bal"),
+        F.min("c_name").alias("first_name"),
+    )

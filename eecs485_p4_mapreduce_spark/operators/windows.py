@@ -295,3 +295,37 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_1h_value"),
         F.count("*").over(w).alias("trailing_1h_events"),
     )
+
+
+@query(
+    "window_value_fns",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over an explicit full-partition
+    frame.  The frame is spelled out because the SQL default
+    (RANGE ... CURRENT ROW) makes last_value a running value -- the
+    classic silent-wrong-answer; the deterministic ORDER BY tie-break
+    (price, then key) keeps nth_value engine-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )

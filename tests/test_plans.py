@@ -155,3 +155,18 @@ def test_stratified_sample_is_scan_side(spark, sf_dir):
     # exchange (the audit count), nothing before it
     plan = explain(spark, sf_dir, "sample_stratified_fraction")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_funnel_is_single_aggregate_no_self_join(spark, sf_dir):
+    # conditional-MIN formulation: one scan, one agg, zero joins
+    plan = explain(spark, sf_dir, "funnel_view_click_purchase")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_unpivot_expands_after_aggregate(spark, sf_dir):
+    # the Expand must sit above the aggregate (3x a handful of rows),
+    # which in the formatted plan means Expand's id is LOWER than the
+    # final HashAggregate chain feeding it
+    plan = explain(spark, sf_dir, "unpivot_lineitem_metrics")
+    assert "Expand" in plan
