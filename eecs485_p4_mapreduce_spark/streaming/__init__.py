@@ -280,3 +280,35 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     return run_to_completion(dedup, mode="append").select("user_id", "event_type")
+
+
+@query(
+    "streaming_sliding_1h_30m",
+    oracle=f"""
+    SELECT window_start, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM (
+      SELECT unnest([
+               date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+               date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                 - INTERVAL 30 MINUTE
+             ]) AS window_start,
+             value
+      FROM events)
+    GROUP BY 1
+    """,
+)
+def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide) as a real watermarked stream;
+    same oracle as the batch twin ``sliding_window_1h_30m`` -- over
+    bounded input the incremental overlapping-window aggregation must
+    equal the batch answer.  Each event updates exactly two window states;
+    the watermark bounds how long a window's partial aggregate is kept."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+    return run_to_completion(agg)

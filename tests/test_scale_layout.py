@@ -89,3 +89,44 @@ def test_partition_pruning(spark, sf_dir):
     # and the partition count in the scan is 1 directory's worth:
     # selected partitions reported in the FileScan line
     assert one_day.rdd.getNumPartitions() <= 4
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """A selective dim filter must inject a runtime bloom filter on the
+    fact side of a shuffle join: the fact scan then drops non-joining
+    rows BEFORE the exchange -- at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the matching slice.
+    (Thresholds are lowered because test inputs are far below the 10 GiB
+    default; on a real cluster the defaults fire on their own.)"""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            "o_orderstatus = 'F' and o_totalprice > 300000"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
