@@ -79,6 +79,13 @@ BENCH_QUERIES = [
     "histogram_value_bins",
     "unpivot_lineitem_metrics",
     "window_value_fns",
+    "tpch_q4_priority_count",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_discounted_revenue",
 ]
 
 
