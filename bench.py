@@ -96,10 +96,22 @@ def main() -> None:
     spark = get_spark("spark-graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup (untimed): JVM + codegen + parquet footer caches
+    # warmup (untimed): JVM + codegen + parquet footer caches, plus one
+    # trivial Pandas UDF so Python worker + Arrow spin-up isn't billed to
+    # whichever UDF query happens to run first.
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):  # noqa: ANN001
+        return s
+
+    spark.range(32, numPartitions=32).select(_warm(F.col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
