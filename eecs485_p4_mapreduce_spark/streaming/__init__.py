@@ -283,6 +283,91 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_upsert_foreachbatch",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE/upsert via ``foreachBatch``: events arrive in
+    multiple micro-batches (the source is re-laid-out into 4 range files,
+    ``maxFilesPerTrigger=1``), and each batch full-outer-merges its
+    per-user aggregate into a versioned parquet snapshot -- the
+    foreachBatch half of what Delta's ``MERGE INTO`` streaming sink does.
+
+    Cross-batch accumulation keeps the running sum as decimal(18,6) in
+    the snapshot and casts to double only at the end; summing per-batch
+    doubles would reintroduce the order-dependence that
+    :mod:`..functions.numeric` exists to kill, and the batch order here
+    is an accident of file listing.  At 100 TB the snapshot is a
+    key-partitioned table and each merge rewrites only the partitions the
+    batch touches."""
+    src = tempfile.mkdtemp(prefix="spark-graft-upsert-src-")
+    load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+
+    tgt_base = tempfile.mkdtemp(prefix="spark-graft-upsert-tgt-")
+    state: dict[str, str] = {}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("total_dec"),
+            F.max("ts").alias("last_ts"),
+        )
+        if "dir" in state:
+            cur = batch_df.sparkSession.read.parquet(state["dir"])
+            zero = F.lit(0).cast("decimal(18,6)")
+            merged = cur.alias("t").join(agg.alias("s"), "user_id", "full_outer")
+            agg = merged.select(
+                F.col("user_id"),
+                (
+                    F.coalesce(F.col("t.n_events"), F.lit(0))
+                    + F.coalesce(F.col("s.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(F.col("t.total_dec"), zero)
+                    + F.coalesce(F.col("s.total_dec"), zero)
+                )
+                .cast("decimal(18,6)")
+                .alias("total_dec"),
+                F.greatest(F.col("t.last_ts"), F.col("s.last_ts")).alias("last_ts"),
+            )
+        new_dir = f"{tgt_base}/v{batch_id}"
+        agg.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # exposed for tests: proves the merge really ran incrementally
+    streaming_upsert_foreachbatch.last_target_base = tgt_base  # type: ignore[attr-defined]
+    return (
+        spark.read.parquet(state["dir"])
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total_dec").cast("double").alias("total_value"),
+            "last_ts",
+        )
+    )
+
+
+@query(
     "streaming_sliding_1h_30m",
     oracle=f"""
     SELECT window_start, COUNT(*) AS n, {dsum_sql('value')} AS total_value

@@ -139,3 +139,38 @@ def test_incremental_equals_batch(spark, two_batch_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_foreachbatch_upsert_runs_incrementally(spark, sf_dir):
+    """The foreachBatch MERGE query must actually merge across multiple
+    micro-batches (>= 2 snapshot versions), not collapse the whole source
+    into one batch -- and its final snapshot must equal the one-shot
+    batch aggregate."""
+    import os
+
+    from eecs485_p4_mapreduce_spark.streaming import streaming_upsert_foreachbatch
+    from eecs485_p4_mapreduce_spark.sources import load_table
+    from eecs485_p4_mapreduce_spark.functions.numeric import dsum
+
+    out = streaming_upsert_foreachbatch(spark, sf_dir)
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+        for r in out.collect()
+    }
+    versions = sorted(
+        d for d in os.listdir(streaming_upsert_foreachbatch.last_target_base)
+        if d.startswith("v")
+    )
+    assert len(versions) >= 2, versions
+    exp = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == exp
