@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "tpch_q14_promo_effect",
     "tpch_q17_small_qty_revenue",
     "tpch_q19_discounted_revenue",
+    "token_bigrams",
 ]
 
 

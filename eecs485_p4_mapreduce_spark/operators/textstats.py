@@ -190,3 +190,44 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+@query(
+    "token_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS t
+      FROM documents),
+    b AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bigram HAVING COUNT(*) >= 5
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair counts (the inner loop of BPE-merge training)
+    with a frequency floor and a deterministic top-50 cut.  The pair
+    arrays are built JVM-side (element_at over a 1-based index sequence,
+    mirroring DuckDB's 1-based lists) and immediately exploded into a
+    hash aggregate -- map-side partial counting means the shuffle carries
+    one row per distinct pair per partition, not one per occurrence,
+    which is what makes corpus-scale pair counting feasible."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )

@@ -397,3 +397,30 @@ def streaming_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
     return run_to_completion(agg)
+
+
+@query(
+    "streaming_join_static_dim",
+    oracle=f"""
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           {dsum_sql('e.value')} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_join_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins the static
+    customer dimension (re-read per micro-batch, broadcast at this size)
+    and aggregates per market segment.  This is the standard streaming
+    enrichment shape -- no state is kept for the join itself (the static
+    side is not incremental), only for the downstream aggregate; at
+    100 TB the dimension pins in executor memory once per batch while
+    the stream side never materializes."""
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+    )
+    return run_to_completion(agg)

@@ -130,3 +130,56 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_zorder_layout_bounds_worst_dimension(spark, sf_dir):
+    """Z-order (Morton-interleaved) clustering vs 1-D sort, measured as
+    'how many of the 8 written file groups contain rows matching a
+    single-dimension slice' -- the proxy for files a min/max-stats (or
+    partition-pruning) reader must open.  The 1-D layout prunes its own
+    sort column perfectly but a filter on the OTHER dimension hits every
+    group; the Z-order layout bounds BOTH dimensions: with 3+3 bucket
+    bits and group = zkey >> 3, the group id is (k2 d2 k1), so a fixed
+    key bucket touches exactly 2 groups and a fixed date bucket exactly 4
+    of 8.  That bounded worst case is the point of multi-dimensional
+    clustering at 100 TB.  File groups are written as explicit partition
+    dirs (not sampled range boundaries) so the counts are deterministic."""
+    from eecs485_p4_mapreduce_spark.functions.layout import morton2, width_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo_k, hi_k, lo_d, hi_d = li.select(
+        F.min("l_orderkey"), F.max("l_orderkey").cast("double") + 1,
+        F.min(F.unix_timestamp("l_shipdate")).cast("double"),
+        F.max(F.unix_timestamp("l_shipdate")).cast("double") + 1,
+    ).first()
+    kb = width_bucket(F.col("l_orderkey").cast("double"), float(lo_k), float(hi_k), 8)
+    db = width_bucket(F.unix_timestamp("l_shipdate").cast("double"), lo_d, hi_d, 8)
+
+    zdir = tempfile.mkdtemp(prefix="sg-zorder-")
+    sdir = tempfile.mkdtemp(prefix="sg-sorted1d-")
+    li.withColumn("zgroup", F.shiftright(morton2(kb, db, 3), 3)).write.partitionBy(
+        "zgroup"
+    ).mode("overwrite").parquet(zdir)
+    li.withColumn("kgroup", kb).write.partitionBy("kgroup").mode("overwrite").parquet(sdir)
+
+    mid_key = float(lo_k) + (float(hi_k) - float(lo_k)) * 4 / 8
+    key_slice = (F.col("l_orderkey") >= mid_key) & (
+        F.col("l_orderkey") < mid_key + (float(hi_k) - float(lo_k)) / 8
+    )
+    mid_d = lo_d + (hi_d - lo_d) * 4 / 8
+    date_slice = (F.unix_timestamp("l_shipdate") >= mid_d) & (
+        F.unix_timestamp("l_shipdate") < mid_d + (hi_d - lo_d) / 8
+    )
+
+    def groups_touched(path, col, pred) -> int:
+        return spark.read.parquet(path).filter(pred).select(col).distinct().count()
+
+    z_key = groups_touched(zdir, "zgroup", key_slice)
+    z_date = groups_touched(zdir, "zgroup", date_slice)
+    s_key = groups_touched(sdir, "kgroup", key_slice)
+    s_date = groups_touched(sdir, "kgroup", date_slice)
+
+    assert s_key <= 2          # 1-D layout: its own column prunes to ~1 group
+    assert s_date >= 7         # ...but the other dimension hits everything
+    assert z_key == 2 and z_date == 4   # exact Morton-block bit math
+    assert max(z_key, z_date) < s_date  # strictly better worst case
