@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "tpch_q17_small_qty_revenue",
     "tpch_q19_discounted_revenue",
     "token_bigrams",
+    "sample_weighted_bernoulli",
+    "sketch_hll_mergeable",
 ]
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.plans.registry import query
-from eecs485_p4_mapreduce_spark.sources import load_table
+from eecs485_p4_mapreduce_spark.sources import load_table, register_views
 
 # hex digit -> value via position scan: DuckDB has no conv(); instr() over
 # this alphabet is identical in both engines (1-based, so subtract 1).
@@ -128,4 +128,50 @@ def sample_stratified_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < thresh)
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
+    )
+
+
+def _bucket65536_sql(key_expr: str) -> str:
+    """SQL for a uniform 0..65535 bucket: first four hex digits of md5."""
+    h = f"md5(CAST({key_expr} AS STRING))"
+    digits = [
+        f"(instr('{_HEX}', substring({h}, {i}, 1)) - 1)" for i in (1, 2, 3, 4)
+    ]
+    return (
+        f"({digits[0]} * 4096 + {digits[1]} * 256"
+        f" + {digits[2]} * 16 + {digits[3]})"
+    )
+
+
+@query(
+    "sample_weighted_bernoulli",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(n_chars) AS m FROM documents),
+    s AS (
+      SELECT lang, n_chars FROM documents, mx
+      WHERE {_bucket65536_sql('doc_id')} * m < n_chars * 65536)
+    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+    FROM s GROUP BY lang
+    """,
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling, P(keep) proportional to document
+    length: accept doc iff u < w/max(w) with u a 16-bit uniform from
+    md5(doc_id).  The acceptance test is rearranged to pure integer
+    arithmetic (bucket * max_w < w * 65536) so both engines decide every
+    row identically -- no transcendental weighted-reservoir keys
+    (exp/log differ across libm builds).  The max(w) scalar is one tiny
+    pre-pass broadcast into a scan-side filter; the sample itself never
+    shuffles.  This is the 100 TB shape for length-balanced corpus
+    subsampling."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH mx AS (SELECT MAX(n_chars) AS m FROM documents),
+        s AS (
+          SELECT lang, n_chars FROM documents CROSS JOIN mx
+          WHERE {_bucket65536_sql('doc_id')} * m < n_chars * 65536)
+        SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+        FROM s GROUP BY lang
+        """
     )

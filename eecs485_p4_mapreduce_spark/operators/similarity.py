@@ -438,3 +438,64 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rk")
     )
+
+
+@query("sketch_quantiles_error", oracle=None)
+def sketch_quantiles_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch via
+    ``percentile_approx``, accuracy 10000) next to the exact quantiles
+    and their absolute error, per order status.
+
+    No DuckDB oracle: quantile sketches are implementation-specific
+    (DuckDB uses t-digest), so only the error *bound* is portable --
+    tests pin |approx - exact| against the sketch's accuracy guarantee.
+    At 100 TB the sketch is the only option: it is fixed-size, one-pass,
+    and mergeable across partitions, where exact percentiles need a full
+    sort or all values in memory per group.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    qs = [0.5, 0.9, 0.99]
+    agg = o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", qs, 10000).alias("approx"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("exact"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        *[F.col("approx")[i].alias(f"p{int(q*100)}_approx") for i, q in enumerate(qs)],
+        *[F.col("exact")[i].alias(f"p{int(q*100)}_exact") for i, q in enumerate(qs)],
+        *[
+            F.abs(F.col("approx")[i] - F.col("exact")[i]).alias(f"p{int(q*100)}_err")
+            for i, q in enumerate(qs)
+        ],
+    )
+
+
+@query("sketch_hll_mergeable", oracle=None)
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL):
+    build one sketch per language with ``hll_sketch_agg``, then merge
+    the stored sketches with ``hll_union_agg`` for the corpus-wide
+    estimate -- WITHOUT touching the raw tokens again.
+
+    This is the re-aggregation property that matters at 100 TB: daily
+    per-shard sketches are tiny blobs that roll up to any coarser
+    grouping (week, corpus) with no second pass over the data.  The
+    per-language rows and the merged 'ALL' row come from the same stored
+    sketch column.  No DuckDB oracle (sketch binascii is
+    engine-specific); tests bound both estimate levels against exact.
+    """
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sketches = (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .groupBy("lang")
+        .agg(F.hll_sketch_agg("word", F.lit(14)).alias("sk"))
+    )
+    per_lang = sketches.select(
+        "lang", F.hll_sketch_estimate("sk").cast("bigint").alias("n_distinct_est")
+    )
+    merged = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("n_distinct_est")
+    ).select(F.lit("ALL").alias("lang"), "n_distinct_est")
+    return per_lang.unionByName(merged)

@@ -12,7 +12,11 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) >= 77
     # all but the explicitly rows-only queries carry oracles
     rows_only = set(qs) - set(osql)
-    assert rows_only == {"approx_distinct_tokens"}
+    assert rows_only == {
+        "approx_distinct_tokens",
+        "sketch_hll_mergeable",
+        "sketch_quantiles_error",
+    }
 
 
 def test_entry_runs_and_is_stable(spark):

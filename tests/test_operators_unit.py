@@ -190,3 +190,39 @@ def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     multi = pairs(ann_lsh_multiprobe(spark, sf_dir))
     assert len(multi & truth) >= len(single & truth)
     assert len(multi) >= len(single)
+
+
+def test_sketch_quantiles_error_bounded(spark, sf_dir):
+    """GK-sketch percentiles stay within the accuracy guarantee: with
+    accuracy 10000 the rank error is <= n/10000, so the value error is
+    bounded by the local quantile spread; assert a loose 1% relative
+    bound, far wider than the guarantee, to stay robust at tiny sf."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import sketch_quantiles_error
+
+    for r in sketch_quantiles_error(spark, sf_dir).collect():
+        for q in (50, 90, 99):
+            exact = r[f"p{q}_exact"]
+            assert r[f"p{q}_err"] <= max(1.0, 0.01 * abs(exact)), (r["o_orderstatus"], q)
+
+
+def test_sketch_hll_mergeable_bounds(spark, sf_dir):
+    """DataSketches HLL: per-lang estimates AND the merged-union estimate
+    both land within 5% of exact -- the union must estimate the distinct
+    count of the union of sets, not the sum of per-set counts."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import sketch_hll_mergeable
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    est = {r["lang"]: r["n_distinct_est"] for r in sketch_hll_mergeable(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens("text")).alias("w"))
+    exact = {
+        r["lang"]: r["n"]
+        for r in toks.groupBy("lang").agg(F.countDistinct("w").alias("n")).collect()
+    }
+    exact["ALL"] = toks.select("w").distinct().count()
+    assert set(est) == set(exact)
+    for lang, n in exact.items():
+        assert abs(est[lang] - n) <= max(2, 0.05 * n), (lang, est[lang], n)
+    # union < sum of parts (overlapping vocabularies) -- proves real merge
+    assert est["ALL"] < sum(v for k, v in est.items() if k != "ALL")

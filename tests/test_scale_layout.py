@@ -183,3 +183,55 @@ def test_zorder_layout_bounds_worst_dimension(spark, sf_dir):
     assert s_date >= 7         # ...but the other dimension hits everything
     assert z_key == 2 and z_date == 4   # exact Morton-block bit math
     assert max(z_key, z_date) < s_date  # strictly better worst case
+
+
+def test_schema_evolution_merge(spark, sf_dir):
+    """Parquet schema evolution: a new column appears in later-written
+    files; ``mergeSchema`` reconciles the union schema, old rows read as
+    NULL for the new column, and filters on the new column behave.  At
+    100 TB schema evolves in place -- rewriting history is not an option."""
+    d = tempfile.mkdtemp(prefix="sg-evolve-")
+    o = load_table(spark, sf_dir, "orders")
+    o.select("o_orderkey", "o_totalprice").limit(100).write.mode("append").parquet(d)
+    o.select(
+        "o_orderkey", "o_totalprice", F.lit("v2").alias("ingest_tag")
+    ).limit(50).write.mode("append").parquet(d)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"o_orderkey", "o_totalprice", "ingest_tag"}
+    assert merged.count() == 150
+    assert merged.filter(F.col("ingest_tag").isNull()).count() == 100
+    assert merged.filter(F.col("ingest_tag") == "v2").count() == 50
+
+
+def test_small_file_compaction(spark, sf_dir):
+    """Small-file compaction: a fragmented write (64 tiny files) is
+    rewritten to a size-targeted file count computed from the actual
+    input bytes, preserving content exactly.  Small files are the #1
+    operational tax on 100 TB tables (footer/open overhead per file,
+    driver listing memory); compaction is a pure rewrite."""
+    import glob
+
+    frag = tempfile.mkdtemp(prefix="sg-frag-")
+    compacted = tempfile.mkdtemp(prefix="sg-compact-")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    frag_files = glob.glob(f"{frag}/part-*")
+    assert len(frag_files) == 64
+
+    target_bytes = 4 * 1024 * 1024
+    total = sum(os.path.getsize(f) for f in frag_files)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    spark.read.parquet(frag).coalesce(int(n_out)).write.mode("overwrite").parquet(compacted)
+    out_files = glob.glob(f"{compacted}/part-*")
+    assert len(out_files) == n_out < 64
+
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(compacted)
+    assert a.count() == b.count()
+    chk = lambda df: df.agg(  # noqa: E731
+        F.sum("l_orderkey"), F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+    ).first()
+    assert chk(a) == chk(b)
