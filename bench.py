@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "token_bigrams",
     "sample_weighted_bernoulli",
     "sketch_hll_mergeable",
+    "recursive_cte_tree_rollup",
 ]
 
 

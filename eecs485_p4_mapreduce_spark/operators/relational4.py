@@ -192,3 +192,36 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     three branches so the disjunction becomes a join residual, not three
     unions of the fact table."""
     return _run(spark, sf_dir, _Q19)
+
+
+_RCTE = """
+    WITH RECURSIVE walk AS (
+      SELECT p_partkey AS start_key, p_partkey AS cur, 0 AS depth,
+             CAST(p_retailprice AS DECIMAL(18,6)) AS path_price
+      FROM part
+      UNION ALL
+      SELECT w.start_key, p.p_partkey, w.depth + 1,
+             CAST(w.path_price + CAST(p.p_retailprice AS DECIMAL(18,6))
+                  AS DECIMAL(18,6))
+      FROM walk w JOIN part p ON p.p_partkey = CAST(FLOOR(w.cur / 8) AS BIGINT)
+      WHERE w.cur > 0
+    )
+    SELECT start_key, CAST(MAX(depth) AS INT) AS depth_to_root,
+           CAST(MAX(path_price) AS DOUBLE) AS path_price_rollup
+    FROM walk GROUP BY start_key
+"""
+
+
+@query("recursive_cte_tree_rollup", oracle=_RCTE)
+def recursive_cte_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE): walk every part up an implicit
+    binary-tree hierarchy (parent = partkey/8, an 8-ary tree) to the root, accumulating
+    depth and a decimal-exact price rollup along the path.  Each
+    recursion level is one join of the frontier against the parent
+    table, so the total work is O(rows * depth) with depth = log8(keys)
+    -- the set-at-a-time semantics a 100 TB hierarchy rollup needs,
+    versus row-at-a-time tree walks.  The same SQL text runs on both
+    engines (integer parent arithmetic spelled FLOOR(cur/8), exact for
+    keys far below 2^52); the running sum stays decimal inside the
+    recursion and becomes double only at the end."""
+    return _run(spark, sf_dir, _RCTE)
