@@ -261,3 +261,36 @@ def case_json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "band")
         .agg(F.count("*").alias("n"), F.sum("k").cast("bigint").alias("k_sum"))
     )
+
+
+@query(
+    "variant_json_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(COUNT(json_extract(props, '$.missing')) AS BIGINT) AS n_missing_present
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through the VARIANT type (Spark 4):
+    ``parse_json`` once into a VARIANT column, then typed path extraction
+    with ``variant_get`` -- including a missing path, which must yield
+    NULL (counted as 0 present) rather than error.  VARIANT's binary
+    encoding parses the JSON text once per row and serves every
+    subsequent path read from the decoded form; with many extracted
+    paths at 100 TB that beats N calls to get_json_object, which each
+    re-parse the string."""
+    e = load_table(spark, sf_dir, "events")
+    shredded = e.select(
+        "event_type",
+        F.expr("CAST(variant_get(parse_json(props), '$.k', 'bigint') AS BIGINT)").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'string')").alias("missing"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.max("k").cast("bigint").alias("k_max"),
+        F.count("missing").cast("bigint").alias("n_missing_present"),
+    )

@@ -106,3 +106,66 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("c_acctbal").alias("total_bal"),
         F.min("c_name").alias("first_name"),
     )
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+    WITH s AS (
+      SELECT i AS id, CAST(i % 16 AS INT) AS bucket,
+             (i * 2654435761) % 4294967296 AS num
+      FROM generate_series(0, 99999) t(i))
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(num) AS DOUBLE) / 4294967296.0 AS val_sum
+    FROM s GROUP BY bucket
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source via the Python DataSource API (Spark 4): a
+    partitioned deterministic sequence generator registered as a named
+    format and consumed like any other source.  Eight InputPartitions
+    split the id range, so the source is read in parallel executors-side
+    -- the same contract a real Python connector (REST API, message
+    queue, bespoke binary format) uses.  Values are Knuth-hash integers
+    divided by 2^32 only at the end (binary fractions are exact), so the
+    DuckDB generate_series oracle matches bitwise.  Python-per-row is
+    the API's cost model; at 100 TB this path is for sources that have
+    no JVM reader, with Arrow-batch output (the API's batch variant)
+    as the optimization."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    n_rows, n_parts = 100_000, 8
+
+    class _SeqPartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class _SeqReader(DataSourceReader):
+        def partitions(self):
+            step = n_rows // n_parts
+            return [
+                _SeqPartition(i * step, n_rows if i == n_parts - 1 else (i + 1) * step)
+                for i in range(n_parts)
+            ]
+
+        def read(self, partition):
+            for i in range(partition.start, partition.end):
+                yield (i, i % 16, (i * 2654435761) % 4294967296)
+
+    class _SeqSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sg_sequence"
+
+        def schema(self) -> str:
+            return "id BIGINT, bucket INT, num BIGINT"
+
+        def reader(self, schema):  # noqa: ANN001
+            return _SeqReader()
+
+    spark.dataSource.register(_SeqSource)
+    src = spark.read.format("sg_sequence").load()
+    return src.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (F.sum("num").cast("double") / F.lit(4294967296.0)).alias("val_sum"),
+    )
