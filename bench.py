@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "sample_weighted_bernoulli",
     "sketch_hll_mergeable",
     "recursive_cte_tree_rollup",
+    "multimodal_resize_sample",
 ]
 
 

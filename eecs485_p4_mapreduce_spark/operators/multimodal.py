@@ -151,3 +151,90 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # thumb is real binary output of the UDF but has no clean DuckDB twin
     # (md5(BLOB) unsupported there), so the checked projection drops it.
     return frames.select("doc_id", "frame_idx", "width", "height", "feature")
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+    ]
+)
+
+
+def _resize_fit(width: int, height: int, box: int = 64) -> tuple[int, int]:
+    """Aspect-preserving fit into a box x box target, integer arithmetic
+    only (floor((dim * box) / max_dim)) so every engine computes the same
+    output dims.  STUB boundary: a real kernel would also produce the
+    resampled pixel buffer; the geometry -- which is what the pipeline
+    schema carries forward -- is the real computation."""
+    m = max(width, height)
+    return (width * box) // m, (height * box) // m
+
+
+@query(
+    "multimodal_resize_sample",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (
+      SELECT m.doc_id, t.i AS frame_idx,
+             16 * (n % 8 + 1) AS w, 9 * (n % 8 + 1) AS h
+      FROM m, unnest(range(0, n % 4 + 1)) AS t(i)
+      WHERE t.i % 2 = 0)
+    SELECT doc_id, frame_idx,
+           CAST((w * 64) // greatest(w, h) AS BIGINT) AS out_w,
+           CAST((h * 64) // greatest(w, h) AS BIGINT) AS out_h
+    FROM f
+    """,
+)
+def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample + resize: keep every 2nd frame (stride sampling --
+    the standard cost knob before feature extraction), then compute
+    aspect-fit resize geometry in an Arrow-batched Pandas stage.
+
+    The sampling filter runs BEFORE the Python resize stage, so at
+    100 TB half the frames never cross the JVM->Python boundary at all;
+    the resize kernel itself is vectorizable per Arrow batch (here
+    integer geometry; a real pixel kernel slots into the same
+    ``mapInPandas`` signature and schema)."""
+    media = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_id, payload, content_len in zip(
+                pdf["doc_id"], pdf["payload"], pdf["content_len"]
+            ):
+                for fr in _decode_frames(bytes(payload), int(content_len)):
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": fr["frame_idx"],
+                            "width": fr["width"],
+                            "height": fr["height"],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "width", "height"])
+
+    frames = media.mapInPandas(
+        decode_batches,
+        schema="doc_id bigint, frame_idx bigint, width bigint, height bigint",
+    )
+    sampled = frames.filter(F.col("frame_idx") % 2 == 0)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                _resize_fit(int(w), int(h)) for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "out_w": [d[0] for d in dims],
+                    "out_h": [d[1] for d in dims],
+                }
+            )
+
+    return sampled.mapInPandas(resize_batches, schema=_RESIZE_SCHEMA)
