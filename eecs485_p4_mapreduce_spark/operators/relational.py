@@ -294,3 +294,74 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").cast("bigint").alias("k_max"),
         F.count("missing").cast("bigint").alias("n_missing_present"),
     )
+
+
+@query(
+    "xml_roundtrip_shred",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           MIN(o_orderpriority) AS first_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def xml_roundtrip_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML shredding (Spark 4 ``from_xml``): rows are serialized to XML
+    fragments and parsed back through a typed schema, and the aggregate
+    over the parsed fields must equal the aggregate over the originals
+    -- a lossless round-trip proof, which is the property an XML feed
+    ingester actually needs.  The oracle aggregates the original columns
+    directly (DuckDB has no XML; the round-trip identity is the
+    cross-engine contract)."""
+    e = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<r><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p></r>"),
+    )
+    parsed = e.select(
+        "o_orderstatus",
+        F.from_xml(xml, "k BIGINT, p STRING").alias("x"),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("x.k").cast("bigint").alias("key_sum"),
+        F.min("x.p").alias("first_priority"),
+    )
+
+
+@query(
+    "collation_case_insensitive",
+    oracle="""
+    WITH u AS (SELECT n_nationkey, upper(n_name) AS un FROM nation),
+         l AS (SELECT n_nationkey, lower(n_name) AS ln FROM nation)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST((SELECT COUNT(DISTINCT lower(n_name)) FROM nation) AS BIGINT)
+             AS n_distinct_ci
+    FROM u JOIN l ON lower(u.un) = lower(l.ln)
+    """,
+)
+def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4): an equi-join and a distinct
+    count under the UTF8_LCASE collation, checked against the explicit
+    ``lower()`` spelling.  Collations move case/accent rules into the
+    type, so the join is still a HASH join on the collation key --
+    unlike wrapping both sides in lower() by hand, the optimizer knows
+    the comparison semantics and stats stay usable.  DuckDB oracle uses
+    the lower() spelling; same result set by construction."""
+    n = load_table(spark, sf_dir, "nation")
+    u = n.select(F.upper("n_name").alias("un"))
+    low = n.select(F.lower("n_name").alias("ln"))
+    joined = u.join(
+        low, F.expr("collate(un, 'UTF8_LCASE') = collate(ln, 'UTF8_LCASE')")
+    )
+    distinct_ci = (
+        n.select(F.expr("collate(n_name, 'UTF8_LCASE')").alias("cn"))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_distinct_ci"))
+    )
+    matched = joined.agg(F.count("*").cast("bigint").alias("n_matched"))
+    return matched.crossJoin(distinct_ci)
