@@ -226,3 +226,61 @@ def test_sketch_hll_mergeable_bounds(spark, sf_dir):
         assert abs(est[lang] - n) <= max(2, 0.05 * n), (lang, est[lang], n)
     # union < sum of parts (overlapping vocabularies) -- proves real merge
     assert est["ALL"] < sum(v for k, v in est.items() if k != "ALL")
+
+
+def test_corrupt_record_handling_permissive(spark):
+    """Malformed rows in a JSON feed must not kill the job: PERMISSIVE
+    mode shunts them into _corrupt_record (nulls elsewhere), DROPMALFORMED
+    silently drops them, and the clean rows parse identically either way
+    -- the ingestion contract for dirty 100 TB feeds."""
+    import json
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sg-corrupt-")
+    good = [{"id": i, "v": i * 1.5} for i in range(10)]
+    with open(f"{d}/data.json", "w") as f:
+        for r in good[:5]:
+            f.write(json.dumps(r) + "\n")
+        f.write('{"id": 5, "v": BROKEN}\n')
+        f.write("not json at all\n")
+        for r in good[5:]:
+            f.write(json.dumps(r) + "\n")
+
+    schema = "id BIGINT, v DOUBLE, _corrupt_record STRING"
+    perm = spark.read.schema(schema).option("mode", "PERMISSIVE").json(d).cache()
+    assert perm.count() == 12
+    corrupt = perm.filter(F.col("_corrupt_record").isNotNull())
+    assert corrupt.count() == 2
+    assert perm.filter(F.col("id").isNotNull()).count() == 10
+
+    dropped = (
+        spark.read.schema("id BIGINT, v DOUBLE").option("mode", "DROPMALFORMED").json(d)
+    )
+    assert dropped.count() == 10
+    assert dropped.agg(F.sum("id")).first()[0] == sum(r["id"] for r in good)
+    perm.unpersist()
+
+
+def test_rocksdb_state_store_provider(spark, sf_dir):
+    """The production state backend (RocksDB state store) must work for
+    stateful streaming: at 100 TB state no longer fits the default
+    in-memory HDFS-backed store; RocksDB spills to local disk with
+    changelog checkpointing.  Run a streaming dedup through it and check
+    the result equals the default-provider run."""
+    from eecs485_p4_mapreduce_spark.streaming import streaming_dedup_keys
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+    baseline = {tuple(r) for r in streaming_dedup_keys(spark, sf_dir).collect()}
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        got = {tuple(r) for r in streaming_dedup_keys(spark, sf_dir).collect()}
+    finally:
+        if default is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, default)
+    assert got == baseline and len(got) > 0

@@ -63,3 +63,62 @@ def test_decimal_sum_matches_integer_sum(xs):
 
     vals = [Decimal(x) / Decimal(64) for x in xs]
     assert sum(vals) == sum(reversed(vals))
+
+
+@given(
+    st.integers(min_value=0, max_value=7),
+    st.integers(min_value=0, max_value=7),
+)
+def test_morton2_is_bijective_and_ordered(a, b):
+    """morton2 must be a bijection of (a, b) bucket pairs onto 0..63, and
+    the block id (code >> 3) must depend only on (a2, b2, a1) -- the
+    property the Z-order file-skipping bound in test_scale_layout relies
+    on."""
+    # pure-python twin of the column expression
+    def morton_py(a, b, bits=3):
+        code = 0
+        for i in range(bits):
+            code |= ((a >> i) & 1) << (2 * i + 1)
+            code |= ((b >> i) & 1) << (2 * i)
+        return code
+
+    code = morton_py(a, b)
+    assert 0 <= code < 64
+    # bijectivity: de-interleave recovers the inputs
+    a_back = sum(((code >> (2 * i + 1)) & 1) << i for i in range(3))
+    b_back = sum(((code >> (2 * i)) & 1) << i for i in range(3))
+    assert (a_back, b_back) == (a, b)
+    # block id structure: top 3 bits are a2 b2 a1
+    blk = code >> 3
+    assert blk == (((a >> 2) & 1) << 2) | (((b >> 2) & 1) << 1) | ((a >> 1) & 1)
+
+
+@given(st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=2, max_size=60))
+@settings(max_examples=100)
+def test_dsum_is_order_invariant(xs):
+    """The decimal path must give one answer for every permutation /
+    partitioning -- the invariant that makes double SUMs oracle-exact.
+    Modeled in pure python the way Spark's partial aggregation combines:
+    any split into two partial sums equals the total."""
+    from decimal import Decimal
+
+    vals = [Decimal(x) / Decimal(10**6) for x in xs]  # decimal(_,6) grid
+    total = sum(vals)
+    for cut in (1, len(vals) // 2, len(vals) - 1):
+        assert sum(vals[:cut]) + sum(vals[cut:]) == total
+    assert sum(reversed(vals)) == total
+
+
+@given(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+    st.floats(min_value=1.0, max_value=1e5),
+    st.integers(min_value=1, max_value=64),
+)
+def test_width_bucket_clamps_to_range(x, width, buckets):
+    """width_bucket's pure-python twin: result always lands in
+    [0, buckets) even for out-of-range inputs (clamped edges)."""
+    lo, hi = -1000.0, -1000.0 + width
+    w = (hi - lo) / buckets
+    raw = int((x - lo) // w)
+    clamped = max(0, min(buckets - 1, raw))
+    assert 0 <= clamped < buckets
