@@ -91,6 +91,11 @@ BENCH_QUERIES = [
     "sketch_hll_mergeable",
     "recursive_cte_tree_rollup",
     "multimodal_resize_sample",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_custdist",
+    "tpch_q15_top_supplier",
+    "tpch_q22_sales_opportunity",
 ]
 
 

@@ -17,6 +17,7 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     relational2,
     relational3,
     relational4,
+    relational5,
     sampling,
     similarity,
     sourcesink,
