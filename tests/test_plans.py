@@ -170,3 +170,41 @@ def test_unpivot_expands_after_aggregate(spark, sf_dir):
     # final HashAggregate chain feeding it
     plan = explain(spark, sf_dir, "unpivot_lineitem_metrics")
     assert "Expand" in plan
+
+
+def test_tpch_q5_broadcasts_all_dimensions(spark, sf_dir):
+    """q5's six-way snowflake at test scale: every dimension side
+    broadcasts (no SortMergeJoin), filters push to the scans, and the
+    aggregate is partial+final."""
+    plan = explain(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    # formatted explain lists each node twice (tree + detail section)
+    assert plan.count("BroadcastHashJoin") == 2 * 5
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q8_double_nation_role_join(spark, sf_dir):
+    """q8 joins nation twice (customer's region path, supplier's
+    nationality); both must stay broadcast and the part type filter must
+    reach the part scan."""
+    plan = explain(spark, sf_dir, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") == 2 * 7
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_tpch_q13_left_join_preserves_zero_customers(spark, sf_dir):
+    """q13's join-condition filter must stay inside the LEFT OUTER join
+    (moving it to WHERE would silently drop zero-order customers)."""
+    plan = explain(spark, sf_dir, "tpch_q13_custdist")
+    assert "LeftOuter" in plan
+    # the priority filter is a join condition, not a customer-side filter
+    assert "o_orderpriority" in plan
+
+
+def test_tpch_q22_anti_join_lowering(spark, sf_dir):
+    """q22's NOT EXISTS must lower to a left-anti join (one shuffle),
+    never a per-row subquery."""
+    plan = explain(spark, sf_dir, "tpch_q22_sales_opportunity")
+    assert "LeftAnti" in plan
