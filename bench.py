@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "tpch_q13_custdist",
     "tpch_q15_top_supplier",
     "tpch_q22_sales_opportunity",
+    "dedup_ngram_spans",
+    "contamination_cross_source",
 ]
 
 

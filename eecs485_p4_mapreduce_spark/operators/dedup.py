@@ -725,3 +725,116 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_old", "doc_new", "est_jaccard")
     )
+
+
+# ---- exact substring (token-window) duplication -------------------------
+
+_NGRAM = 8
+
+_GRAMS_DUCK = f"""
+    t AS (SELECT doc_id, source, {_TOK_DUCK} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(tk) - {_NGRAM - 2}), i ->
+               md5(array_to_string(list_slice(tk, i, i + {_NGRAM - 1}), ' ')))) AS h
+      FROM t)"""
+
+
+def _token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, h): md5 of each consecutive 8-token window.
+
+    Built explode-first (posexplode + 7 window leads, whole-stage
+    codegen) rather than as an array-lambda expression -- same
+    projection-collapse / interpreted-lambda reasoning as
+    ``token_bigrams``; one shuffle on doc_id."""
+    from pyspark.sql import Window
+
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.col("tok")
+    for k in range(1, _NGRAM):
+        gram = F.concat(gram, F.lit(" "), F.lead("tok", k).over(w))
+    return toks.select(
+        "doc_id", "source", F.md5(gram).alias("h")
+    ).filter(F.col("h").isNotNull())
+
+
+@query(
+    "dedup_ngram_spans",
+    oracle=f"""
+    WITH {_GRAMS_DUCK},
+    dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio
+    FROM g LEFT JOIN dup ON g.h = dup.h
+    GROUP BY doc_id
+    HAVING SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+    """,
+)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication detection (the 'dedup exact substrings'
+    operator from Lee et al.'s training-data dedup recipe, hash-windowed
+    for scale): fraction of each document's 8-token windows that appear
+    verbatim in at least one OTHER document.
+
+    Two aggregations over the window-hash table: duplicated hashes
+    (COUNT(DISTINCT doc) >= 2), then per-doc contamination counts via a
+    mark join.  Shuffle keys are 16-byte md5s, never text; at 100 TB the
+    windows table is the posting list a suffix-array pass would
+    approximate, and docs above a dup_ratio threshold get their spans
+    cut or the whole doc dropped."""
+    g = _token_windows(spark, sf_dir)
+    dup = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("isdup"))
+    )
+    marked = g.join(dup, "h", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.count("isdup").cast("bigint").alias("n_dup_windows"),
+            (F.count("isdup").cast("double") / F.count("*")).alias("dup_ratio"),
+        )
+        .filter(F.col("n_dup_windows") > 0)
+    )
+
+
+@query(
+    "contamination_cross_source",
+    oracle=f"""
+    WITH {_GRAMS_DUCK},
+    sh AS (SELECT DISTINCT source, h FROM g)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def contamination_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit (train/test overlap): for every
+    pair of sources, how many distinct 8-token windows they share
+    verbatim.  The pair join runs on per-source DISTINCT window hashes
+    (postings deduplicated first), so its size is bounded by duplicated
+    vocabulary, not corpus size -- the standard benchmark-leakage check
+    run before training on a new corpus."""
+    g = _token_windows(spark, sf_dir)
+    sh = g.select("source", "h").distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_ngrams"))
+    )
