@@ -284,3 +284,29 @@ def test_rocksdb_state_store_provider(spark, sf_dir):
         else:
             spark.conf.set(key, default)
     assert got == baseline and len(got) > 0
+
+
+def test_observe_metrics_ride_along(spark, sf_dir):
+    """Data-quality counters via df.observe(): row count, null count, and
+    a decimal-exact total computed as the query runs -- no second pass
+    over the data.  At 100 TB this is how ingest validation happens:
+    the metrics ride the same scan the real query pays for."""
+    from pyspark.sql import Observation
+    from eecs485_p4_mapreduce_spark.functions.numeric import dsum
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("quality")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_keys"),
+        dsum("o_totalprice").alias("total"),
+    )
+    kept = observed.filter(F.col("o_orderstatus") == "O").count()
+    metrics = obs.get
+    assert metrics["n_rows"] == o.count()
+    assert metrics["null_keys"] == 0
+    exact = o.agg(dsum("o_totalprice")).first()[0]
+    assert metrics["total"] == exact
+    assert 0 < kept < metrics["n_rows"]
