@@ -30,3 +30,16 @@ def test_oracle_sql_is_parseable_by_duckdb(duck):
     rarely-exercised SQL before the driver does)."""
     for name, sql in entrymod.oracle_sql().items():
         duck.sql(f"EXPLAIN {sql}")
+
+
+def test_bench_queries_all_registered():
+    """bench.py's headline list must only name registered queries -- the
+    driver runs it unattended, so a typo would silently crash the
+    round's BENCH artifact."""
+    import bench
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    missing = [q for q in bench.BENCH_QUERIES if q not in REGISTRY]
+    assert not missing, missing
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
