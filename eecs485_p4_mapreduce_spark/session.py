@@ -26,7 +26,11 @@ def get_spark(app_name: str = "spark-graft", *, cpus: int | None = None) -> Spar
     """
     n = cpus or DEFAULT_SHUFFLE_PARTITIONS
     return (
-        SparkSession.builder.master(f"local[{n}]")
+        # local[n, 2]: allow one task retry, mirroring the reference's
+        # dead-worker task reassignment (SURVEY.md §2.A10) -- a failed
+        # attempt is re-run, the job still succeeds (pinned in
+        # tests/test_operators_unit.py::test_task_retry_like_reassignment).
+        SparkSession.builder.master(f"local[{n}, 2]")
         .appName(app_name)
         # One shuffle partition per core at test scale; at cluster scale this
         # would be ~2-3x total cores and AQE coalesces the excess.

@@ -310,3 +310,23 @@ def test_observe_metrics_ride_along(spark, sf_dir):
     exact = o.agg(dsum("o_totalprice")).first()[0]
     assert metrics["total"] == exact
     assert 0 < kept < metrics["n_rows"]
+
+
+def test_task_retry_like_reassignment(spark):
+    """Reference parity for §2.A10 (dead-worker task reassignment): when
+    a task attempt dies, the same task must be re-executed and the job
+    must still produce the complete, correct result.  The reference
+    re-sends the task_id to a live worker; Spark re-runs the task
+    (master local[n, 2] allows one retry).  A deliberately-crashing
+    first attempt on one partition proves the retry path end to end."""
+    from pyspark import TaskContext
+
+    def flaky(index, it):
+        if index == 0 and TaskContext.get().attemptNumber() == 0:
+            raise RuntimeError("simulated worker death on first attempt")
+        return ((index, x) for x in it)
+
+    rdd = spark.sparkContext.parallelize(range(100), 4)
+    out = rdd.mapPartitionsWithIndex(flaky).collect()
+    assert sorted(x for _, x in out) == list(range(100))
+    assert {i for i, _ in out} == {0, 1, 2, 3}
