@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from eecs485_p4_mapreduce_spark.functions.numeric import davg_sql, dsum_sql
 from eecs485_p4_mapreduce_spark.plans.registry import query
-from eecs485_p4_mapreduce_spark.sources import register_views
+from eecs485_p4_mapreduce_spark.sources import run_sql
 
 _Q4 = """
     SELECT o.o_orderpriority, COUNT(*) AS order_count
@@ -116,10 +116,6 @@ _Q19 = f"""
 """
 
 
-def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(sql)
-
 
 @query("tpch_q4_priority_count", oracle=_Q4)
 def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +125,7 @@ def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated EXISTS carries a non-equi conjunct on top of the orderkey
     equality; Catalyst still lowers it to one left-semi join -- no
     per-order rescan of lineitem."""
-    return _run(spark, sf_dir, _Q4)
+    return run_sql(spark, sf_dir, _Q4)
 
 
 @query("tpch_q5_local_supplier_volume", oracle=_Q5)
@@ -140,7 +136,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     c_nationkey = s_nationkey cross-dimension equality rides along as a
     join residual instead of a post-join filter.  At 100 TB the only big
     shuffle is lineitem⋈orders on orderkey."""
-    return _run(spark, sf_dir, _Q5)
+    return run_sql(spark, sf_dir, _Q5)
 
 
 @query("tpch_q6_forecast_revenue", oracle=_Q6)
@@ -150,7 +146,7 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum.  All three predicates push to the parquet scan
     (min/max row-group skipping on l_shipdate), so the 100 TB plan reads
     a year's row groups and two columns, nothing else."""
-    return _run(spark, sf_dir, _Q6)
+    return run_sql(spark, sf_dir, _Q6)
 
 
 @query("tpch_q10_returned_items", oracle=_Q10)
@@ -161,7 +157,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition top-20, then a 20-row merge on
     the driver -- no global sort).  Exact-decimal revenue plus the
     c_custkey tie-break make the cut deterministic across engines."""
-    return _run(spark, sf_dir, _Q10)
+    return run_sql(spark, sf_dir, _Q10)
 
 
 @query("tpch_q14_promo_effect", oracle=_Q14)
@@ -171,7 +167,7 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in one pass over the join (no second scan).  Both sums are
     decimal-exact before the single double division, so the ratio is
     bitwise stable."""
-    return _run(spark, sf_dir, _Q14)
+    return run_sql(spark, sf_dir, _Q14)
 
 
 @query("tpch_q17_small_qty_revenue", oracle=_Q17)
@@ -181,7 +177,7 @@ def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-part average into one aggregate over lineitem joined back on
     partkey -- two passes total, not one per part.  The threshold is
     0.2 * decimal-exact average, identical in both engines."""
-    return _run(spark, sf_dir, _Q17)
+    return run_sql(spark, sf_dir, _Q17)
 
 
 @query("tpch_q19_discounted_revenue", oracle=_Q19)
@@ -191,7 +187,7 @@ def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small side and broadcasts; the partkey equality is shared by all
     three branches so the disjunction becomes a join residual, not three
     unions of the fact table."""
-    return _run(spark, sf_dir, _Q19)
+    return run_sql(spark, sf_dir, _Q19)
 
 
 _RCTE = """
@@ -215,7 +211,7 @@ _RCTE = """
 @query("recursive_cte_tree_rollup", oracle=_RCTE)
 def recursive_cte_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (WITH RECURSIVE): walk every part up an implicit
-    binary-tree hierarchy (parent = partkey/8, an 8-ary tree) to the root, accumulating
+    8-ary tree hierarchy (parent = partkey/8) to the root, accumulating
     depth and a decimal-exact price rollup along the path.  Each
     recursion level is one join of the frontier against the parent
     table, so the total work is O(rows * depth) with depth = log8(keys)
@@ -224,4 +220,4 @@ def recursive_cte_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (integer parent arithmetic spelled FLOOR(cur/8), exact for
     keys far below 2^52); the running sum stays decimal inside the
     recursion and becomes double only at the end."""
-    return _run(spark, sf_dir, _RCTE)
+    return run_sql(spark, sf_dir, _RCTE)

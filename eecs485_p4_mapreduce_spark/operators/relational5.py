@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from eecs485_p4_mapreduce_spark.functions.numeric import davg_sql, dsum_sql
 from eecs485_p4_mapreduce_spark.plans.registry import query
-from eecs485_p4_mapreduce_spark.sources import register_views
+from eecs485_p4_mapreduce_spark.sources import run_sql
 
 _Q7 = f"""
     SELECT supp_nation, cust_nation, l_year,
@@ -109,10 +109,6 @@ _Q22 = f"""
 """
 
 
-def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(sql)
-
 
 @query("tpch_q7_volume_shipping", oracle=_Q7)
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +118,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     so it cannot push to either scan alone -- it evaluates as a residual
     after both tiny broadcasts, while the date range does push into the
     lineitem scan.  The only large shuffle is lineitem⋈orders."""
-    return _run(spark, sf_dir, _Q7)
+    return run_sql(spark, sf_dir, _Q7)
 
 
 @query("tpch_q8_market_share", oracle=_Q8)
@@ -132,7 +128,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation joins TWICE under different roles (customer's region filter,
     supplier's nationality).  Share = conditional decimal sum over total
     decimal sum, one pass, bitwise-stable division."""
-    return _run(spark, sf_dir, _Q8)
+    return run_sql(spark, sf_dir, _Q8)
 
 
 @query("tpch_q13_custdist", oracle=_Q13)
@@ -142,7 +138,7 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     join condition (not WHERE, which would turn it inner) is the whole
     point of the query.  Two aggregations: per-customer count, then the
     distribution over counts."""
-    return _run(spark, sf_dir, _Q13)
+    return run_sql(spark, sf_dir, _Q13)
 
 
 @query("tpch_q15_top_supplier", oracle=_Q15)
@@ -152,7 +148,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue makes the max comparison pick identical suppliers on both
     engines (a raw double sum here is the classic cross-engine
     tie-break bug)."""
-    return _run(spark, sf_dir, _Q15)
+    return run_sql(spark, sf_dir, _Q15)
 
 
 @query("tpch_q22_sales_opportunity", oracle=_Q22)
@@ -165,4 +161,4 @@ def tpch_q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join; both lower to one
     broadcast threshold plus one left-anti shuffle join, not per-row
     subquery evaluation."""
-    return _run(spark, sf_dir, _Q22)
+    return run_sql(spark, sf_dir, _Q22)

@@ -1,5 +1,5 @@
 """Sources: readers over the driver-provided parquet testdata."""
 
-from eecs485_p4_mapreduce_spark.sources.tables import TABLES, load_table, register_views
+from eecs485_p4_mapreduce_spark.sources.tables import TABLES, load_table, register_views, run_sql
 
-__all__ = ["TABLES", "load_table", "register_views"]
+__all__ = ["TABLES", "load_table", "register_views", "run_sql"]

@@ -58,3 +58,11 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     DuckDB oracle's pre-registered views."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark, sf_dir: str, sql: str):
+    """Register all table views, then run one SQL text -- the shared
+    execution path for queries whose Spark and DuckDB spellings are the
+    same string (relational4/relational5)."""
+    register_views(spark, sf_dir)
+    return spark.sql(sql)

@@ -29,11 +29,12 @@ from eecs485_p4_mapreduce_spark.sources import load_table
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (schema from the batch reader,
-    including the ns->us timestamp normalization in sources/tables.py)."""
-    batch = load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    """readStream over the events parquet, with the same ns->us timestamp
+    normalization the batch reader applies (sources/tables.py)."""
+    # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects unless
+    # this conf is set BEFORE any schema read of the file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file source monitors a *directory*; select just the events file.
     raw = (
         spark.readStream.schema(raw_schema)
@@ -41,7 +42,6 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    _ = batch  # keeps the ns handling in one place; see sources/tables.py
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -181,7 +181,7 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             n += len(vals)
             batch_max = vals.max()
             mx = batch_max if mx is None else max(mx, batch_max)
-            sum_micro += int(round(vals.map(lambda v: round(v * 1_000_000)).sum()))
+            sum_micro += int(vals.map(lambda v: round(v * 1_000_000)).sum())
         state.update((int(n), float(mx), int(sum_micro)))
         yield pd.DataFrame(
             {
@@ -270,16 +270,25 @@ def streaming_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates: emit each (user, event_type) key once
-    across the whole stream, state bounded by the watermark.
+    across the whole stream.
+
+    State is O(distinct keys) and is NOT watermark-bounded: Spark only
+    evicts dropDuplicates state when the event-time column is part of
+    the dedup subset (or with ``dropDuplicatesWithinWatermark``), and
+    either variant would re-emit keys recurring after the gap, breaking
+    the exact DISTINCT semantics this query promises.  At 100 TB that is
+    the real trade: exact forever-dedup pays state per key (fine for
+    bounded key domains like this one); time-scoped dedup is the
+    watermarked variant with different semantics.
 
     Only the key columns are output -- which row of a duplicate group
     survives is processing-order-dependent and so unsuitable for an
     oracle, but the surviving key set is exact."""
-    ev = events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
-    dedup = ev.select("user_id", "event_type", "ts").dropDuplicates(
+    ev = events_stream(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    return run_to_completion(dedup, mode="append").select("user_id", "event_type")
+    return run_to_completion(dedup, mode="append")
 
 
 @query(
