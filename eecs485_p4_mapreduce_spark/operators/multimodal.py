@@ -112,6 +112,28 @@ def _decode_frames(payload: bytes, content_len: int, *, codec: str = "fake") -> 
     ]
 
 
+def _decoded_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All assets fanned out to frame rows through the one decode kernel
+    -- the single mapInPandas stage every multimodal query builds on
+    (one copy of the _decode_frames contract, not one per query)."""
+    media = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_id, payload, content_len in zip(
+                pdf["doc_id"], pdf["payload"], pdf["content_len"]
+            ):
+                for fr in _decode_frames(bytes(payload), int(content_len)):
+                    out.append({"doc_id": int(doc_id), **fr})
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "width", "height", "feature", "thumb"],
+            )
+
+    return media.mapInPandas(decode_batches, schema=_FRAME_SCHEMA)
+
+
 @query(
     "multimodal_frames",
     oracle="""
@@ -132,25 +154,11 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     this stage is sized by ``maxRecordsPerBatch`` and the payload bytes
     stay within one task -- no shuffle crosses the Python boundary.
     """
-    media = with_payload(load_table(spark, sf_dir, "documents"))
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[dict] = []
-            for doc_id, payload, content_len in zip(
-                pdf["doc_id"], pdf["payload"], pdf["content_len"]
-            ):
-                for fr in _decode_frames(bytes(payload), int(content_len)):
-                    out.append({"doc_id": int(doc_id), **fr})
-            yield pd.DataFrame(
-                out,
-                columns=["doc_id", "frame_idx", "width", "height", "feature", "thumb"],
-            )
-
-    frames = media.mapInPandas(decode_batches, schema=_FRAME_SCHEMA)
     # thumb is real binary output of the UDF but has no clean DuckDB twin
     # (md5(BLOB) unsupported there), so the checked projection drops it.
-    return frames.select("doc_id", "frame_idx", "width", "height", "feature")
+    return _decoded_frames(spark, sf_dir).select(
+        "doc_id", "frame_idx", "width", "height", "feature"
+    )
 
 
 _RESIZE_SCHEMA = StructType(
@@ -198,30 +206,11 @@ def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the resize kernel itself is vectorizable per Arrow batch (here
     integer geometry; a real pixel kernel slots into the same
     ``mapInPandas`` signature and schema)."""
-    media = with_payload(load_table(spark, sf_dir, "documents"))
-
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[dict] = []
-            for doc_id, payload, content_len in zip(
-                pdf["doc_id"], pdf["payload"], pdf["content_len"]
-            ):
-                for fr in _decode_frames(bytes(payload), int(content_len)):
-                    out.append(
-                        {
-                            "doc_id": int(doc_id),
-                            "frame_idx": fr["frame_idx"],
-                            "width": fr["width"],
-                            "height": fr["height"],
-                        }
-                    )
-            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "width", "height"])
-
-    frames = media.mapInPandas(
-        decode_batches,
-        schema="doc_id bigint, frame_idx bigint, width bigint, height bigint",
+    sampled = (
+        _decoded_frames(spark, sf_dir)
+        .select("doc_id", "frame_idx", "width", "height")
+        .filter(F.col("frame_idx") % 2 == 0)
     )
-    sampled = frames.filter(F.col("frame_idx") % 2 == 0)
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

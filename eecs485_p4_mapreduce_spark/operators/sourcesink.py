@@ -36,11 +36,15 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> aggregate.  Exercises the CSV writer/parser including quoting of
     free text; the md5 digest in the oracle catches any corruption."""
     docs = load_table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="spark-graft-csv-")
+    out = os.path.join(tempfile.gettempdir(), "spark-graft-roundtrip", "csv")
     path = os.path.join(out, "docs")
     docs.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(path)
     back = (
         spark.read.option("header", True)
+        # multiLine: quoted text fields may contain newlines; FAILFAST so a
+        # parse problem is an error, never a silent NULL-padded row.
+        .option("multiLine", True)
+        .option("mode", "FAILFAST")
         .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
         .csv(path)
     )
@@ -66,7 +70,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Timestamps survive via ISO strings; the oracle's min(date-as-string)
     pins the serialization."""
     o = load_table(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="spark-graft-json-")
+    out = os.path.join(tempfile.gettempdir(), "spark-graft-roundtrip", "json")
     path = os.path.join(out, "orders")
     o.write.mode("overwrite").json(path)
     back = spark.read.schema(
@@ -97,7 +101,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     original table, so any loss in the writer/reader shows up as a hash
     mismatch."""
     c = load_table(spark, sf_dir, "customer")
-    out = tempfile.mkdtemp(prefix="spark-graft-orc-")
+    out = os.path.join(tempfile.gettempdir(), "spark-graft-roundtrip", "orc")
     path = os.path.join(out, "customer")
     c.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)

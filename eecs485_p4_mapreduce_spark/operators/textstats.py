@@ -37,13 +37,15 @@ _DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '
 def _score_exprs(dialect: str) -> dict[str, str]:
     """Per-language stopword-hit counts; same SQL for both engines modulo
     list-function names."""
-    size, flt, arr = ("size", "filter", "array") if dialect == "spark" else ("len", "list_filter", "list_value")
-    toks = "toks"
+    size, flt, arr, has = (
+        ("size", "filter", "array", "array_contains")
+        if dialect == "spark"
+        else ("len", "list_filter", "list_value", "list_contains")
+    )
     out = {}
     for lang, words in STOPWORDS.items():
         lits = ", ".join(f"'{w}'" for w in words)
-        out[lang] = f"{size}({flt}({toks}, t -> array_contains({arr}({lits}), t)))" if dialect == "spark" else \
-            f"{size}({flt}({toks}, t -> list_contains({arr}({lits}), t)))"
+        out[lang] = f"{size}({flt}(toks, t -> {has}({arr}({lits}), t)))"
     return out
 
 

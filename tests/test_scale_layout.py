@@ -157,7 +157,7 @@ def test_zorder_layout_bounds_worst_dimension(spark, sf_dir):
 
     zdir = tempfile.mkdtemp(prefix="sg-zorder-")
     sdir = tempfile.mkdtemp(prefix="sg-sorted1d-")
-    li.withColumn("zgroup", F.shiftright(morton2(kb, db, 3), 3)).write.partitionBy(
+    li.withColumn("zgroup", F.shiftright(morton2(kb, db, buckets=8), 3)).write.partitionBy(
         "zgroup"
     ).mode("overwrite").parquet(zdir)
     li.withColumn("kgroup", kb).write.partitionBy("kgroup").mode("overwrite").parquet(sdir)
