@@ -106,7 +106,14 @@ class MapReduceJob:
             proc = subprocess.run(
                 cmd, input=bytes(content), capture_output=True, check=True
             )
-            return proc.stdout.decode("utf-8").splitlines()
+            # newline-only record framing, matching the reference: \n is the
+            # one separator (str.splitlines would also split on \x0b, \x0c,
+            # U+2028 etc. inside values); drop the trailing empty element
+            # from the final terminated line.
+            lines = proc.stdout.decode("utf-8").split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()
+            return lines
 
         mapped = []
         for group in groups:
@@ -128,7 +135,9 @@ class MapReduceJob:
 
         # Reduce stage: pipe() runs once per partition == one reducer
         # subprocess per reduce task, stdin already merged+sorted.
-        reduced = shuffled.pipe(self.reducer_executable)
+        # checkCode: a reducer that exits nonzero must fail the job (the
+        # reference surfaces worker failures), not silently truncate output.
+        reduced = shuffled.pipe(self.reducer_executable, checkCode=True)
 
         # Sink: exactly num_reducers files named part-NNNNN, nothing else
         # [ref tests/test_integration_02.py:31-37].  Spark writes

@@ -55,12 +55,9 @@ _BANDS = 8       # LSH bands (r = _K // _BANDS = 2 rows per band)
 _R = _K // _BANDS
 _SHINGLE = 8     # char-shingle width
 
-# Spark SQL / DuckDB twins for: char shingles of lowered text (kept as a
-# multiset -- MIN is duplicate-insensitive, so no distinct pass needed).
-_SH_SPARK = (
-    f"transform(sequence(1, greatest(length(lower(text)) - {_SHINGLE - 1}, 1)),"
-    f" i -> substring(lower(text), i, {_SHINGLE}))"
-)
+# DuckDB spelling for: char shingles of lowered text (kept as a multiset
+# -- MIN is duplicate-insensitive, so no distinct pass needed).  The live
+# Spark-side construction is the explode form in _minhash_banded.
 _SH_DUCK = (
     f"list_transform(range(1, greatest(length(lower(text)) - {_SHINGLE - 1}, 1) + 1),"
     f" i -> substring(lower(text), i, {_SHINGLE}))"
@@ -87,17 +84,6 @@ def _hex_int_sql(dialect: str, src: str, start: int) -> str:
         f" substring({src}, {start} + c, 1)) - 1) * CAST(pow(16, 7 - c) AS BIGINT))) AS BIGINT)"
     )
 
-
-def _sig_sql(dialect: str) -> str:
-    """signature[i] = min over shingles of (h1 + i*(2*h2+1)) mod 2^32."""
-    if dialect == "spark":
-        tr, mn, seq = "transform", "array_min", f"sequence(0, {_K - 1})"
-    else:
-        tr, mn, seq = "list_transform", "list_min", f"range(0, {_K})"
-    h1 = _hex_int_sql(dialect, "md5(g)", 1)
-    h2 = _hex_int_sql(dialect, "md5(g)", 9)
-    gi = f"(({h1}) + i * (2 * ({h2}) + 1)) % {_M32}"
-    return f"{tr}({seq}, i -> {mn}({tr}(sh, g -> {gi})))"
 
 
 def _bands_sql(dialect: str) -> str:
@@ -332,16 +318,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word 4-grams: rare enough that the inverted-index join fan-out stays
 # near-linear even on a shared-vocabulary corpus
 _NG_SPARK = (
+    "CASE WHEN size(toks) = 0 THEN array() ELSE "
     "array_distinct(transform(sequence(1, greatest(size(toks) - 3, 1)),"
     " i -> concat(element_at(toks, i), ' ', element_at(toks, least(i + 1, size(toks))),"
     " ' ', element_at(toks, least(i + 2, size(toks))),"
-    " ' ', element_at(toks, least(i + 3, size(toks))))))"
+    " ' ', element_at(toks, least(i + 3, size(toks)))))) END"
 )
 _NG_DUCK = (
+    "CASE WHEN len(toks) = 0 THEN [] ELSE "
     "list_distinct(list_transform(range(1, greatest(len(toks) - 3, 1) + 1),"
     " i -> concat(list_extract(toks, i), ' ', list_extract(toks, least(i + 1, len(toks))),"
     " ' ', list_extract(toks, least(i + 2, len(toks))),"
-    " ' ', list_extract(toks, least(i + 3, len(toks))))))"
+    " ' ', list_extract(toks, least(i + 3, len(toks)))))) END"
 )
 
 
@@ -601,7 +589,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT doc_id, lang, n_chars, text,
              substring(text, 1, 16) AS pfx,
-             substring(text, length(text) - 15, 16) AS sfx
+             substring(text, greatest(length(text) - 15, 1), 16) AS sfx
       FROM documents),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -638,7 +626,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "text",
         F.substring("text", 1, 16).alias("pfx"),
-        F.expr("substring(text, length(text) - 15, 16)").alias("sfx"),
+        F.expr("substring(text, greatest(length(text) - 15, 1), 16)").alias("sfx"),
     )
 
     def block(key: str) -> DataFrame:

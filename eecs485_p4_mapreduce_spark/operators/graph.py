@@ -19,7 +19,6 @@ from eecs485_p4_mapreduce_spark.sources import load_table
 
 _ITERS = 10
 _DAMP = 0.85
-_N = 5  # event types
 
 
 def _pagerank_oracle() -> str:
@@ -35,15 +34,16 @@ def _pagerank_oracle() -> str:
         outw AS (SELECT src, SUM(w) AS tw FROM edges GROUP BY src),
         nodes AS (SELECT DISTINCT dst AS node FROM edges
                   UNION SELECT DISTINCT src FROM edges),
-        r0 AS (SELECT node, 1.0 / {n} AS rank FROM nodes)
-        """.format(n=_N)
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+        """
     ]
     for k in range(_ITERS):
         parts.append(
             f"""
         r{k + 1} AS (
           SELECT n.node,
-                 (1.0 - {_DAMP}) / {_N} + {_DAMP} * coalesce(SUM(
+                 (1.0 - {_DAMP}) / (SELECT n FROM nn) + {_DAMP} * coalesce(SUM(
                      r.rank * e.w / o.tw), 0.0) AS rank
           FROM nodes n
           LEFT JOIN edges e ON e.dst = n.node
@@ -86,7 +86,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("src").alias("node")))
         .distinct()
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / _N))
+    # node count from the data, not a constant: a generator change in the
+    # number of event types must not silently break rank normalization
+    n_nodes = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     contrib_base = edges.join(outw, "src")
     for k in range(_ITERS):
         incoming = (
@@ -103,7 +106,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 (
-                    F.lit((1.0 - _DAMP) / _N)
+                    F.lit((1.0 - _DAMP) / n_nodes)
                     + F.lit(_DAMP) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )

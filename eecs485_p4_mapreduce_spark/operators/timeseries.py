@@ -104,7 +104,7 @@ def resample_gapfill_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            round((e.value - st.mean) / st.std, 3) AS z
     FROM events e JOIN st USING (event_type)
-    WHERE abs((e.value - st.mean) / st.std) >= 2.5
+    WHERE st.std > 0 AND abs((e.value - st.mean) / st.std) >= 2.5
     """,
 )
 def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,8 +137,11 @@ def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     z = (F.col("value") - F.col("mean")) / F.col("std")
+    # std > 0 guard: a constant-valued series would divide by zero, which
+    # Spark (non-ANSI) turns into NULL-dropped rows but DuckDB into +-inf
+    # rows -- a silent cross-engine divergence without the guard.
     return (
         e.join(st, "event_type")
-        .filter(F.abs(z) >= 2.5)
+        .filter((F.col("std") > 0) & (F.abs(z) >= 2.5))
         .select("event_id", "event_type", "value", F.round(z, 3).alias("z"))
     )
