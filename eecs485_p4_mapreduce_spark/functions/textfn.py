@@ -11,6 +11,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# DuckDB spelling of :func:`tokens` -- THE oracle-side tokenizer.  Every
+# module's oracle SQL must use this one constant; a second copy that
+# drifts breaks Spark-vs-oracle parity for that module.
+DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
 
 def tokens(col: Column | str) -> Column:
     """Lowercased whitespace tokens, empties dropped.

@@ -22,6 +22,7 @@ from eecs485_p4_mapreduce_spark.mapreduce.job import (
     md5_partition,
     round_robin_groups,
 )
+from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -72,7 +73,6 @@ def _run_job(spark: SparkSession, sf_dir: str, mapper: str, reducer: str) -> lis
     return job.run(spark)
 
 
-_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
 
 @query(
@@ -80,7 +80,7 @@ _DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '
     oracle=f"""
     SELECT word, cnt
     FROM (SELECT word, COUNT(*) AS cnt
-          FROM (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents)
+          FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
           GROUP BY word)
     """,
 )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -250,13 +251,12 @@ _FP_DUCK = " + ".join(
 )
 
 _TOK_SPARK = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
-_TOK_DUCK = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
 
 @query(
     "dedup_simhash",
     oracle=f"""
-    WITH ex AS (SELECT doc_id, unnest({_TOK_DUCK}) AS t FROM documents),
+    WITH ex AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS t FROM documents),
     hint AS MATERIALIZED (SELECT doc_id, {_hex_int_sql('duckdb', 'md5(t)', 1)} AS h1 FROM ex),
     ones AS MATERIALIZED (
       SELECT doc_id, COUNT(*) AS n,
@@ -336,7 +336,7 @@ _NG_DUCK = (
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOK_DUCK} AS toks FROM documents),
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
     ng AS (SELECT doc_id, {_NG_DUCK} AS ng FROM toks),
     sizes AS (SELECT doc_id, len(ng) AS sz FROM ng),
     ex AS (SELECT doc_id, unnest(ng) AS g FROM ng),
@@ -720,7 +720,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM = 8
 
 _GRAMS_DUCK = f"""
-    t AS (SELECT doc_id, source, {_TOK_DUCK} AS tk FROM documents),
+    t AS (SELECT doc_id, source, {DUCK_TOKENS} AS tk FROM documents),
     g AS (
       SELECT doc_id, source,
              unnest(list_transform(range(1, len(tk) - {_NGRAM - 2}), i ->
@@ -737,7 +737,7 @@ def _token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``token_bigrams``; one shuffle on doc_id."""
     from pyspark.sql import Window
 
-    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+    from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(

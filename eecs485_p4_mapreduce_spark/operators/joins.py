@@ -221,10 +221,10 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     purch = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(0).alias("is_click")
     )
-    # Clicks sort before purchases at identical ts via is_click DESC so a
-    # same-instant click is NOT visible (strictly-earlier semantics v.ts < c.ts
-    # require click ts < purchase ts; ordering ties click-first would wrongly
-    # include equal-ts clicks, so purchases sort first on ties).
+    # Purchases (is_click=0) sort BEFORE clicks at identical ts via
+    # is_click ASC, and the frame ends at -1 rows, so a same-instant click
+    # is NOT visible -- matching the oracle's strictly-earlier v.ts < p.ts.
+    # (Ordering ties click-first would wrongly include equal-ts clicks.)
     u = clicks.unionByName(purch)
     w = (
         Window.partitionBy("user_id")

@@ -147,10 +147,14 @@ def pivot_year_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long->wide): order counts per year x status.  Explicit value
     list so the plan is a single pass (no distinct-values pre-query)."""
     o = load_table(spark, sf_dir, "orders")
+    # na.fill: Spark's pivot emits NULL for an empty (year, status) cell
+    # where the oracle's COUNT(*) FILTER emits 0 -- fill so a sparse year
+    # cannot hash-mismatch.
     return (
         o.groupBy(F.year("o_orderdate").alias("yr"))
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
+        .na.fill(0, ["F", "O", "P"])
     )
 
 
@@ -170,11 +174,18 @@ def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark percentile == DuckDB
     quantile_cont, both linear interpolation on the sorted set)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    # one percentile agg with an array of quantiles: a single sorted-value
+    # buffer per group instead of four (the exact Percentile aggregate
+    # materializes the whole group's values per expression)
+    qs = o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, array(0.25, 0.50, 0.75, 0.95))").alias("qa")
+    )
+    return qs.select(
+        "o_orderstatus",
         *[
-            F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(name)
-            for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
-        ]
+            F.round(F.col("qa")[i], 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ],
     )
 
 

@@ -15,19 +15,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
 # DuckDB twin of functions.textfn.tokens
-_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
 
 @query(
     "wordcount",
     oracle=f"""
     SELECT word, COUNT(*) AS cnt
-    FROM (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents)
+    FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
     GROUP BY word
     """,
 )
@@ -105,7 +104,7 @@ def project_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct_tokens",
     oracle=f"""
     SELECT lang, COUNT(DISTINCT word) AS n_distinct
-    FROM (SELECT lang, unnest({_DUCK_TOKENS}) AS word FROM documents)
+    FROM (SELECT lang, unnest({DUCK_TOKENS}) AS word FROM documents)
     GROUP BY lang
     """,
 )
@@ -124,7 +123,7 @@ def distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT word, cnt FROM (
       SELECT word, COUNT(*) AS cnt
-      FROM (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents)
+      FROM (SELECT unnest({DUCK_TOKENS}) AS word FROM documents)
       GROUP BY word)
     ORDER BY cnt DESC, word LIMIT 20
     """,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -31,7 +31,6 @@ _LANG_ORDER = ["en", "de", "es", "fr", "zh"]  # tie-break priority
 # BPE-ish word/number/punctuation splitter (identical RE2/Java regex).
 _TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
-_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
 
 def _score_exprs(dialect: str) -> dict[str, str]:
@@ -62,7 +61,7 @@ def _argmax_case(scores: dict[str, str]) -> str:
 @query(
     "lang_id",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents),
+    WITH tok AS (SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents),
     scored AS (SELECT doc_id, lang, {_argmax_case(_score_exprs('duckdb'))} AS pred_lang,
                       ({_score_exprs('duckdb')['en']}) AS en_hits
                FROM tok)
@@ -99,7 +98,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len({DUCK_TOKENS})) AS BIGINT) AS ws_tokens,
            CAST(SUM(len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))) AS BIGINT) AS re_tokens,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
@@ -125,10 +124,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH feat AS (
       SELECT doc_id, lang,
-             len({_DUCK_TOKENS}) AS n_words,
+             len({DUCK_TOKENS}) AS n_words,
              length(text) AS n_chars_txt,
              length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
-             len(list_filter({_DUCK_TOKENS},
+             len(list_filter({DUCK_TOKENS},
                  t -> list_contains(['the','a','and','of','to','is','in'], t))) AS n_stop
       FROM documents)
     SELECT doc_id, lang, n_words,

@@ -22,10 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
-_DUCK_TOKENS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
 
 @query(
@@ -59,7 +59,7 @@ def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
-           round(quantile_cont(len({_DUCK_TOKENS}), 0.5), 4) AS median_tokens
+           round(quantile_cont(len({DUCK_TOKENS}), 0.5), 4) AS median_tokens
     FROM documents
     GROUP BY lang
     """,
@@ -90,7 +90,7 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udtf_chunk_text",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents WHERE doc_id < 100),
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents WHERE doc_id < 100),
     n AS (SELECT doc_id, toks, (len(toks) + 9) // 10 AS n_chunks FROM toks)
     SELECT doc_id, CAST(i AS INT) AS chunk_idx,
            array_to_string(toks[10 * i + 1 : 10 * i + 10], ' ') AS chunk,
@@ -127,7 +127,7 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source, text,
-             len({_DUCK_TOKENS}) AS n_words,
+             len({DUCK_TOKENS}) AS n_words,
              md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
       FROM documents
       WHERE lang IN ('en', 'de')),
@@ -150,10 +150,9 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang").isin("en", "de"))
-    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
     fp = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
     scored = docs.select(
-        "doc_id", "source", F.size(toks).alias("n_words"), fp.alias("fp")
+        "doc_id", "source", F.size(tokens("text")).alias("n_words"), fp.alias("fp")
     )
     w = Window.partitionBy("fp")
     kept = (
