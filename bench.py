@@ -133,13 +133,23 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     total = round(sum(times.values()), 3)
+    # Full per-query map goes to a FILE; the stdout line stays short (the
+    # round-1 driver captured only a truncated tail of a 75-entry inline
+    # map and recorded parsed=null).  The headline line keeps the required
+    # shape with the 10 slowest queries inline.
+    detail = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail, "w", encoding="utf-8") as fh:
+        json.dump({"sf": sf, "total_sec": total, "queries": times}, fh, indent=1, sort_keys=True)
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_sec_headline_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": slowest,
+                "n_queries": len(times),
+                "detail_file": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )

@@ -12,11 +12,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _content_salt(df: DataFrame, n: int) -> Column:
+    """Deterministic per-row salt in [0, n): crc32 over ALL columns.
+
+    NOT monotonically_increasing_id()/rand(): those are nondeterministic
+    across task retries, and a salt that feeds a shuffle partition key must
+    reproduce identically on recomputation or a post-fetch-failure stage
+    retry can place rows in partitions other reducers already consumed
+    (lost/duplicated rows, the SPARK-23207 class -- and session.py enables
+    task retry).  Trade-off: bit-identical duplicate rows share a salt, so
+    a hot key made of IDENTICAL rows does not spread; hot keys with
+    varying payloads (the realistic case) do.
+    """
+    rendered = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+    return F.pmod(F.crc32(rendered), F.lit(n))
+
+
 def salted_agg_count(df: DataFrame, key: str, salt: int = 16) -> DataFrame:
     """Two-phase skew-proof count: groupBy((key, salt)) partial counts,
     then groupBy(key) final sum.  The hot key's rows spread over ``salt``
     reducers in phase 1; phase 2 only merges ``salt`` partial rows."""
-    salted = df.withColumn("_salt", F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(salt)))
+    salted = df.withColumn("_salt", _content_salt(df, salt))
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").cast("bigint").alias("cnt"))
 
@@ -33,10 +49,7 @@ def salted_join(
     right side is the smaller input).  Row-level results are identical to
     a plain join.
     """
-    lsalt = left.withColumn(
-        "_shard",
-        F.pmod(F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(salt)),
-    )
+    lsalt = left.withColumn("_shard", _content_salt(left, salt))
     rsalt = right.withColumn(
         "_shard", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )

@@ -32,7 +32,6 @@ from __future__ import annotations
 import hashlib
 import os
 import shlex
-import shutil
 import subprocess
 from dataclasses import dataclass
 
@@ -56,7 +55,11 @@ def md5_partition(line: str, num_partitions: int) -> int:
     ('', 'bye', 'hello' -> p0; 'world', 'goodbye', 'hadoop' -> p1 at P=2).
     """
     key = keyof(line)
-    return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % num_partitions
+    # surrogateescape round-trips the mapper's RAW key bytes, so the md5
+    # placement matches the reference even for non-UTF-8 mapper output
+    return int(
+        hashlib.md5(key.encode("utf-8", "surrogateescape")).hexdigest(), 16
+    ) % num_partitions
 
 
 def round_robin_groups(files: list[str], num_groups: int) -> list[list[str]]:
@@ -109,8 +112,15 @@ class MapReduceJob:
             # newline-only record framing, matching the reference: \n is the
             # one separator (str.splitlines would also split on \x0b, \x0c,
             # U+2028 etc. inside values); drop the trailing empty element
-            # from the final terminated line.
-            lines = proc.stdout.decode("utf-8").split("\n")
+            # from the final terminated line.  surrogateescape keeps the
+            # pipeline byte-transparent (the reference pipes raw bytes):
+            # non-UTF-8 mapper bytes survive the shuffle and are restored
+            # bit-exact when fed to the reducer.  One caveat vs a raw
+            # byte sort: an invalid byte 0x80-0xFF decodes to U+DC80+,
+            # which orders after valid multi-byte sequences instead of
+            # between them -- only observable for mixed invalid/multibyte
+            # keys, which the reference's own corpora never contain.
+            lines = proc.stdout.decode("utf-8", "surrogateescape").split("\n")
             if lines and lines[-1] == "":
                 lines.pop()
             return lines
@@ -133,28 +143,33 @@ class MapReduceJob:
             .keys()
         )
 
-        # Reduce stage: pipe() runs once per partition == one reducer
-        # subprocess per reduce task, stdin already merged+sorted.
-        # checkCode: a reducer that exits nonzero must fail the job (the
-        # reference surfaces worker failures), not silently truncate output.
-        reduced = shuffled.pipe(self.reducer_executable, checkCode=True)
+        # Reduce stage + sink in one executor-side pass: one reducer
+        # subprocess per reduce partition, stdin = the merged sorted lines
+        # re-encoded surrogateescape (bit-exact restore of the mapper's
+        # bytes), stdout streamed STRAIGHT into the final ``part-NNNNN``
+        # file [ref tests/test_integration_02.py:31-37].  Replaces the old
+        # rdd.pipe + saveAsTextFile + driver rename: rdd.pipe encodes
+        # strict UTF-8 (crashes on non-UTF-8 bytes) and saveAsTextFile
+        # cannot carry surrogates.  A reducer that exits nonzero fails the
+        # job (the reference surfaces worker failures), never silently
+        # truncates.  Executors write to the output dir directly -- the
+        # same shared-filesystem assumption the reference's workers make.
+        out_dir = self.output_directory
+        rcmd = shlex.split(self.reducer_executable)
+        os.makedirs(out_dir, exist_ok=True)
 
-        # Sink: exactly num_reducers files named part-NNNNN, nothing else
-        # [ref tests/test_integration_02.py:31-37].  Spark writes
-        # part-00000.. plus bookkeeping files into a temp dir; rename.
-        os.makedirs(self.output_directory, exist_ok=True)
-        tmp = os.path.join(self.output_directory, "_spark_tmp_out")
-        shutil.rmtree(tmp, ignore_errors=True)
-        reduced.saveAsTextFile(tmp)
-        outputs = []
-        for p in range(nred):
-            src = os.path.join(tmp, f"part-{p:05d}")
-            dst = os.path.join(self.output_directory, f"part-{p:05d}")
-            if not os.path.exists(src):  # empty partition still yields a file
-                with open(dst, "w", encoding="utf-8"):
-                    pass
-            else:
-                shutil.move(src, dst)
-            outputs.append(dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        return outputs
+        def run_reducer(idx, lines):
+            dst = os.path.join(out_dir, f"part-{idx:05d}")
+            with open(dst, "wb") as sink:
+                proc = subprocess.Popen(rcmd, stdin=subprocess.PIPE, stdout=sink)
+                assert proc.stdin is not None
+                for line in lines:
+                    proc.stdin.write(line.encode("utf-8", "surrogateescape"))
+                    proc.stdin.write(b"\n")
+                proc.stdin.close()
+                rc = proc.wait()
+            if rc != 0:
+                raise RuntimeError(f"reducer exited {rc} on partition {idx}")
+            return [dst]
+
+        return sorted(shuffled.mapPartitionsWithIndex(run_reducer).collect())

@@ -203,8 +203,8 @@ def scalar_datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
       l_orderkey,
       l_linenumber,
       abs(l_discount - 0.05) AS disc_dev,
-      ceil(l_quantity) AS qty_ceil,
-      floor(l_extendedprice) AS price_floor,
+      CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+      CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
       sqrt(l_quantity) AS qty_sqrt,
       CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
       greatest(l_tax, l_discount) AS max_rate,
@@ -225,8 +225,10 @@ def scalar_math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_discount") - F.lit(0.05)).alias("disc_dev"),
-        F.ceil("l_quantity").alias("qty_ceil"),
-        F.floor("l_extendedprice").alias("price_floor"),
+        # explicit BIGINT on BOTH engines: Spark ceil(double) is already
+        # BIGINT but DuckDB's is DOUBLE, which hash-mismatched in round 1
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),

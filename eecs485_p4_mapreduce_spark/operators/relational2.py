@@ -111,7 +111,7 @@ def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_map_fns",
     oracle="""
     SELECT p_brand,
-           list(DISTINCT p_type ORDER BY p_type) AS types,
+           array_to_string(list(DISTINCT p_type ORDER BY p_type), '|') AS types,
            len(list(DISTINCT p_type ORDER BY p_type)) AS n_types,
            list(DISTINCT p_type ORDER BY p_type)[1] AS first_type,
            list_contains(list(DISTINCT p_type ORDER BY p_type), 'PROMO') AS has_promo
@@ -121,11 +121,16 @@ def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction + inspection: collect_set -> array_sort (the
-    deterministic spelling of list aggregation), size/element_at/contains."""
+    deterministic spelling of list aggregation), size/element_at/contains.
+
+    The array itself is surfaced as a '|'-joined string: raw ARRAY columns
+    are not canonicalizable by the driver's pandas comparator (unhashable
+    list -- the round-1 err), and the rule that maps never surface raw in
+    output applies equally to arrays."""
     p = load_table(spark, sf_dir, "part")
     types = F.array_sort(F.collect_set("p_type"))
     return p.groupBy("p_brand").agg(
-        types.alias("types"),
+        F.array_join(types, "|").alias("types"),
         F.size(types).alias("n_types"),
         F.element_at(types, 1).alias("first_type"),
         F.array_contains(types, "PROMO").alias("has_promo"),

@@ -1,31 +1,16 @@
 """Every registered query matches its DuckDB oracle (the driver's gate,
-run here at sf0.001 for speed; tools/oracle_check.py runs sf0.01)."""
+run here at sf0.001 for speed; tools/oracle_check.py runs sf0.01).
+
+Uses the driver-strict canonicalizer from tools/canon.py: type-tagged
+scalars (so int/float cross-engine divergence fails here, not only at the
+driver) and a hard TypeError on raw array/map/struct output columns."""
 
 from __future__ import annotations
-
-import math
 
 import pytest
 
 from eecs485_p4_mapreduce_spark.plans import REGISTRY
-
-
-def _render(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return "%.17g" % v
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = sorted(tuple(_render(r[i]) for i in order) for r in rows)
-    return out, [cols[i] for i in order]
+from tools.canon import canon as _canon
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

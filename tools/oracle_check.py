@@ -2,15 +2,14 @@
 
 Runs every registered query at a given sf dir through Spark AND its oracle
 SQL through DuckDB, then compares row count, column names, and values
-(order-insensitive, strict string render with floats at %.17g plus a
-tolerance fallback report).  Usage:
+(order-insensitive, driver-strict type-tagged render -- see tools/canon.py;
+a tolerance fallback is reported for diagnosis only).  Usage:
 
     python tools/oracle_check.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -23,39 +22,8 @@ import duckdb  # noqa: E402
 from eecs485_p4_mapreduce_spark import get_spark  # noqa: E402
 from eecs485_p4_mapreduce_spark.plans import REGISTRY  # noqa: E402
 from eecs485_p4_mapreduce_spark.sources import TABLES  # noqa: E402
-
-
-def _render(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return "%.17g" % v
-    if isinstance(v, bool):
-        return str(bool(v))
-    if isinstance(v, bytes):
-        return v.hex()
-    if isinstance(v, list):
-        return "[" + ",".join(_render(x) for x in v) + "]"
-    return str(v)
-
-
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_render(r[i]) for i in order) for r in rows]
-    out.sort()
-    return out, [cols[i] for i in order]
-
-
-def _close(a: str, b: str, tol=1e-9) -> bool:
-    if a == b:
-        return True
-    try:
-        fa, fb = float(a), float(b)
-        return math.isclose(fa, fb, rel_tol=tol, abs_tol=1e-12)
-    except ValueError:
-        return False
+from tools.canon import canon as _canon  # noqa: E402
+from tools.canon import close as _close  # noqa: E402
 
 
 def main() -> int:
@@ -90,8 +58,13 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
             continue
-        s_canon, s_cols = _canon(srows, scols)
-        d_canon, d_cols = _canon(drows, dcols)
+        try:
+            s_canon, s_cols = _canon(srows, scols)
+            d_canon, d_cols = _canon(drows, dcols)
+        except TypeError as e:
+            print(f"FAIL  {name}: canonicalize error: {e}")
+            failures += 1
+            continue
         status = []
         if s_cols != d_cols:
             status.append(f"cols {s_cols} != {d_cols}")
