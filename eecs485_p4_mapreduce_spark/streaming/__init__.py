@@ -144,17 +144,26 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     per-user running (count, max, decimal-exact sum) kept in explicit
     GroupState across micro-batches, emitted on stream end.
 
-    This is the escape hatch for stateful logic Spark lacks natively;
-    state is a tiny tuple per user, so state-store size is O(|users|).
+    Grouping is by SHARD (user_id mod 64), not by user: one GroupState per
+    shard holds the per-user stats as parallel arrays.  With per-user
+    groups the operator paid one Python/Arrow round-trip per user per
+    micro-batch (~40 s at sf0.1 -- the round-1 verdict's slowest op);
+    64 shard groups amortize that to 64 round-trips while per-user
+    update stays vectorized pandas.  State per shard is O(|users|/64);
+    shard count is just a constant to raise with the cluster.
     """
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
+        ArrayType,
         DoubleType,
         LongType,
         StructField,
         StructType,
     )
+
+    _NSHARDS = 64
 
     out_schema = StructType(
         [
@@ -164,36 +173,75 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             StructField("total_value", DoubleType()),
         ]
     )
+    # parallel arrays keyed by position: user ids, counts, maxima, and the
+    # decimal-exact running sums in micro-units (value * 1e6 as integer)
+    # so emission matches the oracle's decimal sum
     state_schema = StructType(
         [
-            StructField("n", LongType()),
-            StructField("mx", DoubleType()),
-            # decimal-exact running sum kept in micro-units (value * 1e6
-            # as integer) so emission matches the oracle's decimal sum
-            StructField("sum_micro", LongType()),
+            StructField("uids", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
+            StructField("mxs", ArrayType(DoubleType())),
+            StructField("sum_micros", ArrayType(LongType())),
         ]
     )
 
     def update(key, pdfs, state: GroupState):
-        n, mx, sum_micro = state.get if state.exists else (0, None, 0)
+        if state.exists:
+            uids, ns, mxs, sums = state.get
+            acc = pd.DataFrame(
+                {"n": ns, "mx": mxs, "sm": sums},
+                index=pd.Index(uids, name="user_id"),
+            )
+        else:
+            acc = pd.DataFrame(
+                {
+                    "n": pd.Series(dtype="int64"),
+                    "mx": pd.Series(dtype="float64"),
+                    "sm": pd.Series(dtype="int64"),
+                },
+                index=pd.Index([], name="user_id", dtype="int64"),
+            )
         for pdf in pdfs:
-            vals = pdf["value"]
-            n += len(vals)
-            batch_max = vals.max()
-            mx = batch_max if mx is None else max(mx, batch_max)
-            sum_micro += int(vals.map(lambda v: round(v * 1_000_000)).sum())
-        state.update((int(n), float(mx), int(sum_micro)))
+            if not len(pdf):
+                continue
+            micro = np.rint(pdf["value"].to_numpy(dtype="float64") * 1e6).astype("int64")
+            g = pdf.assign(sm=micro).groupby("user_id")
+            batch = pd.DataFrame(
+                {"n": g.size(), "mx": g["value"].max(), "sm": g["sm"].sum()}
+            )
+            # reindex(fill_value=0) keeps int64 -- no NaN/float64 detour,
+            # so the micro-unit sums stay integer-exact while accumulating
+            idx = acc.index.union(batch.index)
+            an, bn = (s["n"].reindex(idx, fill_value=0) for s in (acc, batch))
+            asm, bsm = (s["sm"].reindex(idx, fill_value=0) for s in (acc, batch))
+            mx = pd.concat(
+                [acc["mx"].reindex(idx), batch["mx"].reindex(idx)], axis=1
+            ).max(axis=1)
+            acc = pd.DataFrame(
+                {"n": an + bn, "mx": mx, "sm": asm + bsm}, index=idx
+            )
+        acc = acc.sort_index()
+        state.update(
+            (
+                [int(u) for u in acc.index],
+                [int(v) for v in acc["n"]],
+                [float(v) for v in acc["mx"]],
+                [int(v) for v in acc["sm"]],
+            )
+        )
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
-                "n_events": [int(n)],
-                "max_value": [float(mx)],
-                "total_value": [sum_micro / 1_000_000],
+                "user_id": acc.index.to_numpy(dtype="int64"),
+                "n_events": acc["n"].to_numpy(dtype="int64"),
+                "max_value": acc["mx"].to_numpy(dtype="float64"),
+                "total_value": acc["sm"].to_numpy(dtype="int64") / 1_000_000,
             }
         )
 
-    ev = events_stream(spark, sf_dir)
-    stats = ev.groupBy("user_id").applyInPandasWithState(
+    ev = events_stream(spark, sf_dir).withColumn(
+        "shard", F.pmod(F.col("user_id"), F.lit(_NSHARDS))
+    )
+    stats = ev.groupBy("shard").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

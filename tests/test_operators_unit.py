@@ -330,3 +330,23 @@ def test_task_retry_like_reassignment(spark):
     out = rdd.mapPartitionsWithIndex(flaky).collect()
     assert sorted(x for _, x in out) == list(range(100))
     assert {i for i, _ in out} == {0, 1, 2, 3}
+
+
+def test_multiprobe_recall_absolute_floor(spark):
+    """Deterministic absolute recall floor for multi-probe LSH vs exact
+    top-k.  The synthetic embeddings are near-random, so top-5 neighbors
+    sit at low cosine and hyperplane LSH recall is intrinsically small --
+    the pinned floor is the deterministic value this data+planes produce
+    (3/50 at sf0.001); a drop below it means the bucketing or probing
+    broke, not that the data got unlucky (seeded data, md5-derived
+    planes: nothing here is random)."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import (
+        ann_lsh_multiprobe,
+        knn_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    truth = {(r["query_id"], r["neighbor_id"]) for r in knn_cosine(spark, sf).collect()}
+    multi = {(r["query_id"], r["neighbor_id"]) for r in ann_lsh_multiprobe(spark, sf).collect()}
+    assert len(truth) == 50
+    assert len(multi & truth) >= 3

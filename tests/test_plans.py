@@ -208,3 +208,36 @@ def test_tpch_q22_anti_join_lowering(spark, sf_dir):
     never a per-row subquery."""
     plan = explain(spark, sf_dir, "tpch_q22_sales_opportunity")
     assert "LeftAnti" in plan
+
+
+# Queries where a nested-loop join is the DELIBERATE physical strategy:
+# non-equi predicates (range join), a broadcast query-set with a != guard
+# (brute-force kNN), and the bounded gap-fill spine.  Everything else in
+# the join-bearing families must plan hash/sort-merge equi-joins.
+_ALLOWED_NESTED_LOOP = {
+    "join_range_tiers",
+    "join_cross_regions",  # the explicit CROSS JOIN query itself
+    "knn_cosine",
+    "knn_cosine_pandas",
+    "resample_gapfill_1h",
+}
+
+_JOIN_FAMILY = re.compile(
+    r"join|dedup|knn|ann|contamination|gapfill|lateral|tpch|cross|asof|range"
+)
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in REGISTRY if _JOIN_FAMILY.search(n))
+)
+def test_no_cartesian_product(name, spark, sf_dir):
+    """No registered join-family query may plan a CartesianProduct, and
+    nested-loop joins are allowed only where they are the documented
+    deliberate strategy.  A CartesianProduct anywhere is the
+    O(N^2)-at-100TB regression this suite exists to catch."""
+    plan = explain(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+    if name not in _ALLOWED_NESTED_LOOP:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} regressed to a nested-loop join"
+        )
