@@ -98,6 +98,13 @@ BENCH_QUERIES = [
     "tpch_q22_sales_opportunity",
     "dedup_ngram_spans",
     "contamination_cross_source",
+    "streaming_stateful_user_stats",
+    "streaming_tumbling_append",
+    "bitops_orders",
+    "scalar_string_fns2",
+    "skew_salted_count",
+    "multimodal_audio_windows",
+    "source_python_datasource_arrow",
 ]
 
 

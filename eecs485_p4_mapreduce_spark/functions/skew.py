@@ -12,27 +12,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _content_salt(df: DataFrame, n: int) -> Column:
-    """Deterministic per-row salt in [0, n): crc32 over ALL columns.
+def _content_salt(df: DataFrame, n: int, cols: list[str] | None = None) -> Column:
+    """Deterministic per-row salt in [0, n): crc32 over row content.
 
     NOT monotonically_increasing_id()/rand(): those are nondeterministic
     across task retries, and a salt that feeds a shuffle partition key must
     reproduce identically on recomputation or a post-fetch-failure stage
     retry can place rows in partitions other reducers already consumed
     (lost/duplicated rows, the SPARK-23207 class -- and session.py enables
-    task retry).  Trade-off: bit-identical duplicate rows share a salt, so
-    a hot key made of IDENTICAL rows does not spread; hot keys with
-    varying payloads (the realistic case) do.
+    task retry).
+
+    ``cols`` picks which columns feed the hash (default: all).  Pass a
+    high-cardinality subset -- ideally a unique row key -- when it exists:
+    hashing every column defeats column pruning at the scan (the salt
+    expression forces a read of each referenced column).  Trade-off
+    either way: rows identical across the hashed columns share a salt,
+    so a hot key whose rows are indistinguishable does not spread.
     """
-    rendered = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+    use = cols if cols is not None else df.columns
+    rendered = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in use])
     return F.pmod(F.crc32(rendered), F.lit(n))
 
 
-def salted_agg_count(df: DataFrame, key: str, salt: int = 16) -> DataFrame:
+def salted_agg_count(
+    df: DataFrame, key: str, salt: int = 16, salt_cols: list[str] | None = None
+) -> DataFrame:
     """Two-phase skew-proof count: groupBy((key, salt)) partial counts,
     then groupBy(key) final sum.  The hot key's rows spread over ``salt``
     reducers in phase 1; phase 2 only merges ``salt`` partial rows."""
-    salted = df.withColumn("_salt", _content_salt(df, salt))
+    salted = df.withColumn("_salt", _content_salt(df, salt, salt_cols))
     partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").cast("bigint").alias("cnt"))
 

@@ -227,3 +227,50 @@ def multimodal_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return sampled.mapInPandas(resize_batches, schema=_RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    w AS (SELECT vec_id, CAST(t.i AS BIGINT) AS win_idx,
+                 list_slice(v, t.i * 8 + 1, t.i * 8 + 16) AS win
+          FROM e, unnest(range(0, 7)) AS t(i))
+    SELECT vec_id, win_idx,
+           round(list_inner_product(win, win), 6) AS energy,
+           round(list_max(list_transform(win, x -> abs(x))), 6) AS peak
+    FROM w
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-path variant: treat each embedding row as a decoded PCM
+    frame (64 float64 samples -- the post-codec shape a real audio
+    pipeline produces) and compute the classic framing stage: sliding
+    windows of 16 samples with hop 8, per-window energy (sum of squares)
+    and peak amplitude.
+
+    All built-in array expressions -- slice/aggregate/transform fan one
+    asset row out to 7 window rows with no Python stage and no shuffle
+    (the explode is scan-side).  A real decoder slots in BEFORE this as
+    the same mapInPandas stub ``_decode_frames`` uses; the windowing
+    math is unchanged.  The fold is sequential left-to-right in double,
+    matching DuckDB's list_inner_product order (similarity.py precedent).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    win = "slice(v, win_idx * 8 + 1, 16)"
+    energy = (
+        f"aggregate(transform({win}, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    peak = f"array_max(transform({win}, x -> abs(x)))"
+    return (
+        e.select("vec_id", "v", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("wi"))
+        .select("vec_id", F.col("wi").cast("bigint").alias("win_idx"), "v")
+        .select(
+            "vec_id",
+            "win_idx",
+            F.round(F.expr(energy), 6).alias("energy"),
+            F.round(F.expr(peak), 6).alias("peak"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Round-2 surface widening: bitwise scalar/aggregate functions, the
+second string-function wave (padding/translate/edit-distance), and the
+skew-mitigation helpers exposed as a driver-checked query.
+
+Cross-engine notes (see tools/canon.py for why types must match exactly):
+- Spark and DuckDB agree on two's-complement &, |, xor, <<, >> and on
+  ``bit_count`` over BIGINT; aggregate bit_and/bit_or/bit_xor exist in
+  both with identical semantics over non-null groups.
+- levenshtein/lpad/rpad/translate/repeat/reverse/left/right are
+  byte-for-byte identical on ASCII inputs (the corpus here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.skew import salted_agg_count
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+
+@query(
+    "bitops_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+           CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS popcnt_sum,
+           CAST(SUM(xor(o_orderkey & 255, (o_custkey % 64) << 2)) AS BIGINT) AS mix_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def bitops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: scalar &, xor, <<, bit_count plus the aggregate
+    forms bit_and/bit_or/bit_xor -- all JVM built-ins, whole-stage
+    codegen, one hash aggregate (partial + final) over the group key."""
+    o = load_table(spark, sf_dir, "orders")
+    mix = F.expr("(o_orderkey & 255) ^ ((o_custkey % 64) << 2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("bit_and(o_orderkey)").cast("bigint").alias("key_and"),
+        F.expr("bit_or(o_orderkey)").cast("bigint").alias("key_or"),
+        F.expr("bit_xor(o_orderkey)").cast("bigint").alias("key_xor"),
+        F.sum(F.bit_count("o_orderkey")).cast("bigint").alias("popcnt_sum"),
+        F.sum(mix).cast("bigint").alias("mix_sum"),
+    )
+
+
+@query(
+    "scalar_string_fns2",
+    oracle="""
+    SELECT c_custkey,
+           lpad(c_name, 24, '*') AS padded_l,
+           rpad(c_mktsegment, 12, '.') AS padded_r,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS devoweled,
+           reverse(c_mktsegment) AS rev_seg,
+           repeat(left(c_name, 2), 3) AS rep2,
+           right(c_name, 4) AS tail4,
+           CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev_building
+    FROM customer
+    WHERE c_custkey % 7 = 0
+    """,
+)
+def scalar_string_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string wave: padding, translate, reverse, repeat,
+    left/right slicing, and Levenshtein edit distance -- all built-in
+    expressions, no UDFs, filter pushed to the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lpad("c_name", 24, "*").alias("padded_l"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_r"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("devoweled"),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.repeat(F.expr("left(c_name, 2)"), 3).alias("rep2"),
+        F.expr("right(c_name, 4)").alias("tail4"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).cast("bigint").alias("lev_building"),
+    )
+
+
+@query(
+    "skew_salted_count",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def skew_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-phase salted aggregation (functions/skew.py) as a checked
+    query: results must equal the plain GROUP BY COUNT exactly -- salting
+    is a physical rewrite, never a semantic one.  The salt is derived
+    from the unique o_orderkey (deterministic under task retry, and the
+    scan prunes to two columns; see ``_content_salt``), and the hot
+    key's rows spread over 16 partial groups before the tiny final
+    merge."""
+    return salted_agg_count(
+        load_table(spark, sf_dir, "orders"),
+        "o_custkey",
+        salt=16,
+        salt_cols=["o_orderkey"],
+    )

@@ -18,6 +18,7 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     relational3,
     relational4,
     relational5,
+    relational6,
     sampling,
     similarity,
     sourcesink,

@@ -481,3 +481,38 @@ def streaming_join_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
     )
     return run_to_completion(agg)
+
+
+@query(
+    "streaming_tumbling_append",
+    oracle=f"""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n, {dsum_sql('value')} AS total_value
+      FROM events
+      GROUP BY 1, 2),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT agg.window_start, agg.event_type, agg.n, agg.total_value
+    FROM agg, wm
+    WHERE agg.window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+)
+def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 1h tumbling aggregation in APPEND output mode -- the
+    production mode for unbounded streams: a window row is emitted
+    exactly once, only after the watermark passes its end (so late data
+    can no longer change it), and the sink never rewrites history.
+
+    Over bounded input the final watermark stops at max(event_time) -
+    delay, so the trailing windows are (correctly!) never finalized --
+    the oracle applies the same cutoff: window_end <= max(ts) - 1h.
+    Complete-mode (``streaming_tumbling_1h``) emits those tail windows;
+    the difference between the two results IS the append-mode contract.
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    return run_to_completion(agg, mode="append")
