@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "skew_salted_count",
     "multimodal_audio_windows",
     "source_python_datasource_arrow",
+    "quality_repetition",
+    "text_redact_numbers",
+    "ids_contiguous_assign",
+    "mapinarrow_vector_norms",
 ]
 
 

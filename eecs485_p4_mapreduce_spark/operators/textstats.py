@@ -237,3 +237,101 @@ def token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(50)
     )
+
+
+@query(
+    "quality_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents),
+    cnt AS (SELECT doc_id, w, COUNT(*) AS c FROM t GROUP BY doc_id, w),
+    agg AS (SELECT doc_id,
+                   CAST(MAX(c) AS BIGINT) AS top_tok,
+                   CAST(SUM(c) AS BIGINT) AS n_tok,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM cnt GROUP BY doc_id)
+    SELECT doc_id, top_tok, n_tok, n_distinct,
+           CAST(top_tok AS DOUBLE) / n_tok AS top_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tok AS distinct_ratio
+    FROM agg
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal: per document, the most frequent
+    token's share and the distinct-token ratio -- the standard filters
+    for boilerplate/looping text in LLM corpora (a doc whose top token is
+    30% of all tokens is template spam, not prose).
+
+    explode -> (doc_id, token) count -> per-doc max/sum/count: both
+    aggregations get map-side partial combine, nothing touches the doc
+    body after the explode, and the shuffle key space is (doc, token) --
+    flat, no hot keys.  Empty docs drop out at the explode on both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .count()
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.max("count").cast("bigint").alias("top_tok"),
+        F.sum("count").cast("bigint").alias("n_tok"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        "top_tok",
+        "n_tok",
+        "n_distinct",
+        (F.col("top_tok").cast("double") / F.col("n_tok")).alias("top_ratio"),
+        (F.col("n_distinct").cast("double") / F.col("n_tok")).alias("distinct_ratio"),
+    )
+
+
+@query(
+    "text_redact_numbers",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             concat(text, ' uid:', CAST(doc_id AS VARCHAR),
+                    ' ref:', CAST((doc_id * 7919) % 100000 AS VARCHAR)) AS body
+      FROM documents),
+    r AS (
+      SELECT doc_id, source, body,
+             regexp_replace(body, '[0-9]+', '#', 'g') AS red
+      FROM d)
+    SELECT doc_id, source,
+           md5(red) AS redacted_hash,
+           CAST(length(body) - length(red) AS BIGINT) AS n_removed_chars,
+           CAST(len(regexp_extract_all(body, '[0-9]+')) AS BIGINT) AS n_spans
+    FROM r
+    """,
+)
+def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern redaction (the PII-scrubbing shape): replace every digit
+    run with '#', report per-doc span counts and the redacted-content
+    hash.  The synthetic corpus has digit-free prose, so deterministic
+    id-bearing metadata is appended first (the realistic input: scraped
+    text full of ids/phones); the redactor must find ALL of them.  Pure
+    scan-side regexp expressions in whole-stage codegen -- at 100 TB
+    this is a map-only pass with zero shuffle; real PII rules swap in
+    richer patterns (emails, phone formats) in the same plan.  Note
+    DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    replace-all default."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.concat(
+        F.col("text"),
+        F.lit(" uid:"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref:"),
+        ((F.col("doc_id") * 7919) % 100000).cast("string"),
+    )
+    red = F.regexp_replace(body, F.lit("[0-9]+"), F.lit("#"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.md5(red).alias("redacted_hash"),
+        (F.length(body) - F.length(red)).cast("bigint").alias("n_removed_chars"),
+        F.size(F.regexp_extract_all(body, F.lit("[0-9]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_spans"),
+    )

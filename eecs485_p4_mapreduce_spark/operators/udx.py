@@ -163,3 +163,86 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "udtf_analyze_firsttoks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents WHERE doc_id < 100)
+    SELECT doc_id,
+           toks[1] AS tok_0, toks[2] AS tok_1, toks[3] AS tok_2,
+           CAST(len(toks) AS BIGINT) AS n_total
+    FROM toks
+    """,
+)
+def udtf_analyze_firsttoks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic UDTF (Spark 4): the static ``analyze`` hook computes
+    the OUTPUT SCHEMA from the call's literal argument -- here
+    ``sg_first_toks(text, 3)`` produces columns tok_0..tok_2 -- so one
+    UDTF serves any width without N hand-written variants.  The
+    catalyst-visible schema stays fixed per call site, which is what
+    keeps the plan compilable; short rows (absent tokens) yield NULL,
+    matching SQL list_extract semantics."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    class FirstToks:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"tok_{i}", StringType())
+            return AnalyzeResult(schema=schema.add("n_total", LongType()))
+
+        def eval(self, text: str, n: int):  # noqa: D102
+            toks = [t for t in text.lower().split() if t]
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n)) + (
+                len(toks),
+            )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("sg_docs_ftoks")
+    spark.udtf.register("sg_first_toks", udtf(FirstToks))
+    return spark.sql(
+        "SELECT doc_id, c.* FROM sg_docs_ftoks, LATERAL sg_first_toks(text, 3) AS c"
+    )
+
+
+@query(
+    "mapinarrow_vector_norms",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           round(sqrt(list_inner_product(v, v)), 6) AS l2_norm,
+           round(list_max(list_transform(v, x -> abs(x))), 6) AS linf_norm
+    FROM e
+    """,
+)
+def mapinarrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy sibling of mapInPandas -- the UDF
+    receives raw ``pyarrow.RecordBatch`` objects (no pandas conversion
+    overhead, no object boxing) and returns batches.  The right choice
+    when the kernel is already columnar (numpy/Arrow compute), as vector
+    math is.  Norm sums run in float64 over 64 elements; BLAS-order
+    drift vs the oracle's sequential fold is ~1e-13 and round(6)
+    absorbs it (similarity.py precedent)."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def norms(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            mat = np.vstack(batch.column("v").to_numpy(zero_copy_only=False))
+            l2 = np.round(np.sqrt((mat * mat).sum(axis=1)), 6)
+            linf = np.round(np.abs(mat).max(axis=1), 6)
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(l2, type=pa.float64()), pa.array(linf, type=pa.float64())],
+                names=["vec_id", "l2_norm", "linf_norm"],
+            )
+
+    return e.mapInArrow(norms, schema="vec_id bigint, l2_norm double, linf_norm double")
