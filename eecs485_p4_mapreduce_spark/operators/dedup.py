@@ -335,31 +335,49 @@ _NG_DUCK = (
 
 @query(
     "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    oracle=f"""{_MINHASH_BANDED_DUCK},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    toks AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
     ng AS (SELECT doc_id, {_NG_DUCK} AS ng FROM toks),
-    sizes AS (SELECT doc_id, len(ng) AS sz FROM ng),
-    ex AS (SELECT doc_id, unnest(ng) AS g FROM ng),
-    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.02
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(na.ng, nb.ng)) AS i,
+             len(na.ng) AS sza, len(nb.ng) AS szb
+      FROM cand c
+      JOIN ng na ON na.doc_id = c.doc_a
+      JOIN ng nb ON nb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sza + szb - i) AS jaccard
+    FROM scored
+    WHERE i > 0 AND CAST(i AS DOUBLE) / (sza + szb - i) >= 0.02
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-4-gram Jaccard similarity pairs (>= 0.02).
+    """Exact word-4-gram Jaccard (>= 0.02), gated on MinHash-LSH
+    candidate pairs -- the 100 TB shape end to end.
 
-    The inverted-index join (explode n-grams, equi-join on gram) is the
-    exact verify stage; n-grams are far rarer than tokens so the join
-    fan-out stays bounded.  At 100 TB you run this only on LSH candidate
-    pairs instead of globally.
+    Candidates come from the same banded MinHash equi-join as
+    ``dedup_minhash_lsh`` (only (band, band_hash, doc_id) rows shuffle);
+    the exact verify is then a per-candidate-pair ``array_intersect``
+    over the two gram arrays, so the work is O(candidates * grams/doc),
+    never the global inverted-index all-pairs join the round-2 version
+    ran.  The oracle mirrors the identical candidate set, so recall
+    trade-offs cancel out and the comparison is exact.
     """
     docs = load_table(spark, sf_dir, "documents")
+    _, banded = _minhash_banded(docs)
+    cand = (
+        banded.select(F.col("doc_id").alias("doc_a"), "b", "band_hash")
+        .join(
+            banded.select(F.col("doc_id").alias("doc_b"), "b", "band_hash"),
+            ["b", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     # Materialize the gram arrays: Catalyst's projection collapse would
     # otherwise inline the tokenization into every one of the ~4*|doc|
     # element_at references (re-splitting the text thousands of times per
@@ -370,22 +388,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ng")
         .localCheckpoint()
     )
-    sizes = ng.select("doc_id", F.size("ng").alias("sz"))
-    ex = ng.select("doc_id", F.explode("ng").alias("g"))
-    a = ex.select(F.col("doc_id").alias("doc_a"), "g")
-    b = ex.select(F.col("doc_id").alias("doc_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    na = ng.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a"))
+    nb = ng.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("ng_b"))
+    scored = (
+        cand.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ng_a", "ng_b")).alias("i"),
+            F.size("ng_a").alias("sza"),
+            F.size("ng_b").alias("szb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     jac = F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        scored.filter(F.col("i") > 0)
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.02)
     )

@@ -31,6 +31,34 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a microsecond timestamp, dispatching on the
+    dtype the reader actually produced.
+
+    Testdata generations have stored ``ts`` two ways: TIMESTAMP(NANOS)
+    (readable only as int64 under ``spark.sql.legacy.parquet.nanosAsLong``)
+    and plain ``timestamp[us]`` (arrives as TIMESTAMP_NTZ).  Assuming one
+    fixed storage type is exactly how round 2 lost every events-touching
+    query, so dispatch on the schema: LongType means epoch-nanos and gets
+    the ns->us conversion; anything else is cast to TimestampType.  The
+    cast is value-identical under the UTC session timezone (session.py)
+    and gives every downstream query one stable dtype — several use
+    ``unix_micros``/watermarks, which reject TIMESTAMP_NTZ.  Shared by the
+    batch loader and ``streaming.events_stream`` so the two paths cannot
+    diverge.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # Integer `div`, not `/`: epoch-nanos overflow double's 53-bit
+        # mantissa, so float division is off by up to 1us.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(df.schema["ts"].dataType, TimestampType):
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Scans stay declarative so filters/projections
     written downstream reach the parquet reader (PushedFilters/ReadSchema)."""
@@ -38,18 +66,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects.  Read nanos as int64 (legacy conf) and convert to
-        # a microsecond timestamp JVM-side (floor-division, matching how
-        # DuckDB truncates ns->us).  The conf is a runtime SQLConf, so this
-        # works in the driver's session too.
-        from pyspark.sql import functions as F
-
+        # nanosAsLong only affects TIMESTAMP(NANOS) columns; harmless when
+        # the file already stores micros, and required when it stores nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(path)
-        # Integer `div`, not `/`: epoch-nanos overflow double's 53-bit
-        # mantissa, so float division is off by up to 1us.
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Naive-timestamp semantics must match the DuckDB oracle regardless
+        # of which session (ours or the driver's) loads the table.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

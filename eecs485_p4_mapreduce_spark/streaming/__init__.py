@@ -26,14 +26,16 @@ from pyspark.sql import functions as F
 from eecs485_p4_mapreduce_spark.functions.numeric import dsum, dsum_sql
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
+from eecs485_p4_mapreduce_spark.sources.tables import normalize_events_ts
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet, with the same ns->us timestamp
-    normalization the batch reader applies (sources/tables.py)."""
-    # events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects unless
-    # this conf is set BEFORE any schema read of the file.
+    """readStream over the events parquet, with the same ts normalization
+    the batch reader applies (sources/tables.py:normalize_events_ts)."""
+    # Harmless for timestamp[us] files; required if ts is TIMESTAMP(NANOS).
+    # Must be set BEFORE any schema read of the file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file source monitors a *directory*; select just the events file.
     raw = (
@@ -42,7 +44,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def run_to_completion(stream_df: DataFrame, *, mode: str = "complete") -> DataFrame:

@@ -10,13 +10,9 @@ def test_oracle_keys_subset_of_queries():
     osql = entrymod.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 77
-    # all but the explicitly rows-only queries carry oracles
-    rows_only = set(qs) - set(osql)
-    assert rows_only == {
-        "approx_distinct_tokens",
-        "sketch_hll_mergeable",
-        "sketch_quantiles_error",
-    }
+    # every registered query carries an oracle: sketch queries emit their
+    # exact counterpart + within_bound so even they are driver-checkable
+    assert set(qs) == set(osql), set(qs) - set(osql)
 
 
 def test_entry_runs_and_is_stable(spark):
