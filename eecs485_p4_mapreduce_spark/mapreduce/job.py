@@ -70,6 +70,46 @@ def round_robin_groups(files: list[str], num_groups: int) -> list[list[str]]:
     return [ordered[i::n] for i in range(n)]
 
 
+def stream_mapper_lines(cmd: list[str], path: str, chunk_size: int = 1 << 20):
+    """Run one mapper subprocess over one input file, streaming both sides.
+
+    stdin = the file ITSELF -- exactly the reference's Popen(stdin=open(file))
+    contract [ref tests/test_worker_11.py:152-154] -- so the kernel streams
+    input with zero Python-side buffering; stdout is consumed in
+    ``chunk_size`` chunks and yielded line-by-line.  Python heap stays
+    O(chunk_size) regardless of file size, matching the reference's < 1 MiB
+    map-stage ceiling [ref tests/test_worker_11.py:160-165] (pinned by
+    tests/test_mapreduce_parity.py::test_mapper_stream_memory_bounded).
+
+    Framing: \\n is the ONE record separator, matching the reference
+    (str.splitlines would also split on \\x0b, \\x0c, U+2028 etc. inside
+    values); surrogateescape keeps the pipeline byte-transparent -- the
+    reference pipes raw bytes, so non-UTF-8 mapper output survives the
+    shuffle and is restored bit-exact for the reducer.  One caveat vs a raw
+    byte sort: an invalid byte 0x80-0xFF decodes to U+DC80+, which orders
+    after valid multi-byte sequences instead of between them -- only
+    observable for mixed invalid/multibyte keys, which the reference's own
+    corpora never contain.
+    """
+    with open(path, "rb") as src:
+        proc = subprocess.Popen(cmd, stdin=src, stdout=subprocess.PIPE)
+    assert proc.stdout is not None
+    tail = b""
+    while True:
+        chunk = proc.stdout.read(chunk_size)
+        if not chunk:
+            break
+        lines = (tail + chunk).split(b"\n")
+        tail = lines.pop()
+        for ln in lines:
+            yield ln.decode("utf-8", "surrogateescape")
+    rc = proc.wait()
+    if rc != 0:
+        raise RuntimeError(f"mapper exited {rc} on {path}")
+    if tail:
+        yield tail.decode("utf-8", "surrogateescape")
+
+
 @dataclass
 class MapReduceJob:
     """One two-stage streaming-executable job (the reference's
@@ -94,56 +134,22 @@ class MapReduceJob:
             raise FileNotFoundError(f"no input files in {self.input_directory}")
         groups = round_robin_groups(files, self.num_mappers)
 
-        # Map stage: one mapper subprocess per input FILE with stdin = the
-        # file ITSELF -- exactly the reference's Popen(stdin=open(file))
-        # contract [ref tests/test_worker_11.py:152-154], so the kernel
-        # streams input to the mapper with zero Python-side buffering and
-        # the <1 MiB heap ceiling of ref tests/test_worker_11.py:160-165
-        # holds for arbitrarily large inputs.  (rdd.pipe would re-terminate
-        # the final line with a newline, which diverges for files whose
-        # last line is unterminated: the reference's input_large corpus
-        # exposes this; binaryFiles -- the round-1/2 implementation --
-        # buffered the whole file per task.)  Mapper stdout is consumed
-        # incrementally in 1 MiB chunks and yielded line-by-line, so Spark
-        # pipelines records straight into the shuffle write with bounded
-        # memory on both sides of the subprocess.
+        # Map stage: one streamed mapper subprocess per input FILE
+        # (stream_mapper_lines above; bounded memory on both sides of the
+        # subprocess, lines pipeline straight into the shuffle write).
+        # rdd.pipe would re-terminate the final line with a newline, which
+        # diverges for files whose last line is unterminated (the
+        # reference's input_large corpus exposes this); binaryFiles -- the
+        # round-1/2 implementation -- buffered the whole file per task.
         #
         # Task topology: partition i IS map task i and processes its
         # round-robin file group sequentially -- the reference's exact
         # task shape [ref tests/test_manager_02.py:166-190].
         cmd = shlex.split(self.mapper_executable)
-        chunk_size = 1 << 20
 
         def run_map_task(task_files):
             for path in task_files:
-                with open(path, "rb") as src:
-                    proc = subprocess.Popen(cmd, stdin=src, stdout=subprocess.PIPE)
-                assert proc.stdout is not None
-                # newline-only record framing, matching the reference: \n is
-                # the one separator (str.splitlines would also split on
-                # \x0b, \x0c, U+2028 etc. inside values).  surrogateescape
-                # keeps the pipeline byte-transparent (the reference pipes
-                # raw bytes): non-UTF-8 mapper bytes survive the shuffle and
-                # are restored bit-exact when fed to the reducer.  One
-                # caveat vs a raw byte sort: an invalid byte 0x80-0xFF
-                # decodes to U+DC80+, which orders after valid multi-byte
-                # sequences instead of between them -- only observable for
-                # mixed invalid/multibyte keys, which the reference's own
-                # corpora never contain.
-                tail = b""
-                while True:
-                    chunk = proc.stdout.read(chunk_size)
-                    if not chunk:
-                        break
-                    lines = (tail + chunk).split(b"\n")
-                    tail = lines.pop()
-                    for ln in lines:
-                        yield ln.decode("utf-8", "surrogateescape")
-                rc = proc.wait()
-                if rc != 0:
-                    raise RuntimeError(f"mapper exited {rc} on {path}")
-                if tail:
-                    yield tail.decode("utf-8", "surrogateescape")
+                yield from stream_mapper_lines(cmd, path)
 
         inter = sc.parallelize(groups, len(groups)).flatMap(run_map_task)
 

@@ -142,15 +142,25 @@ def _minhash_banded(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Returns ``sig_df`` (doc_id, sig) localCheckpointed -- every consumer
     references it repeatedly and projection collapse would otherwise
-    recompute the explode+agg per reference -- and ``sig`` exploded to
-    one row per (doc_id, band, band_hash).
+    recompute the signature per reference -- and ``sig`` exploded to one
+    row per (doc_id, band, band_hash).
+
+    Construction choice, measured at sf0.1: the cost is ~one md5 per
+    character of text, which is inherent (md5 is the only digest Spark
+    and DuckDB both implement bit-identically, so cross-engine
+    determinism pins it); explode + partial-agg (5.5 s), a scan-side
+    16-array_min expression (6.2 s), and a one-pass HOF aggregate fold
+    (7.5 s) all converge on that floor, so the explode form is kept --
+    the map-side partial aggregate collapses to one row per doc per
+    partition before the (tiny) shuffle.
+
+    Two expression-inlining traps avoided here: lower(text) is hoisted to
+    its own projection so the generator does not re-lowercase the whole
+    document for every shingle index, and md5 runs inside the generator
+    so each shingle is hashed exactly once (projecting md5 after the
+    explode would let projection collapse inline it into every hex-digit
+    reference below).
     """
-    # Two expression-inlining traps avoided here: lower(text) is hoisted to
-    # its own projection so the generator does not re-lowercase the whole
-    # document for every shingle index, and md5 runs inside the generator
-    # so each shingle is hashed exactly once (projecting md5 after the
-    # explode would let projection collapse inline it into every hex-digit
-    # reference below).
     sh_from_lt = (
         f"transform(sequence(1, greatest(length(lt) - {_SHINGLE - 1}, 1)),"
         f" i -> md5(substring(lt, i, {_SHINGLE})))"

@@ -350,16 +350,16 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collation-aware comparison (Spark 4): an equi-join and a distinct
     count under the UTF8_LCASE collation, checked against the explicit
     ``lower()`` spelling.  Collations move case/accent rules into the
-    type, so the join is still a HASH join on the collation key --
-    unlike wrapping both sides in lower() by hand, the optimizer knows
-    the comparison semantics and stats stay usable.  DuckDB oracle uses
-    the lower() spelling; same result set by construction."""
+    type: collating at PROJECTION time (not inside the join predicate)
+    makes the key a collated-string column, so Catalyst sees a plain
+    column equality and plans a broadcast HASH join on the collation key
+    -- collate() wrapped inside the condition is opaque to equi-join
+    extraction and fell back to a 5-shuffle sort-merge/BNL plan.  DuckDB
+    oracle uses the lower() spelling; same result set by construction."""
     n = load_table(spark, sf_dir, "nation")
-    u = n.select(F.upper("n_name").alias("un"))
-    low = n.select(F.lower("n_name").alias("ln"))
-    joined = u.join(
-        low, F.expr("collate(un, 'UTF8_LCASE') = collate(ln, 'UTF8_LCASE')")
-    )
+    u = n.select(F.expr("collate(upper(n_name), 'UTF8_LCASE')").alias("un"))
+    low = n.select(F.expr("collate(lower(n_name), 'UTF8_LCASE')").alias("ln"))
+    joined = u.join(low, F.col("un") == F.col("ln"))
     distinct_ci = (
         n.select(F.expr("collate(n_name, 'UTF8_LCASE')").alias("cn"))
         .distinct()

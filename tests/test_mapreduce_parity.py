@@ -226,3 +226,39 @@ def test_baseline_wordcount_large(spark, tmp_path):
         )
         expected += int(r.stdout.strip())
     assert total == expected
+
+
+@needs_ref
+def test_mapper_stream_memory_bounded(tmp_path):
+    """The streamed mapper feed keeps Python heap O(chunk_size) no matter
+    the input size -- the reference's < 1 MiB map-stage ceiling
+    [ref tests/test_worker_11.py:160-165, profiler tests/utils/memory.py].
+
+    Runs an identity mapper (cat) over a ~8 MiB file with a small chunk
+    size and asserts the tracemalloc heap delta while draining the
+    generator stays far below the file size (whole-file buffering --
+    the round-1/2 binaryFiles implementation -- would show ~8 MiB+).
+    """
+    import tracemalloc
+
+    from eecs485_p4_mapreduce_spark.mapreduce.job import stream_mapper_lines
+
+    big = tmp_path / "big.txt"
+    with open(big, "w", encoding="utf-8") as fh:
+        for i in range(200_000):
+            fh.write(f"line-{i:07d} payload payload payload\n")
+    size = os.path.getsize(big)
+    assert size > 4 * 1024 * 1024
+
+    tracemalloc.start()
+    base = tracemalloc.get_traced_memory()[0]
+    peak_delta = 0
+    n = 0
+    for _line in stream_mapper_lines(["cat"], str(big), chunk_size=64 * 1024):
+        n += 1
+        if n % 50_000 == 0:
+            cur = tracemalloc.get_traced_memory()[0]
+            peak_delta = max(peak_delta, cur - base)
+    tracemalloc.stop()
+    assert n == 200_000
+    assert peak_delta < 1024 * 1024, f"heap delta {peak_delta} bytes"

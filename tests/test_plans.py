@@ -241,3 +241,24 @@ def test_no_cartesian_product(name, spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} regressed to a nested-loop join"
         )
+
+
+def test_ngram_jaccard_gated_no_gram_join(spark, sf_dir):
+    """dedup_ngram_jaccard must verify per LSH-candidate pair via
+    array_intersect -- NOT a global inverted-index equi-join on the
+    exploded gram column (the round-2 all-pairs shape that cannot scale).
+    The only generator allowed in the plan is the minhash band explode."""
+    plan = explain(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "array_intersect" in plan
+    # the gram arrays are never exploded: every Generate node in the plan
+    # belongs to the minhash shingle/band construction
+    for m in re.finditer(r"Generate explode\(([^)]*)\)", plan):
+        assert "ng" not in m.group(1), m.group(0)
+
+
+def test_collation_join_is_hash_on_collation_key(spark, sf_dir):
+    """Collating at projection time must keep the UTF8_LCASE comparison an
+    equi-join: hash join on collationkey, no join-condition BNL between
+    the two nation branches (the final 1x1 scalar crossJoin is exempt)."""
+    plan = explain(spark, sf_dir, "collation_case_insensitive")
+    assert "BroadcastHashJoin" in plan and "collationkey" in plan
