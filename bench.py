@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "distinct_tokens",
     "lang_id",
     "quality_score",
+    "quality_bigram_surprisal",
+    "tfidf_top_terms",
     "fingerprint",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -433,7 +433,7 @@ _EMB_R = 2  # bits per band (uses similarity._H == _EMB_BANDS * _EMB_R)
 
 
 def _emb_cos_oracle() -> str:
-    from eecs485_p4_mapreduce_spark.operators.similarity import _bucket_sql
+    from eecs485_p4_mapreduce_spark.functions.lshfn import bucket_sql as _bucket_sql
 
     return f"""
     WITH e AS MATERIALIZED (
@@ -485,7 +485,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from eecs485_p4_mapreduce_spark.operators.similarity import _bucket_sql
+    from eecs485_p4_mapreduce_spark.functions.lshfn import bucket_sql as _bucket_sql
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")

@@ -367,3 +367,38 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     matched = joined.agg(F.count("*").cast("bigint").alias("n_matched"))
     return matched.crossJoin(distinct_ci)
+
+
+@query(
+    "pipe_syntax_orders",
+    oracle=f"""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+)
+def pipe_syntax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, |> operator chains): the same logical
+    plan as the GROUP BY/HAVING spelling, written as a linear dataflow.
+    Parses to identical Catalyst operators -- pushdown, partial agg, and
+    every other optimization apply unchanged; this query pins that the
+    new surface stays available and semantically equal to the oracle's
+    classic spelling (DuckDB has no pipe syntax).
+    """
+    from eecs485_p4_mapreduce_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_totalprice > 1000
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, n_orders, revenue
+        """
+    )

@@ -183,35 +183,13 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------- LSH-bucketed ANN
 
-_H = 8    # random hyperplanes -> 8-bit bucket (~1/256 of the table per probe)
-_D = 64   # embedding dim
-
-# hyperplane weights derived from md5 so both engines compute the exact
-# same reals: w[h][d] = (hexval(md5('h_d')[0]) / 15) - 0.5
-def _w_sql(dialect: str, h: str, d: str) -> str:
-    pos = "instr" if dialect == "spark" else "strpos"
-    cat = f"concat(cast({h} as string), '_', cast({d} as string))" if dialect == "spark" \
-        else f"concat(CAST({h} AS VARCHAR), '_', CAST({d} AS VARCHAR))"
-    return f"(({pos}('0123456789abcdef', substring(md5({cat}), 1, 1)) - 1) / 15.0 - 0.5)"
-
-
-def _bucket_sql(dialect: str) -> str:
-    """Sign bitstring (one char per hyperplane): sign of v . w."""
-    if dialect == "spark":
-        tr, join_fn, seq_h, seq_d, idx = (
-            "transform", "array_join", f"sequence(0, {_H - 1})", f"sequence(1, {_D})",
-            "element_at",
-        )
-        fold = "aggregate({arr}, cast(0.0 as double), (acc, x) -> acc + x)"
-    else:
-        tr, join_fn, seq_h, seq_d, idx = (
-            "list_transform", "array_to_string", f"range(0, {_H})", f"range(1, {_D} + 1)",
-            "list_extract",
-        )
-        fold = "CAST(list_sum({arr}) AS DOUBLE)"
-    terms = f"{tr}({seq_d}, d -> {idx}(v, d) * {_w_sql(dialect, 'h', '(d - 1)')})"
-    score = fold.format(arr=terms)
-    return f"{join_fn}({tr}({seq_h}, h -> CASE WHEN {score} >= 0 THEN '1' ELSE '0' END), '')"
+# Shared with operators/dedup.py via functions/lshfn.py (registry-free
+# module: both operator files build oracle strings from these at import
+# time, so a direct cross-import would be circular).
+from eecs485_p4_mapreduce_spark.functions.lshfn import D as _D
+from eecs485_p4_mapreduce_spark.functions.lshfn import H as _H
+from eecs485_p4_mapreduce_spark.functions.lshfn import bucket_sql as _bucket_sql
+from eecs485_p4_mapreduce_spark.functions.lshfn import w_sql as _w_sql
 
 
 @query(
@@ -591,4 +569,175 @@ def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_distinct_exact",
         (F.abs(F.col("est") - F.col("n_distinct_exact")) <= tol).alias("within_bound"),
+    )
+
+
+@query(
+    "sketch_theta_set_ops",
+    oracle=r"""
+    WITH w AS (SELECT DISTINCT source,
+                      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                         t -> t <> '')) AS word
+               FROM documents),
+    sizes AS (SELECT source, COUNT(*) AS n FROM w GROUP BY source),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                     COUNT(*) AS n_inter
+              FROM w a JOIN w b ON a.word = b.word AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter_exact,
+           CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union_exact,
+           TRUE AS within_bound
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Apache DataSketches): per-source token-set
+    sketches, pairwise INTERSECTION and UNION estimates across all source
+    pairs -- the sketch-side answer to "how much does corpus A overlap
+    corpus B", i.e. cross-source contamination estimation at 100 TB scale
+    where the exact distinct-join is unaffordable.
+
+    One sketch per source (one pass over the tokens), then all pairwise
+    set ops run on the tiny sketch blobs -- S^2 work on KBs, never on the
+    data.  Sketch estimates are engine-specific, so the output carries
+    the exact counterparts (oracle-checkable: DuckDB computes the same
+    pairs exactly) plus ``within_bound`` = both estimates within 5% of
+    exact (default lgK=12 => rsd < 1% in estimation mode; exact mode
+    below 4096 distinct).  The oracle asserts TRUE.
+    """
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("source", F.explode(tokens("text")).alias("word")).distinct()
+    per_src = words.groupBy("source").agg(
+        F.theta_sketch_agg("word").alias("sk"),
+        F.count("*").alias("n_exact"),
+    )
+    a = per_src.select(
+        F.col("source").alias("source_a"), F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("na"),
+    )
+    b = per_src.select(
+        F.col("source").alias("source_b"), F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("nb"),
+    )
+    # S sketches -> S^2/2 pairs; both sides are tiny aggregates, the
+    # cross join is broadcast on KB-sized sketch blobs.
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("source_a") < F.col("source_b"))
+    exact_inter = (
+        words.select(F.col("source").alias("source_a"), "word")
+        .join(words.select(F.col("source").alias("source_b"), "word"), "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter_exact"))
+    )
+    est = pairs.select(
+        "source_a",
+        "source_b",
+        "na",
+        "nb",
+        F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+        .cast("bigint")
+        .alias("est_inter"),
+        F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b"))
+        .cast("bigint")
+        .alias("est_union"),
+    )
+    joined = est.join(exact_inter, ["source_a", "source_b"])
+    n_union_exact = (F.col("na") + F.col("nb") - F.col("n_inter_exact")).cast("bigint")
+    tol_i = F.greatest(F.lit(2.0), 0.05 * F.col("n_inter_exact"))
+    within = (
+        (F.abs(F.col("est_inter") - F.col("n_inter_exact")) <= tol_i)
+        & (F.abs(F.col("est_union") - n_union_exact)
+           <= F.greatest(F.lit(2.0), 0.05 * n_union_exact))
+    )
+    return joined.select(
+        "source_a",
+        "source_b",
+        F.col("n_inter_exact").cast("bigint").alias("n_inter_exact"),
+        n_union_exact.alias("n_union_exact"),
+        within.alias("within_bound"),
+    )
+
+
+@query(
+    "sketch_kll_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90_exact,
+           TRUE AS within_bound
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ALL', round(quantile_cont(o_totalprice, 0.5), 6),
+           round(quantile_cont(o_totalprice, 0.9), 6), TRUE
+    FROM orders
+    """,
+)
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles (Apache DataSketches KLL): one doubles sketch
+    per order status, plus the 'ALL' row obtained by MERGING the stored
+    per-status sketches -- never re-reading the data.  That
+    re-aggregation property is the 100 TB story: per-shard sketches roll
+    up to any coarser grouping in KBs.
+
+    Sketch answers are engine-specific, so the query emits the exact
+    interpolated quantiles (oracle = DuckDB quantile_cont) plus
+    ``within_bound``: the RANK of each sketch answer must sit within
+    q +/- (0.025 + 2/n) -- KLL k=200 guarantees ~1.65% normalized rank
+    error at 99% confidence, so 2.5% + one order statistic of slack is a
+    real bound that still fails on a broken sketch or merge.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    qs = [0.5, 0.9]
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk")
+    )
+    merged = per_status.agg(F.kll_merge_agg_double("sk").alias("sk")).select(
+        F.lit("ALL").alias("o_orderstatus"), "sk"
+    )
+    approx = per_status.unionByName(merged).select(
+        "o_orderstatus",
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(q)).alias(f"a{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    # Re-key every order row to (its status, 'ALL') so one aggregation
+    # checks the per-status sketches AND the merged sketch.
+    keyed = o.unionByName(
+        o.select(F.lit("ALL").alias("o_orderstatus"), "o_totalprice")
+    )
+    joined = keyed.join(F.broadcast(approx), "o_orderstatus")
+    checked = joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("exact"),
+        *[
+            F.avg((F.col("o_totalprice") <= F.col(f"a{i}")).cast("double")).alias(
+                f"frac_le_{i}"
+            )
+            for i in range(len(qs))
+        ],
+        *[
+            F.avg((F.col("o_totalprice") < F.col(f"a{i}")).cast("double")).alias(
+                f"frac_lt_{i}"
+            )
+            for i in range(len(qs))
+        ],
+    )
+    slack = F.lit(0.025) + 2.0 / F.col("n")
+    bound = F.lit(True)
+    for i, q in enumerate(qs):
+        bound = (
+            bound
+            & (F.col(f"frac_lt_{i}") <= F.lit(q) + slack)
+            & (F.col(f"frac_le_{i}") >= F.lit(q) - slack)
+        )
+    return checked.select(
+        "o_orderstatus",
+        *[F.round(F.col("exact")[i], 6).alias(f"p{int(q * 100)}_exact") for i, q in enumerate(qs)],
+        bound.alias("within_bound"),
     )

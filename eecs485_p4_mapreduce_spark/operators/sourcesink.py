@@ -247,3 +247,40 @@ def source_python_datasource_arrow(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("num").cast("bigint").alias("num_sum"),
         F.max("num").cast("bigint").alias("num_max"),
     )
+
+
+@query(
+    "source_partitioned_pruning",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY event_type
+    """,
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet layout + partition pruning: write events
+    partitioned by event_type, read back with a partition-key filter, and
+    aggregate only the selected partitions.
+
+    THE layout decision for a 100 TB event store: a filter on the
+    partition key never opens non-matching files -- pruning happens at
+    planning time from directory names (the plan shows it as a partition
+    filter with a reduced partition count, pinned in
+    tests/test_plans.py::test_partitioned_source_prunes_partitions).
+    The oracle aggregates the same rows from the unpartitioned original,
+    so the round-trip also proves the partitioned copy is lossless.
+    """
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(), "spark-graft-roundtrip", f"events_by_type_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type").isin("view", "click"))
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("value").alias("total_value"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

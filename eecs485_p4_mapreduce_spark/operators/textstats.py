@@ -10,7 +10,7 @@ generated from the same templates below to keep them bitwise-aligned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
@@ -334,4 +334,135 @@ def text_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(body, F.lit("[0-9]+"), F.lit(0)))
         .cast("bigint")
         .alias("n_spans"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, df, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, df ASC, term ASC) AS rk
+      FROM scored)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(tfidf, 6) AS tfidf, rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document by TF-IDF.
+
+    Two shuffles total: (doc, term) term-frequency aggregate, then a
+    term-keyed document-frequency aggregate joined back; idf is a
+    broadcast scalar.  RANKING is deliberately integer-only
+    (tf desc, df asc, term asc -- the same ordering tf*idf induces for
+    fixed tf, made total): a float ORDER BY could pick a different rank-3
+    term than the oracle on a last-ulp ln() difference, while the float
+    tfidf VALUE itself is safe to emit under round(6).  The window is
+    a per-doc top-k, so Spark lowers it to a group-limit, no global sort.
+    At 100 TB: df is the only corpus-wide state, a broadcastable
+    term->count table (or a count-min sketch when vocab explodes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tk.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; fixed per sf_dir, folded into the plan
+    scored = tf.join(df, "term").withColumn(
+        "tfidf", F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("tfidf", 6).alias("tfidf"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "quality_bigram_surprisal",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)), i ->
+                    concat(list_extract(toks, i), ' ', list_extract(toks, i + 1)))) AS bigram,
+                  unnest(list_transform(range(1, len(toks)), i ->
+                    list_extract(toks, i))) AS w1
+           FROM tk),
+    c2 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    scored AS (
+      SELECT bg.doc_id,
+             round(-log2(CAST(c2.c12 AS DOUBLE) / c1.c1), 6) AS surprisal
+      FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model surprisal per document --
+    the classic fluency/quality signal (high avg -log2 P(w2|w1) = the
+    document's word pairs are rare in this corpus).
+
+    Train and score in one job: bigram counts c(w1,w2) and unigram
+    counts c(w1) over the whole corpus (two aggregates), then each
+    document's bigrams join their probabilities and average.  Per-bigram
+    surprisal is rounded to 6 places BEFORE the decimal-exact sum
+    (functions/numeric.py rationale) so the doc average is bitwise
+    stable across engines and partial-agg orders.  At 100 TB the count
+    tables are the model: store them bucketed by key and this is two
+    scan-aggregates plus two equi-joins, with frequency floors to cap
+    vocab (not needed at test scale).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks"))
+    bg = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)), i ->"
+                " named_struct('w1', element_at(toks, i),"
+                " 'bigram', concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+            )
+        ).alias("pos", "s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.bigram").alias("bigram"))
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.round(-F.log2(F.col("c12").cast("double") / F.col("c1")), 6).alias(
+                "surprisal"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("surprisal").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_surprisal"),
     )

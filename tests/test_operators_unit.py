@@ -354,3 +354,53 @@ def test_multiprobe_recall_absolute_floor(spark):
     multi = {(r["query_id"], r["neighbor_id"]) for r in ann_lsh_multiprobe(spark, sf).collect()}
     assert len(truth) == 50
     assert len(multi & truth) >= 3
+
+
+def test_theta_set_ops_bounds_and_symmetric_exact(spark, sf_dir):
+    """Theta set algebra: every pair within its in-query bound, and the
+    exact arithmetic is consistent (inter <= min side size <= union)."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import sketch_theta_set_ops
+
+    rows = sketch_theta_set_ops(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["within_bound"], r
+        assert 0 < r["n_inter_exact"] <= r["n_union_exact"], r
+
+
+def test_kll_quantiles_merge_row_present(spark, sf_dir):
+    """KLL: the merged ALL row exists, all groups pass the rank-error
+    bound, and exact quantiles are monotone p50 <= p90."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import sketch_kll_quantiles
+
+    rows = sketch_kll_quantiles(spark, sf_dir).collect()
+    keys = {r["o_orderstatus"] for r in rows}
+    assert "ALL" in keys and len(keys) >= 3
+    for r in rows:
+        assert r["within_bound"], r
+        assert r["p50_exact"] <= r["p90_exact"], r
+
+
+def test_bigram_surprisal_repeated_text_is_predictable(spark, monkeypatch):
+    """Corpus-frequent phrasing must score LOWER average surprisal than a
+    one-off document: its bigrams dominate the trained counts."""
+    from eecs485_p4_mapreduce_spark.operators import textstats
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=common, lang="en", source="s", n_chars=len(common))
+         for i in range(5)]
+        # shares the frequent unigrams but pairs them unusually, so each of
+        # its bigrams is a rare continuation of a common left word
+        + [Row(doc_id=9, text="the mat sat the cat on", lang="en",
+               source="s", n_chars=22)]
+    )
+    monkeypatch.setattr(textstats, "load_table", lambda spark_, sf, name: docs)
+    by_doc = {
+        r["doc_id"]: r["avg_surprisal"]
+        for r in textstats.quality_bigram_surprisal(spark, "unused").collect()
+    }
+    # the weird doc's bigrams are 1-in-many continuations of frequent
+    # unigrams -> strictly more surprising than the formulaic copies
+    assert by_doc[9] > by_doc[0]
+    assert by_doc[0] == by_doc[4]  # identical docs score identically

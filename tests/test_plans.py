@@ -262,3 +262,16 @@ def test_collation_join_is_hash_on_collation_key(spark, sf_dir):
     the two nation branches (the final 1x1 scalar crossJoin is exempt)."""
     plan = explain(spark, sf_dir, "collation_case_insensitive")
     assert "BroadcastHashJoin" in plan and "collationkey" in plan
+
+
+def test_partitioned_source_prunes_partitions(spark, sf_dir):
+    """The event_type filter on the hive-partitioned copy must prune at
+    planning time: the scan reads only the 2 selected of 5 partitions and
+    the partition-key predicate appears as a partition filter, not a data
+    filter evaluated per row."""
+    plan = explain(spark, sf_dir, "source_partitioned_pruning")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan[:2000]
+    # the partition key must NOT be re-read as data (pruned ReadSchema)
+    m2 = re.search(r"ReadSchema: (\S+)", plan)
+    assert m2 and "event_type" not in m2.group(1), m2
