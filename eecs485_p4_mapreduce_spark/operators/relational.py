@@ -402,3 +402,43 @@ def pipe_syntax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_orders, revenue
         """
     )
+
+
+@query(
+    "scalar_try_fns",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_custkey % 3, 0) AS div_or_null,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit,
+           TRY_CAST(o_orderpriority AS TIMESTAMP) AS prio_ts,
+           CAST(TRY_CAST(9223372036854775807 AS HUGEINT) + o_orderkey AS VARCHAR) AS big_ok,
+           CAST(NULL AS BIGINT) AS overflow_null
+    FROM orders
+    WHERE o_orderkey < 200
+    """,
+)
+def scalar_try_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe function surface: try_divide / try_cast /
+    try_add return NULL where strict evaluation would raise -- the
+    contract that makes a 100 TB job survive one malformed row instead
+    of dying 90 minutes in.
+
+    DuckDB twins: NULLIF guards division, TRY_CAST mirrors try_cast, and
+    the guaranteed-overflow try_add is pinned to NULL on both sides
+    (DuckDB widens to HUGEINT, so the overflow itself is spelled as the
+    expected constant NULL).  big_ok proves try_add passes through when
+    no overflow occurs (HUGEINT comparison keeps DuckDB exact).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3).alias("div_or_null"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_int"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_digit"),
+        F.expr("try_cast(o_orderpriority AS TIMESTAMP)").alias("prio_ts"),
+        # no overflow: stays a value (emitted as decimal-exact bigint sum)
+        F.expr("cast(try_add(cast(9223372036854775807 as decimal(38,0)), o_orderkey) as string)").alias("big_ok"),
+        # guaranteed bigint overflow -> NULL under try_add
+        F.try_add(F.lit(9223372036854775807), F.col("o_orderkey") + 1).alias("overflow_null"),
+    )
