@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "udtf_chunk_text",
     "pipeline_training_data",
     "graph_pagerank",
+    "embedding_top_pc_power_iteration",
     "stats_moments",
     "mr_wordcount",
     "streaming_tumbling_1h",

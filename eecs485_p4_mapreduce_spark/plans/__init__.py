@@ -12,6 +12,7 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     dedup,
     graph,
     joins,
+    linalg,
     multimodal,
     relational,
     relational2,

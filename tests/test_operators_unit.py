@@ -404,3 +404,40 @@ def test_bigram_surprisal_repeated_text_is_predictable(spark, monkeypatch):
     # unigrams -> strictly more surprising than the formulaic copies
     assert by_doc[9] > by_doc[0]
     assert by_doc[0] == by_doc[4]  # identical docs score identically
+
+
+def test_power_iteration_matches_numpy_top_eigvec(spark, sf_dir):
+    """The 4-iteration power method must already align closely with
+    numpy's exact top eigenvector of X^T X (embeddings are low-rank-ish),
+    and the emitted vector must be unit length."""
+    import numpy as np
+
+    from eecs485_p4_mapreduce_spark.operators.linalg import (
+        embedding_top_pc_power_iteration,
+    )
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    rows = embedding_top_pc_power_iteration(spark, sf_dir).collect()
+    v = np.array([r["component"] for r in sorted(rows, key=lambda r: r["d"])])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    X = np.array(
+        [r["embedding"] for r in load_table(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    # independent reimplementation: same 4 iterations in numpy (different
+    # summation order -> tiny drift; the oracle pins the exact arithmetic,
+    # this pins the ALGORITHM against a second implementation)
+    ref = np.ones(X.shape[1])
+    sigma_ref = 0.0
+    for _ in range(4):
+        s = X.T @ (X @ ref)
+        sigma_ref = float(np.linalg.norm(s))
+        ref = s / sigma_ref
+    assert abs(float(v @ ref)) > 0.9999, abs(float(v @ ref))
+    sigma = rows[0]["sigma"]
+    assert abs(sigma - sigma_ref) / sigma_ref < 1e-6
+    # and the returned direction concentrates variance at least as well as
+    # the starting direction (power steps never decrease the Rayleigh quotient)
+    v0 = np.ones(X.shape[1]) / np.sqrt(X.shape[1])
+    rq = lambda u: float(u @ (X.T @ (X @ u)))
+    assert rq(v) >= rq(v0)
