@@ -262,3 +262,29 @@ def test_mapper_stream_memory_bounded(tmp_path):
     tracemalloc.stop()
     assert n == 200_000
     assert peak_delta < 1024 * 1024, f"heap delta {peak_delta} bytes"
+
+
+def test_mapper_stream_byte_transparent_and_unterminated(tmp_path):
+    """The streamed feed must round-trip arbitrary non-UTF-8 bytes
+    (surrogateescape, the reference pipes raw bytes) and must NOT invent
+    a trailing record separator for an unterminated final line."""
+    from eecs485_p4_mapreduce_spark.mapreduce.job import stream_mapper_lines
+
+    raw_lines = [b"plain", b"\xff\xfe invalid utf8 \x80", b"tab\tkey", b"last-no-newline"]
+    p = tmp_path / "mixed.bin"
+    p.write_bytes(b"\n".join(raw_lines))  # final line unterminated
+    got = list(stream_mapper_lines(["cat"], str(p), chunk_size=7))
+    assert [g.encode("utf-8", "surrogateescape") for g in got] == raw_lines
+
+
+def test_mapper_nonzero_exit_fails_task(tmp_path):
+    """A mapper that exits nonzero must fail the task loudly (the
+    reference surfaces worker failures), never silently truncate."""
+    import pytest as _pytest
+
+    from eecs485_p4_mapreduce_spark.mapreduce.job import stream_mapper_lines
+
+    p = tmp_path / "in.txt"
+    p.write_text("a\nb\n")
+    with _pytest.raises(RuntimeError, match="exited"):
+        list(stream_mapper_lines(["bash", "-c", "cat; exit 3"], str(p)))

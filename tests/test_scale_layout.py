@@ -235,3 +235,36 @@ def test_small_file_compaction(spark, sf_dir):
         F.sum("l_orderkey"), F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
     ).first()
     assert chk(a) == chk(b)
+
+
+def test_results_invariant_to_shuffle_partition_count(spark, sf_dir):
+    """Re-running representative queries with a different
+    spark.sql.shuffle.partitions must produce identical canonical results:
+    at cluster scale the partition count is an ops knob, and any operator
+    whose OUTPUT depends on it (partition-local ids, order-dependent float
+    accumulation, first/last without ordering) is a latent wrong-answer
+    bug.  Covers the families most at risk: decimal aggregation, window
+    functions, LSH banding, deterministic sampling, and the contiguous-ID
+    assigner whose whole job is to be partition-layout-proof."""
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    names = [
+        "q1_pricing_summary",
+        "window_running_sum",
+        "dedup_minhash_lsh",
+        "sample_weighted_bernoulli",
+        "ids_contiguous_assign",
+    ]
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for nparts in ("7", original):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            for name in names:
+                df = REGISTRY[name].fn(spark, sf_dir)
+                canon = sorted(tuple(str(v) for v in row) for row in df.collect())
+                results.setdefault(name, []).append(canon)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} output depends on shuffle partition count"
