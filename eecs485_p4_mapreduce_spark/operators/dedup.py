@@ -485,14 +485,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from eecs485_p4_mapreduce_spark.functions.lshfn import bucket_sql as _bucket_sql
+    from eecs485_p4_mapreduce_spark.functions.lshfn import bucket_expr_spark as _bucket_expr_spark
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # bits is an expensive derived column read by every band -> checkpoint
     # so projection collapse cannot re-inline it 4x (see module notes)
-    bucketed = emb.withColumn("bits", F.expr(_bucket_sql("spark"))).localCheckpoint()
+    bucketed = emb.withColumn("bits", F.expr(_bucket_expr_spark())).localCheckpoint()
     banded = bucketed.select(
         "vec_id",
         "v",

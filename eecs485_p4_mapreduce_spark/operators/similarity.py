@@ -188,6 +188,7 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time, so a direct cross-import would be circular).
 from eecs485_p4_mapreduce_spark.functions.lshfn import D as _D
 from eecs485_p4_mapreduce_spark.functions.lshfn import H as _H
+from eecs485_p4_mapreduce_spark.functions.lshfn import bucket_expr_spark as _bucket_expr_spark
 from eecs485_p4_mapreduce_spark.functions.lshfn import bucket_sql as _bucket_sql
 from eecs485_p4_mapreduce_spark.functions.lshfn import w_sql as _w_sql
 
@@ -232,7 +233,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bucket is an expensive derived column used by both join sides ->
     # materialize once (cf. the projection-collapse notes in dedup.py)
-    bucketed = e.withColumn("bucket", F.expr(_bucket_sql("spark"))).localCheckpoint()
+    bucketed = e.withColumn("bucket", F.expr(_bucket_expr_spark())).localCheckpoint()
     q = F.broadcast(
         bucketed.filter(F.col("vec_id") < _NQ).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
@@ -424,7 +425,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = e.withColumn("bucket", F.expr(_bucket_sql("spark"))).localCheckpoint()
+    bucketed = e.withColumn("bucket", F.expr(_bucket_expr_spark())).localCheckpoint()
     q = F.broadcast(
         bucketed.filter(F.col("vec_id") < _NQ)
         .withColumn("probe", F.explode(F.expr(_probes_sql("spark"))))

@@ -441,3 +441,21 @@ def test_power_iteration_matches_numpy_top_eigvec(spark, sf_dir):
     v0 = np.ones(X.shape[1]) / np.sqrt(X.shape[1])
     rq = lambda u: float(u @ (X.T @ (X @ u)))
     assert rq(v) >= rq(v0)
+
+
+def test_lsh_literal_weights_match_sql_md5_buckets(spark, sf_dir):
+    """The literal-weight bucket expression (fast path) must produce the
+    exact same bucket strings as the md5-in-SQL spelling the DuckDB
+    oracle uses -- same weights, same fold order, bit for bit."""
+    from eecs485_p4_mapreduce_spark.functions.lshfn import bucket_expr_spark, bucket_sql
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    both = e.select(
+        "vec_id",
+        F.expr(bucket_sql("spark")).alias("slow"),
+        F.expr(bucket_expr_spark()).alias("fast"),
+    )
+    assert both.filter(F.col("slow") != F.col("fast")).count() == 0
