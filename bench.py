@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "udaf_grouped_pandas",
     "udtf_chunk_text",
     "pipeline_training_data",
+    "mix_sources_weighted",
+    "pack_sequences_greedy",
     "graph_pagerank",
     "embedding_top_pc_power_iteration",
     "stats_moments",

@@ -1,0 +1,148 @@
+"""Training-mix construction operators (SURVEY.md §2.C ⊕): weighted
+source mixing and fixed-budget sequence packing — the two steps between
+"cleaned corpus" and "token stream" in an LLM data pipeline.
+
+Both are deterministic (content-hash sampling, prefix-sum packing), so
+the same mix/packing falls out on every engine and every retry — the
+property that makes a 100 TB pipeline resumable and auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+# Target language shares for the training mix (sums to 1).  At scale this
+# is the knob file reviewed per training run.
+_MIX = {"en": 0.4, "de": 0.2, "es": 0.15, "fr": 0.15, "zh": 0.1}
+
+# 3 hex chars of md5(doc_id) = 4096 deterministic buckets per document.
+_BUCKETS = 4096
+
+_HEX3 = {
+    "spark": "cast(conv(substring(md5(cast(doc_id as string)), 1, 3), 16, 10) as bigint)",
+    "duckdb": (
+        "CAST(list_sum(list_transform(range(0, 3), c -> (strpos('0123456789abcdef',"
+        " substring(md5(CAST(doc_id AS VARCHAR)), 1 + c, 1)) - 1)"
+        " * CAST(pow(16, 2 - c) AS BIGINT))) AS BIGINT)"
+    ),
+}
+
+_MIX_CASE = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in _MIX.items())
+
+
+@query(
+    "mix_sources_weighted",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS n_total FROM documents),
+    rates AS (
+      SELECT lang, n_lang,
+             CAST(floor(least(1.0,
+               (CASE lang {_MIX_CASE} ELSE 0.0 END) * tot.n_total / n_lang)
+               * {_BUCKETS}) AS BIGINT) AS thresh
+      FROM counts, tot),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN rates r ON r.lang = d.lang
+      WHERE {_HEX3['duckdb']} < r.thresh)
+    SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           r.n_lang AS n_available, r.thresh
+    FROM kept k
+    JOIN rates r ON r.lang = k.lang
+    GROUP BY k.lang, r.n_lang, r.thresh
+    """,
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix sampler: downsample each language toward a
+    target share by deterministic content-hash acceptance.
+
+    Per-language acceptance rate = target_share * N_total / n_lang
+    (clamped at 1 — an under-represented language keeps everything; real
+    pipelines would up-sample by repetition, a policy knob out of scope
+    here).  The rate becomes an integer threshold over {_BUCKETS}
+    md5(doc_id) buckets, so membership is an exact integer compare —
+    reproducible across engines, runs, and retries, unlike rand()-based
+    sampling.  One broadcast of the 5-row rates table; the scan-side
+    filter is embarrassingly parallel.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    total = docs.agg(F.count("*").alias("n_total"))
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "thresh",
+            F.expr(
+                f"cast(floor(least(1.0, (CASE lang {_MIX_CASE} ELSE 0.0 END)"
+                f" * n_total / n_lang) * {_BUCKETS}) as bigint)"
+            ),
+        )
+        .select("lang", "n_lang", "thresh")
+    )
+    kept = docs.join(F.broadcast(rates), "lang").filter(
+        F.expr(_HEX3["spark"]) < F.col("thresh")
+    )
+    return kept.groupBy("lang", "n_lang", "thresh").agg(
+        F.count("*").cast("bigint").alias("n_sampled")
+    ).select("lang", "n_sampled", F.col("n_lang").alias("n_available"), "thresh")
+
+
+_SEQ_BUDGET = 2048  # tokens per packed training sequence
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len({DUCK_TOKENS}) AS tok FROM documents),
+    packed AS (
+      SELECT lang, tok,
+             SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks),
+    seq AS (
+      -- floor before the cast: DuckDB's int/int division yields DOUBLE and
+      -- its double->int cast ROUNDS where Spark truncates (determinism
+      -- rule #4 in COVERAGE.md)
+      SELECT lang, tok, CAST(floor((cum - tok) / {_SEQ_BUDGET}.0) AS BIGINT) AS seq_id
+      FROM packed)
+    SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS tokens_packed,
+           round(CAST(SUM(tok) AS DOUBLE) / {_SEQ_BUDGET}, 6) AS fill_ratio
+    FROM seq
+    GROUP BY lang, seq_id
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: stream documents (per language, doc_id
+    order) into fixed {_SEQ_BUDGET}-token training sequences by
+    prefix-sum binning — seq_id = floor(start_offset / budget), so a
+    document belongs to the sequence where it STARTS and the boundary
+    document overflows into it (the standard streaming-packer semantics;
+    an exact bin packer is NP-hard and order-unstable).
+
+    One window shuffle per language partition computes the running token
+    count; everything else is scan-side.  At 100 TB the partition key is
+    (shard, lang) so no single window sees more than a shard — the
+    per-lang spelling here is the same plan at test cardinality.
+    Deterministic: integer token counts, integer division — identical
+    packing on every engine and every run.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.size(tokens("text")).alias("tok"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = t.withColumn("cum", F.sum("tok").over(w)).withColumn(
+        "seq_id", F.floor((F.col("cum") - F.col("tok")) / _SEQ_BUDGET).cast("bigint")
+    )
+    return seq.groupBy("lang", "seq_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("tokens_packed"),
+        F.round(F.sum("tok").cast("double") / _SEQ_BUDGET, 6).alias("fill_ratio"),
+    )

@@ -13,6 +13,7 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     graph,
     joins,
     linalg,
+    mixing,
     multimodal,
     relational,
     relational2,

@@ -459,3 +459,55 @@ def test_lsh_literal_weights_match_sql_md5_buckets(spark, sf_dir):
         F.expr(bucket_expr_spark()).alias("fast"),
     )
     assert both.filter(F.col("slow") != F.col("fast")).count() == 0
+
+
+def test_mix_sampler_hits_target_shares(spark, sf_dir):
+    """Over-represented languages are downsampled toward their target
+    share; under-represented ones keep everything (rate clamps at 1)."""
+    from eecs485_p4_mapreduce_spark.operators.mixing import _MIX, mix_sources_weighted
+
+    rows = {r["lang"]: r for r in mix_sources_weighted(spark, sf_dir).collect()}
+    assert set(rows) == set(_MIX)
+    total = sum(r["n_available"] for r in rows.values())
+    for lang, r in rows.items():
+        assert 0 < r["n_sampled"] <= r["n_available"]
+        target_n = _MIX[lang] * total
+        if r["n_available"] <= target_n:
+            # clamped: keep everything
+            assert r["n_sampled"] == r["n_available"], lang
+        else:
+            # binomial(n, k/4096): within 5 sigma of the target count
+            import math
+            p = r["thresh"] / 4096
+            sigma = math.sqrt(r["n_available"] * p * (1 - p))
+            assert abs(r["n_sampled"] - r["n_available"] * p) <= 5 * sigma + 1, (lang, r)
+
+
+def test_sequence_packing_conserves_and_fills(spark, sf_dir):
+    """Packing must conserve every token, assign contiguous seq_ids per
+    language, and fill every non-final sequence to at least
+    (budget - max_doc_tokens) -- the provable floor for start-offset
+    binning."""
+    from eecs485_p4_mapreduce_spark.operators.mixing import (
+        _SEQ_BUDGET,
+        pack_sequences_greedy,
+    )
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens as _tokens
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.size(_tokens("text")).alias("tok"))
+    totals = {r["lang"]: r["t"] for r in toks.groupBy("lang").agg(F.sum("tok").alias("t")).collect()}
+    max_tok = toks.agg(F.max("tok")).collect()[0][0]
+
+    rows = pack_sequences_greedy(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(totals)
+    for lang, seqs in by_lang.items():
+        seqs.sort(key=lambda r: r["seq_id"])
+        assert [s["seq_id"] for s in seqs] == list(range(len(seqs)))  # contiguous
+        assert sum(s["tokens_packed"] for s in seqs) == totals[lang]  # conservation
+        for s in seqs[:-1]:
+            assert s["tokens_packed"] > _SEQ_BUDGET - max_tok, (lang, s)
