@@ -518,3 +518,90 @@ def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
     return run_to_completion(agg, mode="append")
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (file source, same pattern
+    as events_stream)."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1000")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _streaming_minhash_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.dedup import (
+        _EST_DUCK,
+        _MINHASH_BANDED_DUCK,
+        _SPLIT,
+    )
+
+    return f"""{_MINHASH_BANDED_DUCK},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_old, b.doc_id AS doc_new,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_hash = b.band_hash
+           AND a.doc_id < {_SPLIT} AND b.doc_id >= {_SPLIT})
+    SELECT doc_old, doc_new, {_EST_DUCK} AS est_jaccard
+    FROM cand
+    WHERE {_EST_DUCK} >= 0.5
+    """
+
+
+@query("streaming_minhash_incremental", oracle=_streaming_minhash_oracle())
+def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup: newly arriving documents (doc_id >=
+    dedup._SPLIT plays the new batch) are MinHash-signed IN THE STREAM
+    and probed against the static corpus's stored band index -- the
+    continuous version of ``dedup_incremental_minhash``, sharing its
+    oracle, so the driver check IS the streaming==batch equivalence
+    proof.
+
+    The stream side uses the stateless one-pass signature fold
+    (dedup.MINHASH_SIG_FOLD): a pure projection, so the only stateful
+    operator is the final dropDuplicates on the candidate pair -- exactly
+    the state a production pipeline would carry (emitted pairs), bounded
+    by the duplicate count, not the corpus.  The corpus side's bands are
+    computed once per run here; in production they are a stored bucketed
+    table broadcast (as here) or bucket-joined against each micro-batch.
+    """
+    from eecs485_p4_mapreduce_spark.operators.dedup import (
+        _BANDS_SPARK,
+        _EST_SPARK,
+        _SPLIT,
+        MINHASH_SIG_FOLD,
+        _minhash_banded,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, banded = _minhash_banded(docs)
+    corpus = F.broadcast(
+        banded.filter(F.col("doc_id") < _SPLIT).select(
+            F.col("doc_id").alias("doc_old"), F.col("sig").alias("sig_a"), "b", "band_hash"
+        )
+    )
+    new = (
+        _documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") >= _SPLIT)
+        .select("doc_id", F.expr(MINHASH_SIG_FOLD).alias("sig"))
+        .withColumn("bands", F.expr(_BANDS_SPARK))
+        .select("doc_id", "sig", F.posexplode("bands").alias("b0", "band_hash"))
+        .select(
+            F.col("doc_id").alias("doc_new"),
+            F.col("sig").alias("sig_b"),
+            (F.col("b0") + 1).alias("b"),
+            "band_hash",
+        )
+    )
+    pairs = (
+        new.join(corpus, ["b", "band_hash"])
+        .withColumn("est_jaccard", F.expr(_EST_SPARK))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_old", "doc_new", "est_jaccard")
+        .dropDuplicates(["doc_old", "doc_new"])
+    )
+    return run_to_completion(pairs, mode="append")
