@@ -155,3 +155,78 @@ def ids_contiguous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_rk") - 1).cast("bigint").alias("row_id"),
         )
     )
+
+
+@query(
+    "param_sql_orders",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000.0 AND 250000.0
+      AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def param_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named parameter markers (:name + args) --
+    the injection-safe templating surface (parameters bind as literals
+    AFTER parsing, so a value can never change the statement's shape).
+    Catalyst constant-folds the bound literals, so the plan is identical
+    to the hand-inlined spelling the oracle uses -- including the pushed
+    BETWEEN filter.
+    """
+    from eecs485_p4_mapreduce_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_totalprice BETWEEN :lo AND :hi AND o_orderpriority = :prio
+        GROUP BY o_orderstatus
+        """,
+        args={"lo": 50000.0, "hi": 250000.0, "prio": "1-URGENT"},
+    )
+
+
+@query(
+    "transpose_orders_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+               AS revenue
+      FROM orders GROUP BY o_orderstatus)
+    SELECT 'n_orders' AS key,
+           MAX(CASE WHEN o_orderstatus = 'F' THEN n_orders END) AS F,
+           MAX(CASE WHEN o_orderstatus = 'O' THEN n_orders END) AS O,
+           MAX(CASE WHEN o_orderstatus = 'P' THEN n_orders END) AS P
+    FROM m
+    UNION ALL
+    SELECT 'revenue',
+           MAX(CASE WHEN o_orderstatus = 'F' THEN revenue END),
+           MAX(CASE WHEN o_orderstatus = 'O' THEN revenue END),
+           MAX(CASE WHEN o_orderstatus = 'P' THEN revenue END)
+    FROM m
+    """,
+)
+def transpose_orders_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): rows become columns keyed by the
+    first column's values -- the matrix flip that previously needed a
+    hand-built pivot in both directions.  The oracle spells the same
+    flip as conditional aggregation.  Transpose collects the (tiny,
+    post-aggregate) frame's key column to plan the output schema, so it
+    belongs AFTER a reduction, never on raw data -- which is exactly how
+    it is used here (3 statuses x 2 measures).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+    return m.transpose()
