@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "pack_sequences_greedy",
     "graph_pagerank",
     "embedding_top_pc_power_iteration",
+    "embedding_kmeans_ivf_train",
     "stats_moments",
     "mr_wordcount",
     "streaming_tumbling_1h",

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.plans.registry import query
@@ -132,4 +132,148 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
     raw = spark.createDataFrame(rows, "d bigint, component double, sigma double")
     return raw.select(
         "d", F.round("component", 6).alias("component"), F.round("sigma", 6).alias("sigma")
+    )
+
+
+_KM_K = 8        # clusters (the IVF nlist)
+_KM_ROUNDS = 2   # fixed unrolled update rounds
+
+
+def _kmeans_oracle() -> str:
+    """Unroll assign->update rounds into chained CTEs, mirroring the
+    Spark loop step for step (same join+window argmin, same decimal
+    mean)."""
+    parts = [
+        f"""
+        e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        el AS MATERIALIZED (
+          SELECT vec_id, d, v[d] AS x
+          FROM e, unnest(range(1, {_D} + 1)) AS t(d)),
+        c0 AS (SELECT vec_id AS k, v AS cv FROM e WHERE vec_id < {_KM_K})
+        """
+    ]
+    for r in range(1, _KM_ROUNDS + 1):
+        parts.append(
+            f"""
+        d{r} AS (
+          SELECT e.vec_id, c.k,
+                 -2 * list_inner_product(e.v, c.cv)
+                   + list_inner_product(c.cv, c.cv) AS dist
+          FROM e CROSS JOIN c{r - 1} c),
+        a{r} AS (
+          SELECT vec_id, k FROM (
+            SELECT vec_id, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, k) AS rk
+            FROM d{r}) WHERE rk = 1),
+        m{r} AS (
+          SELECT a.k, el.d,
+                 CAST(SUM(CAST(el.x AS DECIMAL(30,15))) AS DOUBLE)
+                   / COUNT(*) AS c
+          FROM el JOIN a{r} a ON a.vec_id = el.vec_id
+          GROUP BY a.k, el.d),
+        c{r} AS (
+          SELECT k, list(c ORDER BY d) AS cv FROM m{r} GROUP BY k)
+            """
+        )
+    final = _KM_ROUNDS
+    return (
+        "WITH " + ",".join(parts) + f""",
+        dfin AS (
+          SELECT e.vec_id, c.k,
+                 -2 * list_inner_product(e.v, c.cv)
+                   + list_inner_product(c.cv, c.cv) AS dist
+          FROM e CROSS JOIN c{final} c),
+        afin AS (
+          SELECT vec_id, k FROM (
+            SELECT vec_id, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, k) AS rk
+            FROM dfin) WHERE rk = 1)
+        SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n_points,
+               round(list_inner_product(c.cv, c.cv), 6) AS centroid_sq_norm
+        FROM afin a JOIN c{final} c ON c.k = a.k
+        GROUP BY a.k, c.cv
+        """
+    )
+
+
+@query("embedding_kmeans_ivf_train", oracle=_kmeans_oracle())
+def embedding_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: Lloyd's k-means over the embedding
+    table, K={_KM_K} lists, {_KM_ROUNDS} fixed update rounds from a
+    deterministic init (centroids = vec_id 0..K-1) -- closing the
+    ``knn_ivf_label`` caveat where a pre-assigned label column stood in
+    for a trained quantizer.
+
+    Each round: broadcast the K x D centroid table (data, not literals
+    -- the power-iteration codegen lesson above), assign every vector by
+    join + row_number argmin on -2 x.c + |c|^2 (|x|^2 is constant per
+    row; ties break on k, matching the oracle's ORDER BY dist, k), then
+    recompute centroids with a decimal-exact component mean.  Only the
+    K x D centroid matrix reaches the driver between rounds.  The oracle
+    unrolls the identical rounds as chained CTEs, so even the iterative
+    TRAINING loop is proven exactly -- same argmin, same decimal means.
+    At 100 TB: assignment is a broadcast join scan (embarrassingly
+    parallel), the update one (k, d) aggregate; rounds are sequential
+    scans, the classic distributed Lloyd's shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    init = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("k"), F.col("v").alias("cv")
+    )
+    centroids = [(int(r["k"]), list(r["cv"])) for r in init.collect()]
+
+    dist = F.expr(
+        "-2 * aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+        " + aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+    )
+
+    def assign(cdf):
+        w = Window.partitionBy("vec_id").orderBy("dist", "k")
+        return (
+            e.crossJoin(F.broadcast(cdf))
+            .withColumn("dist", dist)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", "k")
+        )
+
+    for _ in range(_KM_ROUNDS):
+        cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
+        assigned = assign(cdf)
+        means = (
+            assigned.select("k", F.posexplode("v").alias("d0", "x"))
+            .groupBy("k", (F.col("d0") + 1).alias("d"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_k: dict[int, list] = {}
+        for r in means:
+            by_k.setdefault(int(r["k"]), []).append((r["d"], r["c"]))
+        centroids = [
+            (k, [c for _, c in sorted(vals)]) for k, vals in sorted(by_k.items())
+        ]
+
+    cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
+    final = assign(cdf)
+    norm = F.expr(
+        "aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+    )
+    return (
+        final.join(F.broadcast(cdf), "k")
+        .groupBy("k", F.round(norm, 6).alias("centroid_sq_norm"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .select("k", "n_points", "centroid_sq_norm")
     )

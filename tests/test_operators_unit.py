@@ -511,3 +511,35 @@ def test_sequence_packing_conserves_and_fills(spark, sf_dir):
         assert sum(s["tokens_packed"] for s in seqs) == totals[lang]  # conservation
         for s in seqs[:-1]:
             assert s["tokens_packed"] > _SEQ_BUDGET - max_tok, (lang, s)
+
+
+def test_kmeans_matches_numpy_lloyds(spark, sf_dir):
+    """The trained quantizer must match an independent numpy Lloyd's run
+    with the same deterministic init and round count: identical cluster
+    sizes and centroid norms (to rounding)."""
+    import numpy as np
+
+    from eecs485_p4_mapreduce_spark.operators.linalg import (
+        _KM_K,
+        _KM_ROUNDS,
+        embedding_kmeans_ivf_train,
+    )
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    rows = {r["k"]: r for r in embedding_kmeans_ivf_train(spark, sf_dir).collect()}
+    e = sorted(
+        (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    )
+    X = np.vstack([v for _, v in e])
+    C = X[:_KM_K].copy()
+    for _ in range(_KM_ROUNDS):
+        d2 = -2 * X @ C.T + (C * C).sum(axis=1)  # argmin of dist ~ ties on k
+        a = np.argmin(d2, axis=1)
+        C = np.vstack([X[a == k].mean(axis=0) for k in range(_KM_K)])
+    a = np.argmin(-2 * X @ C.T + (C * C).sum(axis=1), axis=1)
+    for k in range(_KM_K):
+        assert rows[k]["n_points"] == int((a == k).sum()), k
+        assert abs(rows[k]["centroid_sq_norm"] - float(C[k] @ C[k])) < 1e-4, k
+    # every list is non-empty -- the quantizer is usable for IVF probing
+    assert all(rows[k]["n_points"] > 0 for k in range(_KM_K))
