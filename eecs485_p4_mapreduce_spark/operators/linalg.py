@@ -138,11 +138,64 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
 _KM_K = 8        # clusters (the IVF nlist)
 _KM_ROUNDS = 2   # fixed unrolled update rounds
 
+# string, not F.expr(...): building a Column needs an active SparkContext,
+# which does not exist at module import time
+_KM_DIST = (
+    "-2 * aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double),"
+    " (acc, x) -> acc + x)"
+    " + aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
+    " (acc, x) -> acc + x)"
+)
 
-def _kmeans_oracle() -> str:
-    """Unroll assign->update rounds into chained CTEs, mirroring the
-    Spark loop step for step (same join+window argmin, same decimal
-    mean)."""
+
+def _km_assign(e: DataFrame, cdf: DataFrame) -> DataFrame:
+    """(vec_id, v, k): nearest-centroid list id per vector, ties on k."""
+    w = Window.partitionBy("vec_id").orderBy("dist", "k")
+    return (
+        e.crossJoin(F.broadcast(cdf))
+        .withColumn("dist", F.expr(_KM_DIST))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "k")
+    )
+
+
+def _lloyds_assignments(spark: SparkSession, e: DataFrame):
+    """Run the fixed Lloyd's rounds; return (final centroid DF, final
+    assignment DF).  Shared by the training query and the trained-IVF
+    search query so both provably use the same quantizer."""
+    init = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("k"), F.col("v").alias("cv")
+    )
+    centroids = [(int(r["k"]), list(r["cv"])) for r in init.collect()]
+    for _ in range(_KM_ROUNDS):
+        cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
+        assigned = _km_assign(e, cdf)
+        means = (
+            assigned.select("k", F.posexplode("v").alias("d0", "x"))
+            .groupBy("k", (F.col("d0") + 1).alias("d"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_k: dict[int, list] = {}
+        for r in means:
+            by_k.setdefault(int(r["k"]), []).append((r["d"], r["c"]))
+        centroids = [
+            (k, [c for _, c in sorted(vals)]) for k, vals in sorted(by_k.items())
+        ]
+    cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
+    return cdf, _km_assign(e, cdf)
+
+
+def _kmeans_cte() -> str:
+    """The unrolled Lloyd's CTE chain through the final assignment
+    (afin) and final centroids (c{rounds}) -- shared by the training
+    query's oracle and the trained-IVF search oracle."""
     parts = [
         f"""
         e AS MATERIALIZED (
@@ -191,9 +244,17 @@ def _kmeans_oracle() -> str:
                    ROW_NUMBER() OVER (PARTITION BY vec_id
                                       ORDER BY dist, k) AS rk
             FROM dfin) WHERE rk = 1)
+        """
+    )
+
+
+def _kmeans_oracle() -> str:
+    return (
+        _kmeans_cte()
+        + f"""
         SELECT a.k, CAST(COUNT(*) AS BIGINT) AS n_points,
                round(list_inner_product(c.cv, c.cv), 6) AS centroid_sq_norm
-        FROM afin a JOIN c{final} c ON c.k = a.k
+        FROM afin a JOIN c{_KM_ROUNDS} c ON c.k = a.k
         GROUP BY a.k, c.cv
         """
     )
@@ -222,51 +283,7 @@ def embedding_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    init = e.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("k"), F.col("v").alias("cv")
-    )
-    centroids = [(int(r["k"]), list(r["cv"])) for r in init.collect()]
-
-    dist = F.expr(
-        "-2 * aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double),"
-        " (acc, x) -> acc + x)"
-        " + aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
-        " (acc, x) -> acc + x)"
-    )
-
-    def assign(cdf):
-        w = Window.partitionBy("vec_id").orderBy("dist", "k")
-        return (
-            e.crossJoin(F.broadcast(cdf))
-            .withColumn("dist", dist)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "v", "k")
-        )
-
-    for _ in range(_KM_ROUNDS):
-        cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
-        assigned = assign(cdf)
-        means = (
-            assigned.select("k", F.posexplode("v").alias("d0", "x"))
-            .groupBy("k", (F.col("d0") + 1).alias("d"))
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("c")
-            )
-            .collect()
-        )
-        by_k: dict[int, list] = {}
-        for r in means:
-            by_k.setdefault(int(r["k"]), []).append((r["d"], r["c"]))
-        centroids = [
-            (k, [c for _, c in sorted(vals)]) for k, vals in sorted(by_k.items())
-        ]
-
-    cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
-    final = assign(cdf)
+    cdf, final = _lloyds_assignments(spark, e)
     norm = F.expr(
         "aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
         " (acc, x) -> acc + x)"
@@ -276,4 +293,81 @@ def embedding_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k", F.round(norm, 6).alias("centroid_sq_norm"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
         .select("k", "n_points", "centroid_sq_norm")
+    )
+
+
+_IVF_NQ = 10    # vec_id < 10 are the query vectors (matches knn_cosine)
+_IVF_TOPK = 5
+
+
+def _ivf_trained_oracle() -> str:
+    return (
+        _kmeans_cte()
+        + f""",
+        qa AS (SELECT a.vec_id AS query_id, a.k, e.v AS qv
+               FROM afin a JOIN e ON e.vec_id = a.vec_id
+               WHERE a.vec_id < {_IVF_NQ}),
+        scored AS (
+          SELECT qa.query_id, a.vec_id AS neighbor_id,
+                 list_inner_product(qa.qv, e.v)
+                   / (sqrt(list_inner_product(qa.qv, qa.qv))
+                      * sqrt(list_inner_product(e.v, e.v))) AS cos_raw
+          FROM qa
+          JOIN afin a ON a.k = qa.k AND a.vec_id <> qa.query_id
+          JOIN e ON e.vec_id = a.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, neighbor_id) AS rk
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rk
+        FROM ranked WHERE rk <= {_IVF_TOPK}
+        """
+    )
+
+
+@query("knn_ivf_trained", oracle=_ivf_trained_oracle())
+def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained IVF search: train the coarse quantizer
+    (Lloyd's, the shared _lloyds_assignments), assign the corpus to
+    lists, then answer each query by probing ONLY its own list
+    (nprobe=1) with exact cosine rerank -- the full production IVF
+    pipeline in one declarative query, upgrading ``knn_ivf_label`` from
+    a pre-assigned label to a quantizer the engine itself trained.
+
+    The probe is a broadcast equi-join on the list id: with the corpus
+    bucketed/partitioned by list, each query scans 1/nlist of the data
+    and nothing shuffles but results.  The oracle reuses the identical
+    unrolled training CTEs, so quantizer, assignment, and search are all
+    proven against DuckDB in one statement.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    _, assigned = _lloyds_assignments(spark, e)
+    corpus = assigned.select("vec_id", "v", "k")
+    q = F.broadcast(
+        corpus.filter(F.col("vec_id") < _IVF_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "k"
+        )
+    )
+    cos = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x))"
+        " * sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)))"
+    )
+    scored = (
+        q.join(corpus, "k")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", cos)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rk")
     )

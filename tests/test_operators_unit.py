@@ -543,3 +543,22 @@ def test_kmeans_matches_numpy_lloyds(spark, sf_dir):
         assert abs(rows[k]["centroid_sq_norm"] - float(C[k] @ C[k])) < 1e-4, k
     # every list is non-empty -- the quantizer is usable for IVF probing
     assert all(rows[k]["n_points"] > 0 for k in range(_KM_K))
+
+
+def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
+    """Trained-IVF search (nprobe=1) returns exact cosines for whatever
+    it returns (subset correctness vs brute force), and recall@5 against
+    the brute-force ground truth clears a floor -- with only 8 lists and
+    self-inclusive assignment the query's own list holds its near
+    neighbors far more often than chance."""
+    from eecs485_p4_mapreduce_spark.operators.linalg import knn_ivf_trained
+    from eecs485_p4_mapreduce_spark.operators.similarity import knn_cosine
+
+    ivf = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+           for r in knn_ivf_trained(spark, sf_dir).collect()}
+    brute = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in knn_cosine(spark, sf_dir).collect()}
+    agree = set(ivf) & set(brute)
+    for kpair in agree:
+        assert abs(ivf[kpair] - brute[kpair]) < 1e-9
+    assert len(agree) / len(brute) > 0.2, len(agree) / len(brute)

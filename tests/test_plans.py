@@ -219,6 +219,7 @@ _ALLOWED_NESTED_LOOP = {
     "join_cross_regions",  # the explicit CROSS JOIN query itself
     "knn_cosine",
     "knn_cosine_pandas",
+    "knn_ivf_trained",  # deliberate: every vector scores all K=8 broadcast centroids
     "resample_gapfill_1h",
 }
 
