@@ -117,3 +117,54 @@ def test_testdata_schema_matches_loader_assumptions(table: str) -> None:
             f"normalize_events_ts) BEFORE touching any query — this is the "
             f"drift that killed round 2."
         )
+
+
+def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
+    """normalize_events_ts must produce the same TimestampType column and
+    the same instants whether events.ts is stored as int64 epoch-nanos
+    (round-1 testdata, readable only under nanosAsLong) or as
+    timestamp[us] (current testdata) -- the dtype dispatch that round 2
+    lacked.  Both branches are synthesized here so neither silently loses
+    coverage when the driver's generator changes again."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+    from pyspark.sql.types import TimestampType
+
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    instants = [
+        dt.datetime(2024, 1, 1, 12, 0, 0),
+        dt.datetime(2024, 1, 1, 12, 30, 45, 123456),
+    ]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["view", "click"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    micros = [(t - dt.datetime(1970, 1, 1)) // dt.timedelta(microseconds=1) for t in instants]
+
+    cases = {
+        "us": pa.array(instants, pa.timestamp("us")),
+        "nanos_as_int64": pa.array([m * 1000 for m in micros], pa.int64()),
+    }
+    results = {}
+    for name, ts_arr in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        cols = dict(base)
+        cols["ts"] = ts_arr
+        table = pa.table(
+            {k: cols[k] for k in ["event_id", "ts", "user_id", "event_type", "value", "props"]}
+        )
+        pq_w.write_table(table, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), (name, df.schema)
+        results[name] = sorted(
+            (r["event_id"], r["ts"]) for r in df.select("event_id", "ts").collect()
+        )
+    assert results["us"] == results["nanos_as_int64"], results
+    assert [t for _, t in results["us"]] == instants
