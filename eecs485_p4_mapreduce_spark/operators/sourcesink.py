@@ -284,3 +284,54 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("total_value"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql("CASE WHEN event_type = 'click' THEN value * 2 ELSE value END")}
+             AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite -- the retry-safe batch-write pattern:
+    re-running a job that produces one partition replaces ONLY that
+    partition, leaving every other partition byte-identical (static
+    overwrite mode would truncate the whole table first).
+
+    The query writes events partitioned by event_type, then overwrites
+    just the 'click' partition with doubled values under
+    partitionOverwriteMode=dynamic, reads the table back, and
+    aggregates.  The oracle computes the expected post-state from the
+    original table, so any bleed into other partitions (or a lost
+    partition) hash-mismatches.  At 100 TB this is how idempotent daily
+    reruns work: overwrite exactly the (day, source) partitions the run
+    owns.
+    """
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-roundtrip",
+        f"events_dpo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            e.filter(F.col("event_type") == "click")
+            .withColumn("value", F.col("value") * 2)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("value").alias("total_value"),
+    )
