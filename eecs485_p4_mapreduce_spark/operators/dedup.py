@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -71,19 +72,9 @@ _SH_DUCK = (
 _M32 = 4_294_967_296
 
 
-def _hex_int_sql(dialect: str, src: str, start: int) -> str:
-    """Integer from 8 hex chars of md5 (identical value in both engines).
-
-    Spark spells it natively (``conv`` is codegen'd; a lambda-based
-    digit fold is interpreted and ~10x slower); DuckDB has no conv so it
-    uses the equivalent digit-weight sum.
-    """
-    if dialect == "spark":
-        return f"cast(conv(substring({src}, {start}, 8), 16, 10) as bigint)"
-    return (
-        f"CAST(list_sum(list_transform(range(0, 8), c -> (strpos('0123456789abcdef',"
-        f" substring({src}, {start} + c, 1)) - 1) * CAST(pow(16, 7 - c) AS BIGINT))) AS BIGINT)"
-    )
+# moved to functions/hashfn.py (shared with the Count-Min sketch without
+# a decoration-time circular import); re-bound here for all local uses
+_hex_int_sql = hex_int_sql
 
 
 

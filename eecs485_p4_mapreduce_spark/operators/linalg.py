@@ -27,6 +27,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions import kmeansfn
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -135,117 +136,15 @@ def embedding_top_pc_power_iteration(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-_KM_K = 8        # clusters (the IVF nlist)
-_KM_ROUNDS = 2   # fixed unrolled update rounds
-
-# string, not F.expr(...): building a Column needs an active SparkContext,
-# which does not exist at module import time
-_KM_DIST = (
-    "-2 * aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double),"
-    " (acc, x) -> acc + x)"
-    " + aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
-    " (acc, x) -> acc + x)"
-)
-
-
-def _km_assign(e: DataFrame, cdf: DataFrame) -> DataFrame:
-    """(vec_id, v, k): nearest-centroid list id per vector, ties on k."""
-    w = Window.partitionBy("vec_id").orderBy("dist", "k")
-    return (
-        e.crossJoin(F.broadcast(cdf))
-        .withColumn("dist", F.expr(_KM_DIST))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "k")
-    )
-
-
-def _lloyds_assignments(spark: SparkSession, e: DataFrame):
-    """Run the fixed Lloyd's rounds; return (final centroid DF, final
-    assignment DF).  Shared by the training query and the trained-IVF
-    search query so both provably use the same quantizer."""
-    init = e.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("k"), F.col("v").alias("cv")
-    )
-    centroids = [(int(r["k"]), list(r["cv"])) for r in init.collect()]
-    for _ in range(_KM_ROUNDS):
-        cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
-        assigned = _km_assign(e, cdf)
-        means = (
-            assigned.select("k", F.posexplode("v").alias("d0", "x"))
-            .groupBy("k", (F.col("d0") + 1).alias("d"))
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("c")
-            )
-            .collect()
-        )
-        by_k: dict[int, list] = {}
-        for r in means:
-            by_k.setdefault(int(r["k"]), []).append((r["d"], r["c"]))
-        centroids = [
-            (k, [c for _, c in sorted(vals)]) for k, vals in sorted(by_k.items())
-        ]
-    cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
-    return cdf, _km_assign(e, cdf)
-
-
-def _kmeans_cte() -> str:
-    """The unrolled Lloyd's CTE chain through the final assignment
-    (afin) and final centroids (c{rounds}) -- shared by the training
-    query's oracle and the trained-IVF search oracle."""
-    parts = [
-        f"""
-        e AS MATERIALIZED (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        el AS MATERIALIZED (
-          SELECT vec_id, d, v[d] AS x
-          FROM e, unnest(range(1, {_D} + 1)) AS t(d)),
-        c0 AS (SELECT vec_id AS k, v AS cv FROM e WHERE vec_id < {_KM_K})
-        """
-    ]
-    for r in range(1, _KM_ROUNDS + 1):
-        parts.append(
-            f"""
-        d{r} AS (
-          SELECT e.vec_id, c.k,
-                 -2 * list_inner_product(e.v, c.cv)
-                   + list_inner_product(c.cv, c.cv) AS dist
-          FROM e CROSS JOIN c{r - 1} c),
-        a{r} AS (
-          SELECT vec_id, k FROM (
-            SELECT vec_id, k,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                                      ORDER BY dist, k) AS rk
-            FROM d{r}) WHERE rk = 1),
-        m{r} AS (
-          SELECT a.k, el.d,
-                 CAST(SUM(CAST(el.x AS DECIMAL(30,15))) AS DOUBLE)
-                   / COUNT(*) AS c
-          FROM el JOIN a{r} a ON a.vec_id = el.vec_id
-          GROUP BY a.k, el.d),
-        c{r} AS (
-          SELECT k, list(c ORDER BY d) AS cv FROM m{r} GROUP BY k)
-            """
-        )
-    final = _KM_ROUNDS
-    return (
-        "WITH " + ",".join(parts) + f""",
-        dfin AS (
-          SELECT e.vec_id, c.k,
-                 -2 * list_inner_product(e.v, c.cv)
-                   + list_inner_product(c.cv, c.cv) AS dist
-          FROM e CROSS JOIN c{final} c),
-        afin AS (
-          SELECT vec_id, k FROM (
-            SELECT vec_id, k,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                                      ORDER BY dist, k) AS rk
-            FROM dfin) WHERE rk = 1)
-        """
-    )
+# The Lloyd's trainer + unrolled oracle CTEs moved to
+# functions/kmeansfn.py so operators/semdedup.py can share the quantizer
+# without a decoration-time circular import (the lshfn.py convention).
+# Local underscore aliases keep this module's call sites unchanged.
+_KM_K = kmeansfn.KM_K
+_KM_ROUNDS = kmeansfn.KM_ROUNDS
+_km_assign = kmeansfn.km_assign
+_lloyds_assignments = kmeansfn.lloyds_assignments
+_kmeans_cte = kmeansfn.kmeans_cte
 
 
 def _kmeans_oracle() -> str:

@@ -1,0 +1,243 @@
+"""Scalar/generator function surface, wave 3 (SURVEY.md §2.C scalar-fn
+category): generator functions (posexplode_outer over possibly-empty
+arrays, stack), higher-order array lambdas (transform/filter/exists/
+forall/aggregate/zip_with), URL parsing/encoding, and printf-style
+formatting.
+
+Cross-engine notes baked into the specs below:
+
+* Spark ``sequence(1, n)`` DESCENDS for n < 1 (it never returns an empty
+  array), so the empty-array case is built with an explicit CASE — and
+  the DuckDB twin uses ``range(1, n+1)`` which IS empty for n < 1.
+* ``posexplode_outer`` on an empty/NULL array emits one all-NULL row;
+  DuckDB has no OUTER unnest, so the oracle substitutes a one-element
+  ``[NULL]`` list before unnesting — same semantics, spelled out.
+* Java's ``%f`` formatting (Spark ``format_string``) rounds HALF_UP on
+  the exact decimal expansion while C printf (DuckDB) rounds the binary
+  value half-even; feeding ``round(x, 2)`` keeps every formatted value
+  off the tie boundary so both render identically.
+* DuckDB has no ``parse_url``/``url_encode``; the oracle spells them as
+  regexp/replace over URLs synthesized from clean components, which is
+  exactly what makes the equivalence checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+
+@query(
+    "generator_fns",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderkey % 3 AS m FROM orders
+      WHERE o_orderkey % 97 < 9),
+    arrs AS (
+      SELECT o_orderkey,
+             range(1, CAST(m + 1 AS BIGINT)) AS l
+      FROM o),
+    px AS (
+      SELECT o_orderkey,
+             unnest(CASE WHEN len(l) = 0
+                         THEN [{p: CAST(NULL AS BIGINT),
+                                v: CAST(NULL AS BIGINT)}]
+                         ELSE list_transform(range(0, len(l)),
+                                             i -> {p: i, v: l[i + 1]})
+                    END) AS u
+      FROM arrs)
+    SELECT o_orderkey, (u).p AS pos, (u).v AS val FROM px
+    """,
+)
+def generator_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator functions over possibly-empty arrays:
+    ``posexplode_outer`` keeps the parent row (one all-NULL child) when
+    the array is empty — the left-outer flavor a flatten that must not
+    drop rows needs (e.g. documents with zero attachments).
+
+    The array is CASE-guarded because Spark's ``sequence(1, 0)`` yields
+    a DESCENDING [1, 0], not [] (step defaults to sign(stop - start)).
+    Generate runs inside whole-stage codegen; no shuffle at all —
+    scan → generate → project.
+    """
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 < 9)
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CASE WHEN o_orderkey % 3 >= 1"
+                " THEN sequence(1L, o_orderkey % 3)"
+                " ELSE array() END"
+            ).alias("l"),
+        )
+    )
+    return o.select(
+        "o_orderkey", F.posexplode_outer("l").alias("pos", "val")
+    )
+
+
+@query(
+    "hof_array_fns",
+    oracle="""
+    WITH la AS (
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_linenumber, l_partkey, l_suppkey,
+                  l_quantity, l_extendedprice) AS qty,
+             list(l_extendedprice ORDER BY l_linenumber, l_partkey,
+                  l_suppkey, l_quantity, l_extendedprice) AS price
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           CAST(len(list_filter(qty, q -> q > 25)) AS BIGINT) AS n_big,
+           len(list_filter(qty, q -> q > 25)) > 0 AS has_big,
+           len(list_filter(qty, q -> q >= 1)) = len(qty) AS all_pos,
+           round(list_reduce(list_transform(qty, q -> q * 2.0),
+                             (a, b) -> a + b), 4) AS dbl_total,
+           round(list_reduce(list_transform(range(1, len(qty) + 1),
+                                            i -> qty[i] * price[i]),
+                             (a, b) -> a + b), 4) AS dot
+    FROM la
+    """,
+)
+def hof_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas end to end: build per-order arrays in
+    a deterministic row order, then ``transform`` / ``filter`` /
+    ``exists`` / ``forall`` / ``aggregate`` (left fold) / ``zip_with``.
+    Spark's ``aggregate(arr, 0.0, +)`` and DuckDB's ``list_reduce`` fold
+    the same left-to-right order, and 0.0 + x == x exactly in IEEE, so
+    the double results are bit-identical before the cosmetic round(4).
+
+    (l_orderkey, l_linenumber) is NOT unique in this corpus, so both
+    value arrays come out of ONE struct array sorted by the full row key
+    — qty and price stay pairwise aligned for zip_with no matter how
+    ties land; the oracle sorts by the identical column list.
+
+    One shuffle total (the groupBy building the arrays); every lambda
+    then evaluates scan-side.  Lineitem groups are <= 7 elements, so the
+    arrays are bounded — the HOF surface is exercised without a
+    collect-like blowup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    la = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct("
+                "l_linenumber, l_partkey, l_suppkey,"
+                " l_quantity, l_extendedprice)))"
+            ).alias("rows")
+        )
+        .select(
+            "l_orderkey",
+            F.expr("transform(rows, s -> s.l_quantity)").alias("qty"),
+            F.expr("transform(rows, s -> s.l_extendedprice)").alias("price"),
+        )
+    )
+    return la.select(
+        "l_orderkey",
+        F.expr("cast(size(filter(qty, q -> q > 25)) as bigint)").alias("n_big"),
+        F.expr("exists(qty, q -> q > 25)").alias("has_big"),
+        F.expr("forall(qty, q -> q >= 1)").alias("all_pos"),
+        F.round(
+            F.expr(
+                "aggregate(transform(qty, q -> q * 2.0), cast(0.0 as double),"
+                " (a, b) -> a + b)"
+            ),
+            4,
+        ).alias("dbl_total"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(qty, price, (q, p) -> q * p),"
+                " cast(0.0 as double), (a, b) -> a + b)"
+            ),
+            4,
+        ).alias("dot"),
+    )
+
+
+@query(
+    "url_fns",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang || '#sec' ||
+               CAST(doc_id % 5 AS VARCHAR) AS url,
+             source || ' ' || lang AS raw
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '#(.*)$', 1) AS ref,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           replace(raw, ' ', '+') AS encoded
+    FROM u
+    """,
+)
+def url_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing + form-encoding: ``parse_url`` component extraction
+    (HOST/PATH/QUERY/REF and keyed QUERY lookup) and ``url_encode`` over
+    URLs synthesized from table columns.  All scan-side string
+    expressions — zero shuffle, and the synthesized components are
+    alphanumeric so the DuckDB regex/replace twin is exact (space → '+'
+    is the only byte form-encoding touches here).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), "lang",
+            F.lit("#sec"), (F.col("doc_id") % 5).cast("string"),
+        ).alias("url"),
+        F.concat("source", F.lit(" "), "lang").alias("raw"),
+    )
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("REF")).alias("ref"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.url_encode("raw").alias("encoded"),
+    )
+
+
+@query(
+    "format_fns",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%08d|%12.2f|%s', o_orderkey,
+                  round(o_totalprice, 2), o_orderstatus) AS line,
+           printf('%.1f%%', round(100.0 * (o_orderkey % 997) / 997, 1))
+             AS pct,
+           format('{:,}', o_orderkey * 1000) AS grouped
+    FROM orders WHERE o_orderkey % 31 = 0
+    """,
+)
+def format_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style row formatting (log/report sinks): ``format_string``
+    width/precision/string specs and ``format_number`` digit grouping.
+    Doubles pass through ``round(x, 2)`` first so Java's HALF_UP decimal
+    formatter and C printf's binary half-even can never disagree (no
+    value sits on a rendering tie after the pre-round).  Scan-side
+    projection only.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    return o.select(
+        "o_orderkey",
+        F.format_string(
+            "%08d|%12.2f|%s",
+            "o_orderkey",
+            F.round("o_totalprice", 2),
+            "o_orderstatus",
+        ).alias("line"),
+        F.format_string(
+            "%.1f%%", F.round(F.lit(100.0) * (F.col("o_orderkey") % 997) / 997, 1)
+        ).alias("pct"),
+        F.format_number(F.col("o_orderkey") * 1000, 0).alias("grouped"),
+    )

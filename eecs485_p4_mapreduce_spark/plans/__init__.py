@@ -21,7 +21,9 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     relational4,
     relational5,
     relational6,
+    relational7,
     sampling,
+    semdedup,
     similarity,
     sourcesink,
     text,

@@ -562,3 +562,63 @@ def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
     for kpair in agree:
         assert abs(ivf[kpair] - brute[kpair]) < 1e-9
     assert len(agree) / len(brute) > 0.2, len(agree) / len(brute)
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """SemDeDup (round 4): the lowest vec_id of every cluster is always
+    kept (it has no earlier member), kept is exactly the thresholded
+    max-cos predicate, and every embedding row appears exactly once."""
+    from eecs485_p4_mapreduce_spark.operators.semdedup import (
+        _SEM_T,
+        dedup_semdedup_clusters,
+    )
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    rows = dedup_semdedup_clusters(spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_emb
+    first_per_cluster = {}
+    for r in rows:
+        k, vid = r["k"], r["vec_id"]
+        if k not in first_per_cluster or vid < first_per_cluster[k]:
+            first_per_cluster[k] = vid
+    for r in rows:
+        if r["vec_id"] == first_per_cluster[r["k"]]:
+            assert r["kept"] and r["max_cos_earlier"] is None, r
+        mc = r["max_cos_earlier"]
+        assert r["kept"] == (mc is None or mc <= _SEM_T), r
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """Count-Min (round 4): the sketch estimate is >= the exact count for
+    every probed token (the deterministic CM guarantee) and the eps-N
+    audit flag holds on this corpus."""
+    from eecs485_p4_mapreduce_spark.operators.semdedup import (
+        _CM_TOP,
+        sketch_countmin_heavy_hitters,
+    )
+
+    rows = sketch_countmin_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == _CM_TOP
+    for r in rows:
+        assert r["cm_est"] >= r["exact_cnt"], r
+        assert r["within_bound"], r
+
+
+def test_generator_outer_keeps_empty_array_rows(spark, sf_dir):
+    """posexplode_outer emits one all-NULL row per empty array (orderkey
+    % 3 == 0) and m rows for m-element arrays -- no parent row dropped."""
+    from eecs485_p4_mapreduce_spark.operators.relational7 import generator_fns
+
+    rows = generator_fns(spark, sf_dir).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["o_orderkey"], []).append(r)
+    for key, rs in by_key.items():
+        m = key % 3
+        if m == 0:
+            assert len(rs) == 1 and rs[0]["pos"] is None and rs[0]["val"] is None
+        else:
+            assert len(rs) == m and sorted(r["val"] for r in rs) == list(
+                range(1, m + 1)
+            )

@@ -220,6 +220,7 @@ _ALLOWED_NESTED_LOOP = {
     "knn_cosine",
     "knn_cosine_pandas",
     "knn_ivf_trained",  # deliberate: every vector scores all K=8 broadcast centroids
+    "dedup_semdedup_clusters",  # same broadcast-centroid assignment as knn_ivf_trained
     "resample_gapfill_1h",
 }
 
@@ -276,3 +277,25 @@ def test_partitioned_source_prunes_partitions(spark, sf_dir):
     # the partition key must NOT be re-read as data (pruned ReadSchema)
     m2 = re.search(r"ReadSchema: (\S+)", plan)
     assert m2 and "event_type" not in m2.group(1), m2
+
+
+def test_semdedup_pair_stage_is_equi_join(spark, sf_dir):
+    """SemDeDup's quadratic stage must be an equi-join on the cluster id
+    (cost bounded by cluster size); the only nested-loop joins in the
+    plan are the K=8 broadcast-centroid assignments."""
+    plan = explain(spark, sf_dir, "dedup_semdedup_clusters")
+    assert "BroadcastHashJoin" in plan
+    # the a_id < b_id predicate rides as a residual condition on the
+    # k-equi hash join, not as a nested-loop join condition
+    assert re.search(r"Join condition: \(a_id#\d+L? < b_id#\d+L?\)", plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_countmin_probe_is_broadcast_equi_join(spark, sf_dir):
+    """The Count-Min point-query probes its d buckets via a broadcast
+    equi-join on (row, bucket) -- the sketch table never shuffles for
+    the probe."""
+    plan = explain(spark, sf_dir, "sketch_countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"Left keys \[2\]: \[i#\d+", plan), plan
+    assert "CartesianProduct" not in plan
