@@ -472,3 +472,135 @@ def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_surprisal"),
     )
+
+
+@query(
+    "token_bpe_merge_step",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM (SELECT doc_id, {DUCK_TOKENS} AS t FROM documents),
+           unnest(range(1, len(t) + 1)) AS u(i)),
+    big AS (
+      SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bigram
+      FROM toks),
+    top1 AS (
+      SELECT split_part(bigram, ' ', 1) AS pa,
+             split_part(bigram, ' ', 2) AS pb
+      FROM big WHERE bigram IS NOT NULL
+      GROUP BY bigram ORDER BY COUNT(*) DESC, bigram LIMIT 1),
+    t2 AS (
+      SELECT doc_id, pos, tok, pa, pb,
+             (tok = pa AND
+              lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) = pb)
+               AS match
+      FROM toks, top1),
+    t3 AS (
+      SELECT *, pos - SUM(CASE WHEN match THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM t2),
+    t4 AS (
+      SELECT *, CASE WHEN match AND
+                  (pos - MIN(CASE WHEN match THEN pos END)
+                           OVER (PARTITION BY doc_id, grp)) % 2 = 0
+                THEN TRUE ELSE FALSE END AS merged
+      FROM t3),
+    t5 AS (
+      SELECT *, coalesce(lag(merged) OVER (PARTITION BY doc_id ORDER BY pos),
+                         FALSE) AS consumed
+      FROM t4),
+    stream AS (
+      SELECT CASE WHEN merged THEN pa || ' ' || pb ELSE tok END AS token,
+             merged AS is_merged
+      FROM t5 WHERE NOT consumed)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n, is_merged
+    FROM stream GROUP BY token, is_merged HAVING COUNT(*) >= 5
+    ORDER BY n DESC, token LIMIT 50
+    """,
+)
+def token_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE-training merge iteration, declaratively: count
+    adjacent-token pairs, pick the top pair (ties lexicographic), apply
+    it greedily LEFT-TO-RIGHT over every document, and emit the
+    post-merge vocabulary counts (merged token included, flagged).
+
+    Greedy non-overlapping application is the part engines usually drop
+    to imperative code for; here it is three window functions over the
+    original token stream: within each maximal run of consecutive
+    pair-match positions, exactly the even offsets merge (run membership
+    = pos minus running match-rank; offset = pos minus the run's first
+    match position), and the following position is consumed via lag.
+    Zero self-joins — the whole step is scan → windows → aggregate, so
+    at corpus scale it costs one shuffle for the doc-partitioned windows
+    and one for the final count (the same shape as token_bigrams, which
+    is the pair-count half of this query).  Iterating the full BPE
+    vocabulary training = re-running this step on the re-tokenized
+    stream (the merged token participates in the next round's pairs).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.select(
+            F.concat("tok", F.lit(" "), F.lead("tok").over(w)).alias("bigram")
+        )
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top1 = (
+        big.orderBy(F.desc("cnt"), "bigram")
+        .limit(1)
+        .select(
+            F.split_part("bigram", F.lit(" "), F.lit(1)).alias("pa"),
+            F.split_part("bigram", F.lit(" "), F.lit(2)).alias("pb"),
+        )
+    )
+    t2 = (
+        toks.crossJoin(F.broadcast(top1))
+        .withColumn(
+            "match",
+            (F.col("tok") == F.col("pa"))
+            & (F.lead("tok").over(w) == F.col("pb")),
+        )
+    )
+    t3 = t2.withColumn(
+        "grp",
+        F.col("pos")
+        - F.sum(F.when(F.col("match"), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wg = Window.partitionBy("doc_id", "grp")
+    t4 = t3.withColumn(
+        "merged",
+        F.when(
+            F.col("match")
+            & (
+                (F.col("pos") - F.min(F.when(F.col("match"), F.col("pos"))).over(wg))
+                % 2
+                == 0
+            ),
+            F.lit(True),
+        ).otherwise(F.lit(False)),
+    )
+    t5 = t4.withColumn(
+        "consumed", F.coalesce(F.lag("merged").over(w), F.lit(False))
+    )
+    stream = t5.filter(~F.col("consumed")).select(
+        F.when(
+            F.col("merged"), F.concat("pa", F.lit(" "), "pb")
+        ).otherwise(F.col("tok")).alias("token"),
+        F.col("merged").alias("is_merged"),
+    )
+    return (
+        stream.groupBy("token", "is_merged")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+        .select("token", "n", "is_merged")
+    )

@@ -605,3 +605,167 @@ def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .dropDuplicates(["doc_old", "doc_new"])
     )
     return run_to_completion(pairs, mode="append")
+
+
+@query(
+    "streaming_tws_user_stats",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(value) AS max_value, {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming via ``transformWithStateInPandas`` —
+    the Spark 4 arbitrary-state API (SPARK-40434 successor): a
+    ``StatefulProcessor`` with an explicit ValueState, the composable
+    replacement for ``applyInPandasWithState``.  Same per-user
+    (count, max, decimal-exact sum) contract — and the same oracle — as
+    ``streaming_stateful_user_stats``, so the two stateful APIs are
+    proven equivalent by the driver check itself.
+
+    Keeps the shard-keyed layout (user_id mod 64 → one state row of
+    parallel per-user arrays per shard) that amortizes Python/Arrow
+    round-trips; see streaming_stateful_user_stats for the measured
+    rationale.  TWS requires the RocksDB state store (the 100 TB state
+    backend — disk-spilling, changelog-checkpointed); the conf is set
+    for the run and restored after.
+
+    Environment gate: TWS's Python state-server protocol needs
+    ``google.protobuf``, which a cluster Spark 4 distribution ships but
+    this container does not (and installs are off-limits).  Without it
+    the query degrades to the semantically-identical
+    ``applyInPandasWithState`` operator, so the declared contract — and
+    the oracle — hold on any environment; the TWS branch is exercised
+    wherever protobuf exists (``tests/test_streaming_semantics.py``
+    skip-gates on the import).
+    """
+    try:
+        import google.protobuf  # noqa: F401  (TWS state-server dependency)
+    except ImportError:
+        return streaming_stateful_user_stats(spark, sf_dir)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    _NSHARDS = 64
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("uids", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
+            StructField("mxs", ArrayType(DoubleType())),
+            StructField("sum_micros", ArrayType(LongType())),
+        ]
+    )
+
+    class ShardStats(StatefulProcessor):
+        """Per-shard running stats in one ValueState of parallel arrays
+        (micro-unit integer sums => decimal-exact emission)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._acc.exists():
+                uids, ns, mxs, sums = self._acc.get()
+                acc = pd.DataFrame(
+                    {"n": ns, "mx": mxs, "sm": sums},
+                    index=pd.Index(uids, name="user_id"),
+                )
+            else:
+                acc = pd.DataFrame(
+                    {
+                        "n": pd.Series(dtype="int64"),
+                        "mx": pd.Series(dtype="float64"),
+                        "sm": pd.Series(dtype="int64"),
+                    },
+                    index=pd.Index([], name="user_id", dtype="int64"),
+                )
+            for pdf in rows:
+                if not len(pdf):
+                    continue
+                micro = np.rint(
+                    pdf["value"].to_numpy(dtype="float64") * 1e6
+                ).astype("int64")
+                g = pdf.assign(sm=micro).groupby("user_id")
+                batch = pd.DataFrame(
+                    {"n": g.size(), "mx": g["value"].max(), "sm": g["sm"].sum()}
+                )
+                idx = acc.index.union(batch.index)
+                an, bn = (s["n"].reindex(idx, fill_value=0) for s in (acc, batch))
+                asm, bsm = (s["sm"].reindex(idx, fill_value=0) for s in (acc, batch))
+                mx = pd.concat(
+                    [acc["mx"].reindex(idx), batch["mx"].reindex(idx)], axis=1
+                ).max(axis=1)
+                acc = pd.DataFrame({"n": an + bn, "mx": mx, "sm": asm + bsm}, index=idx)
+            acc = acc.sort_index()
+            self._acc.update(
+                (
+                    [int(u) for u in acc.index],
+                    [int(v) for v in acc["n"]],
+                    [float(v) for v in acc["mx"]],
+                    [int(v) for v in acc["sm"]],
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": acc.index.to_numpy(dtype="int64"),
+                    "n_events": acc["n"].to_numpy(dtype="int64"),
+                    "max_value": acc["mx"].to_numpy(dtype="float64"),
+                    "total_value": acc["sm"].to_numpy(dtype="int64") / 1_000_000,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = events_stream(spark, sf_dir).withColumn(
+        "shard", F.pmod(F.col("user_id"), F.lit(_NSHARDS))
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stats = ev.groupBy("shard").transformWithStateInPandas(
+            ShardStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        result = run_to_completion(stats, mode="update")
+    finally:
+        if default is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, default)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        result.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "max_value", "total_value")
+    )

@@ -622,3 +622,24 @@ def test_generator_outer_keeps_empty_array_rows(spark, sf_dir):
             assert len(rs) == m and sorted(r["val"] for r in rs) == list(
                 range(1, m + 1)
             )
+
+
+def test_bpe_merge_step_greedy_left_to_right(spark, monkeypatch):
+    """The BPE merge must apply greedily left-to-right, non-overlapping:
+    in 'a a a a a' with top pair (a, a), positions 0-1 and 2-3 merge and
+    the trailing 'a' survives -- 2 merged tokens + 1 bare token per doc.
+    (Counts are scaled by 6 docs to clear the n >= 5 floor.)"""
+    from pyspark.sql import Row
+
+    from eecs485_p4_mapreduce_spark.operators import textstats
+
+    text = "a a a a a"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+         for i in range(6)]
+    )
+    monkeypatch.setattr(textstats, "load_table", lambda spark_, sf, name: docs)
+    rows = {r["token"]: (r["n"], r["is_merged"])
+            for r in textstats.token_bpe_merge_step(spark, "unused").collect()}
+    assert rows["a a"] == (12, True)   # 2 greedy merges x 6 docs
+    assert rows["a"] == (6, False)     # the odd trailing token survives

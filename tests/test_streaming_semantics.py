@@ -174,3 +174,31 @@ def test_foreachbatch_upsert_runs_incrementally(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_tws_user_stats_matches_applyinpandas_twin(spark, sf_dir):
+    """streaming_tws_user_stats and streaming_stateful_user_stats share
+    one declared contract (and one oracle); their results must be
+    row-identical in any environment, whichever state API actually ran."""
+    from eecs485_p4_mapreduce_spark.streaming import (
+        streaming_stateful_user_stats,
+        streaming_tws_user_stats,
+    )
+
+    tws = {tuple(r) for r in streaming_tws_user_stats(spark, sf_dir).collect()}
+    aip = {tuple(r) for r in streaming_stateful_user_stats(spark, sf_dir).collect()}
+    assert tws == aip and len(tws) > 0
+
+
+def test_tws_branch_runs_where_protobuf_exists(spark, sf_dir):
+    """When google.protobuf is importable (any standard Spark 4 cluster
+    distribution), the transformWithStateInPandas branch itself must run
+    and satisfy the shared contract.  Skipped in containers without
+    protobuf -- the fallback twin is covered by the test above."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from eecs485_p4_mapreduce_spark.streaming import streaming_tws_user_stats
+
+    rows = streaming_tws_user_stats(spark, sf_dir).collect()
+    assert len(rows) > 0
