@@ -115,6 +115,11 @@ BENCH_QUERIES = [
     "text_redact_numbers",
     "ids_contiguous_assign",
     "mapinarrow_vector_norms",
+    "dedup_semdedup_clusters",
+    "sketch_countmin_heavy_hitters",
+    "token_bpe_merge_step",
+    "hof_array_fns",
+    "url_fns",
 ]
 
 

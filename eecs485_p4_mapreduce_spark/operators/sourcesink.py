@@ -335,3 +335,100 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count("*").cast("bigint").alias("n"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "source_python_datasource_stream",
+    oracle="""
+    WITH s AS (
+      SELECT i AS id, CAST(i % 16 AS INT) AS bucket,
+             (i * 2654435761) % 4294967296 AS num
+      FROM generate_series(0, 99999) t(i))
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(num) AS DOUBLE) / 4294967296.0 AS val_sum
+    FROM s GROUP BY bucket
+    """,
+)
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource (Spark 4 ``SimpleDataSourceStreamReader``):
+    the same deterministic sequence as ``source_python_datasource``, now
+    emitted as an offset-tracked stream — ``initialOffset`` / ``read``
+    advance a logical offset 20k rows per micro-batch, and
+    ``readBetweenOffsets`` replays a committed range exactly (the
+    retry contract a message-queue connector must honor).  Five batches
+    drain the range into an append-mode memory sink, then the result
+    aggregates to the identical oracle as the batch twin — proving the
+    streaming connector delivers exactly the batch rows, no loss, no
+    replay duplication.
+
+    The driver-side poll loop below is sink monitoring (waiting for the
+    source to drain), not data movement; rows go executor-side through
+    the normal streaming path.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    n_rows, chunk, m32 = 100_000, 20_000, 4_294_967_296
+
+    class _SeqStreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self) -> dict:
+            return {"offset": 0}
+
+        def _rows(self, s: int, e: int):
+            # a LIST iterator, not a generator: the wrapper both calls
+            # next() on the result (empty-batch validation) and pickles
+            # it into the prefetch cache, and generators don't pickle
+            return iter([(i, i % 16, (i * 2654435761) % m32) for i in range(s, e)])
+
+        def read(self, start: dict):
+            s = start["offset"]
+            if s >= n_rows:
+                return iter([]), {"offset": s}
+            e = min(s + chunk, n_rows)
+            return self._rows(s, e), {"offset": e}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return self._rows(start["offset"], end["offset"])
+
+    class _SeqStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sg_sequence_stream"
+
+        def schema(self) -> str:
+            return "id BIGINT, bucket INT, num BIGINT"
+
+        def simpleStreamReader(self, schema):  # noqa: ANN001
+            return _SeqStreamReader()
+
+    spark.dataSource.register(_SeqStreamSource)
+    import tempfile
+
+    name = f"sg_pyds_{_uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-pyds-ckpt-")
+    q = (
+        spark.readStream.format("sg_sequence_stream")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 180
+        while _time.time() < deadline:
+            if spark.table(name).count() >= n_rows:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    src = spark.table(name)
+    return src.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        (F.sum("num").cast("double") / F.lit(4294967296.0)).alias("val_sum"),
+    )

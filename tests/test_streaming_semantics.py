@@ -202,3 +202,64 @@ def test_tws_branch_runs_where_protobuf_exists(spark, sf_dir):
 
     rows = streaming_tws_user_stats(spark, sf_dir).collect()
     assert len(rows) > 0
+
+
+def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart recovery: a stateful streaming aggregation that
+    stops after draining half its input files and restarts from the same
+    checkpoint must (a) restore its state, (b) process ONLY the new
+    files (file-source exactly-once -- the processed-file log lives in
+    the checkpoint), and (c) end equal to the batch answer."""
+    import shutil
+    from pathlib import Path
+
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    total = ev.count()
+    stage = tmp_path / "stage"
+    ev.repartition(4).write.parquet(str(stage))
+    parts = sorted(p for p in Path(stage).iterdir() if p.suffix == ".parquet")
+    assert len(parts) == 4
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = spark.read.parquet(str(stage)).schema
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(name: str):
+        s = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(in_dir))
+        )
+        q = (
+            s.groupBy("event_type")
+            .count()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_in = sum(int(p["numInputRows"]) for p in q.recentProgress)
+        return spark.table(name), n_in
+
+    for p in parts[:2]:
+        shutil.copy(p, in_dir / p.name)
+    _, rows1 = run("ckpt_run1")
+    assert 0 < rows1 < total  # the "crash" happened mid-input
+
+    for p in parts[2:]:
+        shutil.copy(p, in_dir / p.name)
+    t2, rows2 = run("ckpt_run2")
+    # exactly-once: every row processed once across both incarnations
+    assert rows1 + rows2 == total
+    assert rows2 < total  # restart did NOT rescan the first two files
+    batch = {r["event_type"]: r["count"]
+             for r in ev.groupBy("event_type").count().collect()}
+    got = {r["event_type"]: r["count"] for r in t2.collect()}
+    assert got == batch
