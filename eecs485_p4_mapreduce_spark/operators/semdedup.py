@@ -98,18 +98,34 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    _, assigned = _lloyds_assignments(spark, e)
+    _, assigned_raw = _lloyds_assignments(spark, e)
+    # referenced three times (both pair sides + the final left join);
+    # without the pin each reference replays the broadcast-centroid
+    # assignment window (measured ~2x of the query).  Norms are cached
+    # per VECTOR here so the pair stage folds one lambda product (the
+    # dot), not three -- sqrt(fold(v,v)) per pair was ~2/3 of the
+    # interpreted-lambda cost, and the cached value is the identical
+    # double the oracle's per-pair sqrt(list_inner_product(v,v)) yields.
+    assigned = (
+        assigned_raw.withColumn(
+            "nv", F.sqrt(F.expr(_COS_FOLD.format(a="v", b="v")))
+        )
+        .localCheckpoint()
+    )
     a = assigned.select(
-        "k", F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+        "k", F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("nv").alias("na"),
     )
     b = assigned.select(
-        "k", F.col("vec_id").alias("b_id"), F.col("v").alias("bv")
+        "k", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"),
+        F.col("nv").alias("nb"),
     )
+    dot = F.expr(_COS_FOLD.format(a="av", b="bv"))
     mx = (
         F.broadcast(a)
         .join(b, "k")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", F.expr(_cos_spark("av", "bv")))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
         .groupBy(F.col("b_id").alias("vec_id"))
         .agg(F.max("cos").alias("mc"))
     )
