@@ -769,3 +769,43 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "n_events", "max_value", "total_value")
     )
+
+
+@query(
+    "streaming_topk_event_types",
+    oracle="""
+    WITH wc AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rank
+      FROM wc)
+    SELECT window_start, event_type, n, rank FROM rk WHERE rank <= 3
+    """,
+)
+def streaming_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 3 most frequent event types per tumbling
+    hour.  The continuous half is the watermarked windowed count — the
+    incrementally-maintained state; the rank-and-cut runs on the final
+    state table (ranking is not incrementally maintainable under
+    retraction in update/complete sinks, so production pipelines do
+    exactly this: stream the counts, rank at read time).  Ties break
+    deterministically (count desc, then event_type).
+    """
+    from pyspark.sql import Window
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    final = run_to_completion(agg)
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        final.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", "n", "rank")
+    )

@@ -643,3 +643,34 @@ def test_bpe_merge_step_greedy_left_to_right(spark, monkeypatch):
             for r in textstats.token_bpe_merge_step(spark, "unused").collect()}
     assert rows["a a"] == (12, True)   # 2 greedy merges x 6 docs
     assert rows["a"] == (6, False)     # the odd trailing token survives
+
+
+def test_observation_metrics_ride_the_query(spark, sf_dir):
+    """The Observation API (df.observe) must deliver accurate in-flight
+    metrics without a second scan: rows-seen and revenue observed on the
+    scan equal independently-computed values, while the observed query
+    itself returns its own (different) result."""
+    from pyspark.sql import Observation
+
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_audit")
+    out = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).alias("rev"),
+        )
+        .filter(F.col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    )
+    assert len(out) > 0
+    got = obs.get
+    assert got["rows_seen"] == li.count()
+    exact = li.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).alias("r")
+    ).collect()[0]["r"]
+    assert got["rev"] == exact
