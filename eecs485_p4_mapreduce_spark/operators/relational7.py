@@ -241,3 +241,80 @@ def format_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct"),
         F.format_number(F.col("o_orderkey") * 1000, 0).alias("grouped"),
     )
+
+
+_GBA = """
+SELECT o_orderstatus, o_orderpriority,
+       year(o_orderdate) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS min_price
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@query("groupby_all_orders", oracle=_GBA)
+def groupby_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL SQL sugar: every non-aggregate select
+    item becomes a grouping (then ordering) key — the exact same SQL
+    text runs on both engines, so the oracle checks Spark's inference
+    of the implicit key list, not just the aggregate values.  Plans
+    identically to the explicit GROUP BY (partial+final hash agg)."""
+    from eecs485_p4_mapreduce_spark.sources import run_sql
+
+    return run_sql(spark, sf_dir, _GBA)
+
+
+@query(
+    "agg_modern_fns",
+    oracle="""
+    SELECT o_orderstatus,
+           median(o_totalprice) AS med_price,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_modern_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate surface: ``median`` (exact interpolated — both
+    engines compute quantile_cont(0.5) on the sorted set), ``count_if``,
+    and the boolean reducers ``bool_and``/``bool_or``.  One partial+final
+    hash aggregate; the booleans reduce map-side so the shuffle carries
+    one row per (status, partition)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.median("o_totalprice").alias("med_price"),
+        F.count_if(F.col("o_totalprice") > 150000).cast("bigint").alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+    )
+
+
+@query(
+    "generator_stack",
+    oracle="""
+    SELECT l_orderkey, 'extended' AS metric, l_extendedprice AS amount
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    UNION ALL
+    SELECT l_orderkey, 'discount_cost', l_extendedprice * l_discount
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    UNION ALL
+    SELECT l_orderkey, 'tax_cost', l_extendedprice * l_tax
+    FROM lineitem WHERE l_orderkey % 101 = 0
+    """,
+)
+def generator_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stack(n, ...)`` — the generator spelling of wide→long unpivot:
+    one Expand node emits 3 labeled rows per input row in a single scan,
+    where the oracle's UNION ALL spelling scans three times.  Same
+    Expand machinery as `unpivot_lineitem_metrics`, exercised through
+    the generator syntax (selectExpr + lateral alias)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    return li.selectExpr(
+        "l_orderkey",
+        "stack(3, 'extended', l_extendedprice,"
+        " 'discount_cost', l_extendedprice * l_discount,"
+        " 'tax_cost', l_extendedprice * l_tax) AS (metric, amount)",
+    )

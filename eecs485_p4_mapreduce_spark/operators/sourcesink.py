@@ -432,3 +432,52 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").alias("n"),
         (F.sum("num").cast("double") / F.lit(4294967296.0)).alias("val_sum"),
     )
+
+
+@query(
+    "layout_zorder_cells",
+    oracle="""
+    WITH b AS (
+      SELECT greatest(0, least(7, CAST(floor(o_totalprice / 75000.0) AS INT)))
+               AS pa,
+             CAST(floor(((year(o_orderdate) - 1992) * 12
+                         + month(o_orderdate) - 1) * 8 / 84) AS INT) AS pb
+      FROM orders),
+    z AS (
+      SELECT pa, pb,
+             ((pa >> 0) & 1) * 2 + ((pb >> 0) & 1) * 1
+           + ((pa >> 1) & 1) * 8 + ((pb >> 1) & 1) * 4
+           + ((pa >> 2) & 1) * 32 + ((pb >> 2) & 1) * 16 AS zkey
+      FROM b)
+    SELECT zkey, pa, pb, CAST(COUNT(*) AS BIGINT) AS n
+    FROM z GROUP BY zkey, pa, pb
+    """,
+)
+def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (morton) clustering key as a driver-checked query: bucket
+    price and order-month into 8 equal-width cells each (fixed bounds —
+    at scale these come from column statistics, never a data collect),
+    interleave the bits with the REAL layout helpers
+    (functions/layout.py width_bucket + morton2), and emit per-cell
+    counts.  The oracle re-derives the interleave with explicit bit
+    arithmetic, so the helper's bit layout (a in the high bit of each
+    pair) is pinned cross-engine — and zkey ↔ (pa, pb) bijectivity is
+    implicit in the group-by matching.
+
+    This is the write-layout key behind `repartitionByRange(morton)
+    .sortWithinPartitions(morton).write` (tests/test_scale_layout.py
+    pins the file-skipping bound it buys); here the key derivation
+    itself joins the correctness gate.
+    """
+    from eecs485_p4_mapreduce_spark.functions.layout import morton2, width_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    pa = width_bucket(F.col("o_totalprice"), 0.0, 600000.0, 8)
+    idx = (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+    pb = F.floor(idx * 8 / 84).cast("int")
+    cells = o.select(pa.alias("pa"), pb.alias("pb")).select(
+        "pa", "pb", morton2(F.col("pa"), F.col("pb"), 8).alias("zkey")
+    )
+    return cells.groupBy("zkey", "pa", "pb").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

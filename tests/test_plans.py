@@ -299,3 +299,42 @@ def test_countmin_probe_is_broadcast_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert re.search(r"Left keys \[2\]: \[i#\d+", plan), plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_hints_control_strategy(spark, sf_dir):
+    """Join strategy hints must be honored: the same customer-orders
+    equi-join plans SortMergeJoin under MERGE, ShuffledHashJoin under
+    SHUFFLE_HASH, and BroadcastHashJoin under BROADCAST -- the manual
+    override lever when AQE's choice is wrong for a known workload."""
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def plan_of(hint: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            c.hint(hint).join(o, c.c_custkey == o.o_custkey).explain("formatted")
+        return buf.getvalue()
+
+    assert "SortMergeJoin" in plan_of("merge")
+    assert "ShuffledHashJoin" in plan_of("shuffle_hash")
+    assert "BroadcastHashJoin" in plan_of("broadcast")
+
+
+def test_cache_table_plans_inmemory_scan(spark, sf_dir):
+    """df.cache() must materialize into an InMemoryRelation consumed by
+    InMemoryTableScan on re-use -- the iterative-workload lever (shared
+    scan across the Lloyd's rounds / PageRank iterations family)."""
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    n = load_table(spark, sf_dir, "nation").cache()
+    try:
+        n.count()  # materialize
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            n.groupBy("n_regionkey").count().explain("formatted")
+        plan = buf.getvalue()
+        assert "InMemoryTableScan" in plan
+    finally:
+        n.unpersist()
