@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "dedup_semdedup_clusters",
     "sketch_countmin_heavy_hitters",
     "token_bpe_merge_step",
+    "token_bpe_train_3merges",
     "hof_array_fns",
     "url_fns",
 ]

@@ -604,3 +604,166 @@ def token_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("token", "n", "is_merged")
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_train_sql(dialect: str) -> str:
+    """Full {_BPE_ROUNDS}-round BPE training as ONE SQL text per dialect
+    (recursive_cte_tree_rollup precedent: identical logic, both
+    engines).  Tokens acquire spaces as they merge, so pair keys use
+    chr(9) and tie-breaks order by (pa, pb) -- never by the ambiguous
+    concatenation.  Each round re-numbers positions densely so the
+    greedy run-grouping (pos minus running match-rank) stays valid after
+    earlier rounds punch holes in the stream."""
+    if dialect == "spark":
+        s0 = (
+            "SELECT doc_id, pos, tok FROM (SELECT doc_id,"
+            " posexplode(filter(split(lower(text), '\\\\s+'), t -> t <> ''))"
+            " AS (pos, tok) FROM documents)"
+        )
+        nwords = "cast(size(split(tok, ' ')) as bigint)"
+    else:
+        s0 = (
+            "SELECT doc_id, i - 1 AS pos, t[i] AS tok"
+            " FROM (SELECT doc_id, list_filter(string_split_regex(lower(text),"
+            " '\\s+'), t -> t <> '') AS t FROM documents),"
+            " unnest(range(1, len(t) + 1)) AS u(i)"
+        )
+        nwords = "CAST(len(string_split(tok, ' ')) AS BIGINT)"
+    parts = [f"s0 AS ({s0})"]
+    for i in range(1, _BPE_ROUNDS + 1):
+        p = i - 1
+        parts.append(f"""
+    big{i} AS (
+      SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM s{p}),
+    top{i} AS (
+      SELECT tok AS pa, nxt AS pb FROM big{i} WHERE nxt IS NOT NULL
+      GROUP BY tok, nxt ORDER BY COUNT(*) DESC, tok, nxt LIMIT 1),
+    m{i} AS (
+      SELECT doc_id, pos, tok, nxt,
+             (tok = (SELECT pa FROM top{i})
+              AND nxt = (SELECT pb FROM top{i})) AS match
+      FROM big{i}),
+    g{i} AS (
+      SELECT *, pos - SUM(CASE WHEN match THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM m{i}),
+    mg{i} AS (
+      SELECT *, CASE WHEN match AND
+                 (pos - MIN(CASE WHEN match THEN pos END)
+                          OVER (PARTITION BY doc_id, grp)) % 2 = 0
+                THEN TRUE ELSE FALSE END AS merged
+      FROM g{i}),
+    c{i} AS (
+      SELECT *, coalesce(lag(merged) OVER (PARTITION BY doc_id ORDER BY pos),
+                         FALSE) AS consumed
+      FROM mg{i}),
+    s{i} AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+             CASE WHEN merged THEN tok || ' ' || nxt ELSE tok END AS tok
+      FROM c{i} WHERE NOT consumed)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n,
+           {nwords} AS n_words
+    FROM s{_BPE_ROUNDS}
+    GROUP BY tok HAVING COUNT(*) >= 5
+    ORDER BY n DESC, token LIMIT 50
+    """
+    )
+
+
+@query("token_bpe_train_3merges", oracle=_bpe_train_sql("duckdb"))
+def token_bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary TRAINING, {_BPE_ROUNDS} full merge rounds: each
+    round counts adjacent pairs over the current token stream, picks the
+    top pair, applies it greedily left-to-right, and re-numbers the
+    stream for the next round — so round 2 can merge a token round 1
+    built (hierarchical merges, the actual BPE construction; n_words in
+    the output exposes the merge depth).
+
+    Pair selection stays fully in-plan (a broadcast LIMIT-1 side — no
+    driver collect), and each round's output stream is localCheckpointed
+    before the next: as one monolithic statement the round-3 scalar
+    subqueries re-executed the whole round-1/2 chain (34 s at sf0.01);
+    the pinned-round loop runs the identical logic in ~4 s.  The oracle
+    IS the monolithic statement (DuckDB materializes its CTEs), so
+    selection AND application are proven at every round.  Per round:
+    three doc-partitioned windows + one global pair count — two
+    shuffles, rounds sequential, exactly the Lloyd's/PageRank loop
+    shape.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    ).localCheckpoint()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    for _ in range(_BPE_ROUNDS):
+        big = s.withColumn("nxt", F.lead("tok").over(w))
+        top1 = (
+            big.filter(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "tok", "nxt")
+            .limit(1)
+            .select(F.col("tok").alias("pa"), F.col("nxt").alias("pb"))
+        )
+        t2 = big.crossJoin(F.broadcast(top1)).withColumn(
+            "match", (F.col("tok") == F.col("pa")) & (F.col("nxt") == F.col("pb"))
+        )
+        g = t2.withColumn(
+            "grp",
+            F.col("pos")
+            - F.sum(F.when(F.col("match"), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        wg = Window.partitionBy("doc_id", "grp")
+        mg = g.withColumn(
+            "merged",
+            F.when(
+                F.col("match")
+                & (
+                    (
+                        F.col("pos")
+                        - F.min(F.when(F.col("match"), F.col("pos"))).over(wg)
+                    )
+                    % 2
+                    == 0
+                ),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
+        )
+        c = mg.withColumn(
+            "consumed", F.coalesce(F.lag("merged").over(w), F.lit(False))
+        )
+        s = (
+            c.filter(~F.col("consumed"))
+            .select(
+                "doc_id",
+                (F.row_number().over(w) - 1).alias("pos"),
+                F.when(F.col("merged"), F.concat("tok", F.lit(" "), "nxt"))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        s.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= 5)
+        .select(
+            F.col("tok").alias("token"),
+            "n",
+            F.size(F.split("tok", " ")).cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )

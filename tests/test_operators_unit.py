@@ -674,3 +674,24 @@ def test_observation_metrics_ride_the_query(spark, sf_dir):
         F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).alias("r")
     ).collect()[0]["r"]
     assert got["rev"] == exact
+
+
+def test_bpe_train_3merges_is_hierarchical(spark, monkeypatch):
+    """Three training rounds must merge hierarchically: on 'x y' * 8,
+    round 1 builds 'x y', round 2 merges pairs of those into 4-word
+    tokens, round 3 into 8-word tokens -- 2 per doc survive."""
+    from pyspark.sql import Row
+
+    from eecs485_p4_mapreduce_spark.operators import textstats
+
+    text = ("x y " * 8).strip()
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+         for i in range(6)]
+    )
+    monkeypatch.setattr(textstats, "load_table", lambda spark_, sf, name: docs)
+    rows = {r["token"]: (r["n"], r["n_words"])
+            for r in textstats.token_bpe_train_3merges(spark, "unused").collect()}
+    eight = "x y x y x y x y"
+    assert rows[eight] == (12, 8)   # 2 per doc x 6 docs
+    assert len(rows) == 1           # everything merged into the 8-word token
