@@ -318,3 +318,57 @@ def generator_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'discount_cost', l_extendedprice * l_discount,"
         " 'tax_cost', l_extendedprice * l_tax) AS (metric, amount)",
     )
+
+
+@query(
+    "map_hof_fns",
+    oracle="""
+    WITH sub AS (
+      SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2)
+    SELECT o_orderstatus,
+           CAST(2 * SUM(n) AS BIGINT) AS doubled_total,
+           CAST(COUNT(*) FILTER (WHERE n >= 10) AS INT) AS n_big,
+           array_to_string(list(substring(o_orderpriority, 1, 1)
+                                ORDER BY o_orderpriority), '') AS initials,
+           CAST(3 * SUM(n) AS BIGINT) AS zip_sum
+    FROM sub GROUP BY o_orderstatus
+    """,
+)
+def map_hof_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order lambdas: ``transform_values`` (double every
+    count), ``map_filter`` (keep busy priorities), ``transform_keys``
+    (priority -> its digit initial; injective here, so no duplicate-key
+    error), and ``map_zip_with`` (original + doubled = 3x).  The oracle
+    computes the identical scalars directly from the grouped counts —
+    maps are an engine-side representation, so the check pins the lambda
+    SEMANTICS, not a map rendering (maps never surface raw, per the
+    canon rule).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    sub = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    m = sub.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderpriority", "n")))
+        ).alias("pm")
+    )
+    m = m.withColumn("dbl", F.expr("transform_values(pm, (k, v) -> v * 2)"))
+    return m.select(
+        "o_orderstatus",
+        F.expr(
+            "aggregate(map_values(dbl), cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("doubled_total"),
+        F.expr("cast(size(map_filter(pm, (k, v) -> v >= 10)) as int)").alias(
+            "n_big"
+        ),
+        F.expr(
+            "array_join(array_sort(map_keys("
+            "transform_keys(pm, (k, v) -> substring(k, 1, 1)))), '')"
+        ).alias("initials"),
+        F.expr(
+            "aggregate(map_values(map_zip_with(pm, dbl, (k, v1, v2) -> v1 + v2)),"
+            " cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("zip_sum"),
+    )

@@ -338,3 +338,30 @@ def test_cache_table_plans_inmemory_scan(spark, sf_dir):
         assert "InMemoryTableScan" in plan
     finally:
         n.unpersist()
+
+
+def test_cluster_by_plans_exchange_plus_local_sort(spark, sf_dir):
+    """SQL physical-layout clauses: CLUSTER BY = hash exchange + within-
+    partition sort; DISTRIBUTE BY alone = exchange without sort -- the
+    write-side co-location levers (bucketing's ad-hoc cousin)."""
+    from eecs485_p4_mapreduce_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+
+    def plan_of(sql: str) -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            spark.sql(sql).explain("formatted")
+        return buf.getvalue()
+
+    clustered = plan_of(
+        "SELECT o_custkey, o_totalprice FROM orders CLUSTER BY o_custkey"
+    )
+    assert re.search(r"hashpartitioning\(o_custkey", clustered)
+    assert re.search(r"\(\d+\) Sort", clustered)
+    assert re.search(r"\[o_custkey#\d+L? ASC", clustered)
+    distributed = plan_of(
+        "SELECT o_custkey, o_totalprice FROM orders DISTRIBUTE BY o_custkey"
+    )
+    assert re.search(r"hashpartitioning\(o_custkey", distributed)
+    assert not re.search(r"\(\d+\) Sort", distributed)
