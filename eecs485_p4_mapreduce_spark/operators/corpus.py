@@ -1,0 +1,365 @@
+"""Corpus-preparation operators for LLM training-data pipelines
+(SURVEY.md §2.C ⊕ text analysis / dedup family).
+
+Four document-rewriting / chunking stages a 100 TB pretraining pipeline
+runs between raw ingest and tokenization:
+
+- ``chunk_sliding_windows``   fixed-size token chunking with overlap
+  (the RAG / context-window packing shape).
+- ``chunk_content_defined``   content-defined chunking: rolling-hash
+  boundaries, so chunk edges survive insertions (rsync/CDC recipe
+  applied to token streams).
+- ``quality_gopher_rules``    Gopher-style document quality rules as
+  integer-exact boolean columns, aggregated per source.
+- ``dedup_span_rewrite``      Lee-et-al-style exact-substring dedup
+  that actually REWRITES documents: tokens covered by a cross-document
+  duplicated 8-token span are dropped from every non-canonical doc and
+  the survivors are reassembled.
+
+Everything is JVM built-ins (split/transform/filter/window) — no Python
+in the hot path.  Shuffle keys are (doc_id) or 16-byte md5s, never
+document bodies, so each plan is a scan + one bounded shuffle at any
+scale.  Cross-engine determinism: md5 everywhere, integer-ratio
+comparisons instead of float thresholds (functions/hashfn.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+_CHUNK = 32  # sliding-window chunk size (tokens)
+_STRIDE = 16  # chunk start step -> 16-token overlap
+_CDC_DIV = 16  # CDC boundary divisor -> mean chunk ~16 tokens
+_SPAN = 8  # duplicated-span width (tokens), matches dedup_ngram_spans
+
+
+@query(
+    "chunk_sliding_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    ex AS (SELECT doc_id, tk,
+                  unnest(range(1, greatest(len(tk) - {_CHUNK - 1}, 1) + 1,
+                               {_STRIDE})) AS s
+           FROM t)
+    SELECT doc_id,
+           CAST(floor((s - 1) / {_STRIDE}) AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS start_pos,
+           CAST(len(list_slice(tk, s, s + {_CHUNK - 1})) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(tk, s, s + {_CHUNK - 1}), ' ')) AS chunk_md5
+    FROM ex
+    """,
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks ({_CHUNK} tokens, stride
+    {_STRIDE}) — the chunking stage of a RAG index build or a
+    fixed-context packing pipeline.
+
+    Pure scan-side generate: per document, explode the (tiny) list of
+    chunk start offsets and slice the token array — zero shuffles, and
+    each output row carries a hash, never the chunk body twice.  The
+    final chunk is the natural short tail (slice past the end truncates
+    identically in both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("tk"))
+    ex = t.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("tk") - F.lit(_CHUNK - 1), F.lit(1)),
+                F.lit(_STRIDE),
+            )
+        ).alias("s"),
+    )
+    chunk = F.expr(f"slice(tk, s, {_CHUNK})")
+    return ex.select(
+        "doc_id",
+        F.floor((F.col("s") - 1) / _STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("s").cast("bigint").alias("start_pos"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "chunk_content_defined",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    t AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+          FROM t0, unnest(range(1, len(tk) + 1)) AS u(i)),
+    g AS (SELECT doc_id, pos, tok,
+                 concat_ws(' ', lag(tok, 3) OVER w, lag(tok, 2) OVER w,
+                           lag(tok, 1) OVER w, tok) AS gram
+          FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    b AS (SELECT doc_id, pos, tok,
+                 CASE WHEN ({hex_int_sql('duckdb', 'md5(gram)', 1)}) % {_CDC_DIV} = 0
+                      THEN 1 ELSE 0 END AS bnd
+          FROM g),
+    c AS (SELECT doc_id, pos, tok,
+                 COALESCE(SUM(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS cid
+          FROM b)
+    SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list(tok ORDER BY pos), ' ')) AS chunk_md5
+    FROM c GROUP BY doc_id, cid
+    """,
+)
+def chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the token stream: a boundary closes
+    a chunk wherever the rolling 4-token window hash ≡ 0 (mod
+    {_CDC_DIV}), so expected chunk length is {_CDC_DIV} tokens and —
+    unlike fixed-stride chunking — inserting a token only perturbs the
+    chunks it touches.  This is the CDC trick dedup storage systems use,
+    applied to corpus chunk-level dedup.
+
+    Plan: posexplode + two windows over the SAME (doc_id, pos) ordering
+    (one lag-gram, one running boundary count) + a per-doc group —
+    Spark plans all three over a single doc_id shuffle.  The boundary
+    token ends its chunk; chunk_id is the count of earlier boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = toks.withColumn(
+        "gram",
+        F.concat_ws(
+            " ",
+            F.lag("tok", 3).over(w),
+            F.lag("tok", 2).over(w),
+            F.lag("tok", 1).over(w),
+            F.col("tok"),
+        ),
+    )
+    b = g.withColumn(
+        "bnd",
+        (F.expr(hex_int_sql("spark", "md5(gram)", 1)) % _CDC_DIV == 0).cast("int"),
+    )
+    c = b.withColumn(
+        "cid",
+        F.coalesce(
+            F.sum("bnd").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    return (
+        c.groupBy("doc_id", "cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+        .select(
+            "doc_id",
+            F.col("cid").cast("bigint").alias("chunk_id"),
+            "n_tokens",
+            "chunk_md5",
+        )
+    )
+
+
+# Gopher-style rule expressions, generated per dialect so the Spark plan
+# and the DuckDB oracle are the same logic by construction.
+_GOPHER_STOPS = ("the", "a", "and", "of", "to", "is", "in")
+
+
+def _gopher_exprs(dialect: str) -> dict[str, str]:
+    if dialect == "spark":
+        size, flt, arr, has, agg = (
+            "size",
+            "filter",
+            "array",
+            "array_contains",
+            "aggregate(tk, cast(0 as bigint), (a, t) -> a + length(t))",
+        )
+        rx = "t rlike '^[a-z]+$'"
+    else:
+        size, flt, arr, has, agg = (
+            "len",
+            "list_filter",
+            "list_value",
+            "list_contains",
+            "CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT)",
+        )
+        rx = "regexp_matches(t, '^[a-z]+$')"
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return {
+        "nw": f"{size}(tk)",
+        "sumlen": agg,
+        "stophits": f"{size}({flt}(tk, t -> {has}({arr}({stops}), t)))",
+        "alphatoks": f"{size}({flt}(tk, t -> {rx}))",
+    }
+
+
+def _gopher_rules() -> dict[str, str]:
+    """Rules as integer-exact predicates over the feature columns —
+    ratio thresholds are cross-multiplied so no float compare exists."""
+    return {
+        "r_nwords": "nw BETWEEN 30 AND 500",
+        "r_meanlen": "sumlen >= 2 * nw AND sumlen <= 12 * nw",
+        "r_stop": "stophits >= 2",
+        "r_alpha": "5 * alphatoks >= 4 * nw",
+    }
+
+
+@query(
+    "quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {DUCK_TOKENS} AS tk FROM documents),
+    feat AS (SELECT doc_id, source,
+                    {', '.join(f'{e} AS {k}' for k, e in _gopher_exprs('duckdb').items())}
+             FROM t),
+    flags AS (SELECT source,
+                     {', '.join(f'CASE WHEN {p} THEN 1 ELSE 0 END AS {k}' for k, p in _gopher_rules().items())}
+              FROM feat)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {', '.join(f'CAST(SUM({k}) AS BIGINT) AS n_{k}' for k in _gopher_rules())},
+           CAST(SUM(r_nwords * r_meanlen * r_stop * r_alpha) AS BIGINT) AS n_pass_all
+    FROM flags GROUP BY source
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate: word-count bounds, mean word
+    length bounds, required stopword hits, alphabetic-token ratio — the
+    standard pretraining heuristic filter bank — evaluated scan-side and
+    rolled up to per-source pass rates.
+
+    All four rules are single-pass array expressions over the token
+    list; the only shuffle is the 20-group source aggregate.  Ratio
+    rules compare cross-multiplied integers, so both engines decide
+    every boundary case identically (no float thresholds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", tokens("text").alias("tk"))
+    feat = t.select(
+        "doc_id",
+        "source",
+        *[F.expr(e).alias(k) for k, e in _gopher_exprs("spark").items()],
+    )
+    flags = feat.select(
+        "source",
+        *[
+            F.when(F.expr(p), 1).otherwise(0).alias(k)
+            for k, p in _gopher_rules().items()
+        ],
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        *[F.sum(k).cast("bigint").alias(f"n_{k}") for k in _gopher_rules()],
+        F.sum(
+            F.col("r_nwords") * F.col("r_meanlen") * F.col("r_stop") * F.col("r_alpha")
+        )
+        .cast("bigint")
+        .alias("n_pass_all"),
+    )
+
+
+@query(
+    "dedup_span_rewrite",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    t AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+          FROM t0, unnest(range(1, len(tk) + 1)) AS u(i)),
+    sp AS (SELECT doc_id, i - 1 AS pos,
+                  md5(array_to_string(list_slice(tk, i, i + {_SPAN - 1}), ' ')) AS h
+           FROM t0, unnest(range(1, len(tk) - {_SPAN - 2})) AS u(i)),
+    dup AS (SELECT h, MIN(doc_id) AS keeper FROM sp
+            GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    drops AS (SELECT DISTINCT sp.doc_id, sp.pos + u.k AS dpos
+              FROM sp JOIN dup ON sp.h = dup.h AND sp.doc_id <> dup.keeper
+              CROSS JOIN unnest(range(0, {_SPAN})) AS u(k)),
+    kept AS (SELECT t.doc_id, t.pos, t.tok
+             FROM t LEFT JOIN drops
+               ON t.doc_id = drops.doc_id AND t.pos = drops.dpos
+             WHERE drops.doc_id IS NULL),
+    ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+                  md5(array_to_string(list(tok ORDER BY pos), ' ')) AS new_md5
+           FROM kept GROUP BY doc_id)
+    SELECT t0.doc_id, CAST(len(tk) AS BIGINT) AS n_before,
+           CAST(COALESCE(ka.n_after, 0) AS BIGINT) AS n_after,
+           CAST(len(tk) - COALESCE(ka.n_after, 0) AS BIGINT) AS n_dropped,
+           COALESCE(ka.new_md5, md5('')) AS new_md5
+    FROM t0 LEFT JOIN ka ON t0.doc_id = ka.doc_id
+    """,
+)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with document REWRITE (the step after
+    ``dedup_ngram_spans``'s audit): any {_SPAN}-token span appearing
+    verbatim in ≥2 documents keeps only the copy in the lowest doc_id;
+    every other document drops the tokens that span covers, and the
+    survivors are reassembled in order.  This is the Lee et al.
+    'deduplicate exact substrings then splice' recipe with the span
+    posting list standing in for the suffix array.
+
+    Shuffle inventory: span hashes group on md5 (16 bytes/row), drop
+    positions are (doc_id, int) pairs, and reassembly groups by doc_id
+    — the document body crosses the wire once, as tokens of bounded
+    per-doc size.  Output carries md5(new_text), so result width stays
+    constant regardless of doc length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.col("tok")
+    for k in range(1, _SPAN):
+        gram = F.concat(gram, F.lit(" "), F.lead("tok", k).over(w))
+    sp = toks.select("doc_id", "pos", F.md5(gram).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+    dup = (
+        sp.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "keeper")
+    )
+    drops = (
+        sp.join(dup, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(_SPAN - 1))).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+    )
+    kept = toks.join(drops, ["doc_id", "pos"], "left_anti")
+    ka = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_after"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("new_md5"),
+    )
+    base = docs.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_before")
+    )
+    return base.join(ka, "doc_id", "left").select(
+        "doc_id",
+        "n_before",
+        F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+        (F.col("n_before") - F.coalesce(F.col("n_after"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce(F.col("new_md5"), F.md5(F.lit(""))).alias("new_md5"),
+    )

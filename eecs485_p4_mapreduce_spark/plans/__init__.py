@@ -9,6 +9,7 @@ from eecs485_p4_mapreduce_spark.plans.registry import REGISTRY, QuerySpec, query
 # Import for side effect: each operators module registers its queries.
 from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     analytics,
+    corpus,
     dedup,
     graph,
     joins,
