@@ -121,6 +121,13 @@ BENCH_QUERIES = [
     "token_bpe_train_3merges",
     "hof_array_fns",
     "url_fns",
+    "chunk_sliding_windows",
+    "chunk_content_defined",
+    "quality_gopher_rules",
+    "dedup_span_rewrite",
+    "knn_hard_negatives",
+    "embedding_matryoshka_topk",
+    "rollup_multires_events",
 ]
 
 

@@ -742,3 +742,150 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.col("exact")[i], 6).alias(f"p{int(q * 100)}_exact") for i, q in enumerate(qs)],
         bound.alias("within_bound"),
     )
+
+
+_HN_K = 3  # hard negatives per query
+_MAT_DIM = 16  # matryoshka prefix dims (of 64)
+_MAT_K1 = 25  # stage-1 candidate pool per query
+
+
+@query(
+    "knn_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < {_NQ}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+             list_inner_product(q.qv, e.v)
+               / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(e.v, e.v)))
+               AS cos_raw
+      FROM q JOIN e ON e.label <> q.qlabel),
+    ranked AS (
+      SELECT query_id, neighbor_id, neg_label, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rk
+      FROM scored)
+    SELECT query_id, neighbor_id, neg_label, round(cos_raw, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {_HN_K}
+    """,
+)
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training: for
+    each query vector, the top-{_HN_K} most-similar vectors whose LABEL
+    differs — the near-misses a contrastive loss learns the most from.
+
+    Same broadcast + partitioned-top-k shape as ``knn_cosine``; the
+    label inequality rides the join condition, so the scan side is
+    filtered before any scoring.  At 100 TB this is knn over the
+    label-pruned candidate stream (in practice run after ANN recall,
+    see ``ann_lsh_hyperplane``)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+        )
+    )
+    scored = (
+        q.join(e, F.col("label") != F.col("qlabel"))
+        .withColumn("cos_raw", F.expr(_cos_expr("qv", "v")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            "cos_raw",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.round("cos_raw", 6).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+@query(
+    "embedding_matryoshka_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST(list_slice(embedding, 1, {_MAT_DIM}) AS DOUBLE[]) AS vp
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, vp AS qp FROM e WHERE vec_id < {_NQ}),
+    pre AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, q.qv, e.v,
+             list_inner_product(q.qp, e.vp)
+               / (sqrt(list_inner_product(q.qp, q.qp)) * sqrt(list_inner_product(e.vp, e.vp)))
+               AS cos_pre
+      FROM q JOIN e ON e.vec_id <> q.query_id),
+    cand AS (
+      SELECT query_id, neighbor_id, qv, v,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_pre DESC, neighbor_id) AS rk1
+      FROM pre),
+    full_r AS (
+      SELECT query_id, neighbor_id,
+             list_inner_product(qv, v)
+               / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v)))
+               AS cos_raw
+      FROM cand WHERE rk1 <= {_MAT_K1}),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id) AS rk
+      FROM full_r)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka cascade search: rank ALL candidates on the cheap
+    {_MAT_DIM}-dim embedding prefix (MRL-style truncation — 4x less
+    arithmetic and memory traffic per candidate), keep the top
+    {_MAT_K1} per query, then rerank only those on the full 64 dims.
+
+    The scale shape: stage 1 is where 100 TB of vectors get scanned, so
+    it reads a {_MAT_DIM}-dim slice (with column pruning this is a
+    narrower scan + 4x fewer FLOPs); stage 2's exact rerank touches
+    {_MAT_K1} rows per query.  Both stages shuffle only (query_id,
+    neighbor_id, score) triples."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.expr(f"cast(slice(embedding, 1, {_MAT_DIM}) as array<double>)").alias("vp"),
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vp").alias("qp"),
+        )
+    )
+    pre = (
+        q.join(e, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_pre", F.expr(_cos_expr("qp", "vp")))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v", "cos_pre"
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("cos_pre"), F.asc("neighbor_id"))
+    cand = pre.withColumn("rk1", F.row_number().over(w1)).filter(
+        F.col("rk1") <= _MAT_K1
+    )
+    full_r = cand.withColumn("cos_raw", F.expr(_cos_expr("qv", "v"))).select(
+        "query_id", "neighbor_id", "cos_raw"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        full_r.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _TOPK)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )

@@ -219,6 +219,8 @@ _ALLOWED_NESTED_LOOP = {
     "join_cross_regions",  # the explicit CROSS JOIN query itself
     "knn_cosine",
     "knn_cosine_pandas",
+    "knn_hard_negatives",  # brute-force over the label-pruned broadcast, like knn_cosine
+    "embedding_matryoshka_topk",  # stage-1 brute-force prefix scan (the deliberate baseline)
     "knn_ivf_trained",  # deliberate: every vector scores all K=8 broadcast centroids
     "dedup_semdedup_clusters",  # same broadcast-centroid assignment as knn_ivf_trained
     "resample_gapfill_1h",
@@ -365,3 +367,40 @@ def test_cluster_by_plans_exchange_plus_local_sort(spark, sf_dir):
     )
     assert re.search(r"hashpartitioning\(o_custkey", distributed)
     assert not re.search(r"\(\d+\) Sort", distributed)
+
+
+def test_sliding_chunks_plan_has_no_exchange(spark, sf_dir):
+    """chunk_sliding_windows is pure per-document generate+project: any
+    Exchange in its plan means chunking started shuffling document
+    bodies, which cannot scale."""
+    plan = explain(spark, sf_dir, "chunk_sliding_windows")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan and "explode(sequence" in plan
+
+
+def test_cdc_chunks_single_doc_shuffle(spark, sf_dir):
+    """chunk_content_defined needs doc-ordered windows + a per-doc group:
+    everything must ride ONE hashpartitioning(doc_id) exchange (windows
+    and groupBy share the key), never a second text shuffle."""
+    plan = explain(spark, sf_dir, "chunk_content_defined")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"expected 1 exchange, got {n_exchanges}:\n{plan}"
+
+
+def test_multires_rollup_single_scan_expand(spark, sf_dir):
+    """rollup_multires_events builds hourly+daily aggregates from ONE
+    events scan via Expand; a second Scan parquet of events means the
+    grouping-sets plan regressed to a per-resolution rescan."""
+    plan = explain(spark, sf_dir, "rollup_multires_events")
+    # formatted explain lists each node twice (tree + detail section)
+    assert len(re.findall(r"Scan parquet", plan)) == 2, plan
+    assert "Expand" in plan
+
+
+def test_span_rewrite_joins_are_equi(spark, sf_dir):
+    """dedup_span_rewrite's three joins (span-hash mark, position drop,
+    doc reassembly) must all be hash-keyed: a nested loop anywhere means
+    the posting-list recipe degraded to all-pairs."""
+    plan = explain(spark, sf_dir, "dedup_span_rewrite")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
