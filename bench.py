@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "knn_hard_negatives",
     "embedding_matryoshka_topk",
     "rollup_multires_events",
+    "ann_pq_adc",
+    "pattern_funnel_sessions",
+    "stats_winsorize_events",
 ]
 
 

@@ -142,3 +142,85 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t_view") < F.col("t_click"))
         & (F.col("t_click") < F.col("t_purchase"))
     )
+
+
+@query(
+    "pattern_funnel_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS c,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, event_id, c,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    seqs AS (
+      SELECT user_id, session_id,
+             array_to_string(list(c ORDER BY ts, event_id), '') AS seq,
+             COUNT(*) AS n_ev
+      FROM sessions GROUP BY user_id, session_id)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events
+    FROM seqs GROUP BY user_id
+    """,
+)
+def pattern_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    Flink-CEP shape, lowered to windows + regex): sessionize each user's
+    event stream on a 30-minute inactivity gap, render every session as
+    its ordered event-initial string, and count sessions matching the
+    ordered pattern view -> click -> purchase ('v.*c.*p').
+
+    Unlike ``funnel_view_click_purchase`` (lifetime conditional-MIN),
+    the pattern here must occur INSIDE one session, which needs the
+    sequence string.  All three windows and the two aggregations share
+    the user_id hash partitioning, so the event stream shuffles once;
+    the regex runs on ~session-length strings, bounded by the session
+    gap at any corpus size."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(lag_ts) > 1800000000)
+            | lag_ts.isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    seqs = sessions.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+                lambda x: x["c"],
+            ),
+            "",
+        ).alias("seq"),
+        F.count("*").alias("n_ev"),
+    )
+    return seqs.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("seq").rlike("v.*c.*p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )

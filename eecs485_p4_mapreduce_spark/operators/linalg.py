@@ -270,3 +270,225 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _IVF_TOPK)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_SUB = _D // _PQ_M   # dims per subspace (16)
+_PQ_K = 4        # codewords per subspace codebook
+_PQ_ROUNDS = 1   # Lloyd update rounds per subspace codebook
+_PQ_NQ = 10      # query vectors (matches knn_cosine)
+_PQ_K1 = 25      # ADC candidate pool per query
+_PQ_TOPK = 5
+
+_PQ_DIST = (
+    "-2 * aggregate(zip_with(sv, cv, (x, y) -> x * y), cast(0.0 as double),"
+    " (acc, x) -> acc + x)"
+    " + aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _pq_subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): split each vector into _PQ_M contiguous
+    _PQ_SUB-dim subvectors, exploded so one training/encode plan covers
+    every subspace at once."""
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), m ->"
+                f" struct(m AS m, slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB}) AS sv))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _pq_assign(sub: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace); ties on k."""
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+    return (
+        sub.join(F.broadcast(cdf), "m")
+        .withColumn("dist", F.expr(_PQ_DIST))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "sv", "k")
+    )
+
+
+def _pq_codebook(spark: SparkSession, sub: DataFrame) -> DataFrame:
+    """Train the per-subspace codebooks: deterministic init (codeword k =
+    vec_id k's subvector), then _PQ_ROUNDS Lloyd updates with
+    decimal-exact component means.  Only the M x K x SUB codebook (256
+    doubles) reaches the driver between rounds."""
+    init = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cv")
+    )
+    cb = [(int(r["m"]), int(r["k"]), list(r["cv"])) for r in init.collect()]
+    for _ in range(_PQ_ROUNDS):
+        cdf = spark.createDataFrame(cb, "m bigint, k bigint, cv array<double>")
+        assigned = _pq_assign(sub, cdf)
+        means = (
+            assigned.select("m", "k", F.posexplode("sv").alias("d0", "x"))
+            .groupBy("m", "k", (F.col("d0") + 1).alias("d"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .collect()
+        )
+        by: dict[tuple, list] = {}
+        for r in means:
+            by.setdefault((int(r["m"]), int(r["k"])), []).append((r["d"], r["c"]))
+        cb = [(m, k, [c for _, c in sorted(vals)]) for (m, k), vals in sorted(by.items())]
+    return spark.createDataFrame(cb, "m bigint, k bigint, cv array<double>")
+
+
+def _pq_oracle() -> str:
+    """Unrolled PQ pipeline: subspace split -> 1 Lloyd round per
+    codebook -> encode -> ADC lookup-table scan -> exact rerank."""
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sub AS MATERIALIZED (
+      SELECT vec_id, m, list_slice(v, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB}) AS sv
+      FROM e, unnest(range(0, {_PQ_M})) AS t(m)),
+    c0 AS (SELECT m, vec_id AS k, sv AS cv FROM sub WHERE vec_id < {_PQ_K}),
+    d1 AS (SELECT s.vec_id, s.m, c.k,
+                  -2 * list_inner_product(s.sv, c.cv)
+                    + list_inner_product(c.cv, c.cv) AS dist
+           FROM sub s JOIN c0 c ON c.m = s.m),
+    a1 AS (SELECT vec_id, m, k FROM (
+             SELECT vec_id, m, k,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                       ORDER BY dist, k) AS rk
+             FROM d1) WHERE rk = 1),
+    sube AS (SELECT vec_id, m, d, sv[d] AS x
+             FROM sub, unnest(range(1, {_PQ_SUB} + 1)) AS u(d)),
+    m1 AS (SELECT a.m, a.k, se.d,
+                  CAST(SUM(CAST(se.x AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*) AS c
+           FROM sube se JOIN a1 a ON a.vec_id = se.vec_id AND a.m = se.m
+           GROUP BY a.m, a.k, se.d),
+    c1 AS (SELECT m, k, list(c ORDER BY d) AS cv FROM m1 GROUP BY m, k),
+    denc AS (SELECT s.vec_id, s.m, c.k,
+                    -2 * list_inner_product(s.sv, c.cv)
+                      + list_inner_product(c.cv, c.cv) AS dist
+             FROM sub s JOIN c1 c ON c.m = s.m),
+    enc AS (SELECT vec_id, m, k FROM (
+              SELECT vec_id, m, k,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                        ORDER BY dist, k) AS rk
+              FROM denc) WHERE rk = 1),
+    lut AS (SELECT s.vec_id AS query_id, s.m, c.k,
+                   list_inner_product(s.sv, s.sv)
+                     - 2 * list_inner_product(s.sv, c.cv)
+                     + list_inner_product(c.cv, c.cv) AS pd
+            FROM sub s JOIN c1 c ON c.m = s.m
+            WHERE s.vec_id < {_PQ_NQ}),
+    adc AS (SELECT l.query_id, enc.vec_id,
+                   CAST(SUM(CAST(l.pd AS DECIMAL(30,15))) AS DOUBLE) AS adc_dist
+            FROM enc JOIN lut l ON l.m = enc.m AND l.k = enc.k
+            WHERE enc.vec_id <> l.query_id
+            GROUP BY l.query_id, enc.vec_id),
+    cand AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, vec_id) AS rk1
+               FROM adc) WHERE rk1 <= {_PQ_K1}),
+    rr AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+                  list_inner_product(q.v, e.v)
+                    / (sqrt(list_inner_product(q.v, q.v))
+                       * sqrt(list_inner_product(e.v, e.v))) AS cos_raw
+           FROM cand c JOIN e ON e.vec_id = c.vec_id
+           JOIN e q ON q.vec_id = c.query_id),
+    ranked AS (SELECT query_id, neighbor_id, cos_raw,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos_raw DESC, neighbor_id) AS rk
+               FROM rr)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, rk
+    FROM ranked WHERE rk <= {_PQ_TOPK}
+    """
+
+
+@query("ann_pq_adc", oracle=_pq_oracle())
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization search with asymmetric distance computation —
+    the fourth ANN tier after brute-force / IVF / LSH: train {_PQ_M}
+    per-subspace codebooks ({_PQ_K} codewords each, Lloyd's from a
+    deterministic init), encode every vector as {_PQ_M} small codes,
+    then answer queries by summing a broadcast per-query lookup table
+    over the codes and exact-reranking the top {_PQ_K1} candidates.
+
+    The scale shape PQ exists for: the ADC stage scans CODES (a few
+    bytes/vector instead of 64 doubles — here 4 codes = 32x compression)
+    against a {_PQ_NQ}x{_PQ_M}x{_PQ_K}-row broadcast LUT; full vectors
+    are touched only for {_PQ_K1} candidates per query.  All codebook
+    training traffic to the driver is the 256-double codebook itself.
+    The oracle unrolls training, encoding, ADC, and rerank into one
+    statement, so the trained pipeline is proven end-to-end (the
+    knn_ivf_trained precedent)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = _pq_subvectors(e)
+    cdf = _pq_codebook(spark, sub)
+    enc = _pq_assign(sub, cdf).select("vec_id", "m", "k")
+    qsub = sub.filter(F.col("vec_id") < _PQ_NQ)
+    lut = (
+        qsub.join(F.broadcast(cdf), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "k",
+            F.expr(
+                "aggregate(zip_with(sv, sv, (x, y) -> x * y), cast(0.0 as double),"
+                " (acc, x) -> acc + x)"
+                " - 2 * aggregate(zip_with(sv, cv, (x, y) -> x * y), cast(0.0 as double),"
+                " (acc, x) -> acc + x)"
+                " + aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
+                " (acc, x) -> acc + x)"
+            ).alias("pd"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("pd").cast("decimal(30,15)")).cast("double").alias("adc_dist"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    cand = (
+        adc.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= _PQ_K1)
+        .select("query_id", "vec_id")
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _PQ_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    cos = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x))"
+        " * sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)))"
+    )
+    rr = (
+        cand.join(e, "vec_id")
+        .join(q, "query_id")
+        .withColumn("cos_raw", cos)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        rr.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rk")
+    )

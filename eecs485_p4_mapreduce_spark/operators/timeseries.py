@@ -145,3 +145,75 @@ def stats_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("std") > 0) & (F.abs(z) >= 2.5))
         .select("event_id", "event_type", "value", F.round(z, 3).alias("z"))
     )
+
+
+@query(
+    "stats_winsorize_events",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    bounds AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN rk = CAST(ceil(n * 0.01) AS BIGINT)
+                      THEN value END) AS p01,
+             MIN(CASE WHEN rk = CAST(ceil(n * 0.99) AS BIGINT)
+                      THEN value END) AS p99
+      FROM ranked GROUP BY event_type)
+    SELECT e.event_type, CAST(b.n AS BIGINT) AS n, b.p01, b.p99,
+           CAST(SUM(CAST(least(greatest(e.value, b.p01), b.p99)
+                AS DECIMAL(18,6))) AS DOUBLE) AS total_winsorized
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY e.event_type, b.n, b.p01, b.p99
+    """,
+)
+def stats_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped) aggregation: clamp each event's value to its
+    event_type's [p1, p99] before summing — the robust-statistics guard
+    a metrics pipeline applies before outlier-sensitive rollups.
+
+    Percentiles are NEAREST-RANK (the value at row_number ceil(q*n)),
+    not interpolated: rank selection picks an actual stored double, so
+    both engines clip against bit-identical bounds — no interpolation
+    formula to drift in the last ulp.  Plan: one window pass to rank
+    values per type, a 5-row bounds table broadcast back onto the event
+    scan, and a decimal-exact clipped sum."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") * 0.01).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p01"),
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") * 0.99).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("p99"),
+    )
+    clipped = e.join(F.broadcast(bounds), "event_type").withColumn(
+        "cv", F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    )
+    return clipped.groupBy("event_type", "n", "p01", "p99").agg(
+        F.sum(F.col("cv").cast("decimal(18,6)")).cast("double").alias("total_winsorized")
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "p01",
+        "p99",
+        "total_winsorized",
+    )

@@ -404,3 +404,22 @@ def test_span_rewrite_joins_are_equi(spark, sf_dir):
     plan = explain(spark, sf_dir, "dedup_span_rewrite")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pattern_sessions_single_user_shuffle(spark, sf_dir):
+    """pattern_funnel_sessions' three windows and two aggregations all
+    key on user_id: the event stream must cross the wire exactly once
+    (one hashpartitioning(user_id) exchange; AQE may add coalesce-only
+    reads but never a second key shuffle)."""
+    plan = explain(spark, sf_dir, "pattern_funnel_sessions")
+    keys = set(re.findall(r"hashpartitioning\((\w+)#", plan))
+    assert keys == {"user_id"}, f"unexpected shuffle keys {keys}:\n{plan}"
+
+
+def test_winsorize_bounds_broadcast_back(spark, sf_dir):
+    """stats_winsorize_events' 5-row bounds table must broadcast onto the
+    events scan (the stats_zscore_outliers shape) -- a sort-merge join
+    would shuffle the full fact table a second time."""
+    plan = explain(spark, sf_dir, "stats_winsorize_events")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
