@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "ann_pq_adc",
     "pattern_funnel_sessions",
     "stats_winsorize_events",
+    "streaming_join_left_outer",
+    "graph_triangle_count",
 ]
 
 

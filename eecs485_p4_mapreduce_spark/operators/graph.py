@@ -116,3 +116,81 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             # blow up analysis/codegen time by iteration ~15 otherwise
             ranks = ranks.localCheckpoint()
     return ranks.select(F.col("node").alias("event_type"), F.round("rank", 6).alias("pagerank"))
+
+
+def _triangle_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.dedup import _MINHASH_BANDED_DUCK
+
+    return f"""{_MINHASH_BANDED_DUCK},
+    e AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    tri AS (SELECT ab.da AS a, ab.db AS b, bc.db AS c
+            FROM e ab
+            JOIN e bc ON bc.da = ab.db
+            JOIN e ac ON ac.da = ab.da AND ac.db = bc.db),
+    tn AS (SELECT unnest(list_value(a, b, c)) AS doc_id FROM tri),
+    tc AS (SELECT doc_id, COUNT(*) AS n_triangles FROM tn GROUP BY doc_id),
+    deg AS (SELECT doc_id, COUNT(*) AS degree FROM
+            (SELECT da AS doc_id FROM e UNION ALL SELECT db AS doc_id FROM e)
+            GROUP BY doc_id)
+    SELECT tc.doc_id, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(tc.n_triangles AS BIGINT) AS n_triangles
+    FROM tc JOIN deg ON deg.doc_id = tc.doc_id
+    """
+
+
+@query("graph_triangle_count", oracle=_triangle_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the MinHash-LSH candidate graph: nodes are
+    documents, edges are band-collision candidate pairs (the same edge
+    set dedup_minhash_lsh emits), and a triangle means three documents
+    that are all pairwise near-dup candidates — the density signal that
+    separates a tight duplicate cluster from a chain of borderline
+    pairs.
+
+    The classic distributed formulation: orient every edge low-id ->
+    high-id (kills 6x double counting AND caps the join fan-out by
+    out-degree), then two hash equi-joins close the wedges.  All
+    shuffles key on doc ids; at 100 TB one adds degree-ordered
+    orientation so hub nodes don't own every wedge — noted here, not
+    needed at candidate-graph densities, where LSH banding already
+    bounds per-bucket degree."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import _minhash_banded
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, sig = _minhash_banded(docs)
+    left = sig.select("doc_id", "b", "band_hash")
+    edges = (
+        left.alias("x")
+        .join(left.alias("y"), ["b", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+        )
+        .distinct()
+        .localCheckpoint()  # three self-references below; stop recompute
+    )
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    tri = (
+        ab.join(bc, F.col("bc.da") == F.col("ab.db"))
+        .join(
+            ac,
+            (F.col("ac.da") == F.col("ab.da")) & (F.col("ac.db") == F.col("bc.db")),
+        )
+        .select(
+            F.col("ab.da").alias("a"), F.col("ab.db").alias("b"), F.col("bc.db").alias("c")
+        )
+    )
+    tc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("da").alias("doc_id"))
+        .unionAll(edges.select(F.col("db").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return tc.join(deg, "doc_id").select("doc_id", "degree", "n_triangles")

@@ -809,3 +809,72 @@ def streaming_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("window_start", "event_type", "n", "rank")
     )
+
+
+@query(
+    "streaming_join_left_outer",
+    oracle="""
+    WITH mx AS (SELECT least(
+             max(CASE WHEN event_type = 'click' THEN ts END),
+             max(CASE WHEN event_type = 'purchase' THEN ts END))
+             - INTERVAL 2 HOUR AS wm
+           FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    m AS (SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts, c.click_ts
+          FROM p JOIN c ON p.user_id = c.c_user
+           AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+           AND c.click_ts < p.purchase_ts)
+    SELECT purchase_id, click_id, user_id, purchase_ts, click_ts FROM m
+    UNION ALL
+    SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id,
+           p.purchase_ts, CAST(NULL AS TIMESTAMP) AS click_ts
+    FROM p, mx
+    WHERE p.purchase_ts < mx.wm
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+    """,
+)
+def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics inner joins cannot
+    give: purchases with no qualifying click still emit, but only after
+    the click-side watermark proves no match can arrive (the null row is
+    a STATEMENT about the past, so it must wait for the watermark).
+
+    The oracle encodes the emit contract exactly: matched rows are the
+    batch interval join; null-extended rows appear ONLY for purchases
+    whose timestamp fell below the final global watermark
+    (min(max click_ts, max purchase_ts) - 2h) — purchases younger than
+    the watermark are still open state when the bounded input ends and
+    are correctly NOT emitted.  Spark's final no-data microbatch under
+    availableNow performs that eviction; the driver check therefore
+    proves the eviction semantics, not just the join."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    return run_to_completion(joined, mode="append")
