@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "stats_winsorize_events",
     "streaming_join_left_outer",
     "graph_triangle_count",
+    "cohort_retention_weekly",
+    "rfm_segmentation",
+    "quality_token_entropy",
 ]
 
 

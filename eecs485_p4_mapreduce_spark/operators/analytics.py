@@ -15,7 +15,7 @@ order-insensitive reduction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.numeric import dsum, dsum_sql
@@ -223,4 +223,113 @@ def pattern_funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_matched"),
         F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN firstw f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — THE product-analytics staple: assign
+    each user to the week of their first event, then count how many of
+    each cohort are active 0, 1, 2... weeks later (the retention
+    triangle).
+
+    Two aggregates over one events scan path (first-week per user,
+    distinct user-weeks) joined on user_id; both week values are
+    date_trunc'd so the day difference is an exact multiple of 7 and
+    the integer division is identical in both engines.  At 100 TB the
+    cohort table is a per-user aggregate one materializes once and
+    joins incrementally."""
+    e = load_table(spark, sf_dir, "events")
+    firstw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    return (
+        activity.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(w, cohort_week) div 7").cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             {dsum_sql('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, monetary,
+             ntile(4) OVER (ORDER BY last_order, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY freq, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM base)
+    SELECT concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR))
+             AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {dsum_sql('monetary')} AS total_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    quartile-score each customer on last order date, order count, and
+    decimal-exact spend, then roll up the 64 possible 'RFM' segments.
+
+    ntile ties are broken by custkey in BOTH engines, so quartile
+    boundaries are deterministic.  The three global ntile sorts run over
+    the per-customer AGGREGATE (one row per customer), not the order
+    table — the distinction that keeps this viable when orders is the
+    100 TB side.  (A truly global sort is still a single-partition
+    window at extreme customer counts; production would range-partition
+    by the sort key first, the ids_contiguous_assign recipe.)"""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    scored = base.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.col("r").cast("string"),
+                F.col("f").cast("string"),
+                F.col("m").cast("string"),
+            ).alias("segment"),
+            "monetary",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            dsum("monetary").alias("total_monetary"),
+        )
     )

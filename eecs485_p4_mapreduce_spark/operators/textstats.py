@@ -767,3 +767,51 @@ def token_bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
+
+
+@query(
+    "quality_token_entropy",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    ex AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tk),
+    cnt AS (SELECT doc_id, MAX(n) AS n, tok, COUNT(*) AS c
+            FROM ex GROUP BY doc_id, tok),
+    contrib AS (
+      SELECT doc_id, n,
+             round(-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n), 4) AS h
+      FROM cnt)
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    repetition/diversity quality signal (low entropy = templated or
+    looping text, a standard pretraining filter axis alongside
+    ``quality_repetition``'s top-token share).
+
+    One explode + one (doc_id, tok) aggregate; per-term contributions
+    -(c/n)log2(c/n) are rounded to 4 places before the decimal-exact sum
+    (the quality_bigram_surprisal ulp rationale), so the per-doc entropy
+    is bitwise stable across engines and partial-agg orders."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks"))
+    ex = tk.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok")
+    )
+    cnt = ex.groupBy("doc_id", "tok").agg(
+        F.max("n").alias("n"), F.count("*").alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    contrib = cnt.select(
+        "doc_id", "n", F.round(-p * F.log2(p), 4).alias("h")
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.round(
+            F.sum(F.col("h").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("entropy"),
+    )
