@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "cohort_retention_weekly",
     "rfm_segmentation",
     "quality_token_entropy",
+    "streaming_join_full_outer",
+    "search_phrase_positions",
+    "search_tfidf_rank",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Search-engine retrieval operators over the documents corpus.
+
+The reference framework exists to build a search engine's inverted index
+(its course's companion project); these queries close the loop by
+actually SERVING retrieval from that index shape, declaratively:
+
+- ``search_phrase_positions``  positional-index phrase match: build the
+  (term, doc, position) posting relation and intersect adjacent
+  positions — the standard phrase-query plan.
+- ``search_tfidf_rank``        ranked retrieval: score documents against
+  a term query by tf x idf and return the global top-k.
+
+Both stay JVM-side end to end.  The query terms are pushed into the
+scan-side filter BEFORE any aggregation, so the posting construction
+only materializes the terms the query touches — at 100 TB the posting
+relation for 3 terms is tiny regardless of corpus size (and in a
+serving system it is the stored index this plan reads instead of
+building).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+_PHRASE = ("fast", "table")        # adjacent-pair phrase query
+_QTERMS = ("fast", "table", "scan")  # ranked-retrieval query bag
+_TOPK = 10
+
+
+@query(
+    "search_phrase_positions",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    post AS (SELECT doc_id, i - 1 AS pos, tk[i] AS term
+             FROM t0, unnest(range(1, len(tk) + 1)) AS u(i)
+             WHERE tk[i] IN ('{_PHRASE[0]}', '{_PHRASE[1]}')),
+    hits AS (SELECT a.doc_id, a.pos
+             FROM post a JOIN post b
+               ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             WHERE a.term = '{_PHRASE[0]}' AND b.term = '{_PHRASE[1]}')
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+)
+def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query '{' '.join(_PHRASE)}' via positional-index
+    intersection: postings (doc, position) for each phrase term,
+    adjacent positions joined on (doc_id, pos+1) — the classic
+    phrase-search plan over the inverted index the reference's MapReduce
+    jobs were built to produce.
+
+    The term filter sits INSIDE the posting generation, so only the two
+    queried terms' postings exist anywhere in the plan; the intersection
+    is a hash equi-join on (doc_id, pos).  Serving note: a real engine
+    reads these postings from the stored index instead of re-deriving
+    them — the join shape is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+        .filter(F.col("term").isin(*_PHRASE))
+    )
+    a = post.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    b = post.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    hits = a.join(b, ["doc_id", "pos"])
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_hits"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
+
+
+@query(
+    "search_tfidf_rank",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents),
+    qt AS (SELECT doc_id, term FROM tk
+           WHERE term IN ({', '.join(f"'{t}'" for t in _QTERMS)})),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id,
+             COUNT(*) AS n_terms_matched,
+             round(CAST(SUM(CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4)
+                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      GROUP BY tf.doc_id),
+    ranked AS (
+      SELECT doc_id, n_terms_matched, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM scored)
+    SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+           score, rk
+    FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval for the query bag {_QTERMS}: per-document
+    sum of tf x idf over matched terms, global top-{_TOPK}.
+
+    Per-term contributions are quantized at 1e-4 before the
+    decimal-exact document sum (the quality_bigram_surprisal ulp
+    rationale), so the ORDER BY on the rounded score ties out
+    bit-identically across engines, with doc_id as the total-order
+    tie-break.  The query-term filter precedes every aggregate, so tf
+    and df are built from 3 terms' postings, not the corpus vocabulary;
+    the final top-k is a single tiny sort over matched docs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    qt = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*_QTERMS))
+    )
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = qt.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .withColumn(
+            "contrib",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("doc_id", "n_terms_matched", "score", "rk")
+    )

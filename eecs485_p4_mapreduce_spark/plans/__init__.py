@@ -24,6 +24,7 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     relational6,
     relational7,
     sampling,
+    search,
     semdedup,
     similarity,
     sourcesink,

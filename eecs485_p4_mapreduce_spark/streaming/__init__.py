@@ -878,3 +878,83 @@ def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
     return run_to_completion(joined, mode="append")
+
+
+@query(
+    "streaming_join_full_outer",
+    oracle="""
+    WITH mx AS (SELECT least(
+             max(CASE WHEN event_type = 'click' THEN ts END),
+             max(CASE WHEN event_type = 'purchase' THEN ts END))
+             - INTERVAL 2 HOUR AS wm
+           FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+          FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    m AS (SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts, c.click_ts
+          FROM p JOIN c ON p.user_id = c.c_user
+           AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+           AND c.click_ts < p.purchase_ts)
+    SELECT purchase_id, click_id, user_id, purchase_ts, click_ts FROM m
+    UNION ALL
+    SELECT p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.user_id,
+           p.purchase_ts, CAST(NULL AS TIMESTAMP) AS click_ts
+    FROM p, mx
+    WHERE p.purchase_ts < mx.wm
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS purchase_id, c.click_id, c.c_user AS user_id,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts, c.click_ts
+    FROM c, mx
+    WHERE c.click_ts + INTERVAL 1 HOUR < mx.wm
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+    """,
+)
+def streaming_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join: BOTH sides emit null-extended rows,
+    each gated by its own eviction point — asymmetric because the time
+    condition is asymmetric.  A purchase closes when the watermark
+    passes purchase_ts (no earlier click can still arrive); a click
+    stays joinable until purchases 1h LATER are impossible, so its null
+    row waits for watermark > click_ts + 1h.  The oracle encodes both
+    cutoffs, proving per-side state-eviction timing, not just join
+    correctness."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") < F.col("purchase_ts")),
+            "fullOuter",
+        )
+        # the join's user_id is null on click-only rows; surface one key
+        .select(
+            "purchase_id",
+            "click_id",
+            F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+            "purchase_ts",
+            "click_ts",
+        )
+    )
+    return run_to_completion(joined, mode="append")
