@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "streaming_join_full_outer",
     "search_phrase_positions",
     "search_tfidf_rank",
+    "scd2_user_state_history",
+    "stats_correlation",
 ]
 
 

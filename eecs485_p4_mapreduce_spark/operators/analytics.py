@@ -333,3 +333,123 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("monetary").alias("total_monetary"),
         )
     )
+
+
+@query(
+    "scd2_user_state_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    versioned AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changes)
+    SELECT user_id, version, event_type, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM versioned
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 construction: collapse each
+    user's event stream into state VERSIONS (one row per change of
+    event_type) with [valid_from, valid_to) validity intervals and an
+    is_current flag — the standard way a warehouse historizes a mutable
+    dimension, built here from the raw change stream in one pass.
+
+    Three window functions over the same (user_id; ts, event_id)
+    ordering — change detection (lag), versioning (row_number), and
+    interval close-out (lead) — so the whole history builds on ONE
+    user_id shuffle.  An as-of join against this table (join_asof_events'
+    rewrite) answers 'what was the user's state when X happened'."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    versioned = changes.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return versioned.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+@query(
+    "stats_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+    FROM s
+    """,
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation and sample covariance of quantity vs extended
+    price per return flag — the built-in corr()/covar_samp() semantics,
+    but accumulated EXACTLY: raw double products (bit-identical IEEE in
+    both engines) are cast to fixed-point and decimal-summed, so the
+    five moments are order-independent and the final double formula is
+    evaluated on identical inputs (the stats_moments recipe extended to
+    cross-moments).  One scan, one 3-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec6 = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    prod = lambda a, b: (F.col(a) * F.col(b)).cast("decimal(28,12)")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec6("l_quantity")).cast("double").alias("sx"),
+        F.sum(dec6("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(prod("l_quantity", "l_extendedprice")).cast("double").alias("sxy"),
+        F.sum(prod("l_quantity", "l_quantity")).cast("double").alias("sxx"),
+        F.sum(prod("l_extendedprice", "l_extendedprice")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1), 6
+        ).alias("covar_samp"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("corr"),
+    )
