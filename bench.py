@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "search_tfidf_rank",
     "scd2_user_state_history",
     "stats_correlation",
+    "search_bm25_rank",
+    "privacy_k_anonymity",
 ]
 
 

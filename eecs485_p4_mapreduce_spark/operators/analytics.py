@@ -453,3 +453,34 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+           n >= 5 AS k_anonymous
+    FROM g
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): every equivalence class with fewer than
+    k=5 members is a re-identification risk a release pipeline must
+    generalize or suppress.  One hash aggregate — the audit is the same
+    groupBy the release itself would run, so it scales with the
+    quasi-identifier cardinality, not the table."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            (F.col("n") >= 5).alias("k_anonymous"),
+        )
+    )

@@ -142,3 +142,89 @@ def search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK)
         .select("doc_id", "n_terms_matched", "score", "rk")
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "search_bm25_rank",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CAST(dl AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM dl),
+    qt AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+    qf AS (SELECT doc_id, term FROM qt
+           WHERE term IN ({', '.join(f"'{t}'" for t in _QTERMS)})),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qf GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             COUNT(*) AS n_terms_matched,
+             round(CAST(SUM(CAST(round(
+               ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl)), 4)
+               AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    ranked AS (
+      SELECT doc_id, n_terms_matched, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM scored)
+    SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+           score, rk
+    FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking for the query bag {_QTERMS} (k1={_BM25_K1},
+    b={_BM25_B}) — the production default tf-idf variant, adding
+    saturating term frequency and document-length normalization.
+
+    avgdl comes from a decimal-exact corpus aggregate (broadcast
+    scalar); per-term BM25 contributions are 1e-4-quantized before the
+    decimal document sum so the global ranking ties out bitwise (the
+    search_tfidf_rank recipe with the length-normalized formula)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks"))
+    dl = tk.select("doc_id", F.size("toks").alias("dl"))
+    srow = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.col("dl").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+            "avgdl"
+        ),
+    ).collect()[0]
+    n_docs, avgdl = srow["n_docs"], srow["avgdl"]
+    qf = tk.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*_QTERMS)
+    )
+    tf = qf.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = qf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn("contrib", F.round(idf * tfn, 4))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_matched"),
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPK)
+        .select("doc_id", "n_terms_matched", "score", "rk")
+    )
