@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "stats_correlation",
     "search_bm25_rank",
     "privacy_k_anonymity",
+    "multimodal_phash_neardup",
 ]
 
 

@@ -274,3 +274,150 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr(peak), 6).alias("peak"),
         )
     )
+
+
+# ---- perceptual-hash near-dup (aHash over the stub decode) ----------------
+
+_PH_THRESH = 12  # max Hamming distance (of 64) to report as near-dup
+
+
+def _phash_exprs(dialect: str) -> dict[str, str]:
+    """Average-hash pipeline as pure SQL per dialect: 64 deterministic
+    'pixels' from the payload digest (the stub decode), bits by the
+    integer cross-multiplied mean compare, packed into two 32-bit
+    halves + eight 8-bit band keys."""
+    from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+
+    if dialect == "spark":
+        tr, seq32, seq8, el, sz, flt = (
+            "transform",
+            "sequence(0, 31)",
+            "sequence(0, 7)",
+            "element_at",
+            "size",
+            "filter",
+        )
+        px_src = hex_int_sql("spark", "md5(concat(dig, ':', cast(i as string)))", 1)
+        pixels = f"transform(sequence(0, 63), i -> {px_src} % 256)"
+        agg = "aggregate(px, cast(0 as bigint), (a, x) -> a + x)"
+    else:
+        tr, seq32, seq8, el, sz, flt = (
+            "list_transform",
+            "range(0, 32)",
+            "range(0, 8)",
+            "list_extract",
+            "len",
+            "list_filter",
+        )
+        px_src = hex_int_sql("duckdb", "md5(concat(dig, ':', CAST(i AS VARCHAR)))", 1)
+        pixels = f"list_transform(range(0, 64), i -> {px_src} % 256)"
+        agg = "CAST(list_sum(px) AS BIGINT)"
+    return {
+        "pixels": pixels,
+        "psum": agg,
+        # bit i set iff pixel > mean  <=>  64*pixel > sum (integer-exact)
+        "bits": f"{tr}(px, p -> CASE WHEN 64 * p > s THEN 1 ELSE 0 END)",
+        "h_hi": f"{tr}({seq32}, i -> {el}(bits, i + 1) * CAST(pow(2, i) AS BIGINT))",
+        "h_lo": f"{tr}({seq32}, i -> {el}(bits, i + 33) * CAST(pow(2, i) AS BIGINT))",
+        "bands": (
+            f"{tr}({seq8}, k -> named_struct('k', k, 'bv',"
+            f" aggregate(sequence(0, 7), cast(0 as bigint),"
+            f" (a, j) -> a + element_at(bits, 8 * k + j + 1) * cast(pow(2, j) as bigint))))"
+            if dialect == "spark"
+            else f"{tr}({seq8}, k -> {{'k': k, 'bv':"
+            f" CAST(list_sum(list_transform(range(0, 8), j ->"
+            f" bits[8 * k + j + 1] * CAST(pow(2, j) AS BIGINT))) AS BIGINT)}})"
+        ),
+    }
+
+
+def _phash_oracle() -> str:
+    e = _phash_exprs("duckdb")
+    return f"""
+    WITH p0 AS (SELECT doc_id, md5(text) AS dig FROM documents),
+    p1 AS (SELECT doc_id, {e['pixels']} AS px FROM p0),
+    p2 AS (SELECT doc_id, px, {e['psum']} AS s FROM p1),
+    p3 AS (SELECT doc_id, {e['bits']} AS bits FROM p2),
+    ph AS MATERIALIZED (SELECT doc_id,
+                 CAST(list_sum({e['h_hi']}) AS BIGINT) AS h_hi,
+                 CAST(list_sum({e['h_lo']}) AS BIGINT) AS h_lo,
+                 {e['bands']} AS bands
+          FROM p3),
+    bd AS (SELECT doc_id, u.b.k AS k, u.b.bv AS bv
+           FROM ph, unnest(bands) AS u(b)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bd a JOIN bd b
+               ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(x.h_hi, y.h_hi))
+                + bit_count(xor(x.h_lo, y.h_lo)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN ph x ON x.doc_id = c.doc_a
+    JOIN ph y ON y.doc_id = c.doc_b
+    WHERE bit_count(xor(x.h_hi, y.h_hi)) + bit_count(xor(x.h_lo, y.h_lo))
+          <= {_PH_THRESH}
+    """
+
+
+@query("multimodal_phash_neardup", oracle=_phash_oracle())
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection for media assets: an
+    average-hash (aHash) fingerprint over the decoded 8x8 'pixels',
+    8-bit band keys for candidate generation (the SimHash banding
+    recipe), and a Hamming-distance verify on the 64-bit fingerprint.
+
+    The pixel stage is the STUB decode (deterministic bytes from the
+    payload digest — a real deployment swaps in the PIL/ffmpeg kernel
+    of ``_decode_frames``); everything downstream — bit packing by
+    integer cross-multiplied mean compare, banded candidate equi-join,
+    xor+bit_count verify — is the real scale pipeline: payloads never
+    shuffle, only 16-byte fingerprints and (band, value) keys do."""
+    e = _phash_exprs("spark")
+    media = with_payload(load_table(spark, sf_dir, "documents"))
+    ph = (
+        media.select("doc_id", F.md5("payload").alias("dig"))
+        .withColumn("px", F.expr(e["pixels"]))
+        .withColumn("s", F.expr(e["psum"]))
+        .withColumn("bits", F.expr(e["bits"]))
+        .select(
+            "doc_id",
+            F.expr(f"aggregate({e['h_hi']}, cast(0 as bigint), (a, x) -> a + x)").alias(
+                "h_hi"
+            ),
+            F.expr(f"aggregate({e['h_lo']}, cast(0 as bigint), (a, x) -> a + x)").alias(
+                "h_lo"
+            ),
+            F.expr(e["bands"]).alias("bands"),
+        )
+        .localCheckpoint()  # referenced by both the band join and the verify
+    )
+    bd = ph.select("doc_id", F.explode("bands").alias("b")).select(
+        "doc_id", F.col("b.k").alias("k"), F.col("b.bv").alias("bv")
+    )
+    cand = (
+        bd.alias("a")
+        .join(bd.alias("b"), ["k", "bv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = ph.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("h_hi").alias("xhi"),
+        F.col("h_lo").alias("xlo"),
+    )
+    y = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("h_hi").alias("yhi"),
+        F.col("h_lo").alias("ylo"),
+    )
+    ham = F.expr("bit_count(xhi ^ yhi) + bit_count(xlo ^ ylo)")
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= _PH_THRESH)
+        .select("doc_a", "doc_b", "hamming")
+    )
