@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "search_bm25_rank",
     "privacy_k_anonymity",
     "multimodal_phash_neardup",
+    "udaf_grouped_arrow",
+    "streaming_chained_agg_join",
 ]
 
 

@@ -246,3 +246,50 @@ def mapinarrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInArrow(norms, schema="vec_id bigint, l2_norm double, linf_norm double")
+
+
+@query(
+    "udaf_grouped_arrow",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_micros,
+           CAST(MAX(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS max_micros
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDAF via ``applyInArrow`` (Spark 4's zero-copy sibling
+    of applyInPandas): each event_type group arrives as a pyarrow.Table,
+    the aggregate is computed with Arrow compute kernels — no pandas
+    materialization at all.
+
+    Determinism: doubles are quantized to integer micro-units BEFORE the
+    in-group sum (int64 addition is order-independent, unlike float),
+    so the Python-side result matches the oracle bitwise regardless of
+    Arrow batch order.  round() ties are HALF_EVEN in numpy AND DuckDB's
+    round-on-double, and the generator emits <= 6 decimals, so the
+    quantization itself is exact.  Same 100 TB caveat as
+    udaf_grouped_pandas: a group must fit one executor."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        micros = pc.round(pc.multiply(tbl.column("value"), 1_000_000.0))
+        micros = pc.cast(micros, pa.int64())
+        return pa.table(
+            {
+                "event_type": [tbl.column("event_type")[0].as_py()],
+                "n": pa.array([tbl.num_rows], pa.int64()),
+                "total_micros": pa.array([pc.sum(micros).as_py()], pa.int64()),
+                "max_micros": pa.array([pc.max(micros).as_py()], pa.int64()),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return e.groupBy("event_type").applyInArrow(
+        stats,
+        schema="event_type string, n bigint, total_micros bigint, max_micros bigint",
+    )

@@ -958,3 +958,64 @@ def streaming_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(joined, mode="append")
+
+
+@query(
+    "streaming_chained_agg_join",
+    oracle="""
+    WITH wm AS (SELECT least(
+             max(CASE WHEN event_type = 'click' THEN ts END),
+             max(CASE WHEN event_type = 'purchase' THEN ts END))
+             - INTERVAL 2 HOUR AS w
+           FROM events),
+    ck AS (SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                  COUNT(*) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    pu AS (SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                  COUNT(*) AS n_purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT ck.user_id, ck.window_start, ck.n_clicks, pu.n_purchases
+    FROM ck JOIN pu ON pu.user_id = ck.user_id
+                   AND pu.window_start = ck.window_start
+    CROSS JOIN wm
+    WHERE ck.window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+)
+def streaming_chained_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (the multiple-
+    stateful-operator pipeline Spark 4 permits): two independent
+    windowed aggregations — hourly click counts and hourly purchase
+    counts per user — stream-stream joined on (user, window), all in
+    append mode under one pair of watermarks.
+
+    Each aggregation only emits a window once the watermark finalizes
+    it, so the downstream join operates on closed windows; the oracle
+    applies the identical cutoff (global watermark = min of the two
+    sides' max event time, minus the 2h delay) to the batch twin.  This
+    is the continuous-ETL topology — rollup then enrich — as a single
+    incremental query with bounded state at every stage."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.col("user_id"), F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.col("user_id").alias("p_user"), F.window("ts", "1 hour").alias("pw"))
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user")) & (F.col("w") == F.col("pw")),
+        "inner",
+    ).select(
+        "user_id",
+        F.col("w.start").alias("window_start"),
+        "n_clicks",
+        "n_purchases",
+    )
+    return run_to_completion(joined, mode="append")
