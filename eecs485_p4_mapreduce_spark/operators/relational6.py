@@ -230,3 +230,37 @@ def transpose_orders_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
     )
     return m.transpose()
+
+
+@query(
+    "sql_variables_orders",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_totalprice > 200000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_variables_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VARIABLE), the scripting
+    companion to parameter markers: the thresholds live in typed session
+    state and the query references them by name.  Variable references
+    fold to literals at plan time, so pushdown is identical to the
+    inlined spelling the oracle uses.  IF NOT EXISTS + SET keeps the
+    query re-runnable within one session (the registry runs every query
+    repeatedly)."""
+    from eecs485_p4_mapreduce_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE sg_min_price DOUBLE DEFAULT 200000.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE sg_status STRING DEFAULT 'F'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_totalprice > sg_min_price AND o_orderstatus = sg_status
+        GROUP BY o_orderpriority
+        """
+    )
