@@ -372,3 +372,78 @@ def map_hof_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast(0 as bigint), (a, x) -> a + x)"
         ).alias("zip_sum"),
     )
+
+
+@query(
+    "modern_sql_sugar_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           o_totalprice * 0.5 AS half,
+           o_totalprice * 0.5 + least(o_totalprice * 0.5, 1000.0) AS padded
+    FROM orders
+    WHERE o_totalprice > 400000.0
+    """,
+)
+def modern_sql_sugar_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL sugar in one statement: ``IDENTIFIER(:tbl)`` (dynamic
+    but injection-safe table reference — the identifier binds as a name,
+    never as SQL text), ``SELECT * EXCEPT (cols)`` projection-by-
+    exclusion, and LATERAL COLUMN ALIASES (``half`` referenced by the
+    very next select item).  All three fold away at analysis time: the
+    oracle is the fully desugared spelling and the plan (pushdown
+    included) is identical."""
+    from eecs485_p4_mapreduce_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_custkey, o_orderdate, o_orderpriority),
+               o_totalprice * 0.5 AS half,
+               half + least(half, 1000.0) AS padded
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > 400000.0
+        """,
+        args={"tbl": "orders"},
+    )
+
+
+@query(
+    "union_by_name_mixed",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_totalprice > 450000.0
+      UNION ALL BY NAME
+      SELECT o_orderstatus AS status, o_orderkey AS k
+      FROM orders WHERE o_totalprice < 1000.0)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(price) AS BIGINT) AS n_with_price,
+           CAST(SUM(CAST(coalesce(price, 0.0) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_price
+    FROM u GROUP BY status
+    """,
+)
+def union_by_name_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-name-aligned union of two differently-shaped projections
+    (different column ORDER, one side missing a column entirely):
+    ``unionByName(allowMissingColumns=True)`` aligns by name and
+    null-fills the gap — positional UNION would silently mis-join the
+    columns, the classic schema-drift bug this operator exists to
+    prevent.  DuckDB's UNION ALL BY NAME is the oracle twin."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 450000.0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b = o.filter(F.col("o_totalprice") < 1000.0).select(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderkey").alias("k")
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count("price").cast("bigint").alias("n_with_price"),
+        F.sum(F.coalesce(F.col("price"), F.lit(0.0)).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
