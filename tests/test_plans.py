@@ -423,3 +423,48 @@ def test_winsorize_bounds_broadcast_back(spark, sf_dir):
     plan = explain(spark, sf_dir, "stats_winsorize_events")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_phash_never_shuffles_payloads(spark, sf_dir):
+    """multimodal_phash_neardup must shuffle fingerprints and band keys
+    only — a payload (or pixel-array) column inside any Exchange means
+    media bytes are crossing the wire."""
+    plan = explain(spark, sf_dir, "multimodal_phash_neardup")
+    for m in re.finditer(r"\(\d+\) Exchange\n(?:.+\n)+?(?=\n)", plan):
+        assert "payload" not in m.group(0) and "px#" not in m.group(0), m.group(0)
+
+
+def test_pq_adc_lut_join_is_broadcast(spark, sf_dir):
+    """ann_pq_adc's ADC stage must join the per-query lookup table as a
+    broadcast onto the code scan; a shuffled or nested-loop LUT join
+    breaks the 'codes are the only big thing' contract."""
+    plan = explain(spark, sf_dir, "ann_pq_adc")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_search_scans_prune_to_doc_and_text(spark, sf_dir):
+    """Both search queries must read only (doc_id, text) from documents —
+    pulling lang/source/n_chars into a retrieval scan is wasted IO at
+    corpus scale."""
+    for name in ("search_phrase_positions", "search_tfidf_rank"):
+        plan = explain(spark, sf_dir, name)
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+            assert cols <= {"doc_id", "text"}, (name, cols)
+
+
+def test_modern_sugar_filter_still_pushes_down(spark, sf_dir):
+    """IDENTIFIER()/EXCEPT/lateral aliases must desugar BEFORE filter
+    pushdown: the price predicate has to reach the parquet scan."""
+    plan = explain(spark, sf_dir, "modern_sql_sugar_orders")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThan(o_totalprice" in m.group(1), m
+
+
+def test_cohort_first_week_broadcasts_back(spark, sf_dir):
+    """cohort_retention_weekly's per-user first-week table must broadcast
+    onto the activity stream (the zscore shape), not sort-merge."""
+    plan = explain(spark, sf_dir, "cohort_retention_weekly")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
