@@ -146,6 +146,9 @@ BENCH_QUERIES = [
     "multimodal_phash_neardup",
     "udaf_grouped_arrow",
     "streaming_chained_agg_join",
+    "cdc_compact_latest",
+    "snapshot_diff_users",
+    "embedding_dim_stats",
 ]
 
 

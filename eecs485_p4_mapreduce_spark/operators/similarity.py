@@ -889,3 +889,45 @@ def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rk")
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH el AS (
+      SELECT d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(d))
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+             AS mean,
+           round(CAST(SUM(CAST(x * x AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*)
+                 - (CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*))
+                   * (CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)), 6)
+             AS var_pop
+    FROM el GROUP BY d
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding matrix — the
+    feature-normalization statistics a training pipeline computes before
+    whitening or standardizing vectors.  posexplode to (dim, value),
+    then a 64-group decimal-exact moment aggregate (the stats_moments
+    recipe columnwise); only 64 rows of statistics leave the executors,
+    at any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x")
+    )
+    g = e.groupBy((F.col("d0") + 1).alias("d")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,15)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    return g.select(
+        "d",
+        "n",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.col("sxx") / F.col("n") - mean * mean, 6).alias("var_pop"),
+    )

@@ -217,3 +217,96 @@ def stats_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p99",
         "total_winsorized",
     )
+
+
+@query(
+    "cdc_compact_latest",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events)
+    SELECT user_id, event_type AS last_event_type, ts AS last_ts, value AS last_value
+    FROM ranked WHERE rk = 1
+    """,
+)
+def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-stream compaction: collapse the event log to the LATEST
+    row per key — the materialization step every CDC ingestion pipeline
+    runs before serving a snapshot.  One window over (user_id; ts,
+    event_id DESC) with rk=1, which Spark lowers to WindowGroupLimit
+    (per-key top-1, no full sort); ties cannot occur because event_id is
+    unique, making the snapshot deterministic under replay."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_SNAP_CUT = "2024-01-08 00:00:00"
+
+
+@query(
+    "snapshot_diff_users",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events WHERE ts < TIMESTAMP '{_SNAP_CUT}') WHERE rk = 1),
+    s2 AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events) WHERE rk = 1)
+    SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+                WHEN s1.event_type <> s2.event_type THEN 'changed'
+                ELSE 'unchanged' END AS change_kind,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+    GROUP BY 1
+    """,
+)
+def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diffing: materialize per-user state at a cutoff and at
+    head, then classify every key as added / changed / unchanged — the
+    audit a pipeline runs to answer 'what did this batch actually do'.
+    Both snapshots come from the same compaction shape as
+    ``cdc_compact_latest`` (WindowGroupLimit top-1), the diff is one
+    user-keyed outer join, and the output is the 3-row summary."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def snap(df):
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "event_type")
+        )
+
+    s1 = snap(e.filter(F.col("ts") < F.lit(_SNAP_CUT).cast("timestamp"))).select(
+        F.col("user_id"), F.col("event_type").alias("t1")
+    )
+    s2 = snap(e).select("user_id", F.col("event_type").alias("t2"))
+    kinds = s2.join(s1, "user_id", "left").select(
+        F.when(F.col("t1").isNull(), "added")
+        .when(F.col("t1") != F.col("t2"), "changed")
+        .otherwise("unchanged")
+        .alias("change_kind")
+    )
+    return kinds.groupBy("change_kind").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
