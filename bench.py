@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "cdc_compact_latest",
     "snapshot_diff_users",
     "embedding_dim_stats",
+    "dedup_prefix_filter_jaccard",
+    "mv_incremental_refresh",
 ]
 
 

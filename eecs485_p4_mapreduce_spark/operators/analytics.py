@@ -484,3 +484,59 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") >= 5).alias("k_anonymous"),
         )
     )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           MAX(o_orderdate) AS latest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the stored MV holds
+    PARTIAL aggregate state (count, exact decimal sum, max) for orders
+    before a cutoff; a delta batch aggregates only the new partition and
+    MERGES into the snapshot — count adds, decimal sums add, max takes
+    max — without rescanning the base.  The oracle is the full-table
+    aggregation, so the check proves merged-partials == full-recompute,
+    i.e. the aggregate state is genuinely mergeable (the property that
+    makes incremental refresh sound at 100 TB, where the base is never
+    rescanned).  Decimal (not double) partial sums are what make the
+    merge exact regardless of batch boundaries."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("date")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("psum"),
+            F.max("o_orderdate").alias("pmax"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff)).select(
+        "o_orderstatus",
+        F.col("pn").alias("n1"),
+        F.col("psum").alias("s1"),
+        F.col("pmax").alias("m1"),
+    )
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff)).select(
+        "o_orderstatus",
+        F.col("pn").alias("n2"),
+        F.col("psum").alias("s2"),
+        F.col("pmax").alias("m2"),
+    )
+    merged = base.join(delta, "o_orderstatus", "full_outer")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return merged.select(
+        "o_orderstatus",
+        (F.coalesce(F.col("n1"), F.lit(0)) + F.coalesce(F.col("n2"), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (F.coalesce(F.col("s1"), zero) + F.coalesce(F.col("s2"), zero))
+        .cast("double")
+        .alias("revenue"),
+        F.greatest(F.col("m1"), F.col("m2")).alias("latest_order"),
+    )

@@ -906,3 +906,104 @@ def contamination_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("shared_ngrams"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (AllPairs / PPJoin candidate rule)
+# ---------------------------------------------------------------------------
+
+_PF_NUM = 7   # Jaccard threshold t = _PF_NUM/_PF_DEN = 0.7
+_PF_DEN = 10
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH t0 AS MATERIALIZED (
+      SELECT doc_id, list_distinct({DUCK_TOKENS}) AS tk
+      FROM documents),
+    ex AS (SELECT doc_id, unnest(tk) AS tok FROM t0),
+    df AS (SELECT tok, COUNT(*) AS df FROM ex GROUP BY tok),
+    srt AS (SELECT ex.doc_id, list(ex.tok ORDER BY df.df, ex.tok) AS stoks
+            FROM ex JOIN df ON df.tok = ex.tok GROUP BY ex.doc_id),
+    pref AS (SELECT doc_id, len(stoks) AS n,
+                    unnest(list_slice(stoks, 1,
+                      len(stoks) - (({_PF_NUM} * len(stoks) + {_PF_DEN - 1}) // {_PF_DEN}) + 1)) AS ptok
+             FROM srt),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM pref a JOIN pref b
+               ON a.ptok = b.ptok AND a.doc_id < b.doc_id),
+    ver AS (SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(x.tk, y.tk)) AS inter,
+                   len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS un
+            FROM cand c
+            JOIN t0 x ON x.doc_id = c.doc_a
+            JOIN t0 y ON y.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un,
+           round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+    FROM ver WHERE {_PF_DEN} * inter >= {_PF_NUM} * un
+    """,
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (the AllPairs/
+    PPJoin candidate rule): order every document's distinct-token set by
+    global rarity, index only the first n - ceil(t*n) + 1 tokens, and
+    two documents can reach Jaccard >= t ONLY if their prefixes share a
+    token — no false negatives, unlike MinHash banding, and the index
+    holds the rare tokens, so posting lists stay short.
+
+    Threshold arithmetic is integer throughout (ceil(0.7n) as
+    (7n+9) div 10; the final test as 10*inter >= 7*union), so both
+    engines make identical keep/drop decisions.  Shuffles: token df
+    aggregate, per-doc re-sort, prefix-token equi-join, id-keyed verify
+    joins — every key a token or doc id.  Complements
+    ``dedup_minhash_lsh`` (probabilistic recall) with the exact-recall
+    variant a contamination audit needs."""
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = docs.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("tk")
+    ).localCheckpoint()  # reused by index build AND verify
+    ex = t0.select("doc_id", F.explode("tk").alias("tok"))
+    df = ex.groupBy("tok").agg(F.count("*").alias("df"))
+    srt = (
+        ex.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda x: x["tok"],
+            ).alias("stoks")
+        )
+    )
+    n = F.size("stoks")
+    plen = n - F.expr(f"({_PF_NUM} * size(stoks) + {_PF_DEN - 1}) div {_PF_DEN}") + 1
+    pref = srt.select(
+        "doc_id", F.explode(F.slice("stoks", F.lit(1), plen)).alias("ptok")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "ptok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = t0.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta"))
+    y = t0.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb"))
+    ver = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")))
+        .withColumn("un", F.size("ta") + F.size("tb") - F.col("inter"))
+    )
+    return (
+        ver.filter(_PF_DEN * F.col("inter") >= _PF_NUM * F.col("un"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("un").cast("bigint").alias("un"),
+            F.round(F.col("inter").cast("double") / F.col("un"), 6).alias("jaccard"),
+        )
+    )
