@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "embedding_dim_stats",
     "dedup_prefix_filter_jaccard",
     "mv_incremental_refresh",
+    "pivot_multi_agg",
+    "stats_exact_median_distributed",
 ]
 
 

@@ -23,7 +23,7 @@ Cross-engine notes baked into the specs below:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.plans.registry import query
@@ -446,4 +446,103 @@ def union_by_name_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("price"), F.lit(0.0)).cast("decimal(18,6)"))
         .cast("double")
         .alias("total_price"),
+    )
+
+
+@query(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS F_revenue,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS O_revenue,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS P_revenue
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value: each order status
+    becomes (count, decimal-exact revenue) column pairs.  Spark's
+    ``pivot().agg(a, b)`` names columns ``<value>_<alias>``; the pivot
+    values are given explicitly so the plan is a single pass (no
+    distinct-values pre-query) — the form to use when the value set is
+    known, at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.col(f"{s}_{m}").alias(f"{s}_{m}")
+            for s in ("F", "O", "P")
+            for m in ("n", "revenue")
+        ],
+    )
+
+
+@query(
+    "stats_exact_median_distributed",
+    oracle="""
+    WITH ranked AS (
+      SELECT value,
+             ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM events)
+    SELECT CAST(MAX(n) AS BIGINT) AS n, MIN(value) AS median
+    FROM ranked WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+    """,
+)
+def stats_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median (nearest-rank) by two-pass distributed
+    selection, never a global sort: pass 1 histograms values into
+    integer buckets and finds (via the cumulative bucket counts, a
+    driver-side computation over ~max-value rows) which bucket holds the
+    target rank; pass 2 scans ONLY that bucket — a ~1/buckets fraction
+    of the data — and rank-selects within it.
+
+    This is how a global order statistic survives 100 TB: the naive
+    window (the oracle's spelling) funnels everything through one
+    partition, while this plan's biggest single-node obligation is one
+    bucket.  Both passes are deterministic (integer bucket ids,
+    event_id tie-break), so the result equals the oracle's
+    single-partition rank selection exactly."""
+    e = load_table(spark, sf_dir, "events")
+    # pass 1: integer-bucket histogram (value in [0, ~100) at any sf)
+    hist = (
+        e.groupBy(F.floor("value").cast("bigint").alias("b"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    total = sum(r["c"] for r in hist)
+    target = (total + 1) // 2  # ceil(n/2) = nearest-rank median position
+    acc = 0
+    bucket, before = None, 0
+    for r in sorted(hist, key=lambda r: r["b"]):
+        if acc + r["c"] >= target:
+            bucket, before = r["b"], acc
+            break
+        acc += r["c"]
+    # pass 2: rank-select inside the single winning bucket
+    w = Window.orderBy("value", "event_id")
+    in_bucket = e.filter(F.floor("value").cast("bigint") == bucket)
+    return (
+        in_bucket.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == target - before)
+        .select(
+            F.lit(total).cast("bigint").alias("n"),
+            F.col("value").alias("median"),
+        )
     )
