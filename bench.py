@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "mv_incremental_refresh",
     "pivot_multi_agg",
     "stats_exact_median_distributed",
+    "recursive_cte_path_counts",
+    "window_ratio_to_report",
+    "window_gaps_islands",
+    "stats_mad_events",
+    "quality_benford_digits",
 ]
 
 

@@ -540,3 +540,45 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.greatest(F.col("m1"), F.col("m2")).alias("latest_order"),
     )
+
+
+_BENFORD_EXPECTED = "CASE digit WHEN '1' THEN 0.30103 WHEN '2' THEN 0.176091 WHEN '3' THEN 0.124939 WHEN '4' THEN 0.09691 WHEN '5' THEN 0.079181 WHEN '6' THEN 0.066947 WHEN '7' THEN 0.057992 WHEN '8' THEN 0.051153 WHEN '9' THEN 0.045757 END"
+
+
+@query(
+    "quality_benford_digits",
+    oracle=f"""
+    WITH d AS (
+      SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit
+      FROM orders WHERE o_totalprice >= 1.0),
+    g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM g)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / t.total, 6) AS frac,
+           {_BENFORD_EXPECTED} AS benford_expected
+    FROM g, t
+    """,
+)
+def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order amounts — the forensic
+    data-quality check for fabricated or truncated numeric columns.
+    The leading digit comes from integer->string conversion (identical
+    in both engines; no float formatting), and the Benford expectations
+    are Python-computed literals shared by both SQL texts, so there is
+    no cross-engine log10 at query time.  One scan, a 9-group
+    aggregate, and a broadcast scalar total."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1.0).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count("*").alias("n"))
+    total = g.agg(F.sum("n").alias("total"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("frac"),
+        F.expr(_BENFORD_EXPECTED).alias("benford_expected"),
+    )

@@ -221,3 +221,37 @@ def recursive_cte_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys far below 2^52); the running sum stays decimal inside the
     recursion and becomes double only at the end."""
     return run_sql(spark, sf_dir, _RCTE)
+
+
+_RCTE_PATHS = """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events)
+      WHERE dst IS NOT NULL AND src <> dst),
+    paths AS (
+      SELECT src AS start_t, dst AS end_t, 1 AS depth FROM edges
+      UNION ALL
+      SELECT p.start_t, e.dst, p.depth + 1
+      FROM paths p JOIN edges e ON e.src = p.end_t
+      WHERE p.depth < 3
+    )
+    SELECT start_t, end_t, CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(MIN(depth) AS INT) AS shortest
+    FROM paths GROUP BY start_t, end_t
+"""
+
+
+@query("recursive_cte_path_counts", oracle=_RCTE_PATHS)
+def recursive_cte_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE over a CYCLIC graph (the event-type transition
+    graph), UNION ALL with an explicit depth cap — the cycle-safe
+    recursion discipline when the engine's recursion is bag-semantics:
+    path counts and shortest-path length for every reachable pair within
+    3 hops.  The edge list is derived with a lead() window (one user_id
+    shuffle over events); the recursion then iterates on the tiny
+    distinct edge set.  Same SQL text on both engines
+    (recursive_cte_tree_rollup precedent)."""
+    return run_sql(spark, sf_dir, _RCTE_PATHS)

@@ -310,3 +310,75 @@ def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kinds.groupBy("change_kind").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "stats_mad_events",
+    oracle="""
+    WITH r1 AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (
+      SELECT event_type, MAX(n) AS n,
+             MIN(CASE WHEN rk = CAST(ceil(n / 2.0) AS BIGINT)
+                      THEN value END) AS med
+      FROM r1 GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS d, e.event_id, m.n, m.med
+      FROM events e JOIN med m ON m.event_type = e.event_type),
+    r2 AS (
+      SELECT event_type, n, med, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY d, event_id) AS rk
+      FROM dev)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, MAX(med) AS median,
+           MIN(CASE WHEN rk = CAST(ceil(n / 2.0) AS BIGINT) THEN d END) AS mad
+    FROM r2 GROUP BY event_type
+    """,
+)
+def stats_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust spread
+    estimate outlier pipelines prefer over stddev.  Two nearest-rank
+    selections (the stats_winsorize_events recipe applied twice): the
+    per-type median, broadcast back onto the scan, then the median of
+    |x - med|.  Every selected value is a stored double or an identical
+    double subtraction, so no interpolation and no rounding anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r1 = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w1).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = r1.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") / 2.0).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("med"),
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+        "event_id",
+    )
+    w2 = Window.partitionBy("event_type").orderBy("d", "event_id")
+    r2 = dev.withColumn("rk", F.row_number().over(w2))
+    return r2.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("med").alias("median"),
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") / 2.0).cast("bigint"), F.col("d")
+            )
+        ).alias("mad"),
+    )

@@ -371,3 +371,87 @@ def rollup_multires_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((hour_ts, event_type), (day_ts, event_type))
         """
     )
+
+
+@query(
+    "window_ratio_to_report",
+    oracle=f"""
+    WITH nat AS (
+      SELECT n.n_regionkey, n.n_name,
+             {dsum_sql('o.o_totalprice')} AS nat_rev
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY n.n_regionkey, n.n_name)
+    SELECT n_name, nat_rev,
+           round(nat_rev / SUM(CAST(nat_rev AS DECIMAL(18,6)))
+                 OVER (PARTITION BY n_regionkey), 6) AS region_share
+    FROM nat
+    """,
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its REGION's revenue — an
+    aggregate windowed over the aggregate (the report-builder staple).
+    The window runs over the 25-row nation rollup, not the fact table;
+    the denominator re-sums the per-nation doubles in decimal so the
+    share is order-independent."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    o = load_table(spark, sf_dir, "orders")
+    nat = (
+        c.join(n, n.n_nationkey == c.c_nationkey)
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(dsum("o_totalprice").alias("nat_rev"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return nat.select(
+        "n_name",
+        "nat_rev",
+        F.round(
+            F.col("nat_rev")
+            / F.sum(F.col("nat_rev").cast("decimal(18,6)")).over(w),
+            6,
+        ).alias("region_share"),
+    )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH rn AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, grp, COUNT(*) AS run_len
+      FROM rn GROUP BY user_id, event_type, grp)
+    SELECT event_type, CAST(run_len AS BIGINT) AS run_len,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY event_type, run_len
+    """,
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events
+    per user via the classic double-row_number difference (constant
+    within a run, jumps at every break), rolled up to a run-length
+    distribution per event type.  Both row_numbers and the run
+    aggregation share the user_id partitioning — one shuffle of the
+    event stream, and the output is bounded by (types x max run)."""
+    e = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    rn = e.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w1) - F.row_number().over(w2)).alias("grp"),
+    )
+    runs = rn.groupBy("user_id", "event_type", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return runs.groupBy(
+        "event_type", F.col("run_len").cast("bigint").alias("run_len")
+    ).agg(F.count("*").cast("bigint").alias("n_runs"))
