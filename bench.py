@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "window_gaps_islands",
     "stats_mad_events",
     "quality_benford_digits",
+    "mix_temperature_sampling",
+    "quality_repeated_ngrams",
 ]
 
 

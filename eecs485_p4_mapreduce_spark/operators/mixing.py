@@ -146,3 +146,68 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tok").cast("bigint").alias("tokens_packed"),
         F.round(F.sum("tok").cast("double") / _SEQ_BUDGET, 6).alias("fill_ratio"),
     )
+
+
+# Temperature-rescaled target shares (alpha=0.5 over the nominal _MIX
+# policy), Python-computed at import so BOTH engines see literals -- no
+# query-time cross-engine pow().  alpha<1 flattens toward uniform, the
+# standard multilingual-LM rebalancing (T = {'en': 0.291388, 'de': 0.206042, 'es': 0.178438, 'fr': 0.178438, 'zh': 0.145694}).
+_TEMP_CASE = "WHEN 'en' THEN 0.291388 WHEN 'de' THEN 0.206042 WHEN 'es' THEN 0.178438 WHEN 'fr' THEN 0.178438 WHEN 'zh' THEN 0.145694"
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS n_total FROM documents),
+    rates AS (
+      SELECT lang, n_lang,
+             CAST(floor(least(1.0,
+               (CASE lang {_TEMP_CASE} ELSE 0.0 END) * tot.n_total / n_lang)
+               * {_BUCKETS}) AS BIGINT) AS thresh
+      FROM counts, tot),
+    kept AS (
+      SELECT d.lang
+      FROM documents d JOIN rates r ON r.lang = d.lang
+      WHERE {_HEX3['duckdb']} < r.thresh)
+    SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           r.n_lang AS n_available, r.thresh
+    FROM kept k
+    JOIN rates r ON r.lang = k.lang
+    GROUP BY k.lang, r.n_lang, r.thresh
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mix sampling: the nominal language shares are
+    rescaled by share^alpha (alpha=0.5, normalized) BEFORE the
+    deterministic hash-acceptance of ``mix_sources_weighted`` -- the
+    standard rebalancing that keeps low-resource languages from
+    vanishing in a multilingual training mix.  The temperature math
+    happens at import time in Python and lands in both SQL texts as
+    identical literals, so no pow() runs at query time in either
+    engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    total = docs.agg(F.count("*").alias("n_total"))
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "thresh",
+            F.expr(
+                f"cast(floor(least(1.0, (CASE lang {_TEMP_CASE} ELSE 0.0 END)"
+                f" * n_total / n_lang) * {_BUCKETS}) as bigint)"
+            ),
+        )
+        .select("lang", "n_lang", "thresh")
+    )
+    kept = docs.join(F.broadcast(rates), "lang").filter(
+        F.expr(_HEX3["spark"]) < F.col("thresh")
+    )
+    return kept.groupBy("lang", "n_lang", "thresh").agg(
+        F.count("*").cast("bigint").alias("n_sampled")
+    ).select(
+        "lang",
+        "n_sampled",
+        F.col("n_lang").cast("bigint").alias("n_available"),
+        "thresh",
+    )

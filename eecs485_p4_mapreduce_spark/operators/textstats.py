@@ -815,3 +815,57 @@ def quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("h").cast("decimal(18,6)")).cast("double"), 6
         ).alias("entropy"),
     )
+
+
+@query(
+    "quality_repeated_ngrams",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents),
+    g AS (SELECT doc_id, lang,
+                 list_transform(range(1, greatest(len(toks) - 1, 1)), i ->
+                   concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) AS g3
+          FROM tk WHERE len(toks) >= 3)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(g3)) AS BIGINT) AS total_3grams,
+           CAST(SUM(len(list_distinct(g3))) AS BIGINT) AS distinct_3grams,
+           round(1.0 - CAST(SUM(len(list_distinct(g3))) AS DOUBLE)
+                 / SUM(len(g3)), 6) AS repeated_ratio
+    FROM g GROUP BY lang
+    """,
+)
+def quality_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-3-gram ratio (the Gopher 'repetition' rule family at
+    n-gram granularity, complementing ``quality_repetition``'s top-token
+    share): fraction of each document's 3-grams that are internal
+    repeats, rolled up per language from integer totals.  Pure
+    scan-side array expressions + a 5-group aggregate; the ratio is
+    computed once from exact integer sums, so round(6) is the only
+    float step.
+
+    Note the DuckDB range bound: ``range(1, greatest(len-1, 1))`` stops
+    at len-2 (exclusive), matching Spark's inclusive
+    ``sequence(1, len-2)``; toks[i+2] over the end would null-pad
+    instead of erroring, so the bound must be exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "lang", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    g = tk.withColumn(
+        "g3",
+        F.expr(
+            "transform(sequence(1, size(toks) - 2), i ->"
+            " concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
+            " ' ', element_at(toks, i + 2)))"
+        ),
+    )
+    return g.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("g3")).cast("bigint").alias("total_3grams"),
+        F.sum(F.size(F.array_distinct("g3"))).cast("bigint").alias("distinct_3grams"),
+        F.round(
+            1.0
+            - F.sum(F.size(F.array_distinct("g3"))).cast("double")
+            / F.sum(F.size("g3")),
+            6,
+        ).alias("repeated_ratio"),
+    )
