@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "quality_benford_digits",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
+    "inference_linear_scores",
 ]
 
 

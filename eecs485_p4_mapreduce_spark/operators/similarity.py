@@ -931,3 +931,72 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean"),
         F.round(F.col("sxx") / F.col("n") - mean * mean, 6).alias("var_pop"),
     )
+
+
+# Deterministic stand-in model: 64 md5-derived weights in [-0.5, 0.5),
+# Python literals shared by the Spark plan and the oracle (the
+# Benford-literals recipe) -- a real deployment broadcasts trained
+# weights the same way.
+_INF_W = [-0.021426, -0.238382, -0.084529, -0.079714, -0.407197, 0.061007, 0.033981, -0.290046, -0.209396, -0.433055, 0.325514, -0.272452, 0.050871, 0.139029, -0.241085, -0.469813, -0.286796, 0.480144, -0.356815, 0.31483, 0.012064, -0.06554, 0.12421, 0.314971, -0.239186, 0.36039, -0.444064, 0.014245, 0.456717, 0.133074, 0.002064, -0.295269, 0.425871, 0.267484, 0.300831, 0.470085, -0.196794, -0.156624, -0.087983, -0.274415, -0.09705, -0.303554, -0.149114, 0.209532, -0.499992, 0.48193, 0.049541, 0.091163, 0.116252, 0.204575, 0.08902, -0.065811, 0.446259, -0.013789, 0.484094, -0.229645, -0.006373, -0.157964, -0.256003, -0.148068, -0.218903, 0.35249, 0.24842, -0.448734]
+
+
+@query(
+    "inference_linear_scores",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+      SELECT vec_id, label,
+             round(list_inner_product(v, [-0.021426, -0.238382, -0.084529, -0.079714, -0.407197, 0.061007, 0.033981, -0.290046, -0.209396, -0.433055, 0.325514, -0.272452, 0.050871, 0.139029, -0.241085, -0.469813, -0.286796, 0.480144, -0.356815, 0.31483, 0.012064, -0.06554, 0.12421, 0.314971, -0.239186, 0.36039, -0.444064, 0.014245, 0.456717, 0.133074, 0.002064, -0.295269, 0.425871, 0.267484, 0.300831, 0.470085, -0.196794, -0.156624, -0.087983, -0.274415, -0.09705, -0.303554, -0.149114, 0.209532, -0.499992, 0.48193, 0.049541, 0.091163, 0.116252, 0.204575, 0.08902, -0.065811, 0.446259, -0.013789, 0.484094, -0.229645, -0.006373, -0.157964, -0.256003, -0.148068, -0.218903, 0.35249, 0.24842, -0.448734]), 6) AS logit
+      FROM e)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           round(CAST(SUM(CAST(logit AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total_logit
+    FROM scored GROUP BY label
+    """,
+)
+def inference_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over the embedding table: a vectorized
+    Pandas UDF scores every vector against broadcast linear weights
+    (the classifier / reward-model / quality-filter serving shape), and
+    the per-label rollup audits the score distribution.
+
+    The Arrow batch arrives as a pandas Series of arrays; scoring folds
+    each dot product sequentially in float64 (the knn_cosine_pandas
+    discipline -- numpy BLAS would reorder and drift in the last bit vs
+    the oracle's list_inner_product), then rounds to 6 places before the
+    decimal-exact label rollup.  At 100 TB this is the embarrassingly
+    parallel scan stage; the weights ride the closure exactly as a
+    broadcast model would."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = _INF_W
+
+    @pandas_udf("double")
+    def score(vs: pd.Series) -> pd.Series:
+        out = []
+        for v in vs:
+            acc = 0.0
+            for x, wi in zip(v, w):
+                acc += x * wi
+            out.append(acc)
+        return pd.Series(out)
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = e.select(
+        "label", F.round(score(F.col("v")), 6).alias("logit")
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("logit") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.round(
+            F.sum(F.col("logit").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_logit"),
+    )
