@@ -268,3 +268,57 @@ def test_results_invariant_to_shuffle_partition_count(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", original)
     for name, (a, b) in results.items():
         assert a == b, f"{name} output depends on shuffle partition count"
+
+
+def test_parquet_codec_roundtrips(spark, sf_dir, tmp_path):
+    """Storage codecs a 100 TB lake actually deploys (snappy for hot,
+    zstd for cold, gzip for interop) must round-trip bit-exactly and be
+    freely mixable at read time -- the reader takes codec per file from
+    the footer, so a codec migration never needs a rewrite barrier."""
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    src = load_table(spark, sf_dir, "orders").limit(500)
+    expected = sorted(map(tuple, src.collect()))
+    paths = []
+    for codec in ("snappy", "zstd", "gzip"):
+        p = str(tmp_path / f"orders-{codec}")
+        src.write.option("compression", codec).parquet(p)
+        paths.append(p)
+        got = sorted(map(tuple, spark.read.parquet(p).collect()))
+        assert got == expected, f"{codec} round-trip differs"
+    # mixed-codec read: one logical dataset, three physical codecs
+    mixed = sorted(map(tuple, spark.read.parquet(*paths).collect()))
+    assert len(mixed) == 3 * len(expected)
+
+
+def test_range_clustered_files_have_tight_minmax(spark, sf_dir, tmp_path):
+    """repartitionByRange + sortWithinPartitions must produce files with
+    NON-OVERLAPPING key ranges -- the property that lets min/max footer
+    stats skip whole files for range predicates (the poor man's
+    clustered index; Z-order generalizes it to multiple dims)."""
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    out = str(tmp_path / "orders-ranged")
+    (
+        load_table(spark, sf_dir, "orders")
+        .repartitionByRange(8, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.parquet(out)
+    )
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        lo = min(
+            md.row_group(i).column(3).statistics.min for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(3).statistics.max for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
