@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",
+    "mr_inverted_index",
 ]
 
 

@@ -35,7 +35,9 @@ def _exe(name: str) -> str:
     return f"{sys.executable} {os.path.join(_EXE_DIR, name)}"
 
 
-def _materialize_docs(spark: SparkSession, sf_dir: str, dest: str, nfiles: int = 8) -> None:
+def _materialize_docs(
+    spark: SparkSession, sf_dir: str, dest: str, nfiles: int = 8, *, with_id: bool = False
+) -> None:
     """Write documents.text as a directory of text files (the reference's
     input format: SURVEY.md §1.1 Dataset) -- entirely with executors.
 
@@ -56,7 +58,11 @@ def _materialize_docs(spark: SparkSession, sf_dir: str, dest: str, nfiles: int =
         .select(
             (F.col("doc_id") % nfiles).cast("int").alias("bucket"),
             "doc_id",
-            F.col("text").alias("value"),
+            (
+                F.concat(F.col("doc_id").cast("string"), F.lit("\t"), F.col("text"))
+                if with_id
+                else F.col("text")
+            ).alias("value"),
         )
         # all rows of one bucket in one partition -> exactly one part file
         # per bucket dir; sorted so file contents are doc_id-deterministic
@@ -78,12 +84,14 @@ def _materialize_docs(spark: SparkSession, sf_dir: str, dest: str, nfiles: int =
     shutil.rmtree(staging, ignore_errors=True)
 
 
-def _run_job(spark: SparkSession, sf_dir: str, mapper: str, reducer: str) -> list[str]:
+def _run_job(
+    spark: SparkSession, sf_dir: str, mapper: str, reducer: str, *, with_id: bool = False
+) -> list[str]:
     work = tempfile.mkdtemp(prefix="spark-graft-mr-")
     in_dir = os.path.join(work, "input")
     out_dir = os.path.join(work, "output")
     os.makedirs(in_dir)
-    _materialize_docs(spark, sf_dir, in_dir)
+    _materialize_docs(spark, sf_dir, in_dir, with_id=with_id)
     job = MapReduceJob(
         input_directory=in_dir,
         output_directory=out_dir,
@@ -138,3 +146,43 @@ def mr_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = os.path.dirname(outputs[0])
     return spark.read.text(out_dir).select(F.col("value").alias("line"))
+
+
+@query(
+    "mr_inverted_index",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest(list_distinct({DUCK_TOKENS})) AS term
+                FROM documents)
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+             AS postings
+    FROM tk GROUP BY term
+    """,
+)
+def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference framework's REAL workload — the search-engine
+    inverted-index build its course runs on top of it — through the
+    exe-compat path: documents materialize as ``doc_id\\ttext`` input
+    files, an unmodified streaming mapper emits (term, doc_id) postings,
+    the md5 shuffle groups by term, and the reducer writes
+    ``term\\tdf\\tposting,list`` lines.  The oracle is the declarative
+    twin (distinct-token explode + ordered list agg), so the exe
+    pipeline is proven equal to the DataFrame plan — the same
+    two-expressions-one-answer contract as mr_wordcount."""
+    outputs = _run_job(
+        spark,
+        sf_dir,
+        _exe("index_map.py"),
+        _exe("index_reduce.py"),
+        with_id=True,
+    )
+    out_dir = os.path.dirname(outputs[0])
+    return (
+        spark.read.text(out_dir)
+        .select(F.split("value", "\t", 3).alias("kv"))
+        .select(
+            F.col("kv")[0].alias("term"),
+            F.col("kv")[1].cast("bigint").alias("df"),
+            F.col("kv")[2].alias("postings"),
+        )
+    )

@@ -122,3 +122,41 @@ def test_width_bucket_clamps_to_range(x, width, buckets):
     raw = int((x - lo) // w)
     clamped = max(0, min(buckets - 1, raw))
     assert 0 <= clamped < buckets
+
+
+@given(
+    st.lists(
+        st.frozensets(st.sampled_from("abcdefghij"), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_prefix_filter_has_no_false_negatives(docsets):
+    """The AllPairs/PPJoin candidate rule used by
+    dedup_prefix_filter_jaccard: any pair with Jaccard >= 7/10 MUST
+    share a token inside both prefixes (prefix len = n - ceil(t*n) + 1
+    over a shared global token order).  Verified against brute force on
+    random small set families -- the no-false-negatives guarantee is the
+    whole point of the exact variant."""
+    # global order: by document frequency then token (the query's order)
+    from collections import Counter
+
+    df = Counter(t for s in docsets for t in s)
+    order = sorted({t for s in docsets for t in s}, key=lambda t: (df[t], t))
+    rank = {t: i for i, t in enumerate(order)}
+
+    def prefix(s):
+        toks = sorted(s, key=lambda t: rank[t])
+        n = len(toks)
+        plen = n - ((7 * n + 9) // 10) + 1
+        return set(toks[:plen])
+
+    for i in range(len(docsets)):
+        for j in range(i + 1, len(docsets)):
+            a, b = docsets[i], docsets[j]
+            inter = len(a & b)
+            union = len(a | b)
+            if 10 * inter >= 7 * union:  # true near-dup pair
+                assert prefix(a) & prefix(b), (
+                    f"false negative: {sorted(a)} vs {sorted(b)}"
+                )
