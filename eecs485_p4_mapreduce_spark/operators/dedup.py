@@ -919,9 +919,11 @@ _PF_DEN = 10
 @query(
     "dedup_prefix_filter_jaccard",
     oracle=f"""
-    WITH t0 AS MATERIALIZED (
-      SELECT doc_id, list_distinct({DUCK_TOKENS}) AS tk
-      FROM documents),
+    WITH tk0 AS (SELECT doc_id, {DUCK_TOKENS} AS w FROM documents),
+    t0 AS MATERIALIZED (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))) AS tk
+      FROM tk0 WHERE len(w) >= 3),
     ex AS (SELECT doc_id, unnest(tk) AS tok FROM t0),
     df AS (SELECT tok, COUNT(*) AS df FROM ex GROUP BY tok),
     srt AS (SELECT ex.doc_id, list(ex.tok ORDER BY df.df, ex.tok) AS stoks
@@ -946,25 +948,41 @@ _PF_DEN = 10
 )
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join by prefix filtering (the AllPairs/
-    PPJoin candidate rule): order every document's distinct-token set by
-    global rarity, index only the first n - ceil(t*n) + 1 tokens, and
-    two documents can reach Jaccard >= t ONLY if their prefixes share a
-    token — no false negatives, unlike MinHash banding, and the index
-    holds the rare tokens, so posting lists stay short.
+    PPJoin candidate rule) over word-3-GRAM sets: order each document's
+    distinct 3-grams by global rarity, index only the first
+    n - ceil(t*n) + 1, and two documents can reach Jaccard >= t ONLY if
+    their prefixes collide — no false negatives (pinned by a hypothesis
+    property test), unlike MinHash banding.
 
+    Feature choice is the scale lever: raw WORD sets degenerate on a
+    small shared vocabulary (nearly all pairs become candidates —
+    measured 12.4M candidate pairs and a 158 s verify at sf0.1), while
+    3-gram features are high-cardinality and Zipfian, cutting the same
+    corpus to ~200k candidates.  Prefix filtering's guarantees are
+    feature-agnostic, so the exact-recall contract is unchanged.
     Threshold arithmetic is integer throughout (ceil(0.7n) as
     (7n+9) div 10; the final test as 10*inter >= 7*union), so both
-    engines make identical keep/drop decisions.  Shuffles: token df
-    aggregate, per-doc re-sort, prefix-token equi-join, id-keyed verify
-    joins — every key a token or doc id.  Complements
-    ``dedup_minhash_lsh`` (probabilistic recall) with the exact-recall
-    variant a contamination audit needs."""
+    engines make identical keep/drop decisions.  Shuffles: gram df
+    aggregate, per-doc re-sort, prefix-gram equi-join, id-keyed verify
+    joins — every key a gram or doc id."""
     from eecs485_p4_mapreduce_spark.functions.textfn import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    t0 = docs.select(
-        "doc_id", F.array_distinct(tokens("text")).alias("tk")
-    ).localCheckpoint()  # reused by index build AND verify
+    t0 = (
+        docs.select("doc_id", tokens("text").alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2), i ->"
+                    " concat(element_at(w, i), ' ', element_at(w, i + 1),"
+                    " ' ', element_at(w, i + 2)))"
+                )
+            ).alias("tk"),
+        )
+        .localCheckpoint()  # reused by index build AND verify
+    )
     ex = t0.select("doc_id", F.explode("tk").alias("tok"))
     df = ex.groupBy("tok").agg(F.count("*").alias("df"))
     srt = (
