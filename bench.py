@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "quality_repeated_ngrams",
     "inference_linear_scores",
     "mr_inverted_index",
+    "privacy_pseudonymize",
 ]
 
 

@@ -582,3 +582,33 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("frac"),
         F.expr(_BENFORD_EXPECTED).alias("benford_expected"),
     )
+
+
+@query(
+    "privacy_pseudonymize",
+    oracle="""
+    SELECT sha256(concat('pepper:', c_name)) AS name_token,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS name_masked,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_band
+    FROM customer WHERE c_custkey <= 100
+    """,
+)
+def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII minimization for a data release: salted-hash pseudonymization
+    (sha-256 over a peppered name — joinable across tables, not
+    reversible), format-preserving masking (``mask()``: upper->X,
+    lower->x, digit->n; the oracle spells the same transform as regexp
+    chains), and value banding (account balance to $1000 bands).  All
+    scan-side; the release never materializes the raw identifier."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") <= 100).select(
+        F.sha2(F.concat(F.lit("pepper:"), F.col("c_name")), 256).alias("name_token"),
+        F.mask(F.col("c_name")).alias("name_masked"),
+        "c_mktsegment",
+        (F.floor(F.col("c_acctbal") / 1000.0) * 1000)
+        .cast("bigint")
+        .alias("acctbal_band"),
+    )
