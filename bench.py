@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "inference_linear_scores",
     "mr_inverted_index",
     "privacy_pseudonymize",
+    "sink_python_datasource",
 ]
 
 

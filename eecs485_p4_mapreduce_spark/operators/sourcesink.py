@@ -481,3 +481,72 @@ def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("zkey", "pa", "pb").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Python DataSource writer API (the write-side
+    twin of ``source_python_datasource``): each executor task streams
+    its partition through ``DataSourceWriter.write`` into a JSON-lines
+    part file and returns a commit message — the contract a bespoke
+    Python connector (feature store, vector DB, REST ingest) implements.
+    The round-trip proves no rows are lost or duplicated across the
+    task-commit protocol: the written files are read back and aggregated
+    against the direct-aggregation oracle.  Floats survive because
+    shortest-repr JSON serialization round-trips IEEE doubles exactly."""
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="spark-graft-pysink-")
+
+    class _JsonWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, iterator):
+            fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.json")
+            with open(fname, "w", encoding="utf-8") as fh:
+                for row in iterator:
+                    fh.write(json.dumps(row.asDict()) + "\n")
+            return WriterCommitMessage()
+
+    class _JsonSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sg_jsonsink"
+
+        def writer(self, schema, overwrite):  # noqa: ANN001
+            return _JsonWriter(self.options["path"])
+
+    spark.dataSource.register(_JsonSink)
+    subset = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select("o_orderstatus", "o_totalprice")
+    )
+    subset.write.format("sg_jsonsink").option("path", out_dir).mode("append").save()
+    back = spark.read.schema("o_orderstatus string, o_totalprice double").json(
+        out_dir
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
