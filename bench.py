@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "mr_inverted_index",
     "privacy_pseudonymize",
     "sink_python_datasource",
+    "streaming_session_append",
 ]
 
 

@@ -1040,3 +1040,52 @@ def streaming_chained_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
     )
     return run_to_completion(joined, mode="append")
+
+
+@query(
+    "streaming_session_append",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    agg AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+      FROM sessions GROUP BY user_id, session_id),
+    wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.total_value
+    FROM agg a, wm WHERE a.session_end <= wm.w
+    """,
+)
+def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in APPEND mode: a session row is emitted exactly
+    once, only after the watermark passes its end (last event + the
+    30-minute gap) — the emit-once contract downstream consumers need,
+    vs ``streaming_session_30m``'s complete-mode final table.  The
+    oracle sessionizes in batch and applies the same finalization
+    cutoff, so the check proves which sessions were CLOSED at end of
+    input, not just their aggregates."""
+    s = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.col("user_id"), F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_completion(s, mode="append")
