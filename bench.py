@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "privacy_pseudonymize",
     "sink_python_datasource",
     "streaming_session_append",
+    "sketch_bloom_tokens",
 ]
 
 

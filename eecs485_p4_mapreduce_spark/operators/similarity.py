@@ -1000,3 +1000,95 @@ def inference_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("logit").cast("decimal(18,6)")).cast("double"), 6
         ).alias("total_logit"),
     )
+
+
+from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS
+
+# Probe-term Bloom masks, Python-precomputed from the same md5->int
+# derivation the engines use (functions/hashfn.py), so probing is pure
+# integer literals at query time.  Probe set: ['fast', 'table', 'scan', 'zebra', 'quantum']
+# ('zebra'/'quantum' are absent from the corpus -- expected misses
+# modulo false positives).
+_BLOOM_HITS = "(CASE WHEN (w1 & 16777216) = 16777216 AND (w2 & 4398046511104) = 4398046511104 THEN 1 ELSE 0 END) + (CASE WHEN (w1 & 281477124194304) = 281477124194304 THEN 1 ELSE 0 END) + (CASE WHEN (w0 & 140737488355328) = 140737488355328 AND (w3 & 8796093022208) = 8796093022208 THEN 1 ELSE 0 END) + (CASE WHEN (w1 & 2473901162496) = 2473901162496 THEN 1 ELSE 0 END) + (CASE WHEN (w1 & 4) = 4 AND (w2 & 4294967296) = 4294967296 THEN 1 ELSE 0 END)"
+
+
+@query(
+    "sketch_bloom_tokens",
+    oracle=f"""
+    WITH tk AS (SELECT source, unnest(list_distinct({DUCK_TOKENS})) AS tok
+                FROM documents),
+    hx AS (SELECT DISTINCT source, tok FROM tk),
+    pos AS (SELECT source,
+                   ({hex_int_sql('duckdb', 'md5(tok)', 1)}) % 252 AS p1,
+                   (({hex_int_sql('duckdb', 'md5(tok)', 1)})
+                    + (2 * ({hex_int_sql('duckdb', 'md5(tok)', 9)}) + 1)) % 252 AS p2
+            FROM hx),
+    masks AS (SELECT source,
+        {', '.join(
+            f"(CASE WHEN p1 // 63 = {w} THEN (1::BIGINT << (p1 % 63)) ELSE 0 END)"
+            f" | (CASE WHEN p2 // 63 = {w} THEN (1::BIGINT << (p2 % 63)) ELSE 0 END) AS m{w}"
+            for w in range(4)
+        )}
+      FROM pos),
+    bloom AS (SELECT source,
+                     {', '.join(f"bit_or(m{w}) AS w{w}" for w in range(4))}
+              FROM masks GROUP BY source)
+    SELECT source, w0, w1, w2, w3,
+           CAST({_BLOOM_HITS} AS BIGINT) AS n_probe_hits
+    FROM bloom
+    """,
+)
+def sketch_bloom_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom filter per source over its distinct token set --
+    the classic membership sketch, built ENTIRELY from integer
+    aggregation: each token contributes two md5-derived bit positions in
+    a 4x63-bit filter (63 usable bits/word keeps shifts off the sign
+    bit, which one engine rejects), and ``bit_or`` is the merge -- the
+    same associativity that lets per-partition partial filters combine
+    map-side, or per-day filters roll up to per-month.  The emitted
+    words ARE the filter (16 bytes/source at any corpus size); probing
+    is literal mask tests precomputed in Python from the identical
+    md5 derivation.  Complements the HLL (cardinality) / KLL (rank) /
+    theta (set algebra) / Count-Min (frequency) sketch family with
+    membership."""
+    from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql as _hx
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    hx = (
+        docs.select("source", F.explode(F.array_distinct(_toks("text"))).alias("tok"))
+        .distinct()
+    )
+    pos = hx.select(
+        "source",
+        (F.expr(_hx("spark", "md5(tok)", 1)) % 252).alias("p1"),
+        (
+            (
+                F.expr(_hx("spark", "md5(tok)", 1))
+                + (2 * F.expr(_hx("spark", "md5(tok)", 9)) + 1)
+            )
+            % 252
+        ).alias("p2"),
+    )
+    masks = pos.select(
+        "source",
+        *[
+            F.expr(
+                f"(CASE WHEN p1 div 63 = {w} THEN shiftleft(cast(1 as bigint), cast(p1 % 63 as int)) ELSE cast(0 as bigint) END)"
+                f" | (CASE WHEN p2 div 63 = {w} THEN shiftleft(cast(1 as bigint), cast(p2 % 63 as int)) ELSE cast(0 as bigint) END)"
+            ).alias(f"m{w}")
+            for w in range(4)
+        ],
+    )
+    bloom = masks.groupBy("source").agg(
+        *[F.bit_or(f"m{w}").alias(f"w{w}") for w in range(4)]
+    )
+    return bloom.select(
+        "source",
+        "w0",
+        "w1",
+        "w2",
+        "w3",
+        F.expr(_BLOOM_HITS).cast("bigint").alias("n_probe_hits"),
+    )
