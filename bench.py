@@ -166,6 +166,9 @@ BENCH_QUERIES = [
     "sink_python_datasource",
     "streaming_session_append",
     "sketch_bloom_tokens",
+    "window_topk_with_ties",
+    "window_since_last_event",
+    "window_period_over_period",
 ]
 
 

@@ -455,3 +455,124 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy(
         "event_type", F.col("run_len").cast("bigint").alias("run_len")
     ).agg(F.count("*").cast("bigint").alias("n_runs"))
+
+
+@query(
+    "window_topk_with_ties",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY floor(o_totalprice / 10000.0) DESC) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def window_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (rank(), not row_number()): every order in the
+    top-3 price BANDS per priority survives, however many tie — the
+    'WITH TIES' fetch semantics.  Banding the sort key (floor to $10k)
+    makes ties real and the result deterministic without an id
+    tie-break, because rank() admits ALL peers — the semantic difference
+    this query exists to pin against the row_number top-k variants."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc(F.floor(F.col("o_totalprice") / 10000.0))
+    )
+    return (
+        o.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "window_since_last_event",
+    oracle="""
+    WITH rn AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    marked AS (
+      SELECT user_id, event_type, rn,
+             MAX(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_purchase_rn
+      FROM rn)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN last_purchase_rn IS NULL
+                         THEN rn ELSE rn - last_purchase_rn END) AS BIGINT)
+             AS total_gap,
+           CAST(MAX(CASE WHEN last_purchase_rn IS NULL
+                         THEN rn ELSE rn - last_purchase_rn END) AS BIGINT)
+             AS max_gap
+    FROM marked GROUP BY user_id
+    """,
+)
+def window_since_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Events since last purchase' — a running counter with conditional
+    RESET, the recency feature a churn/propensity model consumes.  The
+    reset is a conditional-MAX window (position of the latest prior
+    purchase) subtracted from the running position; both windows share
+    the user_id ordering, so the stream shuffles once.  Rolled up to
+    per-user totals so the output stays small at any event volume."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rn = e.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = rn.withColumn(
+        "last_purchase_rn",
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).over(wprev),
+    )
+    gap = F.when(
+        F.col("last_purchase_rn").isNull(), F.col("rn")
+    ).otherwise(F.col("rn") - F.col("last_purchase_rn"))
+    return marked.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(gap).cast("bigint").alias("total_gap"),
+        F.max(gap).cast("bigint").alias("max_gap"),
+    )
+
+
+@query(
+    "window_period_over_period",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS TIMESTAMP) AS day,
+             {dsum_sql('o_totalprice')} AS revenue
+      FROM orders GROUP BY o_orderdate)
+    SELECT day, revenue,
+           lag(revenue) OVER (ORDER BY day) AS prev_revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY day))
+                 / lag(revenue) OVER (ORDER BY day), 6) AS pct_change
+    FROM daily
+    """,
+)
+def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change: daily revenue with lag-based percent
+    delta — the dashboard staple.  The global-ordered lag runs over the
+    DAILY AGGREGATE (bounded by the calendar, not the order volume), so
+    the single-partition window is a non-issue at any scale; deltas
+    divide decimal-exact daily sums and round once."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("timestamp").alias("day")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "day",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
+    )
