@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "window_topk_with_ties",
     "window_since_last_event",
     "window_period_over_period",
+    "ml_logreg_gradient_step",
 ]
 
 

@@ -492,3 +492,81 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cosine"), "rk")
     )
+
+
+def _logreg_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.similarity import _INF_W
+
+    wl = ", ".join(repr(x) for x in _INF_W)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(label % 2 AS DOUBLE) AS y,
+                      CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    z AS (SELECT vec_id, y, v,
+                 round(1.0 / (1.0 + exp(-list_inner_product(v, [{wl}]))), 4) AS p
+          FROM e),
+    el AS (SELECT (p - y) AS err, d, v[d] AS x
+           FROM z, unnest(range(1, 65)) AS t(d)),
+    n AS (SELECT COUNT(*) AS n FROM e)
+    SELECT el.d,
+           round(CAST(SUM(CAST(el.err * el.x AS DECIMAL(30,15))) AS DOUBLE)
+                 / n.n, 6) AS grad
+    FROM el, n GROUP BY el.d, n.n
+    """
+
+
+@query("ml_logreg_gradient_step", oracle=_logreg_oracle())
+def ml_logreg_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed logistic-regression gradient step — the training
+    primitive underneath every quality-classifier / reward-model fit:
+    grad = (1/n) X^T (sigmoid(Xw) - y) over the embedding matrix with
+    broadcast weights (the shared _INF_W stand-in model) and labels
+    y = label mod 2.
+
+    The scale shape is identical to power iteration: one scan computes
+    each row's margin (a sequential fold, knn_cosine's discipline), the
+    sigmoid is quantized at 1e-4 (exp differs in the last ulp across
+    engines — the bigram-surprisal rationale), and posexplode + a
+    decimal-exact (d)-grouped sum reduces n x 64 products to the
+    64-double gradient.  A full trainer is this query in the pagerank
+    driver loop; only 512 bytes move per step."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import _INF_W
+
+    wl = ", ".join(repr(x) for x in _INF_W)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("label") % 2).cast("double").alias("y"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    z = e.withColumn(
+        "p",
+        F.round(
+            1.0
+            / (
+                1.0
+                + F.exp(
+                    -F.expr(
+                        f"aggregate(zip_with(v, array({wl}), (x, y) -> x * y),"
+                        " cast(0.0 as double), (acc, x) -> acc + x)"
+                    )
+                )
+            ),
+            4,
+        ),
+    )
+    n = e.count()
+    el = z.select(
+        (F.col("p") - F.col("y")).alias("err"), F.posexplode("v").alias("d0", "x")
+    )
+    return (
+        el.groupBy((F.col("d0") + 1).alias("d"))
+        .agg(
+            F.round(
+                F.sum((F.col("err") * F.col("x")).cast("decimal(30,15)")).cast(
+                    "double"
+                )
+                / n,
+                6,
+            ).alias("grad")
+        )
+    )
