@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "window_since_last_event",
     "window_period_over_period",
     "ml_logreg_gradient_step",
+    "stats_chi_square_independence",
 ]
 
 

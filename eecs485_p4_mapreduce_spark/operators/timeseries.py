@@ -382,3 +382,55 @@ def stats_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("mad"),
     )
+
+
+@query(
+    "stats_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY dow),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT obs.event_type, obs.dow, obs.o,
+             CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           round(CAST(SUM(CAST(round((o - e) * (o - e) / e, 6)
+                 AS DECIMAL(24,9))) AS DOUBLE), 6) AS chi_square
+    FROM cells
+    """,
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of event_type vs day-of-week — the
+    profiling check for 'is this categorical feature correlated with
+    time' before trusting a split or a drift monitor.  Observed and
+    marginal counts are exact integers; each cell's (o-e)^2/e is a
+    deterministic double (integer arithmetic + one correctly-rounded
+    division), quantized at 1e-6 and decimal-summed so the statistic is
+    order-independent.  Contingency cells, not events, cross the wire."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("r").cast("double") * F.col("c") / F.col("n"))
+    )
+    contrib = F.round(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6
+    )
+    return cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.round(
+            F.sum(contrib.cast("decimal(24,9)")).cast("double"), 6
+        ).alias("chi_square"),
+    )
