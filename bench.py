@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "window_period_over_period",
     "ml_logreg_gradient_step",
     "stats_chi_square_independence",
+    "streaming_sliding_append",
+    "join_asof_tolerance",
 ]
 
 

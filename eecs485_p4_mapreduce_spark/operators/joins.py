@@ -249,3 +249,73 @@ def join_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_click_id",
         "last_click_ts",
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH raw AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+             v.event_id AS last_click_id, v.ts AS last_click_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') v
+        ON p.user_id = v.user_id AND v.ts < p.ts)
+    SELECT purchase_id, user_id, ts,
+           CASE WHEN last_click_ts >= ts - INTERVAL 1 HOUR
+                THEN last_click_id END AS last_click_id,
+           CASE WHEN last_click_ts >= ts - INTERVAL 1 HOUR
+                THEN last_click_ts END AS last_click_ts,
+           COALESCE(last_click_ts < ts - INTERVAL 1 HOUR, FALSE) AS stale_dropped
+    FROM raw
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's ``tolerance`` /
+    kdb wj semantics): the latest earlier click counts only if it is at
+    most 1 hour old — staler matches are nulled and flagged, because
+    'the user clicked yesterday' is not attribution.  Same union-window
+    rewrite as ``join_asof_events`` (one user_id shuffle, no pairwise
+    explosion) with the staleness predicate applied to the carried
+    values; the oracle applies the identical cutoff to DuckDB's native
+    ASOF result."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(1).alias("is_click")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(0).alias("is_click")
+    )
+    u = clicks.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    raw = (
+        u.withColumn(
+            "lc_id",
+            F.last(
+                F.when(F.col("is_click") == 1, F.col("src_id")), ignorenulls=True
+            ).over(w),
+        )
+        .withColumn(
+            "lc_ts",
+            F.last(
+                F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("is_click") == 0)
+    )
+    fresh = F.col("lc_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return raw.select(
+        F.col("src_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("lc_id")).alias("last_click_id"),
+        F.when(fresh, F.col("lc_ts")).alias("last_click_ts"),
+        F.coalesce(
+            F.col("lc_ts") < F.col("ts") - F.expr("INTERVAL 1 HOUR"), F.lit(False)
+        ).alias("stale_dropped"),
+    )

@@ -1089,3 +1089,41 @@ def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(s, mode="append")
+
+
+@query(
+    "streaming_sliding_append",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT unnest([
+               date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END,
+               date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                    THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+                 - INTERVAL 30 MINUTE
+             ]) AS window_start,
+             value
+      FROM events),
+    agg AS (
+      SELECT window_start, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+      FROM assigned GROUP BY window_start),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+    SELECT a.window_start, a.n, a.total_value
+    FROM agg a, wm WHERE a.window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+)
+def streaming_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide) in APPEND mode — each of
+    the two windows an event belongs to emits exactly once, when the
+    watermark passes ITS end, so late-window emission order follows
+    window end time, not arrival.  Completes the append-mode trio
+    (tumbling / session / sliding); same finalization-cutoff oracle
+    discipline."""
+    s = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+    return run_to_completion(s, mode="append")
