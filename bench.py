@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "stats_chi_square_independence",
     "streaming_sliding_append",
     "join_asof_tolerance",
+    "udtf_table_arg_stats",
 ]
 
 

@@ -293,3 +293,50 @@ def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         schema="event_type string, n bigint, total_micros bigint, max_micros bigint",
     )
+
+
+@query(
+    "udtf_table_arg_stats",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def udtf_table_arg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument (Spark 4): the function consumes
+    an entire RELATION — ``my_udtf(TABLE(docs) PARTITION BY lang)`` —
+    with the engine routing each partition's rows through one UDTF
+    instance (eval per row, terminate per partition).  This is the
+    table-in/table-out contract stored procedures and feature
+    transformers want, vs the per-row LATERAL UDTFs
+    (``udtf_chunk_text``).  The aggregate is integer-only, so the
+    Python path is bit-exact against the oracle's plain GROUP BY."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, total_chars bigint, max_chars bigint")
+    class LangStats:
+        def __init__(self):
+            self.lang = None
+            self.n = 0
+            self.total = 0
+            self.mx = 0
+
+        def eval(self, row):  # noqa: ANN001
+            self.lang = row["lang"]
+            self.n += 1
+            self.total += row["n_chars"]
+            self.mx = max(self.mx, row["n_chars"])
+
+        def terminate(self):
+            if self.lang is not None:
+                yield self.lang, self.n, self.total, self.mx
+
+    spark.udtf.register("sg_lang_stats", LangStats)
+    load_table(spark, sf_dir, "documents").select(
+        "lang", "n_chars"
+    ).createOrReplaceTempView("sg_docs_for_udtf")
+    return spark.sql(
+        "SELECT * FROM sg_lang_stats(TABLE(sg_docs_for_udtf) PARTITION BY lang)"
+    )

@@ -36,6 +36,10 @@ _REPRESENTATIVES = [
     "stats_winsorize_events",   # rank selection
     "rfm_segmentation",         # global ntile
     "graph_triangle_count",     # edge joins (empty localCheckpoint)
+    "stats_exact_median_distributed",  # driver-side bucket select on empty hist
+    "search_bm25_rank",         # driver-side avgdl collect on empty corpus
+    "mix_temperature_sampling", # empty rates table
+    "ml_logreg_gradient_step",  # n = 0 division guard surface
 ]
 
 
