@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "streaming_sliding_append",
     "join_asof_tolerance",
     "udtf_table_arg_stats",
+    "dq_referential_integrity",
+    "dq_profile_orders",
 ]
 
 

@@ -612,3 +612,110 @@ def privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("acctbal_band"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders->customer' AS relation,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit across the star schema: orphan counts
+    for orders->customer, lineitem->orders, lineitem->part — the
+    constraint check a lake has to run as a query because nothing
+    enforces FKs at write time.  Each relation is one LEFT ANTI join
+    (broadcast for dimension-sized parents, shuffled-hash for the
+    fact-to-fact edge); counts union into a 3-row report."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+
+    def audit(name, child, key, parent, pkey):
+        orphans = child.join(
+            parent.select(pkey), child[key] == parent[pkey], "left_anti"
+        )
+        return (
+            child.agg(F.count("*").cast("bigint").alias("n_rows"))
+            .crossJoin(orphans.agg(F.count("*").cast("bigint").alias("n_orphans")))
+            .select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+
+    return (
+        audit("orders->customer", o, "o_custkey", c, "c_custkey")
+        .unionByName(audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(audit("lineitem->part", li, "l_partkey", p, "p_partkey"))
+    )
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           MIN(o_totalprice), MAX(o_totalprice)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    """,
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ingest-time DQ report): null counts,
+    distinct cardinality, and numeric min/max per column, long-form.
+    All three column profiles compute in ONE scan — Spark plans the
+    multi-distinct aggregate with Expand — and non-numeric columns carry
+    null bounds rather than lossy string casts."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col, numeric):
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            (F.min(col).cast("double") if numeric else F.lit(None).cast("double")).alias(
+                "min_v"
+            ),
+            (F.max(col).cast("double") if numeric else F.lit(None).cast("double")).alias(
+                "max_v"
+            ),
+        )
+
+    return (
+        prof("o_custkey", True)
+        .unionByName(prof("o_totalprice", True))
+        .unionByName(prof("o_orderstatus", False))
+    )
