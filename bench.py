@@ -176,6 +176,9 @@ BENCH_QUERIES = [
     "udtf_table_arg_stats",
     "dq_referential_integrity",
     "dq_profile_orders",
+    "funnel_time_to_convert",
+    "attribution_first_vs_last",
+    "cohort_retention_rate",
 ]
 
 

@@ -719,3 +719,199 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("o_totalprice", True))
         .unionByName(prof("o_orderstatus", False))
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id),
+    conv AS (
+      SELECT user_id,
+             epoch_us(t_purchase) - epoch_us(t_view) AS us_to_convert
+      FROM stages WHERE t_view < t_purchase),
+    ranked AS (
+      SELECT us_to_convert, user_id,
+             ROW_NUMBER() OVER (ORDER BY us_to_convert, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM conv)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN rk = CAST(ceil(n / 2.0) AS BIGINT)
+                    THEN us_to_convert END) AS BIGINT) AS median_us,
+           CAST(MIN(us_to_convert) AS BIGINT) AS min_us,
+           CAST(MAX(us_to_convert) AS BIGINT) AS max_us
+    FROM ranked
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per converting user, microseconds
+    from first view to first purchase, summarized with the nearest-rank
+    median (integer epoch arithmetic end to end — no interpolation, no
+    floats).  One conditional-MIN aggregate (the funnel shape) feeds a
+    single small rank selection over converters only."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    conv = stages.filter(F.col("t_view") < F.col("t_purchase")).select(
+        "user_id",
+        (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias(
+            "us_to_convert"
+        ),
+    )
+    w = Window.orderBy("us_to_convert", "user_id")
+    ranked = conv.select(
+        "us_to_convert",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") / 2.0).cast("bigint"),
+                F.col("us_to_convert"),
+            )
+        )
+        .cast("bigint")
+        .alias("median_us"),
+        F.min("us_to_convert").cast("bigint").alias("min_us"),
+        F.max("us_to_convert").cast("bigint").alias("max_us"),
+    )
+
+
+@query(
+    "attribution_first_vs_last",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    attrib AS (
+      SELECT p.event_id AS purchase_id,
+             MIN(c.event_id) FILTER (WHERE c.ts = first_ts.f) AS first_click,
+             MIN(c.event_id) FILTER (WHERE c.ts = last_ts.l) AS last_click
+      FROM purchases p
+      JOIN clicks c ON c.user_id = p.user_id AND c.ts < p.ts
+      JOIN (SELECT p2.event_id AS pid, MIN(c2.ts) AS f
+            FROM purchases p2 JOIN clicks c2
+              ON c2.user_id = p2.user_id AND c2.ts < p2.ts
+            GROUP BY p2.event_id) first_ts ON first_ts.pid = p.event_id
+      JOIN (SELECT p3.event_id AS pid, MAX(c3.ts) AS l
+            FROM purchases p3 JOIN clicks c3
+              ON c3.user_id = p3.user_id AND c3.ts < p3.ts
+            GROUP BY p3.event_id) last_ts ON last_ts.pid = p.event_id
+      GROUP BY p.event_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN first_click = last_click THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_single_touch
+    FROM attrib
+    """,
+)
+def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution: for every purchase with
+    any prior click, do the two models pick the same click?  The Spark
+    plan is ONE window pass — min/max click ts carried along the
+    user-ordered event stream (the as-of rewrite, both directions at
+    once) — versus the oracle's three-join spelling; identical answers,
+    one shuffle instead of three fact joins."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(1).alias("is_click")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(0).alias("is_click")
+    )
+    u = clicks.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ck_id = F.when(F.col("is_click") == 1, F.col("src_id"))
+    ck_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    marked = (
+        u.withColumn("first_click_ts", F.min(ck_ts).over(w))
+        .withColumn("last_click", F.last(ck_id, ignorenulls=True).over(w))
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    F.col("is_click") == 1,
+                    F.struct(F.col("ts"), F.col("src_id")),
+                )
+            ).over(w)["src_id"],
+        )
+        .filter((F.col("is_click") == 0) & F.col("last_click").isNotNull())
+    )
+    return marked.agg(
+        F.count("*").cast("bigint").alias("n_attributed"),
+        F.sum(
+            F.when(F.col("first_click") == F.col("last_click"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_single_touch"),
+    )
+
+
+@query(
+    "cohort_retention_rate",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events),
+    tri AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.w) // 7 AS BIGINT) AS week_offset,
+             CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      FROM activity a JOIN firstw f ON f.user_id = a.user_id
+      GROUP BY 1, 2),
+    base AS (SELECT cohort_week, n_users AS n0 FROM tri WHERE week_offset = 0)
+    SELECT t.cohort_week, t.week_offset, t.n_users,
+           round(CAST(t.n_users AS DOUBLE) / b.n0, 6) AS retention
+    FROM tri t JOIN base b ON b.cohort_week = t.cohort_week
+    """,
+)
+def cohort_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized retention curve: each cohort's active-user count per
+    week offset divided by its week-0 size — the percentage triangle a
+    growth dashboard plots.  Builds on ``cohort_retention_weekly``'s
+    shape with a self-join against the week-0 rows (broadcast — one row
+    per cohort); the ratio divides exact integers and rounds once."""
+    e = load_table(spark, sf_dir, "events")
+    firstw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    tri = (
+        activity.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("datediff(w, cohort_week) div 7").cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+    base = tri.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("n0")
+    )
+    return tri.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        F.round(F.col("n_users").cast("double") / F.col("n0"), 6).alias("retention"),
+    )
