@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "funnel_time_to_convert",
     "attribution_first_vs_last",
     "cohort_retention_rate",
+    "assoc_session_lift",
+    "sample_bootstrap_poisson",
 ]
 
 

@@ -915,3 +915,99 @@ def cohort_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.round(F.col("n_users").cast("double") / F.col("n0"), 6).alias("retention"),
     )
+
+
+@query(
+    "assoc_session_lift",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged),
+    st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+    n AS (SELECT COUNT(DISTINCT (user_id, session_id)) AS n_sessions FROM st),
+    single AS (SELECT event_type, COUNT(*) AS c FROM st GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS cab
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT p.ta, p.tb, CAST(p.cab AS BIGINT) AS n_both,
+           round(CAST(p.cab AS DOUBLE) * n.n_sessions / (sa.c * sb.c), 6) AS lift
+    FROM pairs p
+    JOIN single sa ON sa.event_type = p.ta
+    JOIN single sb ON sb.event_type = p.tb
+    CROSS JOIN n
+    """,
+)
+def assoc_session_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over sessions: for every event-type
+    pair, lift = P(a,b) / (P(a)P(b)) with sessions as baskets — the
+    signal behind 'users who view also purchase'.  Baskets come from
+    the shared 30-minute sessionization; the pair join runs on the
+    DISTINCT (session, type) table (at most |types| rows per session,
+    so the self-join is bounded by 5 x 5 per basket regardless of event
+    volume).  Lift divides exact integer counts once, rounded."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(lag_ts) > 1800000000)
+            | lag_ts.isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    st = sess.select("user_id", "session_id", "event_type").distinct()
+    n_sessions = st.select("user_id", "session_id").distinct().count()
+    single = st.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count("*").alias("cab"))
+    )
+    sa = single.select(F.col("event_type").alias("ta"), F.col("c").alias("ca"))
+    sb = single.select(F.col("event_type").alias("tb"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta",
+            "tb",
+            F.col("cab").cast("bigint").alias("n_both"),
+            F.round(
+                F.col("cab").cast("double") * n_sessions / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table, register_views
 
@@ -174,4 +175,58 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
         FROM s GROUP BY lang
         """
+    )
+
+
+# Poisson(1) inverse-CDF thresholds over 2^32 md5 buckets, computed once
+# in Python so both engines compare the SAME integer literals
+# (k = 0..3, tail mass collapsed into k = 4).
+_POIS_CASE = "CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1 WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3 ELSE 4 END"
+
+
+@query(
+    "sample_bootstrap_poisson",
+    oracle=f"""
+    WITH draws AS (
+      SELECT r, o_totalprice,
+             ({hex_int_sql('duckdb', "md5(concat(CAST(o_orderkey AS VARCHAR), ':', CAST(r AS VARCHAR)))", 1)}) AS u
+      FROM orders, unnest(range(0, 3)) AS t(r)),
+    counted AS (SELECT r, o_totalprice, {_POIS_CASE} AS k FROM draws)
+    SELECT r AS replicate, CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(SUM(k * CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM counted GROUP BY r
+    """,
+)
+def sample_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (the online-bootstrap /
+    bagging-resample standard): each of 3 replicates draws every row
+    k ~ Poisson(1) times, with k derived from md5(orderkey, replicate)
+    against Python-precomputed inverse-CDF integer thresholds — so the
+    replicates are reproducible across engines, runs, and retries, and
+    resampling is a scan-side weight, never a data copy.  Replicate
+    estimates (row counts, decimal-exact weighted revenue) are the
+    bootstrap distribution a variance estimate reads off."""
+    from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql as _hx
+
+    o = load_table(spark, sf_dir, "orders")
+    draws = o.select(
+        "o_totalprice",
+        "o_orderkey",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("r"),
+    ).withColumn(
+        "u",
+        F.expr(
+            _hx(
+                "spark",
+                "md5(concat(cast(o_orderkey as string), ':', cast(r as string)))",
+                1,
+            )
+        ),
+    )
+    counted = draws.withColumn("k", F.expr(_POIS_CASE))
+    return counted.groupBy(F.col("r").alias("replicate")).agg(
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.sum(F.col("k") * F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
     )
