@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "cohort_retention_rate",
     "assoc_session_lift",
     "sample_bootstrap_poisson",
+    "graph_markov_transitions",
+    "text_ngram_novelty",
 ]
 
 

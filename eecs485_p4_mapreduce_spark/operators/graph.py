@@ -194,3 +194,41 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("degree"))
     )
     return tc.join(deg, "doc_id").select("doc_id", "degree", "n_triangles")
+
+
+@query(
+    "graph_markov_transitions",
+    oracle="""
+    WITH edges AS (
+      SELECT src, dst, COUNT(*) AS c FROM (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS src,
+               event_type AS dst
+        FROM events)
+      WHERE src IS NOT NULL GROUP BY src, dst),
+    rowsum AS (SELECT src, SUM(c) AS total FROM edges GROUP BY src)
+    SELECT e.src, e.dst, CAST(e.c AS BIGINT) AS n,
+           round(CAST(e.c AS DOUBLE) / r.total, 6) AS p
+    FROM edges e JOIN rowsum r ON r.src = e.src
+    """,
+)
+def graph_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: P(next
+    type | current type) from per-user consecutive pairs — the
+    row-stochastic matrix behind next-event prediction and the very
+    edge weights ``graph_pagerank`` walks.  One lag window (user_id
+    shuffle) + two tiny aggregates; probabilities divide exact integer
+    counts once."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("src"), F.col("event_type").alias("dst")
+    ).filter(F.col("src").isNotNull())
+    edges = pairs.groupBy("src", "dst").agg(F.count("*").alias("c"))
+    rowsum = edges.groupBy("src").agg(F.sum("c").alias("total"))
+    return edges.join(F.broadcast(rowsum), "src").select(
+        "src",
+        "dst",
+        F.col("c").cast("bigint").alias("n"),
+        F.round(F.col("c").cast("double") / F.col("total"), 6).alias("p"),
+    )

@@ -869,3 +869,59 @@ def quality_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("repeated_ratio"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents),
+    g AS (SELECT doc_id, lang,
+                 unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), i ->
+                   concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))) AS g3
+          FROM tk WHERE len(toks) >= 3),
+    df AS (SELECT g3, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY g3),
+    marked AS (SELECT g.doc_id, g.lang,
+                      CASE WHEN df.nd = 1 THEN 1 ELSE 0 END AS uniq
+               FROM g JOIN df ON df.g3 = g.g3)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(uniq) AS BIGINT) AS n_novel,
+           round(CAST(SUM(uniq) AS DOUBLE) / COUNT(*), 6) AS novelty_ratio
+    FROM marked GROUP BY lang
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram novelty: the fraction of each language's
+    distinct 3-grams that occur in exactly ONE document — the inverse
+    of the contamination/duplication signals, and the quantity a
+    memorization audit tracks (low novelty = the corpus keeps repeating
+    itself across documents).  Shuffle keys are 3-gram strings and doc
+    ids; the per-doc distinct keeps internal repeats from inflating
+    document frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "lang", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    g = tk.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), i ->"
+                    " concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
+                    " ' ', element_at(toks, i + 2)))"
+                )
+            )
+        ).alias("g3"),
+    )
+    df = g.groupBy("g3").agg(F.countDistinct("doc_id").alias("nd"))
+    marked = g.join(df, "g3").select(
+        "lang", F.when(F.col("nd") == 1, 1).otherwise(0).alias("uniq")
+    )
+    return marked.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum("uniq").cast("bigint").alias("n_novel"),
+        F.round(F.sum("uniq").cast("double") / F.count("*"), 6).alias(
+            "novelty_ratio"
+        ),
+    )
