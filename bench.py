@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "sample_bootstrap_poisson",
     "graph_markov_transitions",
     "text_ngram_novelty",
+    "histogram_equidepth_deciles",
+    "tumbling_window_offset",
 ]
 
 

@@ -434,3 +434,37 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(contrib.cast("decimal(24,9)")).cast("double"), 6
         ).alias("chi_square"),
     )
+
+
+@query(
+    "histogram_equidepth_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events)
+    SELECT event_type, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM ranked GROUP BY event_type, decile
+    """,
+)
+def histogram_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (decile buckets of equal row count) per event
+    type — the optimizer-statistics and SLA-reporting companion to the
+    equi-width ``histogram_value_bins``: boundaries adapt to the
+    distribution, so skewed value ranges still get resolution where the
+    mass is.  ntile ties break on event_id identically in both engines;
+    bucket bounds are stored doubles, no arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )

@@ -576,3 +576,30 @@ def window_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("pct_change"),
     )
+
+
+@query(
+    "tumbling_window_offset",
+    oracle=f"""
+    SELECT date_trunc('hour', ts - INTERVAL 15 MINUTE) + INTERVAL 15 MINUTE
+             AS window_start,
+           event_type, COUNT(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows with a NON-ZERO ORIGIN (F.window's startTime):
+    hourly buckets aligned to :15 — the billing-period / business-day
+    alignment plain date_trunc cannot express.  The oracle recovers the
+    same alignment by truncating the shifted timestamp and shifting
+    back, proving the startTime semantics."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
