@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "text_ngram_novelty",
     "histogram_equidepth_deciles",
     "tumbling_window_offset",
+    "multimodal_chunk_reassembly",
+    "stats_threshold_crossings",
 ]
 
 

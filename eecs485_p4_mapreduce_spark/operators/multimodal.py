@@ -421,3 +421,69 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _PH_THRESH)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+_CHUNK_BYTES = 64
+
+
+@query(
+    "multimodal_chunk_reassembly",
+    oracle=f"""
+    SELECT source AS media_source,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM((n_chars + {_CHUNK_BYTES - 1}) // {_CHUNK_BYTES}) AS BIGINT)
+             AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_reassembled_ok
+    FROM documents GROUP BY source
+    """,
+)
+def multimodal_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked binary transfer round-trip (the multipart-upload /
+    blob-store shape): split each payload into {_CHUNK_BYTES}-byte
+    binary chunks (the unit a 100 TB media pipeline moves and
+    checksums), reassemble in offset order, and verify the digest
+    matches the original.  The oracle counts assets and expected chunks
+    independently and asserts every asset reassembled intact — a lost,
+    duplicated, or reordered chunk makes the Spark-side ok-count fall
+    short and the hashes mismatch."""
+    media = with_payload(load_table(spark, sf_dir, "documents"))
+    chunks = media.select(
+        "doc_id",
+        "media_source",
+        F.md5("payload").alias("orig_md5"),
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("payload"), F.lit(1)), F.lit(_CHUNK_BYTES)
+            )
+        ).alias("off"),
+        "payload",
+    ).select(
+        "doc_id",
+        "media_source",
+        "orig_md5",
+        "off",
+        F.decode(F.expr(f"substring(payload, off, {_CHUNK_BYTES})"), "UTF-8").alias(
+            "chunk"
+        ),
+    )
+    reasm = chunks.groupBy("doc_id", "media_source", "orig_md5").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("off", "chunk"))),
+                    lambda x: x["chunk"],
+                ),
+                "",
+            )
+        ).alias("reasm_md5"),
+    )
+    return reasm.groupBy("media_source").agg(
+        F.count("*").cast("bigint").alias("n_assets"),
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        F.sum(
+            F.when(F.col("reasm_md5") == F.col("orig_md5"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_reassembled_ok"),
+    )

@@ -468,3 +468,57 @@ def histogram_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+@query(
+    "stats_threshold_crossings",
+    oracle="""
+    WITH mu AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM events GROUP BY event_type),
+    signed AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             CASE WHEN e.value > mu.m THEN 1
+                  WHEN e.value < mu.m THEN -1 ELSE 0 END AS s
+      FROM events e JOIN mu ON mu.event_type = e.event_type),
+    lagged AS (
+      SELECT event_type, s,
+             lag(s) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS ps
+      FROM signed)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN s * ps = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_crossings
+    FROM lagged GROUP BY event_type
+    """,
+)
+def stats_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-crossing count per event type — the oscillation/alerting
+    signal (how often does the series flip across its baseline).  The
+    per-type mean comes from a decimal-exact aggregate broadcast back
+    onto the scan (the z-score shape); signs are exact comparisons and
+    a lag window counts strict sign flips.  One fact shuffle for the
+    window; the mean table is 5 rows."""
+    e = load_table(spark, sf_dir, "events")
+    mu = e.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*"))
+        .alias("m")
+    )
+    signed = e.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.col("value") > F.col("m"), 1)
+        .when(F.col("value") < F.col("m"), -1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = signed.withColumn("ps", F.lag("s").over(w))
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("s") * F.col("ps") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_crossings"),
+    )
