@@ -187,6 +187,10 @@ BENCH_QUERIES = [
     "tumbling_window_offset",
     "multimodal_chunk_reassembly",
     "stats_threshold_crossings",
+    "timeseries_ewma_hourly",
+    "stats_autocorr_lag1",
+    "window_rolling_median_24h",
+    "stats_trend_ols_daily",
 ]
 
 

@@ -1,0 +1,367 @@
+"""Time-series statistics over the regularized event grid: truncated
+EWMA smoothing, lag-1 autocorrelation, rolling nearest-rank medians, and
+an OLS trend fit -- the monitoring/forecast-prep layer on top of the
+hourly resample (timeseries.py).
+
+The reference framework could only express these as custom reducers over
+a pre-sorted partition (SURVEY.md §2.C "Window functions ... absent");
+here every query is hash aggregates + tiny spines.
+
+Scale shape (shared by all four): the only pass over the raw 100 TB
+input is the per-bucket COUNT -- a map-side-combinable hash aggregate.
+Everything after runs on data proportional to buckets x series (the
+OUTPUT size), and the "rolling window" computations are expressed as an
+explode of each bucket into the <= 32 future buckets it contributes to,
+turning a positional window frame into a plain equi-key aggregation that
+partial-aggregates map-side and never needs a per-series global sort.
+At 1000 executors the bucket grid shuffles by (series, bucket) -- no
+skew, no single-partition window.
+
+Cross-engine determinism: bucket counts are BIGINT; EWMA weights are
+powers of two accumulated in BIGINT and divided by 2^32 once at the end
+(exact in IEEE double); correlation/OLS use integer moment sums with the
+final float expression written identically on both engines; medians are
+nearest-rank selections of stored integers -- no float compares anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from eecs485_p4_mapreduce_spark.plans.registry import query
+from eecs485_p4_mapreduce_spark.sources import load_table
+
+_US_PER_HOUR = 3_600_000_000
+_US_PER_DAY = 86_400_000_000
+
+
+def _hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, h, n): events per epoch-hour bucket -- the one pass
+    that touches the raw input (map-side combinable hash agg)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_US_PER_HOUR}").alias("h"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_HOURLY_DUCK = f"""
+    hourly AS (
+      SELECT event_type, epoch_us(ts) // {_US_PER_HOUR} AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+"""
+
+
+def _zero_filled(hourly: DataFrame) -> DataFrame:
+    """Per-series dense hourly grid with missing buckets as 0 -- the
+    spine is sequence(min_h, max_h) from a per-series 1-row aggregate
+    (rows proportional to hours-in-range, never to input size)."""
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("min_h"), F.max("h").alias("max_h"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("min_h", "max_h")).alias("h"),
+        )
+    )
+    return spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+_FILLED_DUCK = f"""
+    {_HOURLY_DUCK},
+    spine AS (
+      SELECT event_type, unnest(generate_series(min_h, max_h)) AS h
+      FROM (SELECT event_type, min(h) AS min_h, max(h) AS max_h
+            FROM hourly GROUP BY 1)),
+    filled AS (
+      SELECT s.event_type, s.h, COALESCE(hourly.n, 0) AS n
+      FROM spine s LEFT JOIN hourly USING (event_type, h))
+"""
+
+
+@query(
+    "timeseries_ewma_hourly",
+    oracle=f"""
+    WITH {_FILLED_DUCK},
+    contrib AS (
+      SELECT f.event_type, f.h + t.k AS target_h,
+             f.n * (CAST(1 AS BIGINT) << (31 - t.k)) AS w
+      FROM filled f CROSS JOIN generate_series(0, 31) AS t(k)),
+    mx AS (SELECT event_type, max(h) AS max_h FROM hourly GROUP BY 1)
+    SELECT c.event_type,
+           make_timestamp(c.target_h * {_US_PER_HOUR}) AS hour_start,
+           CAST(CAST(SUM(c.w) AS BIGINT) AS DOUBLE) / 4294967296.0 AS ewma
+    FROM contrib c JOIN mx USING (event_type)
+    WHERE c.target_h <= mx.max_h
+    GROUP BY 1, 2
+    """,
+)
+def timeseries_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average (alpha = 1/2, 32
+    taps) of the zero-filled hourly event counts per type -- the smoothed
+    rate curve behind alerting baselines.
+
+    The recurrence s_t = a*x_t + (1-a)*s_{{t-1}} is re-expressed as the
+    finite sum sum_k x_{{t-k}} * 2^(31-k) / 2^32: each hourly bucket
+    EXPLODES into the 32 future buckets it decays into with a
+    power-of-two BIGINT weight, and the per-target SUM is a plain hash
+    aggregate -- no per-series ordered window, so a series spanning years
+    still parallelizes across executors.  The single f.p. operation is
+    the final exact-by-construction division by 2^32 (integer payload
+    << 2^53), making the result bitwise identical across engines and
+    partial-agg orders.  Tail weights below 2^-32 are dropped -- a
+    relative truncation error < 1e-9, far under any monitoring signal.
+    """
+    hourly = _hourly_counts(spark, sf_dir)
+    filled = _zero_filled(hourly)
+    contrib = filled.select(
+        "event_type",
+        "n",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("k"),
+    ).select(
+        "event_type",
+        (F.col("h") + F.col("k")).alias("target_h"),
+        F.expr("n * shiftleft(CAST(1 AS BIGINT), 31 - k)").alias("w"),
+    )
+    mx = hourly.groupBy("event_type").agg(F.max("h").alias("max_h"))
+    return (
+        contrib.groupBy("event_type", "target_h")
+        .agg(F.sum("w").alias("s"))
+        .join(F.broadcast(mx), "event_type")
+        .filter(F.col("target_h") <= F.col("max_h"))
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("target_h") * _US_PER_HOUR).alias(
+                "hour_start"
+            ),
+            (F.col("s").cast("double") / F.lit(4294967296.0)).alias("ewma"),
+        )
+    )
+
+
+@query(
+    "stats_autocorr_lag1",
+    oracle=f"""
+    WITH {_FILLED_DUCK},
+    pairs AS (
+      SELECT event_type, n AS y,
+             lag(n) OVER (PARTITION BY event_type ORDER BY h) AS x
+      FROM filled),
+    m AS (
+      SELECT event_type, COUNT(*) AS np,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs WHERE x IS NOT NULL GROUP BY 1)
+    SELECT event_type, np AS n_pairs,
+           CAST(np * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+                           * CAST(np * syy - sy * sy AS DOUBLE)), 0.0)
+             AS acf1
+    FROM m
+    """,
+)
+def stats_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the zero-filled hourly count series per
+    event type -- the burstiness/persistence diagnostic (near 0 =
+    memoryless arrivals, near 1 = strong hour-to-hour momentum).
+
+    Pearson r over consecutive-bucket pairs from five integer moment
+    sums; the only shuffle beyond the bucket aggregate is one per-series
+    window for the lag pairing (each series is one task's worth of
+    bucket rows, not raw events -- for multi-year series, range-partition
+    time and carry one boundary row).  All moments are exact BIGINTs;
+    the final correlation expression is written identically on both
+    engines, so the doubles agree bitwise.  NULLIF guards the
+    constant-series case (zero variance => NULL, not a crash).
+    """
+    filled = _zero_filled(_hourly_counts(spark, sf_dir))
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = filled.select(
+        "event_type",
+        F.col("n").alias("y"),
+        F.lag("n").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = pairs.groupBy("event_type").agg(
+        F.count("*").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "event_type",
+        F.col("np").alias("n_pairs"),
+        (num / F.nullif(den, F.lit(0.0))).alias("acf1"),
+    )
+
+
+@query(
+    "window_rolling_median_24h",
+    oracle=f"""
+    WITH {_FILLED_DUCK},
+    contrib AS (
+      SELECT f.event_type, f.h + t.k AS target_h, f.n
+      FROM filled f CROSS JOIN generate_series(0, 23) AS t(k)),
+    mx AS (SELECT event_type, max(h) AS max_h FROM hourly GROUP BY 1),
+    frames AS (
+      SELECT c.event_type, c.target_h,
+             array_agg(c.n ORDER BY c.n) AS xs, COUNT(*) AS frame_n
+      FROM contrib c JOIN mx USING (event_type)
+      WHERE c.target_h <= mx.max_h
+      GROUP BY 1, 2)
+    SELECT event_type,
+           make_timestamp(target_h * {_US_PER_HOUR}) AS hour_start,
+           CAST(frame_n AS BIGINT) AS frame_n,
+           xs[CAST((frame_n + 1) // 2 AS INT)] AS median_n
+    FROM frames
+    """,
+)
+def window_rolling_median_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour nearest-rank median of the zero-filled hourly
+    counts per event type -- the outlier-robust baseline a z-score
+    monitor (stats_zscore_outliers) wants instead of the mean.
+
+    A positional ROWS window over a long series serializes each series
+    into one sorted task; instead each bucket explodes into the <= 24
+    target buckets whose frame it belongs to, and each frame is rebuilt
+    as a group of <= 24 rows -- an equi-key aggregation that scales with
+    buckets x 24, shuffles by (series, target), and needs no per-series
+    ordering.  The median is element (k+1)//2 of the SORTED frame values
+    (lower nearest-rank, exact -- no interpolation), so leading partial
+    frames are well-defined and every value is an integer selected, not
+    computed: bitwise determinism for free.
+    """
+    filled = _zero_filled(_hourly_counts(spark, sf_dir))
+    contrib = filled.select(
+        "event_type",
+        "n",
+        F.explode(F.sequence(F.col("h"), F.col("h") + F.lit(23))).alias(
+            "target_h"
+        ),
+    )
+    mx = _hourly_counts(spark, sf_dir).groupBy("event_type").agg(
+        F.max("h").alias("max_h")
+    )
+    frames = (
+        contrib.join(F.broadcast(mx), "event_type")
+        .filter(F.col("target_h") <= F.col("max_h"))
+        .groupBy("event_type", "target_h")
+        .agg(
+            F.array_sort(F.collect_list("n")).alias("xs"),
+            F.count("*").alias("frame_n"),
+        )
+    )
+    return frames.select(
+        "event_type",
+        F.timestamp_micros(F.col("target_h") * _US_PER_HOUR).alias(
+            "hour_start"
+        ),
+        "frame_n",
+        F.element_at(
+            "xs", ((F.col("frame_n") + 1) / 2).cast("int")
+        ).alias("median_n"),
+    )
+
+
+@query(
+    "stats_trend_ols_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS d, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT event_type, min_d,
+             unnest(generate_series(min_d, max_d)) AS d
+      FROM (SELECT event_type, min(d) AS min_d, max(d) AS max_d
+            FROM daily GROUP BY 1)),
+    filled AS (
+      SELECT s.event_type, s.d - s.min_d AS x, COALESCE(daily.n, 0) AS y
+      FROM spine s LEFT JOIN daily USING (event_type, d)),
+    m AS (
+      SELECT event_type, COUNT(*) AS np,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM filled GROUP BY 1)
+    SELECT event_type, np AS n_days,
+           CAST(np * sxy - sx * sy AS DOUBLE)
+             / NULLIF(CAST(np * sxx - sx * sx AS DOUBLE), 0.0) AS slope,
+           (CAST(sy AS DOUBLE)
+             - (CAST(np * sxy - sx * sy AS DOUBLE)
+                / NULLIF(CAST(np * sxx - sx * sx AS DOUBLE), 0.0))
+               * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def stats_trend_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend line (events/day vs day index) over the
+    zero-filled daily series -- the growth/decay slope a data-volume
+    monitor alerts on.
+
+    Closed-form simple regression from four integer moment sums, x
+    rebased to day-0 per series so the BIGINT cross-moments stay tiny.
+    One map-side-combinable aggregate over the input, then everything is
+    output-sized.  slope and intercept are computed with the identical
+    float expression on both engines over exact integers -- bitwise
+    stable.  Degenerate one-day series yield NULL slope via NULLIF, not
+    a division crash.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("d"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("min_d"), F.max("d").alias("max_d"))
+        .select(
+            "event_type",
+            "min_d",
+            F.explode(F.sequence("min_d", "max_d")).alias("d"),
+        )
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        (F.col("d") - F.col("min_d")).alias("x"),
+        F.coalesce("n", F.lit(0)).alias("y"),
+    )
+    m = filled.groupBy("event_type").agg(
+        F.count("*").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / F.nullif(
+        (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("np").cast("double")
+    return m.select(
+        "event_type",
+        F.col("np").alias("n_days"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

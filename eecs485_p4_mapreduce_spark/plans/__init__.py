@@ -30,6 +30,7 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     sourcesink,
     text,
     timeseries,
+    timeseries2,
     textstats,
     udx,
     windows,

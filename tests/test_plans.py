@@ -468,3 +468,15 @@ def test_cohort_first_week_broadcasts_back(spark, sf_dir):
     plan = explain(spark, sf_dir, "cohort_retention_weekly")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ewma_and_rolling_median_have_no_window_exchange(spark, sf_dir):
+    """The EWMA and rolling-median queries re-express positional window
+    frames as explode + hash aggregation — the whole point of their 100 TB
+    shape.  A rewrite that sneaks a per-series Window (one sorted task per
+    series) back in must fail here."""
+    for name in ("timeseries_ewma_hourly", "window_rolling_median_24h"):
+        plan = explain(spark, sf_dir, name)
+        assert "Window" not in plan, name
+        # the per-type max joins back as a broadcast, never sort-merge
+        assert "SortMergeJoin" not in plan, name
