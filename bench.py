@@ -191,6 +191,9 @@ BENCH_QUERIES = [
     "stats_autocorr_lag1",
     "window_rolling_median_24h",
     "stats_trend_ols_daily",
+    "join_interval_overlap",
+    "privacy_l_diversity",
+    "ml_naive_bayes_train",
 ]
 
 

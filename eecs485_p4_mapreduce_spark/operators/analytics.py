@@ -1011,3 +1011,46 @@ def assoc_session_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "privacy_l_diversity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(*) AS k,
+             COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, CAST(k AS BIGINT) AS k,
+           CAST(l AS BIGINT) AS l, l >= 2 AS l_diverse
+    FROM g
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit -- the k-anonymity follow-up: a class where
+    every member shares the same sensitive value (here the coarse
+    account-balance band) leaks that value even when k is large, so the
+    release gate is distinct-sensitive-values >= l per equivalence
+    class.  Implementation is COUNT + COUNT(DISTINCT band) in one hash
+    aggregate over the quasi-identifier pair; like the k-audit it scales
+    with QI-class cardinality, and the distinct runs per-class (Spark
+    expands to a two-phase distinct aggregate -- map-side partials,
+    never a global sort).  floor-then-cast banding matches the
+    histogram convention (Spark truncates, DuckDB rounds on raw CAST).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.countDistinct(band).cast("bigint").alias("l"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "l",
+            (F.col("l") >= 2).alias("l_diverse"),
+        )
+    )

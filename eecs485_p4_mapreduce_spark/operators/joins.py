@@ -319,3 +319,105 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("lc_ts") < F.col("ts") - F.expr("INTERVAL 1 HOUR"), F.lit(False)
         ).alias("stale_dropped"),
     )
+
+
+_SESSIONS_DUCK = """
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    iv AS (
+      SELECT user_id, CAST(sid AS BIGINT) AS sid,
+             min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+      FROM sess GROUP BY 1, 2)
+"""
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH {_SESSIONS_DUCK}
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS n_overlaps
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id
+     AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    GROUP BY 1, 2
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: count concurrently-active session
+    pairs per user pair (the co-presence / concurrency audit).  Sessions
+    are the 30-min-gap sessionization of events (session_window_30m's
+    exact discipline), each an interval [first_ts, last_ts].
+
+    A raw overlap join is a theta join -- O(n^2) nested-loop at any real
+    scale.  The 100 TB shape used here: explode each interval into the
+    hour buckets it spans, equi-join on the bucket (shuffle partitioned
+    by time -- bounded per-bucket fan-in, AQE-skew-splittable for hot
+    hours), verify the exact overlap predicate per candidate, then
+    de-dupe pairs that co-occur in several buckets with a distinct on
+    the session-pair key.  Bucket width should match the median interval
+    length; sessions here are minutes-long, so an hour keeps the
+    per-bucket candidate count tiny while never splitting one session
+    across many buckets.  The oracle runs the naive theta join --
+    feasible at oracle scale -- proving the bucketed rewrite loses no
+    pair.  All outputs are integers: bitwise-deterministic.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(wo)
+    sess = e.select(
+        "user_id",
+        us.alias("us"),
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    ).withColumn("sid", F.sum("new_session").over(wrun).cast("bigint"))
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    bucketed = iv.select(
+        "user_id",
+        "sid",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr("s_us div 3600000000"), F.expr("e_us div 3600000000")
+            )
+        ).alias("hb"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"), F.col("sid").alias("sid_a"),
+        F.col("s_us").alias("sa"), F.col("e_us").alias("ea"), "hb",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"), F.col("sid").alias("sid_b"),
+        F.col("s_us").alias("sb"), F.col("e_us").alias("eb"), "hb",
+    )
+    pairs = (
+        a.join(b, "hb")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select("user_a", "sid_a", "user_b", "sid_b")
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(F.count("*").alias("n_overlaps"))

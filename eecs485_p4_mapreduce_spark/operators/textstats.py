@@ -925,3 +925,88 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ratio"
         ),
     )
+
+
+@query(
+    "ml_naive_bayes_train",
+    oracle=f"""
+    WITH tk AS (
+      SELECT lang, unnest({DUCK_TOKENS}) AS token FROM documents),
+    c AS (SELECT lang, token, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_lang FROM c GROUP BY 1),
+    voc AS (SELECT COUNT(DISTINCT token) AS v FROM tk),
+    pri AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM documents) AS prior_frac
+      FROM documents GROUP BY 1),
+    ranked AS (
+      SELECT lang, token, cnt,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token ASC) AS rk
+      FROM c)
+    SELECT r.lang, r.token, CAST(r.cnt AS BIGINT) AS cnt,
+           round(ln(CAST(r.cnt + 1 AS DOUBLE) / (t.n_lang + voc.v)), 4)
+             AS log_likelihood,
+           round(ln(p.prior_frac), 4) AS log_prior
+    FROM ranked r
+    JOIN tot t USING (lang) JOIN pri p USING (lang) CROSS JOIN voc
+    WHERE r.rk <= 10
+    """,
+)
+def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes training over the document corpus: the
+    model IS two aggregation outputs -- Laplace-smoothed token
+    log-likelihoods ln((c+1)/(N_lang+V)) per (lang, token) and class
+    log-priors -- the classic first classifier over a labeled text dump.
+
+    Scale shape: one tokenize-explode pass feeds a map-side-combinable
+    (lang, token) count -- the only job that touches the corpus; the
+    totals, vocabulary size, and priors are output-sized aggregates that
+    broadcast back onto the count table.  Output is capped to the top-10
+    tokens per class via a rank window over the count table (already
+    model-sized, partitioned by lang, WindowGroupLimit-lowerable), with
+    (count DESC, token ASC) so the cut is deterministic.  Logs are
+    quantized round(4) per the cross-engine convention (Spark's and
+    DuckDB's libm ln differ in the last ulp); everything upstream of the
+    ln is exact integer arithmetic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    c = tk.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    tot = c.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("n_lang"))
+    voc = tk.agg(F.countDistinct("token").alias("v"))
+    ntot = docs.agg(F.count("*").alias("n_total"))
+    pri = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "lang",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias(
+                "prior_frac"
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    )
+    ranked = c.withColumn("rk", rk).filter(F.col("rk") <= 10)
+    return (
+        ranked.join(F.broadcast(tot), "lang")
+        .join(F.broadcast(pri), "lang")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "lang",
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                F.log(
+                    (F.col("cnt") + 1).cast("double")
+                    / (F.col("n_lang") + F.col("v"))
+                ),
+                4,
+            ).alias("log_likelihood"),
+            F.round(F.log(F.col("prior_frac")), 4).alias("log_prior"),
+        )
+    )
