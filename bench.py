@@ -194,6 +194,11 @@ BENCH_QUERIES = [
     "join_interval_overlap",
     "privacy_l_diversity",
     "ml_naive_bayes_train",
+    "graph_kcore_2core",
+    "window_cumulative_users",
+    "window_rolling_dau_7d",
+    "stats_ks_drift_by_source",
+    "search_rrf_fusion",
 ]
 
 

@@ -1054,3 +1054,195 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l") >= 2).alias("l_diverse"),
         )
     )
+
+
+@query(
+    "window_cumulative_users",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(epoch_us(ts) // 86400000000) AS d
+      FROM events GROUP BY 1),
+    daily AS (SELECT d, COUNT(*) AS new_users FROM first_day GROUP BY 1)
+    SELECT make_timestamp(d * 86400000000) AS day_start,
+           CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+)
+def window_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day -- the growth curve.  A naive
+    spelling needs a running COUNT(DISTINCT) window (unbounded state per
+    day); the scale shape used here: distinct-ness is resolved ONCE by
+    the per-user MIN(first-activity-day) hash aggregate (map-side
+    combinable over the raw 100 TB), daily new-user counts follow, and
+    the cumulative sum is a window over ~days rows -- output-sized, so
+    the single-partition ORDER BY d is a few hundred rows at any input
+    scale.  All integers: bitwise-deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    first_day = e.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("d")
+    )
+    daily = first_day.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.timestamp_micros(F.col("d") * 86400000000).alias("day_start"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@query(
+    "window_rolling_dau_7d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      FROM events),
+    mx AS (SELECT max(d) AS max_d FROM ud),
+    sp AS (SELECT DISTINCT d FROM ud)
+    SELECT make_timestamp(s.d * 86400000000) AS day_start,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_7d
+    FROM sp s JOIN ud u ON u.d BETWEEN s.d - 6 AND s.d
+    GROUP BY s.d
+    """,
+)
+def window_rolling_dau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (the WAU-by-day engagement
+    metric).  A per-day COUNT(DISTINCT) over a sliding range is either a
+    range self-join (oracle's naive spelling) or unbounded distinct
+    window state; the scale shape: distinct (user, day) pairs -- one
+    map-side-combinable aggregate over the input -- then each pair
+    EXPLODES into the <= 7 target days it keeps the user active for,
+    and a distinct + count per target day finishes the job.  Work is
+    pairs x 7, shuffles key on (user, day) then day -- no range join,
+    no global sort, AQE-splittable if one day is hot.  The oracle's
+    range join proves the rewrite drops no user-day."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).distinct()
+    mx = ud.agg(F.max("d").alias("max_d"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d"), F.col("d") + F.lit(6))
+            ).alias("target_d"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("target_d") <= F.col("max_d"))
+        .select("user_id", "target_d")
+        .distinct()
+    )
+    # emit only days that exist in the activity spine (match the oracle's
+    # DISTINCT d driver): a target day between two activity gaps still has
+    # lookback users, but the oracle's spine skips it -- so join the spine.
+    sp = ud.select("d").distinct().withColumnRenamed("d", "target_d")
+    return (
+        contrib.join(sp, "target_d")
+        .groupBy("target_d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+        .select(
+            F.timestamp_micros(F.col("target_d") * 86400000000).alias(
+                "day_start"
+            ),
+            "active_users_7d",
+        )
+    )
+
+
+@query(
+    "stats_ks_drift_by_source",
+    oracle="""
+    WITH g AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+    gc AS (SELECT v, SUM(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g
+           FROM g),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM documents),
+    s AS (SELECT source, n_chars AS v, COUNT(*) AS c
+          FROM documents GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM s GROUP BY 1),
+    grid AS (SELECT ns.source, gc.v, gc.cum_g FROM ns CROSS JOIN gc),
+    sc AS (
+      SELECT grid.source, grid.v, grid.cum_g,
+             CAST(COALESCE(SUM(s.c) OVER (PARTITION BY grid.source
+               ORDER BY grid.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+               AS BIGINT) AS cum_s
+      FROM grid LEFT JOIN s ON s.source = grid.source AND s.v = grid.v),
+    d AS (
+      SELECT sc.source,
+             max(abs(sc.cum_s * n.big_n - CAST(sc.cum_g AS BIGINT) * ns.n_s))
+               AS max_diff,
+             any_value(ns.n_s) AS n_docs, any_value(n.big_n) AS big_n
+      FROM sc CROSS JOIN n JOIN ns ON ns.source = sc.source
+      GROUP BY 1)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(max_diff AS DOUBLE) / (n_docs * big_n) AS ks_stat,
+           max_diff * 5 > n_docs * big_n AS drifted
+    FROM d
+    """,
+)
+def stats_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift audit: for every source, the
+    KS statistic between its document-length distribution and the whole
+    corpus -- the standard per-shard distribution-drift gate in an
+    ingestion pipeline.
+
+    D = max |F_source(v) - F_corpus(v)| evaluated at every corpus jump
+    point.  Everything is integer until the final division: per-value
+    counts, cumulative counts via windows over the (sources x distinct
+    values) grid -- which is OUTPUT-sized (value cardinality x shards,
+    never raw rows) -- and the max of cross-multiplied |cum_s*N -
+    cum_g*n_s|.  The drift flag is the same cross-multiplied integer
+    compare (D > 0.2), so no float threshold anywhere; the one double,
+    ks_stat, is a single exact-integer division done identically on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").alias("c"))
+    wg = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    gc = g.select("v", F.sum("c").over(wg).alias("cum_g"))
+    n = docs.agg(F.count("*").cast("bigint").alias("big_n"))
+    s = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    ns = s.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    grid = ns.select("source").crossJoin(gc)
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sc = grid.join(s, ["source", "v"], "left").select(
+        "source",
+        "v",
+        "cum_g",
+        F.coalesce(F.sum("c").over(ws), F.lit(0)).cast("bigint").alias("cum_s"),
+    )
+    d = (
+        sc.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ns), "source")
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_s") * F.col("big_n")
+                    - F.col("cum_g").cast("bigint") * F.col("n_s")
+                )
+            ).alias("max_diff"),
+            F.any_value("n_s").alias("n_docs"),
+            F.any_value("big_n").alias("big_n"),
+        )
+    )
+    return d.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (
+            F.col("max_diff").cast("double")
+            / (F.col("n_docs") * F.col("big_n"))
+        ).alias("ks_stat"),
+        (F.col("max_diff") * 5 > F.col("n_docs") * F.col("big_n")).alias(
+            "drifted"
+        ),
+    )

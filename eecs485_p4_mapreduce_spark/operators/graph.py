@@ -232,3 +232,89 @@ def graph_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("n"),
         F.round(F.col("c").cast("double") / F.col("total"), 6).alias("p"),
     )
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.dedup import _MINHASH_BANDED_DUCK
+
+    sql = f"""{_MINHASH_BANDED_DUCK},
+    e0 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+           FROM banded a JOIN banded b
+             ON a.b = b.b AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id)"""
+    for r in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+    d{r} AS MATERIALIZED (SELECT doc_id, COUNT(*) AS deg FROM
+             (SELECT da AS doc_id FROM e{r - 1}
+              UNION ALL SELECT db AS doc_id FROM e{r - 1}) GROUP BY 1),
+    k{r} AS (SELECT doc_id FROM d{r} WHERE deg >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (SELECT e.da, e.db FROM e{r - 1} e
+             JOIN k{r} a ON e.da = a.doc_id
+             JOIN k{r} b ON e.db = b.doc_id)"""
+    sql += f"""
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree FROM
+    (SELECT da AS doc_id FROM e{_KCORE_ROUNDS}
+     UNION ALL SELECT db AS doc_id FROM e{_KCORE_ROUNDS})
+    GROUP BY 1
+    """
+    return sql
+
+
+@query("graph_kcore_2core", oracle=_kcore_oracle())
+def graph_kcore_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k={k}) of the MinHash-LSH candidate graph
+    by iterative peeling: repeatedly drop nodes with degree < k and
+    their incident edges.  The surviving 2-core is the set of documents
+    embedded in genuinely dense duplicate neighborhoods -- chains and
+    isolated pairs (degree-1 structures) peel away, which is exactly
+    the filter one wants before running expensive verify stages on
+    "cluster-like" regions.
+
+    Distributed shape per round: a degree count (map-side combinable)
+    plus two equi-joins of the edge list against the surviving-node
+    list -- all shuffles key on doc ids, nothing is ever collected, and
+    localCheckpoint after each round keeps the lineage flat (the
+    dedup_clusters discipline).  Rounds are FIXED at {r} on both
+    engines, so the contract is deterministic at any scale even if an
+    adversarial graph needs more rounds to fully converge (unit test
+    pins convergence at test scale).  Output: surviving nodes with
+    their in-core degree.
+    """.format(k=_KCORE_K, r=_KCORE_ROUNDS)
+    from eecs485_p4_mapreduce_spark.operators.dedup import _minhash_banded
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, sig = _minhash_banded(docs)
+    left = sig.select("doc_id", "b", "band_hash")
+    edges = (
+        left.alias("x")
+        .join(left.alias("y"), ["b", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+        .localCheckpoint()
+    )
+    surv = edges
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            surv.select(F.col("da").alias("doc_id"))
+            .unionAll(surv.select(F.col("db").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("doc_id")
+        surv = (
+            surv.join(keep.withColumnRenamed("doc_id", "da"), "da")
+            .join(keep.withColumnRenamed("doc_id", "db"), "db")
+            .select("da", "db")
+            .localCheckpoint()
+        )
+    return (
+        surv.select(F.col("da").alias("doc_id"))
+        .unionAll(surv.select(F.col("db").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )

@@ -228,3 +228,55 @@ def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK)
         .select("doc_id", "n_terms_matched", "score", "rk")
     )
+
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.plans.registry import REGISTRY
+
+    t = REGISTRY["search_tfidf_rank"].oracle
+    b = REGISTRY["search_bm25_rank"].oracle
+    return f"""
+    SELECT COALESCE(t.doc_id, b.doc_id) AS doc_id,
+           t.rk AS tfidf_rk, b.rk AS bm25_rk,
+           COALESCE(1.0 / ({_RRF_K} + t.rk), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + b.rk), 0.0) AS rrf_score,
+           ROW_NUMBER() OVER (
+             ORDER BY COALESCE(1.0 / ({_RRF_K} + t.rk), 0.0)
+                      + COALESCE(1.0 / ({_RRF_K} + b.rk), 0.0) DESC,
+                      COALESCE(t.doc_id, b.doc_id)) AS rk
+    FROM ({t}) t FULL JOIN ({b}) b ON t.doc_id = b.doc_id
+    """
+
+
+@query("search_rrf_fusion", oracle=_rrf_oracle())
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the TF-IDF and BM25 ranked lists:
+    score(d) = sum over lists of 1/(k + rank_d), k=60 -- the standard
+    zero-tuning way to combine retrieval signals (and the same shape
+    used to fuse lexical with vector results).
+
+    Runs both ranked-retrieval pipelines (each already top-10 and
+    term-pruned, so the fusion input is tens of rows at any corpus
+    scale), full-outer-joins on doc_id, and re-ranks by the fused
+    score.  Each RRF contribution is an exact 1/(k+rank) with the sum
+    written in fixed list order on both engines, so the doubles agree
+    bitwise; doc_id breaks score ties."""
+    t = search_tfidf_rank(spark, sf_dir).select(
+        "doc_id", F.col("rk").alias("tfidf_rk")
+    )
+    b = search_bm25_rank(spark, sf_dir).select(
+        "doc_id", F.col("rk").alias("bm25_rk")
+    )
+    fused = t.join(b, ["doc_id"], "full")
+    rrf = F.coalesce(1.0 / (_RRF_K + F.col("tfidf_rk")), F.lit(0.0)) + F.coalesce(
+        1.0 / (_RRF_K + F.col("bm25_rk")), F.lit(0.0)
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "tfidf_rk", "bm25_rk", "rrf_score", "rk")
+    )

@@ -695,3 +695,44 @@ def test_bpe_train_3merges_is_hierarchical(spark, monkeypatch):
     eight = "x y x y x y x y"
     assert rows[eight] == (12, 8)   # 2 per doc x 6 docs
     assert len(rows) == 1           # everything merged into the 8-word token
+
+
+def test_kcore_fixed_rounds_converged(spark, sf_dir):
+    """graph_kcore_2core runs a FIXED 6 peeling rounds for cross-engine
+    determinism; this pins that 6 rounds is enough to fully converge at
+    test scale (one more peel removes nothing), so the output is the
+    true 2-core, not a truncation artifact."""
+    from pyspark.sql import functions as F
+
+    # plans first: it finalizes the operators package load order (dedup
+    # before graph); importing operators.dedup directly here would hit
+    # the registry's circular-import edge.
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+    from eecs485_p4_mapreduce_spark.operators.dedup import _minhash_banded
+    from eecs485_p4_mapreduce_spark.operators.graph import _KCORE_K
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    core = REGISTRY["graph_kcore_2core"].fn(spark, sf_dir)
+    # one more peel over the claimed core must keep every node
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, sig = _minhash_banded(docs)
+    left = sig.select("doc_id", "b", "band_hash")
+    edges = (
+        left.alias("x")
+        .join(left.alias("y"), ["b", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+    nodes = core.select("doc_id")
+    surviving_edges = (
+        edges.join(nodes.withColumnRenamed("doc_id", "da"), "da")
+        .join(nodes.withColumnRenamed("doc_id", "db"), "db")
+    )
+    deg = (
+        surviving_edges.select(F.col("da").alias("doc_id"))
+        .unionAll(surviving_edges.select(F.col("db").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    assert deg.filter(F.col("deg") < _KCORE_K).count() == 0
