@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "window_rolling_dau_7d",
     "stats_ks_drift_by_source",
     "search_rrf_fusion",
+    "stats_mannwhitney_en_lengths",
+    "embedding_centroid_similarity",
 ]
 
 

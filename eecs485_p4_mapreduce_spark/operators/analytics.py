@@ -1246,3 +1246,76 @@ def stats_ks_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drifted"
         ),
     )
+
+
+@query(
+    "stats_mannwhitney_en_lengths",
+    oracle="""
+    WITH vc AS (
+      SELECT n_chars AS v, COUNT(*) AS c,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1
+      FROM documents GROUP BY 1),
+    r AS (
+      SELECT v, c, c1,
+             CAST(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+               AS BIGINT) AS cum_before
+      FROM vc),
+    m AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c) - SUM(c1) AS BIGINT) AS n2,
+             CAST(SUM(c1 * (2 * cum_before + c + 1)) AS BIGINT) AS r2x
+      FROM r)
+    SELECT n1 AS n_en, n2 AS n_other,
+           r2x - n1 * (n1 + 1) AS u_x2,
+           CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / (2 * n1 * n2) AS auc,
+           r2x - n1 * (n1 + 1) > n1 * n2 AS en_longer
+    FROM m
+    """,
+)
+def stats_mannwhitney_en_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: are English documents stochastically
+    longer than the rest of the corpus?  The nonparametric two-sample
+    location test a corpus audit reaches for when KS (shape) flags a
+    difference and the question becomes direction.
+
+    Tie-safe integer formulation: per distinct length v, the DOUBLED
+    midrank 2*cum_before + c + 1 is always an integer (the .5 average
+    ranks cancel), so the rank sum, U, and the dominance flag are exact
+    BIGINTs; auc = U/(n1*n2) -- the probability a random en doc is
+    longer than a random other doc -- is one exact division done
+    identically on both engines.  Work: one value-histogram aggregate
+    over the input (map-side combinable), then windows over ~distinct
+    lengths rows (output-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r = vc.select(
+        "v",
+        "c",
+        "c1",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("cum_before"),
+    )
+    m = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        (F.sum("c") - F.sum("c1")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("cum_before") + F.col("c") + 1)
+        )
+        .cast("bigint")
+        .alias("r2x"),
+    )
+    u_x2 = F.col("r2x") - F.col("n1") * (F.col("n1") + 1)
+    return m.select(
+        F.col("n1").alias("n_en"),
+        F.col("n2").alias("n_other"),
+        u_x2.alias("u_x2"),
+        (u_x2.cast("double") / (2 * F.col("n1") * F.col("n2"))).alias("auc"),
+        (u_x2 > F.col("n1") * F.col("n2")).alias("en_longer"),
+    )

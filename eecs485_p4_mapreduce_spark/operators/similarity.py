@@ -1092,3 +1092,60 @@ def sketch_bloom_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w3",
         F.expr(_BLOOM_HITS).cast("bigint").alias("n_probe_hits"),
     )
+
+
+@query(
+    "embedding_centroid_similarity",
+    oracle="""
+    WITH el AS (
+      SELECT label, d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(d)),
+    cm AS (
+      SELECT label, d,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+      FROM el GROUP BY 1, 2),
+    cv AS (SELECT label, array_agg(m ORDER BY d) AS v FROM cm GROUP BY 1)
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
+    FROM cv a JOIN cv b ON a.label < b.label
+    """,
+)
+def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    -- the class-confusability map (near-identical centroids = labels a
+    classifier or router will mix up, and IVF lists that should merge).
+
+    The 100 TB pass is the per-(label, dim) decimal-exact mean (the
+    embedding_dim_stats moment recipe -- map-side combinable, output is
+    labels x 64 rows); centroids then assemble into dim-ordered arrays
+    and the 45-pair cosine matrix is computed on rows proportional to
+    label-pairs, nothing else.  Dot products use the sequential fold
+    (knn_cosine's _DOT) that matches DuckDB's list_inner_product
+    bitwise; means are identical exact divisions of decimal sums, so
+    the whole pipeline is deterministic with one final round(6)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x"),
+    )
+    cm = e.groupBy("label", (F.col("d0") + 1).alias("d")).agg(
+        (F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("*")).alias(
+            "m"
+        )
+    )
+    cv = cm.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s.m
+        ).alias("v")
+    )
+    a = cv.select(F.col("label").alias("label_a"), F.col("v").alias("va"))
+    b = cv.select(F.col("label").alias("label_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.expr(_cos_expr("va", "vb")), 6).alias("cosine"),
+        )
+    )
