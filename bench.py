@@ -201,6 +201,9 @@ BENCH_QUERIES = [
     "search_rrf_fusion",
     "stats_mannwhitney_en_lengths",
     "embedding_centroid_similarity",
+    "join_asof_forward",
+    "stats_cusum_changepoint",
+    "stats_interarrival_burstiness",
 ]
 
 

@@ -421,3 +421,64 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.groupBy("user_a", "user_b").agg(F.count("*").alias("n_overlaps"))
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           v.event_id AS next_click_id, v.ts AS next_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') v
+      ON p.user_id = v.user_id AND v.ts > p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the earliest strictly-later
+    click by the same user (post-purchase engagement).  The mirror of
+    ``join_asof_events``: same union-merge rewrite, but the window frame
+    looks AHEAD (rows following) and takes the FIRST click.
+
+    Tie discipline inverted from the backward join: clicks sort BEFORE
+    purchases at identical ts (is_click DESC), so a frame starting at +1
+    rows cannot see a same-instant click -- matching the oracle's
+    strictly-later v.ts > p.ts.  Still one user_id shuffle, zero
+    pairwise explosion.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(1).alias("is_click")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(0).alias("is_click")
+    )
+    u = clicks.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    out = (
+        u.withColumn(
+            "next_click_id",
+            F.first(
+                F.when(F.col("is_click") == 1, F.col("src_id")), ignorenulls=True
+            ).over(w),
+        )
+        .withColumn(
+            "next_click_ts",
+            F.first(
+                F.when(F.col("is_click") == 1, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("is_click") == 0)
+    )
+    return out.select(
+        F.col("src_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        "next_click_id",
+        "next_click_ts",
+    )

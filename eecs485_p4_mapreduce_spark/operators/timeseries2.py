@@ -365,3 +365,153 @@ def stats_trend_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+@query(
+    "stats_cusum_changepoint",
+    oracle=f"""
+    WITH {_FILLED_DUCK},
+    idx AS (
+      SELECT f.event_type, f.h, f.n,
+             CAST(f.h - mn.min_h + 1 AS BIGINT) AS t,
+             CAST(SUM(f.n) OVER (PARTITION BY f.event_type ORDER BY f.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS prefix
+      FROM filled f
+      JOIN (SELECT event_type, min(h) AS min_h FROM filled GROUP BY 1) mn
+        USING (event_type)),
+    tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS big_n,
+                   CAST(COUNT(*) AS BIGINT) AS b
+            FROM filled GROUP BY 1),
+    cs AS (
+      SELECT i.event_type, i.h, i.t,
+             i.prefix * tot.b - i.t * tot.big_n AS cusum_scaled, tot.b
+      FROM idx i JOIN tot USING (event_type)),
+    ranked AS (
+      SELECT event_type, h, cusum_scaled, b,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(cusum_scaled) DESC, h ASC) AS rk
+      FROM cs)
+    SELECT event_type,
+           make_timestamp(h * {_US_PER_HOUR}) AS cp_hour,
+           cusum_scaled,
+           CAST(cusum_scaled AS DOUBLE) / b AS cusum_value
+    FROM ranked WHERE rk = 1
+    """,
+)
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the hour where the
+    cumulative deviation from the series mean peaks -- the classic
+    level-shift locator behind rate-change alerts.
+
+    CUSUM_t = prefix_t - t*mean involves the rational mean N/B; scaling
+    by B keeps everything integer: cusum_scaled = prefix_t*B - t*N, an
+    exact BIGINT whose argmax (|.| DESC, earliest-hour tie-break) is
+    bitwise deterministic, with the single double produced by one exact
+    division at the end.  The prefix sums run per-series over the
+    zero-filled bucket grid -- output-sized rows, one window task per
+    series -- and the input-sized work remains the one bucket-count
+    aggregate."""
+    filled = _zero_filled(_hourly_counts(spark, sf_dir))
+    mn = filled.groupBy("event_type").agg(F.min("h").alias("min_h"))
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    idx = filled.join(F.broadcast(mn), "event_type").select(
+        "event_type",
+        "h",
+        (F.col("h") - F.col("min_h") + 1).cast("bigint").alias("t"),
+        F.sum("n").over(wrun).cast("bigint").alias("prefix"),
+    )
+    tot = filled.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.count("*").cast("bigint").alias("b"),
+    )
+    cs = idx.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "h",
+        (F.col("prefix") * F.col("b") - F.col("t") * F.col("big_n")).alias(
+            "cusum_scaled"
+        ),
+        "b",
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("cusum_scaled")).desc(), F.col("h").asc()
+        )
+    )
+    return (
+        cs.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("h") * _US_PER_HOUR).alias("cp_hour"),
+            "cusum_scaled",
+            (F.col("cusum_scaled").cast("double") / F.col("b")).alias(
+                "cusum_value"
+            ),
+        )
+    )
+
+
+@query(
+    "stats_interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts)) // 1000000
+               AS gap_s
+      FROM events),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(gap_s) AS BIGINT) AS sx,
+             SUM(gap_s * gap_s) AS sxx
+      FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+           CAST(sx AS DOUBLE) / n AS mean_gap_s,
+           (sqrt(CAST(sxx AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+            - CAST(sx AS DOUBLE) / n)
+           / NULLIF(sqrt(CAST(sxx AS DOUBLE) / n
+                 - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+            + CAST(sx AS DOUBLE) / n, 0.0) AS burstiness
+    FROM m
+    """,
+)
+def stats_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of per-user
+    inter-arrival times, per event type (B near -1: metronome; near 0:
+    Poisson; near 1: extreme bursts) -- the arrival-process fingerprint
+    behind capacity planning and bot detection.
+
+    Gaps come from ONE lag window partitioned by (user, type) -- the
+    sessionization shuffle shape, never a global per-type sort -- in
+    integer seconds.  The moment sums are exact (BIGINT / DuckDB
+    HUGEINT; sxx stays under 2^63 at any plausible per-user history),
+    and both engines cast the same exact integers to double before the
+    identical sigma/mu expression, so the result is bitwise stable.
+    NULLIF guards single-gap degenerate types."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) over "
+            "(partition by user_id, event_type order by ts)) div 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    m = g.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap_s").cast("bigint").alias("sx"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sxx"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    sd = F.sqrt(F.col("sxx").cast("double") / F.col("n") - mu * mu)
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        mu.alias("mean_gap_s"),
+        ((sd - mu) / F.nullif(sd + mu, F.lit(0.0))).alias("burstiness"),
+    )
