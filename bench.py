@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "join_asof_forward",
     "stats_cusum_changepoint",
     "stats_interarrival_burstiness",
+    "source_state_store_reader",
 ]
 
 

@@ -1127,3 +1127,57 @@ def streaming_sliding_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n", "total_value")
     )
     return run_to_completion(s, mode="append")
+
+
+@query(
+    "source_state_store_reader",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-store DATA SOURCE: run a tumbling-count streaming
+    aggregation to completion, then read the query's OWN checkpointed
+    state back as a DataFrame via ``spark.read.format("statestore")`` --
+    the state-debugging/state-migration doorway (inspect hot keys,
+    audit state growth, bootstrap a replacement query's initial state).
+
+    No watermark is set, so the state retains every window and must
+    equal the full batch aggregation -- which is exactly what the
+    DuckDB oracle checks; the memory-sink output is ignored, the
+    asserted result comes from the STATE FILES.  At scale the state
+    source reads the per-partition state stores in parallel straight
+    from the checkpoint filesystem, no running query required."""
+    import os
+
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    name = f"sg_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="spark-graft-statesrc-")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
+    )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )
