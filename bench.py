@@ -205,6 +205,9 @@ BENCH_QUERIES = [
     "stats_cusum_changepoint",
     "stats_interarrival_burstiness",
     "source_state_store_reader",
+    "lang_id_confusion",
+    "window_rolling_hll_7d",
+    "session_incremental_merge",
 ]
 
 

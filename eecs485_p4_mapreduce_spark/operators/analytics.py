@@ -1319,3 +1319,78 @@ def stats_mannwhitney_en_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         (u_x2.cast("double") / (2 * F.col("n1") * F.col("n2"))).alias("auc"),
         (u_x2 > F.col("n1") * F.col("n2")).alias("en_longer"),
     )
+
+
+@query(
+    "window_rolling_hll_7d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      FROM events),
+    sp AS (SELECT DISTINCT d FROM ud)
+    SELECT make_timestamp(s.d * 86400000000) AS day_start,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_users_7d,
+           TRUE AS within_bound
+    FROM sp s JOIN ud u ON u.d BETWEEN s.d - 6 AND s.d
+    GROUP BY s.d
+    """,
+)
+def window_rolling_hll_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users via MERGEABLE HLL sketches -- the
+    production shape when the exact explode+distinct of
+    ``window_rolling_dau_7d`` is too big (billions of users): build ONE
+    HLL sketch per day (map-side combinable), then each target day
+    unions just 7 daily sketches -- the raw user ids are touched exactly
+    once, and re-aggregating a different window length reuses the same
+    stored daily sketches.
+
+    Driver-checkable like the sketch family: the query also computes the
+    exact count (affordable at test scale) and emits it alongside an
+    in-query |estimate - exact| <= 15% bound flag; the raw estimate
+    itself never leaves the query (engine-specific bits), so the oracle
+    asserts the exact side and that the sketch stayed within bound."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).distinct()
+    daily_sk = ud.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    mx = ud.agg(F.max("d").alias("max_d"))
+    sk7 = (
+        daily_sk.select(
+            "sk",
+            F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6))).alias(
+                "target_d"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("target_d") <= F.col("max_d"))
+        .groupBy("target_d")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.col("d") + F.lit(6))).alias(
+                "target_d"
+            ),
+        )
+        .select("user_id", "target_d")
+        .distinct()
+        .groupBy("target_d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_users_7d"))
+    )
+    sp = ud.select("d").distinct().withColumnRenamed("d", "target_d")
+    return (
+        exact.join(sp, "target_d")
+        .join(sk7, "target_d")
+        .select(
+            F.timestamp_micros(F.col("target_d") * 86400000000).alias(
+                "day_start"
+            ),
+            "exact_users_7d",
+            (
+                F.abs(F.col("est") - F.col("exact_users_7d")) * 100
+                <= F.col("exact_users_7d") * 15
+            ).alias("within_bound"),
+        )
+    )

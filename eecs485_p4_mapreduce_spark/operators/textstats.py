@@ -1010,3 +1010,35 @@ def ml_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.col("prior_frac")), 4).alias("log_prior"),
         )
     )
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents),
+    scored AS (SELECT lang, {_argmax_case(_score_exprs('duckdb'))} AS pred_lang
+               FROM tok)
+    SELECT lang AS true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against the
+    labeled lang column -- the classifier-evaluation readout every
+    filtering pipeline needs before trusting a cheap model at scale
+    (which low-resource languages bleed into 'en'?).
+
+    Same scan-side scoring expressions as ``lang_id`` (broadcast-literal
+    stopword profiles, deterministic argmax), then a single (true, pred)
+    hash aggregate: at 100 TB this is one combinable count over at most
+    |langs|^2 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = _score_exprs("spark")
+    scored = docs.withColumn("toks", tokens("text")).select(
+        "lang", F.expr(_argmax_case(scores)).alias("pred_lang")
+    )
+    return (
+        scored.groupBy(F.col("lang").alias("true_lang"), "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+

@@ -522,3 +522,114 @@ def stats_threshold_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_crossings"),
     )
+
+
+_SESS_CUT = "2024-01-08 00:00:00"
+_SESS_GAP_US = 1_800_000_000  # 30 min
+
+
+@query(
+    "session_incremental_merge",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sessionization: sessions stored for data before the
+    cutoff are merged with sessions computed over only the new batch --
+    the nightly-ingest contract, where re-sessionizing the full history
+    (the oracle's spelling) is the thing you must never do at 100 TB.
+
+    Because every new event is later than every stored event, the ONLY
+    interaction is at the per-user boundary: the stored LAST session and
+    the batch's FIRST session fuse iff their gap is within 30 minutes.
+    So the merge is: top-1-per-user from each side (WindowGroupLimit),
+    one user-keyed equi-join to find bridges, and anti-flag the two
+    fused rows.  Everything shuffles on user_id; the stored side at
+    scale is a bucketed table read without re-shuffle.  The oracle's
+    full recompute == this merge proves the incremental path loses or
+    double-counts nothing (session ids are surrogate, so the contract
+    compares (user, start, end, n))."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit(_SESS_CUT).cast("timestamp")
+
+    def sessionize(df):
+        wo = Window.partitionBy("user_id").orderBy("us")
+        wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+        us = F.unix_micros(F.col("ts"))
+        gap = us - F.lag(us).over(Window.partitionBy("user_id").orderBy("ts"))
+        flagged = df.select(
+            "user_id",
+            us.alias("us"),
+            F.when(gap.isNull() | (gap > _SESS_GAP_US), 1)
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        sid = F.sum("new_session").over(wrun)
+        return (
+            flagged.withColumn("sid", sid)
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("us").alias("s_us"),
+                F.max("us").alias("e_us"),
+                F.count("*").cast("bigint").alias("n_events"),
+            )
+        )
+
+    old = sessionize(e.filter(F.col("ts") < cut))
+    new = sessionize(e.filter(F.col("ts") >= cut))
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("e_us"))
+    w_first = Window.partitionBy("user_id").orderBy(F.asc("s_us"))
+    old_f = old.withColumn("is_edge", F.row_number().over(w_last) == 1)
+    new_f = new.withColumn("is_edge", F.row_number().over(w_first) == 1)
+    bridge = (
+        old_f.filter("is_edge")
+        .select("user_id", F.col("s_us").alias("old_s"),
+                F.col("e_us").alias("old_e"), F.col("n_events").alias("old_n"))
+        .join(
+            new_f.filter("is_edge").select(
+                "user_id", F.col("s_us").alias("new_s"),
+                F.col("e_us").alias("new_e"), F.col("n_events").alias("new_n"),
+            ),
+            "user_id",
+        )
+        .filter(F.col("new_s") - F.col("old_e") <= _SESS_GAP_US)
+    )
+    fused = bridge.select(
+        "user_id",
+        F.col("old_s").alias("s_us"),
+        F.col("new_e").alias("e_us"),
+        (F.col("old_n") + F.col("new_n")).alias("n_events"),
+    )
+    bkeys = bridge.select("user_id").withColumn("bridged", F.lit(True))
+
+    def unfused(df):
+        return (
+            df.join(bkeys, "user_id", "left")
+            .filter(~(F.col("is_edge") & F.coalesce("bridged", F.lit(False))))
+            .select("user_id", "s_us", "e_us", "n_events")
+        )
+
+    out = unfused(old_f).unionByName(unfused(new_f)).unionByName(fused)
+    return out.select(
+        "user_id",
+        F.timestamp_micros("s_us").alias("session_start"),
+        F.timestamp_micros("e_us").alias("session_end"),
+        "n_events",
+    )
