@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     "lang_id_confusion",
     "window_rolling_hll_7d",
     "session_incremental_merge",
+    "udf_arrow_optimized",
+    "session_window_dynamic_gap",
+    "streaming_session_dynamic_gap",
 ]
 
 

@@ -603,3 +603,63 @@ def tumbling_window_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
         )
     )
+
+
+@query(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase' THEN 3600000000
+                  ELSE 1800000000 END AS gap
+      FROM events),
+    r AS (
+      SELECT user_id, us, gap,
+             max(us + gap) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_reach
+      FROM g),
+    f AS (
+      SELECT user_id, us, gap,
+             CASE WHEN prev_reach IS NULL OR us >= prev_reach
+                  THEN 1 ELSE 0 END AS new_s
+      FROM r),
+    s AS (
+      SELECT user_id, us, gap,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f)
+    SELECT user_id, make_timestamp(min(us)) AS session_start,
+           make_timestamp(max(us + gap)) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (Spark 4 ``session_window`` with a
+    per-event gap expression): purchases keep a session alive for 1 hour,
+    everything else 30 minutes -- the per-event-weighted sessionization
+    real funnels want (a checkout shouldn't time out as fast as a page
+    view).
+
+    Each event spans [ts, ts + gap(event)) and overlapping spans merge;
+    the oracle spells that interval-union as gaps-and-islands with a
+    RUNNING MAX of prior reach (plain lag is wrong here -- an earlier
+    long-gap event can outreach a later short-gap one), which is also
+    the proof the built-in's merge semantics are exactly interval union.
+    One user_id shuffle on the Spark side, the same shape as the fixed
+    -gap session query."""
+    e = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("1 hour"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1181,3 +1181,57 @@ def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"),
     )
+
+
+@query(
+    "streaming_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase' THEN 3600000000
+                  ELSE 1800000000 END AS gap
+      FROM events),
+    r AS (
+      SELECT user_id, us, gap,
+             max(us + gap) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_reach
+      FROM g),
+    f AS (
+      SELECT user_id, us, gap,
+             CASE WHEN prev_reach IS NULL OR us >= prev_reach
+                  THEN 1 ELSE 0 END AS new_s
+      FROM r),
+    s AS (
+      SELECT user_id, us, gap,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f)
+    SELECT user_id, make_timestamp(min(us)) AS session_start,
+           make_timestamp(max(us + gap)) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows as a real STREAM: the per-event gap
+    expression (purchase 1h, else 30m) drives state merging inside the
+    streaming session-window operator.  Same oracle as the batch twin
+    ``session_window_dynamic_gap`` -- over bounded input the streamed
+    sessions must equal the batch interval-union, which pins that
+    incremental state merge == one-shot merge for variable gaps too."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("1 hour"))
+        .otherwise(F.lit("30 minutes"))
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_to_completion(agg)
