@@ -266,7 +266,7 @@ def _kcore_oracle() -> str:
 
 @query("graph_kcore_2core", oracle=_kcore_oracle())
 def graph_kcore_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core decomposition (k={k}) of the MinHash-LSH candidate graph
+    """k-core decomposition (k=2) of the MinHash-LSH candidate graph
     by iterative peeling: repeatedly drop nodes with degree < k and
     their incident edges.  The surviving 2-core is the set of documents
     embedded in genuinely dense duplicate neighborhoods -- chains and
@@ -283,7 +283,7 @@ def graph_kcore_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarial graph needs more rounds to fully converge (unit test
     pins convergence at test scale).  Output: surviving nodes with
     their in-core degree.
-    """.format(k=_KCORE_K, r=_KCORE_ROUNDS)
+    """
     from eecs485_p4_mapreduce_spark.operators.dedup import _minhash_banded
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

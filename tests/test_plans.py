@@ -480,3 +480,24 @@ def test_ewma_and_rolling_median_have_no_window_exchange(spark, sf_dir):
         assert "Window" not in plan, name
         # the per-type max joins back as a broadcast, never sort-merge
         assert "SortMergeJoin" not in plan, name
+
+
+def test_rolling_distinct_queries_are_window_free(spark, sf_dir):
+    """The rolling-DAU pair must stay explode+aggregate: a rewrite back
+    to a per-day distinct window or a range self-join is the shape that
+    cannot scale.  (stats_ks_drift_by_source and the cumulative-users
+    query DO use windows -- over output-sized grids -- so they are not
+    pinned here.)"""
+    for name in ("window_rolling_dau_7d", "window_rolling_hll_7d"):
+        plan = explain(spark, sf_dir, name)
+        assert "Window" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_incremental_session_merge_all_equi_joins(spark, sf_dir):
+    """session_incremental_merge's bridge/anti-flag joins must all be
+    user-keyed equi-joins -- no nested-loop anywhere, or the incremental
+    path would be worse than the recompute it replaces."""
+    plan = explain(spark, sf_dir, "session_incremental_merge")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
