@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "udf_arrow_optimized",
     "session_window_dynamic_gap",
     "streaming_session_dynamic_gap",
+    "mix_quality_weighted",
+    "inference_threshold_sweep",
 ]
 
 

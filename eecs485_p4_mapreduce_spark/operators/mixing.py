@@ -211,3 +211,62 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lang").cast("bigint").alias("n_available"),
         "thresh",
     )
+
+
+@query(
+    "mix_quality_weighted",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents),
+    acc AS (
+      SELECT source, decile, n_chars,
+             ({_HEX3['duckdb']}) % 256 < decile * 25 AS accepted
+      FROM ranked)
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           CAST(SUM(CASE WHEN accepted THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_accepted
+    FROM acc GROUP BY 1, 2
+    """,
+)
+def mix_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted mix construction: acceptance probability rises
+    with the document's quality decile (decile d keeps ~d*25/256 of its
+    docs) -- the standard upsample-the-good-tail knob, with length
+    deciles standing in for any scored quality column.
+
+    Deterministic end to end: deciles are ntile over (n_chars, doc_id)
+    (integer + id tie-break), acceptance is the md5-bucket-vs-integer
+    -threshold compare every sampler in this engine uses -- so the same
+    mix falls out on every engine and retry.  The global ntile is fine
+    at audit scale; the produce-the-mix-at-100 TB variant derives decile
+    BOUNDARIES with the two-pass histogram select
+    (stats_exact_median_distributed's shape) and banding becomes a
+    scan-side compare against 9 broadcast literals."""
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc()))
+        .alias("decile"),
+    )
+    accepted = (F.expr(_HEX3["spark"]) % 256) < (F.col("decile") * 25)
+    return (
+        ranked.withColumn("accepted", accepted)
+        .groupBy("source", F.col("decile").cast("bigint").alias("decile"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("accepted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_accepted"),
+            F.sum(F.when(F.col("accepted"), F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("chars_accepted"),
+        )
+    )

@@ -1149,3 +1149,86 @@ def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.expr(_cos_expr("va", "vb")), 6).alias("cosine"),
         )
     )
+
+
+_SWEEP_THRESHOLDS = [-0.5, -0.25, 0.0, 0.25, 0.5]
+
+
+def _sweep_oracle() -> str:
+    w_list = ", ".join(str(w) for w in _INF_W)
+    th_list = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+    WITH e AS (SELECT label >= 5 AS pos,
+                      round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                            [{w_list}]), 6) AS logit
+               FROM embeddings),
+    th AS (SELECT CAST(unnest([{th_list}]) AS DOUBLE) AS threshold),
+    m AS (
+      SELECT th.threshold,
+             CAST(SUM(CASE WHEN e.logit > th.threshold AND e.pos
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN e.logit > th.threshold AND NOT e.pos
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN e.logit <= th.threshold AND e.pos
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM th CROSS JOIN e GROUP BY 1)
+    SELECT threshold, tp, fp, fn,
+           CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) AS precision,
+           CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS recall
+    FROM m
+    """
+
+
+@query("inference_threshold_sweep", oracle=_sweep_oracle())
+def inference_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-threshold sweep for the linear scorer: precision/recall
+    of logit > t against the weak positive label (label >= 5) at five
+    candidate thresholds -- the calibration table consulted before
+    turning a scored column into a keep/drop filter over 100 TB.
+
+    Scoring stays JVM-side here (the sequential-fold dot product against
+    the same broadcast literal weights the Pandas-UDF serving query
+    uses, quantized round(6) like it), and the sweep is ONE pass: each
+    vector is scored once and cross-joined against the 5-row broadcast
+    threshold list, so the confusion counts for every threshold
+    accumulate in a single map-side-combinable aggregate.  All counts
+    are exact integers; precision/recall are single exact divisions."""
+    w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    dot = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_arr)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") >= 5).alias("pos"),
+        F.round(F.expr(dot), 6).alias("logit"),
+    )
+    th = spark.range(len(_SWEEP_THRESHOLDS)).select(
+        F.explode(F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])).alias(
+            "threshold"
+        )
+    ).distinct()
+    m = (
+        F.broadcast(th)
+        .crossJoin(e)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when((F.col("logit") > F.col("threshold")) & F.col("pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(F.when((F.col("logit") > F.col("threshold")) & ~F.col("pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fp"),
+            F.sum(F.when((F.col("logit") <= F.col("threshold")) & F.col("pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("fn"),
+        )
+    )
+    return m.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))).alias(
+            "recall"
+        ),
+    )
