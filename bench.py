@@ -213,6 +213,9 @@ BENCH_QUERIES = [
     "streaming_session_dynamic_gap",
     "mix_quality_weighted",
     "inference_threshold_sweep",
+    "agg_filter_clause",
+    "subquery_exists_projection",
+    "sketch_ams_f2_tokens",
 ]
 
 

@@ -546,3 +546,58 @@ def stats_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("value").alias("median"),
         )
     )
+
+
+_AGG_FILTER = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                FILTER (WHERE o_totalprice > 200000) AS DOUBLE)
+             AS big_order_revenue,
+           CAST(MAX(o_orderdate) FILTER (WHERE o_orderstatus = 'O')
+                AS DATE) AS latest_open
+    FROM orders
+    GROUP BY o_orderpriority
+    """
+
+
+@query("agg_filter_clause", oracle=_AGG_FILTER)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` aggregate modifiers -- the standard
+    spelling of conditional aggregation (three differently-filtered
+    aggregates in ONE pass over the scan, no self-joins, no CASE
+    boilerplate).  The same SQL text runs on both engines; Spark lowers
+    each FILTER into the aggregate's input projection, so partial
+    aggregation and pushdown behave exactly like the CASE WHEN spelling
+    (`cond_agg_fns`) -- this query pins that the modern surface stays
+    available and bitwise-equal."""
+    from eecs485_p4_mapreduce_spark.sources import run_sql
+
+    return run_sql(spark, sf_dir, _AGG_FILTER)
+
+
+_EXISTS_PROJ = """
+    SELECT c.c_custkey,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_totalprice > 400000) AS has_big_order,
+           NOT EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey) AS is_dormant
+    FROM customer c
+    """
+
+
+@query("subquery_exists_projection", oracle=_EXISTS_PROJ)
+def subquery_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a PROJECTED boolean (not a WHERE filter): every
+    customer row survives, annotated with two existential flags -- the
+    feature-engineering spelling of semi/anti joins.  Spark de-correlates
+    each EXISTS into an ExistenceJoin (a semi-join variant that emits
+    the match bit instead of filtering), so the plan is two user-keyed
+    hash joins, never a per-row subquery execution.  Same SQL text on
+    both engines."""
+    from eecs485_p4_mapreduce_spark.sources import run_sql
+
+    return run_sql(spark, sf_dir, _EXISTS_PROJ)

@@ -1232,3 +1232,78 @@ def inference_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+_AMS_ROWS = 16
+
+
+def _ams_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+    from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS
+
+    h = hex_int_sql("duckdb", "md5(token || '|' || CAST(r AS VARCHAR))", 1)
+    return f"""
+    WITH tk AS (SELECT unnest({DUCK_TOKENS}) AS token FROM documents),
+    ck AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+    f2 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM ck),
+    sg AS (
+      SELECT t.r,
+             CASE WHEN ({h}) % 2 = 0 THEN 1 ELSE -1 END * ck.c AS sc
+      FROM ck CROSS JOIN generate_series(0, {_AMS_ROWS - 1}) AS t(r)),
+    sr AS (SELECT r, CAST(SUM(sc) AS BIGINT) AS s FROM sg GROUP BY 1),
+    est AS (SELECT CAST(SUM(s * s) AS BIGINT) AS est_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows FROM sr)
+    SELECT est.n_rows, f2.f2_exact,
+           3 * est.est_sum >= {_AMS_ROWS} * f2.f2_exact
+             AND est.est_sum <= 3 * {_AMS_ROWS} * f2.f2_exact AS within_bound
+    FROM est CROSS JOIN f2
+    """
+
+
+@query("sketch_ams_f2_tokens", oracle=_ams_oracle())
+def sketch_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch over the
+    token stream: F2 = sum of squared token counts -- the self-join-size
+    / skew statistic a planner consults before choosing a join strategy,
+    estimated from 16 random-sign linear projections.
+
+    Deterministic AMS: the +-1 sign for (token, row) comes from md5
+    parity (the engine's shared randomness source), so S_r = sum of
+    sign*count is an exact BIGINT reproducible on both engines; the
+    estimate mean-of-S_r^2 is audited against the exactly-computed F2
+    with an integer 3x-band check (count sums and squares only -- no
+    floats anywhere).  Scale shape: one token-count aggregate over the
+    corpus, then everything runs on vocab x 16 rows; in production S_r
+    accumulates streaming-side per partition and merges by addition --
+    the signature property that makes AMS mergeable."""
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(F.explode(_tokens("text")).alias("token"))
+    ck = tk.groupBy("token").agg(F.count("*").cast("bigint").alias("c"))
+    f2 = ck.agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    h = (
+        "cast(conv(substring(md5(concat(token, '|', cast(r as string))),"
+        " 1, 8), 16, 10) as bigint)"
+    )
+    sg = ck.select(
+        "c", F.explode(F.sequence(F.lit(0), F.lit(_AMS_ROWS - 1))).alias("r"), "token"
+    ).select(
+        "r",
+        (
+            F.when(F.expr(h) % 2 == 0, 1).otherwise(-1) * F.col("c")
+        ).alias("sc"),
+    )
+    sr = sg.groupBy("r").agg(F.sum("sc").cast("bigint").alias("s"))
+    est = sr.agg(
+        F.sum(F.col("s") * F.col("s")).cast("bigint").alias("est_sum"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    return est.crossJoin(F.broadcast(f2)).select(
+        "n_rows",
+        "f2_exact",
+        (
+            (3 * F.col("est_sum") >= _AMS_ROWS * F.col("f2_exact"))
+            & (F.col("est_sum") <= 3 * _AMS_ROWS * F.col("f2_exact"))
+        ).alias("within_bound"),
+    )
