@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "agg_filter_clause",
     "subquery_exists_projection",
     "sketch_ams_f2_tokens",
+    "corpus_vocab_venn",
+    "text_hapax_rate",
 ]
 
 

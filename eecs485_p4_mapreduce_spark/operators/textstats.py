@@ -1042,3 +1042,108 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
     )
 
+
+
+@query(
+    "corpus_vocab_venn",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT source, {DUCK_TOKENS} AS toks FROM documents
+      WHERE source IN ('src0', 'src1', 'src2')),
+    tk AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(toks)), i ->
+               concat(list_extract(toks, i), ' ',
+                      list_extract(toks, i + 1)))) AS gram
+      FROM t0),
+    pres AS (
+      SELECT gram,
+             CAST(max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+               + 2 * max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+               + 4 * max(CASE WHEN source = 'src2' THEN 1 ELSE 0 END)
+               AS BIGINT) AS mask
+      FROM tk GROUP BY 1)
+    SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM pres GROUP BY 1
+    """,
+)
+def corpus_vocab_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way BIGRAM-vocabulary Venn diagram across sources
+    src0/src1/src2: every word bigram maps to a presence bitmask
+    (1=src0, 2=src1, 4=src2) and the 7 mask counts are the full overlap
+    structure -- the corpus-diff readout for "what does adding this
+    source actually contribute".  (Bigrams, not unigrams: a shared base
+    vocabulary makes the unigram Venn degenerate -- every word is in
+    every source -- while pair combinations actually discriminate.)
+
+    One tokenize+bigram pass over the three sources' documents, a
+    per-gram max-of-indicators aggregate (map-side combinable -- the
+    mask is a bit-OR expressed as max so both engines fold it
+    identically), and a 7-group count.  Generalizes to S sources as a
+    BIGINT bitmask up to 63 sources, beyond that a presence array; all
+    integers."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    tk = docs.select("source", tokens("text").alias("toks")).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)), i ->"
+                " concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    pres = tk.groupBy("gram").agg(
+        (
+            F.max(F.when(F.col("source") == "src0", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("source") == "src1", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("source") == "src2", 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("mask")
+    )
+    return pres.groupBy("mask").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+
+
+@query(
+    "text_hapax_rate",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest({DUCK_TOKENS}) AS token FROM documents),
+    c AS (SELECT source, token, COUNT(*) AS n FROM tk GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_share
+    FROM c GROUP BY 1
+    """,
+)
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source: the share of each source's
+    vocabulary that occurs exactly once -- the Heaps-law tail signal
+    that separates natural long-tail text (high hapax share) from
+    template/boilerplate dumps (low) and OCR noise (extreme), and the
+    first thing to check before trusting token-frequency features.
+
+    One (source, token) count -- the only input-sized pass, map-side
+    combinable -- then a per-source rollup of exact integers with one
+    final division."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", F.explode(tokens("text")).alias("token"))
+    c = tk.groupBy("source", "token").agg(F.count("*").alias("n"))
+    return c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        (
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("hapax_share"),
+    )
