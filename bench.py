@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "sketch_ams_f2_tokens",
     "corpus_vocab_venn",
     "text_hapax_rate",
+    "join_range_banded_prices",
+    "skyline_orders_pareto",
 ]
 
 

@@ -482,3 +482,102 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_click_id",
         "next_click_ts",
     )
+
+
+_BAND_W = 10.0  # price bucket width == 2x the match tolerance
+_BAND_TOL = 5.0
+
+
+@query(
+    "join_range_banded_prices",
+    oracle=f"""
+    SELECT p.p_partkey, CAST(COUNT(*) AS BIGINT) AS n_price_matches
+    FROM part p JOIN lineitem l
+      ON abs(p.p_retailprice - l.l_extendedprice / l.l_quantity) <= {_BAND_TOL}
+    GROUP BY 1
+    """,
+)
+def join_range_banded_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDED range join against a LARGE side -- the 100 TB shape
+    ``join_range_tiers`` only documents: match parts to lineitems whose
+    implied unit price lands within +-5 (price-book reconciliation).
+
+    A raw |a-b| <= tol predicate is a nested-loop at any real scale.
+    The rewrite: bucket both sides by floor(price/width) with width =
+    2*tol, explode the PART side into its bucket and both neighbors
+    (the small side takes the 3x expansion), equi-join on the bucket,
+    then verify the exact predicate per candidate.  Any pair within tol
+    is at most one bucket apart, so the equi-join provably loses no
+    match -- which the oracle's naive theta join checks outright.  The
+    shuffle keys on integer buckets; a hot price point is an AQE
+    skew-split, not a cross product.  All compares are on stored
+    doubles with identical expressions -- deterministic."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_retailprice") / _BAND_W) - 1,
+                F.floor(F.col("p_retailprice") / _BAND_W),
+                F.floor(F.col("p_retailprice") / _BAND_W) + 1,
+            )
+        ).alias("bk"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    ).withColumn("bk", F.floor(F.col("unit_price") / _BAND_W))
+    return (
+        p.join(li, "bk")
+        .filter(
+            F.abs(F.col("p_retailprice") - F.col("unit_price")) <= _BAND_TOL
+        )
+        .groupBy("p_partkey")
+        .agg(F.count("*").cast("bigint").alias("n_price_matches"))
+    )
+
+
+@query(
+    "skyline_orders_pareto",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT o_totalprice AS price, o_orderdate AS odate
+      FROM orders)
+    SELECT price, odate
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price >= a.price AND b.odate >= a.odate
+        AND (b.price > a.price OR b.odate > a.odate))
+    """,
+)
+def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier): the orders not dominated on
+    (higher price, later date) -- the classic multi-objective OLAP
+    operator (Borzsony et al.), here 'largest recent deals'.
+
+    The oracle is the defining NOT EXISTS -- a quadratic self-join.
+    The engine's shape: collapse to the max date per distinct price
+    (one hash agg over the input -- the only full-data pass), then one
+    window over the DISTINCT-PRICE list (output-sized) computes the
+    running max date over strictly-higher prices; a point survives iff
+    its date beats that suffix max.  For k > 2 dimensions this becomes
+    grid-partition pruning; for 2-D the sort is over distinct values
+    only, never raw orders.  Doubles/dates are stored values compared
+    identically -- deterministic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_price = o.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.max("o_orderdate").alias("odate")
+    )
+    w = Window.orderBy(F.desc("price")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_price.withColumn("best_higher", F.max("odate").over(w))
+        .filter(
+            F.col("best_higher").isNull()
+            | (F.col("odate") > F.col("best_higher"))
+        )
+        .select("price", "odate")
+    )
