@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "text_hapax_rate",
     "join_range_banded_prices",
     "skyline_orders_pareto",
+    "multimodal_patch_grid",
 ]
 
 

@@ -487,3 +487,114 @@ def multimodal_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_reassembled_ok"),
     )
+
+
+_PATCH = 8  # patch side length (ViT-style square patches)
+
+_PATCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_patches", LongType()),
+        StructField("max_patch_mean", LongType()),
+        StructField("min_patch_mean", LongType()),
+        StructField("intensity_checksum", LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_patch_grid",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(floor(sqrt(length(text))) AS INT) AS side
+      FROM documents),
+    p AS (SELECT doc_id, text, side, side // {_PATCH} AS g
+          FROM base WHERE side >= {_PATCH}),
+    cells AS (
+      SELECT p.doc_id, p.g, pr.r, pc.c,
+             ord(substring(p.text,
+                 (pr.r * {_PATCH} + t1.dr) * p.side
+                   + pc.c * {_PATCH} + t2.dc + 1, 1)) AS v
+      FROM p,
+           generate_series(0, 63) AS pr(r),
+           generate_series(0, 63) AS pc(c),
+           generate_series(0, {_PATCH - 1}) AS t1(dr),
+           generate_series(0, {_PATCH - 1}) AS t2(dc)
+      WHERE pr.r < p.g AND pc.c < p.g),
+    patch AS (
+      SELECT doc_id, g, r, c,
+             CAST(SUM(v) // {_PATCH * _PATCH} AS BIGINT) AS pmean,
+             CAST(SUM(v) AS BIGINT) AS psum
+      FROM cells GROUP BY 1, 2, 3, 4)
+    SELECT doc_id,
+           CAST(any_value(g) * any_value(g) AS BIGINT) AS n_patches,
+           MAX(pmean) AS max_patch_mean,
+           MIN(pmean) AS min_patch_mean,
+           CAST(SUM(psum) AS BIGINT) AS intensity_checksum
+    FROM patch GROUP BY doc_id
+    """,
+)
+def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style PATCH extraction over the opaque image payload: square
+    -crop the byte buffer to side = floor(sqrt(len)), tile it into
+    {p}x{p} patches, and emit per-image patch statistics (count,
+    min/max integer patch mean, intensity checksum) -- the
+    vision-transformer preprocessing shape, where 100 TB of images
+    become (n_patches, patch_dim) tensors.
+
+    The kernel is an Arrow-batched ``mapInPandas`` numpy stage (reshape
+    -> transpose -> per-patch row sums, no Python per-pixel loops); the
+    payload bytes stay inside the executor -- only the 5-column stats
+    leave.  Stand-in decode discipline as the rest of the family: the
+    "pixels" are the payload bytes themselves, so the DuckDB oracle can
+    replay the exact tiling arithmetic with substring/ord.  Integer
+    floor-division means everywhere -- bitwise deterministic.
+    """.replace("{p}", str(_PATCH))
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                side = int(np.floor(np.sqrt(float(len(buf)))))
+                if side < _PATCH:
+                    continue
+                g = side // _PATCH
+                crop = (
+                    buf[: side * side]
+                    .reshape(side, side)[: g * _PATCH, : g * _PATCH]
+                    .astype(np.int64)
+                )
+                patches = (
+                    crop.reshape(g, _PATCH, g, _PATCH)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(g * g, _PATCH * _PATCH)
+                )
+                psums = patches.sum(axis=1)
+                pmeans = psums // (_PATCH * _PATCH)
+                out.append(
+                    (
+                        int(doc_id),
+                        int(g * g),
+                        int(pmeans.max()),
+                        int(pmeans.min()),
+                        int(psums.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_patches",
+                    "max_patch_mean",
+                    "min_patch_mean",
+                    "intensity_checksum",
+                ],
+            )
+
+    media = with_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return media.mapInPandas(kernel, _PATCH_SCHEMA)
