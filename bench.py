@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "join_range_banded_prices",
     "skyline_orders_pareto",
     "multimodal_patch_grid",
+    "graph_temporal_reach_2hop",
 ]
 
 

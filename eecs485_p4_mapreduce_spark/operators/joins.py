@@ -581,3 +581,118 @@ def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("price", "odate")
     )
+
+
+@query(
+    "graph_temporal_reach_2hop",
+    oracle=f"""
+    WITH {_SESSIONS_DUCK},
+    contacts AS (
+      SELECT a.user_id AS u, b.user_id AS v,
+             greatest(a.s_us, b.s_us) AS t
+      FROM iv a JOIN iv b
+        ON a.user_id <> b.user_id
+       AND a.s_us <= b.e_us AND b.s_us <= a.e_us),
+    h1 AS (
+      SELECT c.v AS user_id, min(c.t) AS t_us
+      FROM contacts c WHERE c.u < 10 AND c.v >= 10 GROUP BY 1),
+    h2 AS (
+      SELECT c.v AS user_id, min(c.t) AS t_us
+      FROM contacts c JOIN h1 ON c.u = h1.user_id AND c.t >= h1.t_us
+      WHERE c.v >= 10
+        AND c.v NOT IN (SELECT user_id FROM h1)
+      GROUP BY 1)
+    SELECT user_id, CAST(1 AS BIGINT) AS hops,
+           make_timestamp(t_us) AS reach_ts FROM h1
+    UNION ALL
+    SELECT user_id, CAST(2 AS BIGINT), make_timestamp(t_us) FROM h2
+    """,
+)
+def graph_temporal_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-RESPECTING 2-hop reachability (contact tracing): starting
+    from seed users (id < 10), who is reachable through session-overlap
+    contacts where each hop's contact starts no earlier than the
+    previous hop's -- the temporal-graph constraint that separates real
+    influence paths from static connectivity.
+
+    Contacts reuse the bucketed interval-overlap shape
+    (join_interval_overlap): hour-bucket equi-join + exact overlap
+    verify, contact time = the later session start.  Each BFS hop is
+    then one user-keyed equi-join against the frontier with the
+    time-monotonicity predicate applied per candidate, and an anti-join
+    keeps hop counts minimal.  Fixed 2 hops on both engines (the
+    bounded-recursion discipline of recursive_cte_path_counts); the
+    oracle runs the naive theta-join contact graph.  All integers and
+    microsecond timestamps -- deterministic."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(wo)
+    sess = e.select(
+        "user_id",
+        us.alias("us"),
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_session"),
+    ).withColumn("sid", F.sum("new_session").over(wrun).cast("bigint"))
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"), F.max("us").alias("e_us")
+    )
+    bucketed = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr("s_us div 3600000000"), F.expr("e_us div 3600000000")
+            )
+        ).alias("hb"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("u"), F.col("s_us").alias("sa"),
+        F.col("e_us").alias("ea"), "hb",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("v"), F.col("s_us").alias("sb"),
+        F.col("e_us").alias("eb"), "hb",
+    )
+    contacts = (
+        a.join(b, "hb")
+        .filter(
+            (F.col("u") != F.col("v"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select("u", "v", F.greatest("sa", "sb").alias("t"))
+        .distinct()
+    )
+    h1 = (
+        contacts.filter((F.col("u") < 10) & (F.col("v") >= 10))
+        .groupBy(F.col("v").alias("user_id"))
+        .agg(F.min("t").alias("t_us"))
+    )
+    h2 = (
+        contacts.filter(F.col("v") >= 10)
+        .join(
+            h1.select(F.col("user_id").alias("u"), F.col("t_us").alias("t1")),
+            "u",
+        )
+        .filter(F.col("t") >= F.col("t1"))
+        .join(h1.select("user_id").withColumnRenamed("user_id", "v"), "v", "left_anti")
+        .groupBy(F.col("v").alias("user_id"))
+        .agg(F.min("t").alias("t_us"))
+    )
+    out1 = h1.select(
+        "user_id", F.lit(1).cast("bigint").alias("hops"),
+        F.timestamp_micros("t_us").alias("reach_ts"),
+    )
+    out2 = h2.select(
+        "user_id", F.lit(2).cast("bigint").alias("hops"),
+        F.timestamp_micros("t_us").alias("reach_ts"),
+    )
+    return out1.unionByName(out2)
