@@ -538,7 +538,7 @@ _PATCH_SCHEMA = StructType(
 def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ViT-style PATCH extraction over the opaque image payload: square
     -crop the byte buffer to side = floor(sqrt(len)), tile it into
-    {p}x{p} patches, and emit per-image patch statistics (count,
+    8x8 (``_PATCH``) patches, and emit per-image patch statistics (count,
     min/max integer patch mean, intensity checksum) -- the
     vision-transformer preprocessing shape, where 100 TB of images
     become (n_patches, patch_dim) tensors.
@@ -550,7 +550,7 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pixels" are the payload bytes themselves, so the DuckDB oracle can
     replay the exact tiling arithmetic with substring/ord.  Integer
     floor-division means everywhere -- bitwise deterministic.
-    """.replace("{p}", str(_PATCH))
+    """
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
