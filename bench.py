@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "multimodal_resize_sample",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
+    "tpch_q12_late_lines",
+    "tpch_q21_suppliers_kept_waiting",
     "tpch_q13_custdist",
     "tpch_q15_top_supplier",
     "tpch_q22_sales_opportunity",

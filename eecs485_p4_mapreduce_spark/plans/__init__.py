@@ -23,6 +23,7 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     relational5,
     relational6,
     relational7,
+    relational8,
     sampling,
     search,
     semdedup,

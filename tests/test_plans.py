@@ -501,3 +501,17 @@ def test_incremental_session_merge_all_equi_joins(spark, sf_dir):
     plan = explain(spark, sf_dir, "session_incremental_merge")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_semi_anti_lowering(spark, sf_dir):
+    """q21's correlated EXISTS / NOT EXISTS must lower to one LeftSemi
+    and one LeftAnti equi-join on l_orderkey (never a per-row rescan or
+    nested loop), with the orderstatus filter pushed to the orders scan
+    and the top-100 planned as TakeOrderedAndProject."""
+    plan = explain(spark, sf_dir, "tpch_q21_suppliers_kept_waiting")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
