@@ -160,6 +160,10 @@ BENCH_QUERIES = [
     "window_gaps_islands",
     "stats_mad_events",
     "quality_benford_digits",
+    "dedup_soft_weights",
+    "corpus_zipf_slope",
+    "privacy_dp_noisy_histogram",
+    "mix_epoch_token_budget",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -1394,3 +1394,72 @@ def window_rolling_hll_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# --- differentially-private release mechanism (deterministic replay) ---
+# u in (0,1) from the first 8 md5 hex chars of the salted key; the +0.5
+# offset keeps u strictly inside the interval so both ln() arguments stay
+# positive.  All constituent doubles (u, |t|, 1-2|t|) are exact binary
+# arithmetic on a < 2^32 integer, so both engines see bit-identical ln()
+# inputs; the ln output itself is quantized (round 4) before the final
+# integer rounding -- the standard cross-engine ulp guard.
+_DP_EPS_INV = 2.0  # 1/epsilon (epsilon = 0.5)
+_DP_SALT = "dp-v1-"
+
+
+def _dp_noise_sql(dialect: str) -> str:
+    h = (
+        "cast(conv(substring(md5(concat('" + _DP_SALT + "', event_type)), 1, 8), 16, 10) as bigint)"
+        if dialect == "spark"
+        else (
+            "CAST(list_sum(list_transform(range(0, 8), c -> (strpos('0123456789abcdef',"
+            f" substring(md5(concat('{_DP_SALT}', event_type)), 1 + c, 1)) - 1)"
+            " * CAST(pow(16, 7 - c) AS BIGINT))) AS BIGINT)"
+        )
+    )
+    u = f"(({h}) + 0.5) / 4294967296.0"
+    t = f"(({u}) - 0.5)"
+    return (
+        f"cast(round(-{_DP_EPS_INV} * sign({t})"
+        f" * round(ln(1.0 - 2.0 * abs({t})), 4), 0) as bigint)"
+    )
+
+
+@query(
+    "privacy_dp_noisy_histogram",
+    oracle=f"""
+    WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+               FROM events GROUP BY event_type)
+    SELECT event_type, n_true,
+           {_dp_noise_sql('duckdb')} AS noise,
+           greatest(CAST(0 AS BIGINT), n_true + {_dp_noise_sql('duckdb')})
+             AS n_noisy
+    FROM g
+    """,
+)
+def privacy_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism histogram release (epsilon = 0.5): per-type
+    event counts plus integer Laplace noise drawn by inverse-CDF
+    (noise = -(1/eps) * sign(u-.5) * ln(1-2|u-.5|), rounded), clamped at
+    zero.  The count aggregate is the only data-sized stage; the noise
+    is a per-key scalar expression, so the mechanism costs nothing at
+    100 TB beyond the histogram itself.
+
+    Determinism note: u here is md5-derived from the key (so the oracle
+    can replay the release bit-for-bit and this test proves the
+    mechanism arithmetic); a production release draws u from a real
+    entropy source per release -- a seeded release is NOT private, it is
+    the unit-testable skeleton of one.  n_true is emitted for the oracle
+    comparison and would be dropped from a real release.
+    """
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_true"))
+    noise = F.expr(_dp_noise_sql("spark"))
+    return g.select(
+        "event_type",
+        "n_true",
+        noise.alias("noise"),
+        F.greatest(F.lit(0).cast("bigint"), F.col("n_true") + noise).alias(
+            "n_noisy"
+        ),
+    )

@@ -363,3 +363,78 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_dropped"),
         F.coalesce(F.col("new_md5"), F.md5(F.lit(""))).alias("new_md5"),
     )
+
+
+_ZTOP = 50  # regression window: top-N ranks per language
+
+# ln() quantized to 4 places before the decimal-exact moment sums --
+# same guard as the surprisal/entropy family (Spark's and DuckDB's log
+# agree only to ~1 ulp, and the decimal sums must see identical inputs).
+_ZX_SPARK = "cast(round(ln(cast(r as double)), 4) as decimal(18,4))"
+_ZY_SPARK = "cast(round(ln(cast(c as double)), 4) as decimal(18,4))"
+
+
+@query(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest({DUCK_TOKENS}) AS w FROM documents),
+    cnt AS (SELECT lang, w, COUNT(*) AS c FROM tok GROUP BY lang, w),
+    rk AS (SELECT lang, c,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY c DESC, w ASC) AS r
+           FROM cnt),
+    xy AS (SELECT lang,
+                  CAST(round(ln(CAST(r AS DOUBLE)), 4) AS DECIMAL(18,4)) AS x,
+                  CAST(round(ln(CAST(c AS DOUBLE)), 4) AS DECIMAL(18,4)) AS y
+           FROM rk WHERE r <= {_ZTOP}),
+    m AS (SELECT lang, COUNT(*) AS np,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM xy GROUP BY lang)
+    SELECT lang, CAST(np AS BIGINT) AS n_terms,
+           round(CAST(np * sxy - sx * sy AS DOUBLE)
+                 / CAST(np * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+    FROM m
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent per language: OLS slope of ln(frequency) on
+    ln(rank) over each language's top-50 words -- the corpus-health
+    audit that flags machine-generated or boilerplate-heavy sources
+    (natural text sits near slope -1; templated text flattens it).
+
+    Shape: tokenize -> per-(lang, word) partial-aggregated count -> the
+    rank window lowers to WindowGroupLimit (per-partition top-50 before
+    the lang-keyed shuffle, so the window never sees the full vocabulary
+    at scale) -> four decimal-exact moment sums -> closed-form slope as
+    one identical float expression on both engines.  The ln inputs are
+    integer ranks/counts quantized to 4 places before summing, the same
+    cross-engine guard as the surprisal family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("lang", F.explode(tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), F.col("w").asc())
+    xy = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZTOP)
+        .select("lang", F.expr(_ZX_SPARK).alias("x"), F.expr(_ZY_SPARK).alias("y"))
+    )
+    m = xy.groupBy("lang").agg(
+        F.count("*").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "lang",
+        F.col("np").cast("bigint").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+    )

@@ -1025,3 +1025,62 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter").cast("double") / F.col("un"), 6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=f"""
+    {_MINHASH_BANDED_DUCK},
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS p
+      FROM banded x JOIN banded y
+        ON x.b = y.b AND x.band_hash = y.band_hash
+      WHERE x.doc_id <> y.doc_id),
+    pc AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n_partners
+           FROM pairs GROUP BY a)
+    SELECT d.doc_id,
+           COALESCE(pc.n_partners, 0) AS n_partners,
+           CAST(10000 // (1 + COALESCE(pc.n_partners, 0)) AS BIGINT)
+             AS weight_bp
+    FROM documents d LEFT JOIN pc ON pc.a = d.doc_id
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: instead of DELETING near-duplicates, assign
+    every document a sampling weight 1/(1 + n_near_dup_partners) -- the
+    SoftDeDup recipe that keeps duplicated content in the corpus but
+    stops it from dominating the token distribution.
+
+    Partners are distinct documents sharing >= 1 MinHash band with this
+    one (the same banded equi-join as ``dedup_minhash_lsh`` -- only
+    (band, band_hash, doc_id) triples shuffle, never text).  The weight
+    is emitted as integer basis points (10000 div (1+n)), so the mix
+    planner downstream consumes exact integers rather than floats.  At
+    100 TB the per-band buckets bound the pair blow-up exactly as in the
+    hard-dedup path; the weight join back to documents is a doc_id
+    equi-join.  Weak-by-design: partner count uses candidate pairs
+    without the exact-Jaccard verify (a soft weight tolerates LSH false
+    positives; the hard-delete paths verify).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    _, banded = _minhash_banded(docs)
+    pairs = (
+        banded.select(F.col("doc_id").alias("a"), "b", "band_hash")
+        .join(banded.select(F.col("doc_id").alias("p"), "b", "band_hash"),
+              ["b", "band_hash"])
+        .filter(F.col("a") != F.col("p"))
+        .select("a", "p")
+        .distinct()
+    )
+    pc = pairs.groupBy("a").agg(F.count("*").cast("bigint").alias("n_partners"))
+    return (
+        docs.select("doc_id")
+        .join(pc, docs["doc_id"] == pc["a"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_partners", F.lit(0).cast("bigint")).alias("n_partners"),
+            F.expr(
+                "cast(10000 div (1 + coalesce(n_partners, 0)) as bigint)"
+            ).alias("weight_bp"),
+        )
+    )

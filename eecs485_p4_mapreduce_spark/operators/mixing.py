@@ -270,3 +270,98 @@ def mix_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_accepted"),
         )
     )
+
+
+_BUDGET = 1_000_000  # training-run token budget to apportion
+
+# integer weight = floor(sqrt(n_tokens) * 1000): temperature tau=2
+# (sqrt) scaling, quantized to an exact integer so every downstream
+# share/remainder is pure integer arithmetic (sqrt of a bigint is
+# IEEE-correctly-rounded in both engines; no float sums anywhere).
+_WI = "cast(floor(sqrt(cast(n_tokens as double)) * 1000) as bigint)"
+
+
+@query(
+    "mix_epoch_token_budget",
+    oracle=f"""
+    WITH nt AS (
+      SELECT source, CAST(SUM(len({DUCK_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (SELECT source, n_tokens,
+                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)
+                   AS wi
+          FROM nt),
+    tot AS (SELECT CAST(SUM(wi) AS BIGINT) AS tw FROM w),
+    base AS (
+      SELECT source, n_tokens, wi,
+             ({_BUDGET} * wi) // tw AS alloc0,
+             ({_BUDGET} * wi) % tw AS rem
+      FROM w, tot),
+    extra AS (SELECT CAST({_BUDGET} - SUM(alloc0) AS BIGINT) AS k FROM base),
+    ranked AS (
+      SELECT source, n_tokens, alloc0, rem,
+             row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+      FROM base)
+    SELECT r.source, r.n_tokens,
+           CAST(r.alloc0 + CASE WHEN r.rk <= e.k THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_tokens,
+           CAST((r.alloc0 + CASE WHEN r.rk <= e.k THEN 1 ELSE 0 END) * 10000
+                // r.n_tokens AS BIGINT) AS epochs_bp
+    FROM ranked r, extra e
+    """,
+)
+def mix_epoch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget apportionment across sources: split a 1M-token
+    training budget by temperature-scaled source size (tau = 2, i.e.
+    share proportional to sqrt of source tokens -- the UniMax/mT5-style
+    rebalancing), using LARGEST-REMAINDER rounding so the allocations
+    sum to exactly the budget.  epochs_bp (allocation / source_tokens in
+    basis points) is the oversampling factor the repeat-sampler consumes
+    -- > 10000 means the source repeats within one run.
+
+    Everything after the per-source token count (one partial-aggregated
+    scan) is output-sized integer arithmetic: quantized integer weights,
+    integer floor shares and remainders, a 20-row remainder-rank window,
+    and integer epoch ratios -- no float sum anywhere, so the plan is
+    replayable bit-for-bit on any engine at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nt = (
+        docs.select("source", F.size(tokens("text")).alias("ntok"))
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("bigint").alias("n_tokens"))
+    )
+    w = nt.withColumn("wi", F.expr(_WI))
+    tot = w.agg(F.sum("wi").cast("bigint").alias("tw"))
+    base = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("alloc0", F.expr(f"({_BUDGET} * wi) div tw"))
+        .withColumn("rem", F.expr(f"({_BUDGET} * wi) % tw"))
+    )
+    extra = base.agg(
+        (F.lit(_BUDGET) - F.sum("alloc0")).cast("bigint").alias("k")
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(extra))
+        .withColumn(
+            "alloc_tokens",
+            (
+                F.col("alloc0")
+                + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+            ).cast("bigint"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "alloc_tokens",
+            F.expr("cast(alloc_tokens * 10000 div n_tokens as bigint)").alias(
+                "epochs_bp"
+            ),
+        )
+    )
