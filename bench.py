@@ -164,6 +164,8 @@ BENCH_QUERIES = [
     "corpus_zipf_slope",
     "privacy_dp_noisy_histogram",
     "mix_epoch_token_budget",
+    "dq_observe_metrics",
+    "sql_scripting_threshold_search",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -1463,3 +1463,58 @@ def privacy_dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_noisy"
         ),
     )
+
+
+@query(
+    "dq_observe_metrics",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_discount,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           MAX(l_shipdate) AS max_shipdate
+    FROM lineitem
+    """,
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline data-quality metrics via ``DataFrame.observe``: the
+    metrics ride along with a real pass over the data (here a noop-sink
+    write standing in for the production ETL write), so the quality
+    report costs ZERO extra scans -- the pattern that replaces the
+    separate "profiling job" at 100 TB, where a second scan of the
+    table is the most expensive query in the pipeline.
+
+    The observed aggregates use the same decimal-exact sum discipline
+    as every other double aggregate (``functions/numeric.py``), so the
+    metric values are bitwise comparable to the oracle's full-scan
+    aggregation -- proving observe() metrics equal a dedicated audit
+    query.  The returned DataFrame is the one-row metrics record
+    (n_rows, rule violations, exact revenue, freshness watermark) a
+    quality gate would assert on before publishing the output.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.6), 1)
+            .otherwise(0)
+        ).alias("n_bad_discount"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("revenue"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.range(1).select(
+        F.lit(row["n_rows"]).cast("bigint").alias("n_rows"),
+        F.lit(row["n_bad_discount"]).cast("bigint").alias("n_bad_discount"),
+        F.lit(row["revenue"]).cast("double").alias("revenue"),
+        F.lit(row["max_shipdate"]).alias("max_shipdate"),
+    )

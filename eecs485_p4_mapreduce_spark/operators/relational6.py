@@ -264,3 +264,52 @@ def sql_variables_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "sql_scripting_threshold_search",
+    oracle="""
+    WITH p AS (SELECT pow(2.0, g) AS t FROM generate_series(10, 40) AS s(g)),
+    c AS (SELECT t, (SELECT COUNT(*) FROM orders WHERE o_totalprice > t) AS n
+          FROM p),
+    pick AS (SELECT MIN(t) AS threshold FROM c WHERE n < 100)
+    SELECT CAST(threshold AS DOUBLE) AS threshold,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_totalprice > (SELECT threshold FROM pick)) AS BIGINT)
+             AS n_above
+    FROM pick
+    """,
+)
+def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN..END): a WHILE loop with a DECLAREd
+    session variable doubles a price threshold (from 1024) until fewer than 100
+    orders exceed it -- the exponential-search control flow that
+    previously needed driver-side Python, now expressed entirely in SQL
+    and executed statement-by-statement by the engine.
+
+    Each loop iteration is one aggregate over orders (a scan with the
+    predicate pushed down), so the script is O(log(max_price)) tiny
+    queries, not one giant plan.  The declarative oracle computes the
+    same fixed point closed-form over a generated power-of-two grid,
+    proving the imperative loop and the declarative spelling agree
+    bit-for-bit (thresholds are exact powers of two in both engines).
+    The scripting conf is set inside the query path because the driver
+    runs a vanilla session.
+    """
+    from eecs485_p4_mapreduce_spark.sources import register_views
+
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t DOUBLE DEFAULT 1024.0;
+          WHILE (SELECT COUNT(*) FROM orders WHERE o_totalprice > t) >= 100 DO
+            SET t = t * 2;
+          END WHILE;
+          SELECT CAST(t AS DOUBLE) AS threshold,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                  WHERE o_totalprice > t) AS n_above;
+        END
+        """
+    )
