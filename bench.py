@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "mix_epoch_token_budget",
     "dq_observe_metrics",
     "sql_scripting_threshold_search",
+    "search_docsim_sparse_cosine",
+    "ml_feature_hashing",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -280,3 +280,89 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .select("doc_id", "tfidf_rk", "bm25_rk", "rrf_score", "rk")
     )
+
+
+_DS_MAXDF = 25   # inverted-index pruning: ignore terms in > 25 docs
+_DS_TOPK = 20    # result size
+
+
+@query(
+    "search_docsim_sparse_cosine",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+    rare AS (SELECT term FROM tf GROUP BY term
+             HAVING COUNT(*) <= {_DS_MAXDF}),
+    rtf AS (SELECT tf.* FROM tf JOIN rare USING (term)),
+    norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS nn
+              FROM rtf GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM rtf a JOIN rtf b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    scored AS (
+      SELECT d.doc_a, d.doc_b, d.dot,
+             CAST((10000 * d.dot * d.dot) // (na.nn * nb.nn) AS BIGINT)
+               AS cos2_bp
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.doc_a
+      JOIN norms nb ON nb.doc_id = d.doc_b)
+    SELECT doc_a, doc_b, dot, cos2_bp
+    FROM scored
+    ORDER BY cos2_bp DESC, doc_a, doc_b
+    LIMIT {_DS_TOPK}
+    """,
+)
+def search_docsim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse cosine similarity via an inverted-index
+    equi-join on RARE terms (document frequency <= 25, ``_DS_MAXDF``) -- the
+    document-to-document similarity join behind related-content and
+    duplicate-candidate mining, in the shape that scales: pairs are
+    generated ONLY for docs sharing a rare term, so the join fan-out is
+    bounded by df^2 per term instead of n^2 globally (the standard
+    DAAT / common-term-pruning trade, documented rather than hidden).
+
+    Determinism discipline: raw term-frequency integer dot products and
+    integer squared norms; the ranking key is squared cosine in basis
+    points via integer division (10000*dot^2 div (na*nb)) with (doc_a,
+    doc_b) tie-breaks -- no float ever enters the ORDER BY.  Top-20
+    lowers to TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    rare = tf.groupBy("term").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _DS_MAXDF
+    ).select("term")
+    rtf = tf.join(rare, "term")
+    norms = rtf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("nn")
+    )
+    a = rtf.select(F.col("doc_id").alias("doc_a"), "term", F.col("tf").alias("tfa"))
+    b = rtf.select(F.col("doc_id").alias("doc_b"), "term", F.col("tf").alias("tfb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tfa") * F.col("tfb")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            F.expr("cast((10000 * dot * dot) div (na * nb) as bigint)").alias(
+                "cos2_bp"
+            ),
+        )
+        .orderBy(F.col("cos2_bp").desc(), "doc_a", "doc_b")
+        .limit(_DS_TOPK)
+    )

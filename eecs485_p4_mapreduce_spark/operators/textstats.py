@@ -1147,3 +1147,69 @@ def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("hapax_share"),
     )
+
+
+_FH_BUCKETS = 64  # hashing-trick dimensionality
+
+
+@query(
+    "ml_feature_hashing",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents),
+    hb AS (SELECT doc_id, term,
+                  CAST(list_sum(list_transform(range(0, 8),
+                    c -> (strpos('0123456789abcdef',
+                          substring(md5(term), 1 + c, 1)) - 1)
+                         * CAST(pow(16, 7 - c) AS BIGINT))) AS BIGINT)
+                    % {_FH_BUCKETS} AS bucket
+           FROM tk),
+    agg AS (SELECT bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM hb GROUP BY bucket)
+    SELECT bucket, n_tokens, n_terms, n_docs,
+           n_terms > 1 AS has_collision
+    FROM agg
+    """,
+)
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: project an unbounded vocabulary into a fixed
+    64-bucket feature space (bucket = md5(term) mod 64) and report the
+    occupancy/collision profile per bucket -- the audit one runs before
+    committing to a hashed-feature dimensionality, since collisions are
+    the accuracy cost the trick trades for O(1) vocabulary memory.
+
+    This is the scan-side half of every hashed bag-of-words training
+    pipeline at 100 TB: no vocabulary build, no dictionary broadcast,
+    just a stateless hash per token followed by one bucket-keyed
+    partial-aggregated shuffle (64 keys).  md5-derived bucket ids keep
+    the assignment bit-identical across engines, runs, and retries --
+    the property that makes hashed features joinable across separately
+    computed shards.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hb = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).withColumn(
+        "bucket",
+        F.expr(
+            f"cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint)"
+            f" % {_FH_BUCKETS}"
+        ),
+    )
+    return (
+        hb.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.countDistinct("term").cast("bigint").alias("n_terms"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            "bucket",
+            "n_tokens",
+            "n_terms",
+            "n_docs",
+            (F.col("n_terms") > 1).alias("has_collision"),
+        )
+    )
