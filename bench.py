@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "sql_scripting_threshold_search",
     "search_docsim_sparse_cosine",
     "ml_feature_hashing",
+    "pipeline_curation_end_to_end",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -16,6 +16,7 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     linalg,
     mixing,
     multimodal,
+    pipeline,
     relational,
     relational2,
     relational3,

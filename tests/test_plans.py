@@ -515,3 +515,19 @@ def test_tpch_q21_semi_anti_lowering(spark, sf_dir):
     assert "EqualTo(o_orderstatus,F)" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_pipeline_shuffles_keys_not_text(spark, sf_dir):
+    """The end-to-end curation funnel must keep document bodies out of
+    every exchange: the near-dedup stage shuffles (band, band_hash,
+    doc_id) triples and the mix stage broadcasts a 5-row threshold
+    table.  A text column appearing in an Exchange's partitioning or a
+    nested-loop join anywhere means a stage regressed to a
+    body-shuffling plan."""
+    plan = explain(spark, sf_dir, "pipeline_curation_end_to_end")
+    assert "CartesianProduct" not in plan
+    # the one allowed nested loop: the 1-row totals crossJoin feeding the
+    # 5-row rates table (same shape as mix_sources_weighted)
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
