@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "search_docsim_sparse_cosine",
     "ml_feature_hashing",
     "pipeline_curation_end_to_end",
+    "source_schema_evolution_merge",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

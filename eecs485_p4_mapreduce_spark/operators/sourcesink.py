@@ -550,3 +550,56 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "source_schema_evolution_merge",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM merged GROUP BY 1
+    """,
+)
+def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: batch v1 is written WITHOUT the
+    o_orderpriority column (the pre-evolution schema), batch v2 with it;
+    ``mergeSchema`` reconciles the directory into one superset schema
+    with NULLs for v1 rows -- the append-only table-evolution path every
+    long-lived 100 TB dataset goes through (columns are only ever
+    added; readers see the union schema without a rewrite).
+
+    The aggregate groups by the evolved column with a sentinel for
+    pre-evolution rows, so the oracle pins exactly which rows carry
+    NULLs.  Note mergeSchema costs a footer read per file at planning
+    time -- production tables store the merged schema in a catalog; the
+    per-query option is the self-describing-directory fallback.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), "spark-graft-roundtrip", "evolve"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).drop("o_orderpriority")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    v1.write.mode("overwrite").parquet(os.path.join(out, "b=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "b=2"))
+    back = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "b=1"), os.path.join(out, "b=2")
+    )
+    return back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
