@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "ml_feature_hashing",
     "pipeline_curation_end_to_end",
     "source_schema_evolution_merge",
+    "stats_watermark_lateness",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -515,3 +515,80 @@ def stats_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame
         mu.alias("mean_gap_s"),
         ((sd - mu) / F.nullif(sd + mu, F.lit(0.0))).alias("burstiness"),
     )
+
+
+@query(
+    "stats_watermark_lateness",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, event_id, epoch_us(ts) AS t_us,
+             max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm_us
+      FROM events),
+    late AS (SELECT event_type, event_id, hwm_us - t_us AS late_us FROM arr),
+    ranked AS (
+      SELECT event_type, late_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY late_us, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM late)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+           CAST(MAX(CASE WHEN rk = CAST(ceil(0.95 * n) AS BIGINT)
+                         THEN late_us END) AS BIGINT) AS p95_late_us
+    FROM ranked GROUP BY event_type
+    """,
+)
+def stats_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: how late does event time arrive relative
+    to the high-water mark already seen, in arrival order (event_id as
+    the arrival proxy)?  p95/max lateness per type IS the number one
+    plugs into ``withWatermark`` -- too small drops real data, too
+    large holds state; this query replaces that guess with a
+    measurement, the prerequisite for every windowed streaming job in
+    this engine.
+
+    Shape: one event_type-keyed running-max window (same shuffle a
+    streaming aggregation would do), then exact rank-based p95 -- the
+    quantile is the value at position ceil(.95 n) of the sorted
+    lateness, an integer microsecond count, so both engines agree
+    bit-for-bit with no interpolation.  Output is one row per type.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = e.select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("t_us"),
+    ).withColumn("hwm_us", F.max(F.expr("t_us")).over(w))
+    late = arr.select(
+        "event_type", "event_id", (F.col("hwm_us") - F.col("t_us")).alias("late_us")
+    )
+    wr = Window.partitionBy("event_type").orderBy("late_us", "event_id")
+    ranked = late.select(
+        "event_type",
+        "late_us",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+        F.max(
+            F.when(
+                F.col("rk") == F.ceil(0.95 * F.col("n")).cast("bigint"),
+                F.col("late_us"),
+            )
+        )
+        .cast("bigint")
+        .alias("p95_late_us"),
+    )
