@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "pipeline_curation_end_to_end",
     "source_schema_evolution_merge",
     "stats_watermark_lateness",
+    "streaming_late_drop_curve",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -592,3 +592,67 @@ def stats_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p95_late_us"),
     )
+
+
+# candidate watermark delays (microseconds): 0s, 1m, 10m, 1h, 6h
+_WM_DELAYS_US = (0, 60_000_000, 600_000_000, 3_600_000_000, 21_600_000_000)
+
+
+@query(
+    "streaming_late_drop_curve",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type, epoch_us(ts) AS t_us,
+             max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm_us
+      FROM events),
+    late AS (SELECT event_type, hwm_us - t_us AS late_us FROM arr),
+    d AS (SELECT unnest(list_value{_WM_DELAYS_US}) AS delay_us)
+    SELECT l.event_type, CAST(d.delay_us AS BIGINT) AS delay_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN l.late_us > d.delay_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM late l CROSS JOIN d
+    GROUP BY l.event_type, d.delay_us
+    """,
+)
+def streaming_late_drop_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop-rate-vs-watermark-delay curve: for each candidate
+    ``withWatermark`` delay, how many events would arrive later than
+    the mark and be dropped?  Together with ``stats_watermark_lateness``
+    this is the complete sizing procedure: measure the lateness
+    distribution, then read the delay that meets the loss budget off
+    this curve.
+
+    One lateness pass (the same event_type-keyed running-max window),
+    then a 5-row delay grid joined in -- Spark explodes the literal
+    array, so the curve costs one extra Expand over the lateness rows,
+    not five scans.  All comparisons are integer microseconds.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = (
+        e.select("event_type", "event_id", F.expr("unix_micros(ts)").alias("t_us"))
+        .withColumn("hwm_us", F.max("t_us").over(w))
+        .select("event_type", (F.col("hwm_us") - F.col("t_us")).alias("late_us"))
+    )
+    curve = late.select(
+        "event_type",
+        "late_us",
+        F.explode(F.array(*[F.lit(d) for d in _WM_DELAYS_US])).alias("delay_us"),
+    )
+    return curve.groupBy("event_type", "delay_us").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > F.col("delay_us"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    ).select(
+        "event_type",
+        F.col("delay_us").cast("bigint").alias("delay_us"),
+        "n_events",
+        "n_dropped",
+    )
