@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "source_schema_evolution_merge",
     "stats_watermark_lateness",
     "streaming_late_drop_curve",
+    "pipeline_rag_index_build",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -169,3 +169,151 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(funnel(nd, "s3_near_dedup"))
         .unionByName(funnel(mixed, "s4_mixed"))
     )
+
+
+# --- RAG index-build flagship -------------------------------------------
+_RAG_CHUNK = 32   # tokens per chunk
+_RAG_STRIDE = 16  # chunk stride
+_RAG_DIMS = 16    # hashed-embedding dimensionality
+_RAG_PLANES = 4   # LSH hyperplanes -> 16 buckets
+
+
+def _rag_hex(dialect: str, src: str) -> str:
+    from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+
+    return hex_int_sql(dialect, src, 1)
+
+
+_TOK_H_SPARK = _rag_hex("spark", "md5(w)")
+_TOK_H_DUCK = _rag_hex("duckdb", "md5(w)")
+_HP_H_SPARK = _rag_hex("spark", "md5(concat('rag-hp-', p, '-', dim))")
+_HP_H_DUCK = _rag_hex("duckdb", "md5(concat('rag-hp-', p, '-', dim))")
+
+
+@query(
+    "pipeline_rag_index_build",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKENS} AS tk FROM documents),
+    ch AS (SELECT doc_id, tk,
+                  unnest(range(1, greatest(len(tk) - {_RAG_CHUNK - 1}, 1) + 1,
+                               {_RAG_STRIDE})) AS s
+           FROM t),
+    cw AS (SELECT doc_id, s, unnest(list_slice(tk, s, s + {_RAG_CHUNK - 1}))
+                    AS w
+           FROM ch),
+    hv AS (SELECT doc_id, s, ({_TOK_H_DUCK}) % {_RAG_DIMS} AS dim,
+                  CASE WHEN (({_TOK_H_DUCK}) // {_RAG_DIMS}) % 2 = 0
+                       THEN 1 ELSE -1 END AS sgn
+           FROM cw),
+    vec AS (SELECT doc_id, s, dim, CAST(SUM(sgn) AS BIGINT) AS v
+            FROM hv GROUP BY doc_id, s, dim),
+    hp AS (SELECT p, dim,
+                  CASE WHEN ({_HP_H_DUCK}) % 2 = 0 THEN 1 ELSE -1 END AS c
+           FROM (SELECT unnest(range(0, {_RAG_PLANES})) AS p) pl
+           CROSS JOIN (SELECT unnest(range(0, {_RAG_DIMS})) AS dim) dm),
+    dots AS (SELECT vec.doc_id, vec.s, hp.p,
+                    CAST(SUM(vec.v * hp.c) AS BIGINT) AS dot
+             FROM vec JOIN hp ON hp.dim = vec.dim
+             GROUP BY vec.doc_id, vec.s, hp.p),
+    bucketed AS (
+      SELECT doc_id, s,
+             CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY doc_id, s),
+    l1 AS (SELECT doc_id, s, CAST(SUM(abs(v)) AS BIGINT) AS l1
+           FROM vec GROUP BY doc_id, s)
+    SELECT b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_docs,
+           CAST(SUM(l1.l1) AS BIGINT) AS total_l1
+    FROM bucketed b JOIN l1 ON l1.doc_id = b.doc_id AND l1.s = b.s
+    GROUP BY b.bucket
+    """,
+)
+def pipeline_rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG index build, end to end in one plan: sliding 32-token chunks
+    (stride 16) -> signed 16-dim hashed bag-of-words chunk embedding
+    (the hashing trick with md5-derived dimension and sign, so the
+    "encoder" is deterministic and vocabulary-free) -> 4-hyperplane
+    sign-LSH bucket assignment -> per-bucket occupancy readout (chunks,
+    distinct docs, total L1 mass).  The readout is the index-health
+    report: bucket skew here is query-time hot-spotting later.
+
+    Stand-in-encoder discipline (multimodal family precedent): a real
+    deployment swaps the hashed BoW for a model embedding; every other
+    stage -- chunker, vector assembly, hyperplane bucketing, occupancy
+    audit -- is the production shape, all integer arithmetic, so the
+    oracle replays the full chain bit-for-bit.  Scale shape: everything
+    up to the per-dim sums is scan-side explode + partial aggregation
+    keyed on (doc_id, chunk, dim); the hyperplane grid is a 64-row
+    broadcast; nothing document-sized ever shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("tk"))
+    ch = t.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.expr(
+                f"sequence(1, greatest(size(tk) - {_RAG_CHUNK - 1}, 1),"
+                f" {_RAG_STRIDE})"
+            )
+        ).alias("s"),
+    )
+    cw = ch.select(
+        "doc_id",
+        "s",
+        F.explode(F.expr(f"slice(tk, s, {_RAG_CHUNK})")).alias("w"),
+    )
+    hv = cw.select(
+        "doc_id",
+        "s",
+        F.expr(f"({_TOK_H_SPARK}) % {_RAG_DIMS}").alias("dim"),
+        F.expr(
+            f"CASE WHEN (({_TOK_H_SPARK}) div {_RAG_DIMS}) % 2 = 0"
+            f" THEN 1 ELSE -1 END"
+        ).alias("sgn"),
+    )
+    vec = hv.groupBy("doc_id", "s", "dim").agg(
+        F.sum("sgn").cast("bigint").alias("v")
+    )
+    hp = (
+        spark.range(_RAG_PLANES)
+        .select(F.col("id").cast("int").alias("p"))
+        .crossJoin(
+            spark.range(_RAG_DIMS).select(F.col("id").cast("int").alias("dim"))
+        )
+        .select(
+            "p",
+            "dim",
+            F.expr(
+                f"CASE WHEN ({_HP_H_SPARK}) % 2 = 0 THEN 1 ELSE -1 END"
+            ).alias("c"),
+        )
+    )
+    dots = (
+        vec.join(F.broadcast(hp), "dim")
+        .groupBy("doc_id", "s", "p")
+        .agg(F.sum(F.col("v") * F.col("c")).cast("bigint").alias("dot"))
+    )
+    bucketed = dots.groupBy("doc_id", "s").agg(
+        F.sum(
+            F.when(
+                F.col("dot") >= 0, F.expr("cast(pow(2, p) as bigint)")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    l1 = vec.groupBy("doc_id", "s").agg(
+        F.sum(F.abs("v")).cast("bigint").alias("l1")
+    )
+    return (
+        bucketed.join(l1, ["doc_id", "s"])
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("l1").cast("bigint").alias("total_l1"),
+        )
+    )
