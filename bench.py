@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "stats_watermark_lateness",
     "streaming_late_drop_curve",
     "pipeline_rag_index_build",
+    "token_length_histogram",
+    "dedup_quality_impact",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -438,3 +438,43 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").cast("bigint").alias("n_terms"),
         F.round(slope, 4).alias("zipf_slope"),
     )
+
+
+@query(
+    "token_length_histogram",
+    oracle=f"""
+    WITH n AS (SELECT source, len({DUCK_TOKENS}) AS nt FROM documents),
+    b AS (SELECT source, nt,
+                 CAST(floor(ln(greatest(nt, 1)) / ln(2)) AS BIGINT) AS bucket
+          FROM n)
+    SELECT source, bucket,
+           CAST(pow(2, bucket) AS BIGINT) AS bucket_min_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens
+    FROM b GROUP BY source, bucket
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution per source in power-of-two buckets
+    -- the input to every packing decision: the bucket profile says how
+    much padding a fixed context window wastes and whether greedy
+    packing (``pack_sequences_greedy``) will find complements.
+
+    Bucket = floor(log2(tokens)) spelled as ln/ln(2) with an integer
+    floor -- log2's last-ulp disagreement between engines cannot move a
+    floor except exactly at powers of two, where ln(2^k)/ln(2) is exact
+    in IEEE double for the k in range here, so the bucketing is
+    bitwise stable.  One scan, one partial-aggregated (source, bucket)
+    shuffle of output size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select("source", F.size(tokens("text")).alias("nt"))
+    b = n.withColumn(
+        "bucket",
+        F.expr("cast(floor(ln(greatest(nt, 1)) / ln(2)) as bigint)"),
+    )
+    return b.groupBy("source", "bucket").agg(
+        F.expr("cast(pow(2, bucket) as bigint)").alias("bucket_min_tokens"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+    )

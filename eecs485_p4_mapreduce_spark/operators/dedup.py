@@ -1084,3 +1084,74 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weight_bp"),
         )
     )
+
+
+@query(
+    "dedup_quality_impact",
+    oracle=f"""
+    {_MINHASH_BANDED_DUCK},
+    victims AS (
+      SELECT DISTINCT y.doc_id
+      FROM banded x JOIN banded y
+        ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+    feat AS (
+      SELECT d.doc_id,
+             d.doc_id IN (SELECT doc_id FROM victims) AS removed,
+             len({{DT}}) AS n_words,
+             len(list_filter({{DT}},
+                 t -> list_contains(['the','a','and','of','to','is','in'], t)))
+               AS n_stop
+      FROM documents d)
+    SELECT removed,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+           round(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 4) AS avg_words
+    FROM feat GROUP BY removed
+    """.replace("{DT}", "list_filter(string_split_regex(lower(d.text), '\\s+'), t -> t <> '')"),
+)
+def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance readout for near-dedup: compare the quality profile of
+    REMOVED documents (greedy MinHash victims, same candidate rule as
+    the curation funnel) against the kept set -- the audit that catches
+    a dedup rule silently deleting the best documents (e.g. canonical
+    templates with high-quality prose attract near-dup clusters and the
+    greedy rule may drop the wrong side).
+
+    Integer feature totals (words, stopwords) with one final rounded
+    division, so the comparison is bitwise; the only non-output-sized
+    stages are the shared banded signature join and one scan of the
+    corpus features.  Two rows out: removed=true / removed=false.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    _, banded = _minhash_banded(docs)
+    victims = (
+        banded.select(F.col("doc_id").alias("a"), "b", "band_hash")
+        .join(banded.select("doc_id", "b", "band_hash"), ["b", "band_hash"])
+        .filter(F.col("a") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("removed_flag", F.lit(True))
+    )
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens as _toks
+
+    stop = F.array([F.lit(t) for t in
+                    ("the", "a", "and", "of", "to", "is", "in")])
+    feat = (
+        docs.join(victims, "doc_id", "left")
+        .select(
+            F.coalesce("removed_flag", F.lit(False)).alias("removed"),
+            F.size(_toks("text")).alias("n_words"),
+            F.size(
+                F.filter(_toks("text"), lambda t: F.array_contains(stop, t))
+            ).alias("n_stop"),
+        )
+    )
+    return feat.groupBy("removed").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+        F.sum("n_stop").cast("bigint").alias("total_stopwords"),
+        F.round(
+            F.sum("n_words").cast("double") / F.count("*"), 4
+        ).alias("avg_words"),
+    )
