@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "pipeline_rag_index_build",
     "token_length_histogram",
     "dedup_quality_impact",
+    "udx_cogroup_merge_asof",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

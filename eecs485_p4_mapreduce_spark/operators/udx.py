@@ -373,3 +373,80 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_vowels("text").alias("n_vowels"),
         F.length("text").cast("bigint").alias("n_chars_txt"),
     )
+
+
+@query(
+    "udx_cogroup_merge_asof",
+    oracle="""
+    WITH p AS (SELECT user_id, epoch_us(ts) AS t_us, MAX(event_id) AS event_id
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id, epoch_us(ts)),
+    c AS (SELECT user_id, epoch_us(ts) AS t_us, MAX(event_id) AS event_id
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id, epoch_us(ts))
+    SELECT p.user_id, p.event_id AS purchase_id,
+           COALESCE(c.event_id, -1) AS click_id,
+           CAST(COALESCE(p.t_us - c.t_us, -1) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.t_us >= c.t_us
+    """,
+)
+def udx_cogroup_merge_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas``: purchases and clicks are grouped by
+    user on the JVM side, then each user's pair of frames meets in ONE
+    Python worker for a pandas ``merge_asof`` (latest click at or
+    before each purchase) -- the cogroup API is the escape hatch for
+    per-key logic that needs BOTH sides as local frames (custom as-of
+    tolerances, curve alignment, per-key model scoring) without a
+    row-expanding join.
+
+    Both sides are pre-collapsed to one row per (user, microsecond)
+    with MAX(event_id) so the as-of tie is deterministic -- pandas
+    keeps the last row among equal keys and DuckDB's ASOF picks among
+    ties arbitrarily; unique keys make both irrelevant.  At scale this
+    is one user-keyed shuffle per side and Arrow batches into Python;
+    the relational spelling (`join_asof_events`) stays the fast path --
+    this query pins that the cogroup path agrees with it.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def side(kind: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == kind)
+            .select(
+                "user_id",
+                F.expr("unix_micros(ts)").alias("t_us"),
+                "event_id",
+            )
+            .groupBy("user_id", "t_us")
+            .agg(F.max("event_id").alias("event_id"))
+        )
+
+    purchases, clicks = side("purchase"), side("click")
+
+    def merge_asof_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["t_us", "event_id"])
+        right = right.sort_values(["t_us", "event_id"]).rename(
+            columns={"t_us": "c_us", "event_id": "c_id"}
+        )
+        m = pd.merge_asof(
+            left, right, left_on="t_us", right_on="c_us",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "user_id": left["user_id"].values,
+                "purchase_id": m["event_id"].values,
+                "click_id": m["c_id"].fillna(-1).astype("int64").values,
+                "gap_us": (m["t_us"] - m["c_us"]).fillna(-1).astype("int64").values,
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            lambda l, r: merge_asof_group(l, r),
+            schema="user_id bigint, purchase_id bigint, click_id bigint, gap_us bigint",
+        )
+    )
