@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "token_length_histogram",
     "dedup_quality_impact",
     "udx_cogroup_merge_asof",
+    "corpus_modality_coverage",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -598,3 +598,56 @@ def multimodal_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "payload"
     )
     return media.mapInPandas(kernel, _PATCH_SCHEMA)
+
+
+@query(
+    "corpus_modality_coverage",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    e AS (SELECT DISTINCT vec_id FROM embeddings)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_embedding,
+           CAST(SUM(CASE WHEN d.n_chars > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_payload,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_payload_bytes
+    FROM d LEFT JOIN e ON e.vec_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def corpus_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card modality coverage: per source, how many documents
+    carry each modality -- an aligned embedding row (vec_id == doc_id),
+    a non-empty binary payload -- and the total payload volume.  This
+    is the first table in every multimodal dataset card, and the check
+    that a join-based training pipeline (text + embedding pairs) won't
+    silently drop a source whose vectors were never computed.
+
+    One broadcast-able distinct id set from the embeddings table, one
+    left join on doc_id, one per-source aggregate -- coverage of a
+    100 TB corpus costs one pass over ids and metadata, never payloads.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("has_emb", F.lit(1))
+    )
+    return (
+        d.join(e, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce("has_emb", F.lit(0))).cast("bigint").alias(
+                "n_with_embedding"
+            ),
+            F.sum(F.when(F.col("n_chars") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_payload"),
+            F.sum("n_chars").cast("bigint").alias("total_payload_bytes"),
+        )
+    )
