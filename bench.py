@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "dedup_quality_impact",
     "udx_cogroup_merge_asof",
     "corpus_modality_coverage",
+    "join_dynamic_partition_pruning",
+    "stats_gini_revenue",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

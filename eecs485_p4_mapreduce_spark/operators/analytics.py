@@ -1518,3 +1518,70 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(row["revenue"]).cast("double").alias("revenue"),
         F.lit(row["max_shipdate"]).alias("max_shipdate"),
     )
+
+
+@query(
+    "stats_gini_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS r
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM rev),
+    m AS (SELECT MAX(n) AS n,
+                 SUM(r) AS tot,
+                 SUM(i * r) AS wsum
+          FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS DOUBLE) AS total_revenue,
+           round(2.0 * CAST(wsum AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+             AS gini
+    FROM m
+    """,
+)
+def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue -- the concentration
+    audit that doubles as a data-skew early warning: the same number
+    that says "20% of customers carry 80% of revenue" says "these join
+    keys will hot-spot", and at 100 TB the second reading is the one
+    that pages someone.
+
+    Exact-arithmetic spelling of G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
+    over ascending-ranked x: per-customer revenue is an exact decimal
+    sum, the rank orders by (decimal revenue, custkey) so ties are
+    impossible, and i*x_i accumulates in decimal -- the only doubles
+    are the final three-term expression, identical on both engines.
+    The rank is a single global window over customer-sized (not
+    order-sized) data; at larger scale the two-pass partition-offset
+    rank (`ids_contiguous_assign`) swaps in.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("r")
+    )
+    w = Window.orderBy("r", "o_custkey")
+    ranked = rev.select(
+        "r",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    m = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum("r").alias("tot"),
+        F.sum(F.col("i") * F.col("r")).alias("wsum"),
+    )
+    n_d = F.col("n").cast("double")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("tot").cast("double").alias("total_revenue"),
+        F.round(
+            2.0 * F.col("wsum").cast("double") / (n_d * F.col("tot").cast("double"))
+            - (n_d + 1.0) / n_d,
+            6,
+        ).alias("gini"),
+    )

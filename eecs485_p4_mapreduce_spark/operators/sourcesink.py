@@ -603,3 +603,59 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT CAST(EXTRACT(YEAR FROM ts) AS INT) AS y,
+             CAST(EXTRACT(YEAR FROM ts) AS INT) % 2 = 0 AS even
+      FROM events)
+    SELECT e_y.y, CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('e_y.value')} AS total_value
+    FROM (SELECT CAST(EXTRACT(YEAR FROM ts) AS INT) AS y, value FROM events) e_y
+    JOIN dim ON dim.y = e_y.y
+    WHERE dim.even
+    GROUP BY e_y.y
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is year-partitioned
+    parquet, the dim side's filter (even years) is only known after
+    planning the join -- DPP injects the dim's surviving keys into the
+    fact scan as a runtime partition filter, so the engine never reads
+    odd-year directories even though no literal year predicate exists
+    in the query.  THE join-time companion to static partition pruning
+    for a 100 TB star schema (plan shows ``dynamicpruningexpression``;
+    pinned in tests/test_plans.py).
+
+    The dim is derived (distinct years + a flag) and broadcast; the
+    oracle replays the same join on the unpartitioned original, which
+    also proves the partitioned copy lossless.
+    """
+    e = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark-graft-roundtrip",
+        f"events_by_year_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    fact = e.select(
+        F.expr("cast(extract(year from ts) as int)").alias("y"), "value"
+    )
+    fact.write.mode("overwrite").partitionBy("y").parquet(out)
+    back = spark.read.parquet(out)
+    dim = (
+        e.select(F.expr("cast(extract(year from ts) as int)").alias("y"))
+        .distinct()
+        .withColumn("even", F.expr("y % 2 = 0"))
+        .filter(F.col("even"))
+    )
+    return (
+        back.join(F.broadcast(dim), "y")
+        .groupBy("y")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            dsum("value").alias("total_value"),
+        )
+    )

@@ -531,3 +531,12 @@ def test_curation_pipeline_shuffles_keys_not_text(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
+    """join_dynamic_partition_pruning's fact scan must carry a runtime
+    dynamicpruningexpression partition filter injected from the dim side
+    -- the DPP contract; losing it means every partition is read."""
+    plan = explain(spark, sf_dir, "join_dynamic_partition_pruning")
+    assert "dynamicpruningexpression" in plan.lower()
+    assert "PartitionFilters" in plan
