@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "corpus_modality_coverage",
     "join_dynamic_partition_pruning",
     "stats_gini_revenue",
+    "quality_perplexity_buckets",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -1213,3 +1213,109 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_terms") > 1).alias("has_collision"),
         )
     )
+
+
+@query(
+    "quality_perplexity_buckets",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)), i ->
+                    concat(list_extract(toks, i), ' ', list_extract(toks, i + 1)))) AS bigram,
+                  unnest(list_transform(range(1, len(toks)), i ->
+                    list_extract(toks, i))) AS w1
+           FROM tk),
+    c2 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY 1),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    scored AS (
+      SELECT bg.doc_id,
+             round(-log2(CAST(c2.c12 AS DOUBLE) / c1.c1), 4) AS surprisal
+      FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)),
+    per_doc AS (
+      SELECT doc_id,
+             round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_surprisal
+      FROM scored GROUP BY doc_id),
+    bucketed AS (
+      SELECT doc_id, avg_surprisal,
+             ntile(3) OVER (ORDER BY avg_surprisal, doc_id) AS bucket
+      FROM per_doc)
+    SELECT CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(avg_surprisal AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_surprisal,
+           MIN(avg_surprisal) AS min_surprisal,
+           MAX(avg_surprisal) AS max_surprisal
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split: score every document with
+    the corpus-trained bigram LM (same spelling as
+    ``quality_bigram_surprisal``), then ntile(3) on (score, doc_id)
+    assigns the fluent head, the middle, and the noisy tail -- the
+    bucketing CCNet uses to keep head+middle and drop or downweight
+    the tail of a web crawl.
+
+    The ntile runs over per-document rows (output-sized relative to the
+    token stream) with a doc_id tie-break, and both engines assign
+    ntile groups by the same first-(n%3)-groups-get-one-extra rule over
+    an identical ordering, so the bucket boundaries are bitwise stable.
+    Per-bucket means sum the already-rounded per-doc scores in decimal.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks"))
+    bg = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)), i ->"
+                " named_struct('w1', element_at(toks, i),"
+                " 'bigram', concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
+            )
+        ).alias("pos", "s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.bigram").alias("bigram"))
+    c2 = bg.groupBy("bigram").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    per_doc = (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            F.round(-F.log2(F.col("c12").cast("double") / F.col("c1")), 4).alias(
+                "surprisal"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("surprisal").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_surprisal")
+        )
+    )
+    bucketed = per_doc.withColumn(
+        "bucket",
+        F.ntile(3).over(Window.orderBy("avg_surprisal", "doc_id")),
+    )
+    return (
+        bucketed.withColumn(
+            "bucket",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_surprisal").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_surprisal"),
+            F.min("avg_surprisal").alias("min_surprisal"),
+            F.max("avg_surprisal").alias("max_surprisal"),
+        )
+    )
