@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "join_dynamic_partition_pruning",
     "stats_gini_revenue",
     "quality_perplexity_buckets",
+    "streaming_auto_watermark_tumbling",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -1235,3 +1235,88 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return run_to_completion(agg)
+
+
+_AUTO_WM_SQL_LATE = """
+      SELECT epoch_us(ts) AS t_us,
+             max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm_us,
+             event_id
+      FROM events
+"""
+
+
+@query(
+    "streaming_auto_watermark_tumbling",
+    oracle=f"""
+    WITH arr AS ({_AUTO_WM_SQL_LATE}),
+    late AS (SELECT hwm_us - t_us AS late_us, event_id FROM arr),
+    ranked AS (SELECT late_us,
+                      row_number() OVER (ORDER BY late_us, event_id) AS rk,
+                      COUNT(*) OVER () AS n
+               FROM late),
+    delay AS (SELECT CAST(ceil(CAST(MAX(CASE WHEN rk = CAST(ceil(0.95 * n)
+                            AS BIGINT) THEN late_us END) AS DOUBLE)
+                          / 1000000.0) AS BIGINT) AS d_s
+              FROM ranked),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n, {dsum_sql('value')} AS total_value
+      FROM events GROUP BY 1, 2),
+    wm AS (SELECT (SELECT max(ts) FROM events)
+                  - to_microseconds(d.d_s * 1000000) AS w
+           FROM delay d)
+    SELECT agg.window_start, agg.event_type, CAST(agg.n AS BIGINT) AS n,
+           agg.total_value
+    FROM agg, wm
+    WHERE agg.window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+)
+def streaming_auto_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-tuned watermark: measure the corpus's p95 arrival lateness
+    (the `stats_watermark_lateness` procedure, global, rounded up to
+    whole seconds), then run the append-mode tumbling aggregation with
+    THAT delay instead of a guessed one -- closing the loop from
+    measurement to operator configuration.  Two queries in one: the
+    lateness scan is a batch job whose single scalar configures the
+    stream.
+
+    The oracle recomputes the identical p95 + ceil in SQL and applies
+    the same final-watermark cutoff (window_end <= max(ts) - delay), so
+    the check proves both the measurement and the append contract under
+    a data-derived delay.  The measurement collects exactly ONE scalar
+    to the driver (the delay); the global p95 rank runs on lateness
+    rows, audit-sized at any corpus scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late = (
+        e.select("event_type", "event_id", F.expr("unix_micros(ts)").alias("t_us"))
+        .withColumn("hwm_us", F.max("t_us").over(w))
+        .select((F.col("hwm_us") - F.col("t_us")).alias("late_us"), "event_id")
+    )
+    ranked = late.select(
+        "late_us",
+        F.row_number().over(W.orderBy("late_us", "event_id")).alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    delay_s = int(
+        ranked.filter(F.col("rk") == F.ceil(0.95 * F.col("n")).cast("bigint"))
+        .select(F.ceil(F.col("late_us").cast("double") / 1e6).cast("bigint"))
+        .collect()[0][0]
+    )
+    ev = events_stream(spark, sf_dir).withWatermark("ts", f"{delay_s} seconds")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+    return run_to_completion(agg, mode="append")
