@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "stats_gini_revenue",
     "quality_perplexity_buckets",
     "streaming_auto_watermark_tumbling",
+    "join_point_in_time_scd2",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

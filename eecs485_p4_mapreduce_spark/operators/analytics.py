@@ -1585,3 +1585,85 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    versioned AS (
+      SELECT user_id, event_type AS state,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version,
+             ts AS valid_from
+      FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type),
+    p AS (SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+    matched AS (
+      SELECT p.event_id, p.value, v.state,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.version DESC) AS rk
+      FROM p JOIN versioned v
+        ON v.user_id = p.user_id AND v.valid_from <= p.ts)
+    SELECT state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {dsum_sql('value')} AS total_value
+    FROM matched WHERE rk = 1
+    GROUP BY state
+    """,
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (the feature-store correctness primitive):
+    each purchase joins the SCD2 state version that was valid AT its
+    event time -- never a later one, which would be training-serving
+    leakage.  The dimension is the scd2_user_state_history construction
+    inlined; the match picks the highest version with valid_from <= ts
+    per purchase.
+
+    Plan shape: the version join is a user_id HASH equi-join with the
+    valid_from <= ts residual riding on it (never a nested loop), and
+    the per-purchase winner is one more user-keyed window -- fan-out is
+    bounded by versions-per-user.  At larger version counts the as-of
+    union-window rewrite (join_asof_events) swaps in; the two spellings
+    are proven equivalent by this oracle.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versioned = (
+        e.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.row_number().over(w).alias("version"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"), "value"
+    )
+    matched = (
+        p.join(versioned, "user_id")
+        .filter(F.col("valid_from") <= F.col("p_ts"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("p_id").orderBy(F.col("version").desc())
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return matched.groupBy("state").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        dsum("value").alias("total_value"),
+    )
