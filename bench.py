@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "quality_perplexity_buckets",
     "streaming_auto_watermark_tumbling",
     "join_point_in_time_scd2",
+    "contamination_split_leakage",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -1155,3 +1155,89 @@ def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").cast("double") / F.count("*"), 4
         ).alias("avg_words"),
     )
+
+
+def _split_leakage_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    b = _bucket256_sql("doc_id")
+    return f"""
+    {_MINHASH_BANDED_DUCK},
+    tagged AS (
+      SELECT doc_id,
+             CASE WHEN {b} < 205 THEN 'train'
+                  WHEN {b} < 230 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y
+        ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+    leaks AS (
+      SELECT ta.split AS split_a, tb.split AS split_b, p.a, p.b
+      FROM pairs p
+      JOIN tagged ta ON ta.doc_id = p.a
+      JOIN tagged tb ON tb.doc_id = p.b
+      WHERE ta.split <> tb.split)
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_docs_b
+    FROM leaks GROUP BY split_a, split_b
+    """
+
+
+@query("contamination_split_leakage", oracle=_split_leakage_oracle())
+def contamination_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit across the engine's OWN split: the
+    deterministic 80/10/10 hash split (sample_split_train_val_test's
+    spelling) crossed with MinHash band-collision candidates -- every
+    near-duplicate pair straddling two splits is an eval-contamination
+    incident, the check run before any benchmark number is trusted.
+    Composes two proven operators; random splits leak near-dups by
+    construction, which is why dedup must precede splitting (the
+    curation funnel's ordering) -- this query measures exactly how much.
+
+    Shape: the banded equi-join emits candidate pairs (ids only), two
+    broadcast-able joins tag each side with its split, and the output
+    is split-pair sized.  n_docs_b counts distinct higher-id docs per
+    leaky split pair -- the documents to quarantine.
+    """
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_bucket256_sql("doc_id"))
+    tagged = docs.select(
+        "doc_id",
+        F.when(bucket < 205, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    _, banded = _minhash_banded(docs)
+    pairs = (
+        banded.select(F.col("doc_id").alias("a"), "b", "band_hash")
+        .join(
+            banded.select(F.col("doc_id").alias("p"), "b", "band_hash"),
+            ["b", "band_hash"],
+        )
+        .filter(F.col("a") < F.col("p"))
+        .select("a", F.col("p").alias("doc_b"))
+        .distinct()
+    )
+    leaks = (
+        pairs.join(
+            tagged.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a")),
+            "a",
+        )
+        .join(
+            tagged.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return leaks.groupBy("split_a", "split_b").agg(
+        F.count("*").cast("bigint").alias("n_leaky_pairs"),
+        F.countDistinct("doc_b").cast("bigint").alias("n_docs_b"),
+    )
