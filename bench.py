@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "streaming_auto_watermark_tumbling",
     "join_point_in_time_scd2",
     "contamination_split_leakage",
+    "window_time_weighted_avg",
+    "window_abc_classification",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -1667,3 +1667,69 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_purchases"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "window_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS r
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(r) OVER () AS tot
+      FROM rev),
+    classed AS (
+      SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                  WHEN cum * 100 <= tot * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM ranked)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY abc_class
+    """,
+)
+def window_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of customers by revenue: rank by
+    exact decimal revenue descending, take the running share of total,
+    and classify A (first 80% of revenue), B (to 95%), C (tail) -- the
+    inventory-management classic, and operationally the same cumulative
+    -share machinery behind "which keys hold 80% of the data" skew
+    triage.
+
+    Determinism discipline: the running sum and total are exact
+    decimals over a tie-free ordering (decimal revenue, custkey), and
+    the class boundaries are cross-multiplied decimal compares
+    (cum*100 <= tot*80) -- no float enters a comparison, so the class
+    assignment is bitwise identical on both engines.  The global
+    window runs over customer-sized aggregates, not orders.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("r")
+    )
+    wcum = (
+        Window.orderBy(F.col("r").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        "r",
+        F.sum("r").over(wcum).alias("cum"),
+        F.sum("r").over(Window.partitionBy()).alias("tot"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("r").cast("double").alias("class_revenue"),
+    )

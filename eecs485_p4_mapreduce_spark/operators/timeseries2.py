@@ -656,3 +656,61 @@ def streaming_late_drop_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_dropped",
     )
+
+
+@query(
+    "window_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT event_type, value,
+             epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id)) - epoch_us(ts)
+               AS dur_us
+      FROM events),
+    m AS (
+      SELECT event_type,
+             SUM(CAST(round(value, 6) AS DECIMAL(18,6)) * dur_us) AS wsum,
+             CAST(SUM(dur_us) AS BIGINT) AS tot_us
+      FROM seg WHERE dur_us IS NOT NULL
+      GROUP BY event_type)
+    SELECT event_type, tot_us,
+           round(CAST(wsum AS DOUBLE) / tot_us, 6) AS twavg
+    FROM m
+    """,
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type -- the
+    TWAP/IoT-sensor aggregation where each reading counts for as long
+    as it was the latest one (weight = microseconds until the next
+    reading), not once per row.  A plain AVG over irregular samples
+    overweights bursts; this is the correct continuous-time mean.
+
+    One lead() window per type for segment durations (the same keyed
+    shuffle the sessionizers use), then integer-microsecond weights
+    times decimal-quantized values accumulate exactly -- the weighted
+    sum is a DECIMAL * BIGINT product, order-independent, with the one
+    double division at the end.  The final open-ended segment has no
+    duration and is excluded on both engines.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seg = e.select(
+        "event_type",
+        "value",
+        (
+            F.expr("unix_micros(lead(ts) over (partition by event_type"
+                   " order by ts, event_id))")
+            - F.expr("unix_micros(ts)")
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    m = seg.groupBy("event_type").agg(
+        F.sum(
+            F.round("value", 6).cast("decimal(18,6)") * F.col("dur_us")
+        ).alias("wsum"),
+        F.sum("dur_us").cast("bigint").alias("tot_us"),
+    )
+    return m.select(
+        "event_type",
+        "tot_us",
+        F.round(F.col("wsum").cast("double") / F.col("tot_us"), 6).alias("twavg"),
+    )
