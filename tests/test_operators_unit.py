@@ -736,3 +736,79 @@ def test_kcore_fixed_rounds_converged(spark, sf_dir):
         .agg(F.count("*").alias("deg"))
     )
     assert deg.filter(F.col("deg") < _KCORE_K).count() == 0
+
+
+def test_epoch_budget_allocations_sum_exactly(spark, sf_dir):
+    """Largest-remainder apportionment conservation: the per-source
+    allocations must sum to EXACTLY the budget (the property naive
+    floor- or round-based splits violate)."""
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+    from eecs485_p4_mapreduce_spark.operators.mixing import _BUDGET
+
+    rows = REGISTRY["mix_epoch_token_budget"].fn(spark, sf_dir).collect()
+    assert sum(r.alloc_tokens for r in rows) == _BUDGET
+    assert all(r.alloc_tokens >= 0 for r in rows)
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """Every curation stage can only shrink the corpus: docs and tokens
+    must be non-increasing along the funnel, and no stage may go
+    negative or reorder."""
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    rows = {
+        r.stage: r
+        for r in REGISTRY["pipeline_curation_end_to_end"].fn(spark, sf_dir).collect()
+    }
+    order = ["s0_raw", "s1_lang_length", "s2_exact_dedup", "s3_near_dedup", "s4_mixed"]
+    assert set(rows) == set(order)
+    for a, b in zip(order, order[1:]):
+        assert rows[b].n_docs <= rows[a].n_docs, (a, b)
+        assert rows[b].total_tokens <= rows[a].total_tokens, (a, b)
+
+
+def test_soft_dedup_weights_bounds(spark, sf_dir):
+    """weight_bp = 10000 div (1+partners): docs with no near-dup
+    partner keep full weight; every weight lies in (0, 10000]; one row
+    per document."""
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    rows = REGISTRY["dedup_soft_weights"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0 < r.weight_bp <= 10000
+        if r.n_partners == 0:
+            assert r.weight_bp == 10000
+
+
+def test_rag_index_chunk_conservation(spark, sf_dir):
+    """The RAG index's bucket occupancy must account for every chunk
+    the chunker produces: sum(n_chunks) over buckets == number of
+    sliding windows over the corpus (no chunk silently dropped by the
+    embedding or bucketing stages)."""
+    from pyspark.sql import functions as F
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+    from eecs485_p4_mapreduce_spark.operators.pipeline import (
+        _RAG_CHUNK,
+        _RAG_STRIDE,
+    )
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    rows = REGISTRY["pipeline_rag_index_build"].fn(spark, sf_dir).collect()
+    expected = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.size(tokens("text")).alias("nt"))
+        .select(
+            F.expr(
+                f"size(sequence(1, greatest(nt - {_RAG_CHUNK - 1}, 1),"
+                f" {_RAG_STRIDE}))"
+            ).alias("k")
+        )
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_chunks for r in rows) == expected
+    assert all(0 <= r.bucket < 16 for r in rows)
