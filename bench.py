@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "contamination_split_leakage",
     "window_time_weighted_avg",
     "window_abc_classification",
+    "resample_peak_preserving",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

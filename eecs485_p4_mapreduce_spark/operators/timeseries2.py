@@ -714,3 +714,69 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tot_us",
         F.round(F.col("wsum").cast("double") / F.col("tot_us"), 6).alias("twavg"),
     )
+
+
+_DS_BUCKET_US = 6 * 3_600_000_000  # 6h downsample buckets
+
+
+@query(
+    "resample_peak_preserving",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, event_id, ts,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+             epoch_us(ts) // {_DS_BUCKET_US} AS bucket
+      FROM events),
+    m AS (SELECT event_type, bucket, SUM(v) AS sv, COUNT(*) AS n
+          FROM b GROUP BY event_type, bucket),
+    scored AS (
+      SELECT b.event_type, b.bucket, b.event_id, b.ts, b.v,
+             row_number() OVER (
+               PARTITION BY b.event_type, b.bucket
+               ORDER BY abs(b.v * m.n - m.sv) DESC, b.event_id) AS rk
+      FROM b JOIN m ON m.event_type = b.event_type AND m.bucket = b.bucket)
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, event_id, ts,
+           CAST(v AS DOUBLE) AS value
+    FROM scored WHERE rk = 1
+    """,
+)
+def resample_peak_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-preserving downsampling: one representative event per
+    (type, 6h bucket) -- the one FARTHEST from its bucket's mean -- so
+    a dashboard rendering millions of points keeps the spikes a plain
+    bucket-average would erase (the practical core of LTTB-style viz
+    downsampling, without LTTB's sequential cross-bucket dependency,
+    which cannot parallelize).
+
+    Determinism: the deviation ranking compares |v*n - sum(v)| --
+    cross-multiplied EXACT decimals, never a float mean -- with an
+    event_id tie-break.  Shape: one (type, bucket) partial aggregate,
+    one broadcast-able stats join back, one keyed window; output is
+    bucket-sized.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+        F.expr(f"unix_micros(ts) div {_DS_BUCKET_US}").alias("bucket"),
+    )
+    m = b.groupBy("event_type", "bucket").agg(
+        F.sum("v").alias("sv"), F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type", "bucket").orderBy(
+        F.abs(F.col("v") * F.col("n") - F.col("sv")).desc(), "event_id"
+    )
+    return (
+        b.join(m, ["event_type", "bucket"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "event_id",
+            "ts",
+            F.col("v").cast("double").alias("value"),
+        )
+    )
