@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "window_time_weighted_avg",
     "window_abc_classification",
     "resample_peak_preserving",
+    "graph_lpa_communities",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

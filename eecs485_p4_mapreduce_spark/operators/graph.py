@@ -318,3 +318,89 @@ def graph_kcore_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("core_degree"))
     )
+
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.dedup import _MINHASH_BANDED_DUCK
+
+    sql = f"""{_MINHASH_BANDED_DUCK},
+    eu AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id <> b.doc_id),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM eu)"""
+    for r in range(1, _LPA_ROUNDS + 1):
+        sql += f""",
+    votes{r} AS (
+      SELECT e.u AS node, l.lbl, COUNT(*) AS c
+      FROM eu e JOIN l{r - 1} l ON l.node = e.v
+      GROUP BY e.u, l.lbl),
+    best{r} AS (
+      SELECT node, lbl,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, lbl ASC) AS rk
+      FROM votes{r}),
+    l{r} AS MATERIALIZED (SELECT node, lbl FROM best{r} WHERE rk = 1)"""
+    sql += f"""
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{_LPA_ROUNDS}
+    GROUP BY lbl HAVING COUNT(*) >= 2
+    """
+    return sql
+
+
+@query("graph_lpa_communities", oracle=_lpa_oracle())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 rounds) over the MinHash
+    candidate graph: every node starts as its own label and adopts its
+    neighbors' plurality label each round (ties -> smallest label).
+    Where connected components (dedup_clusters) merge everything
+    touching, LPA keeps loosely-bridged groups apart -- the usual
+    community view of a near-dup graph where one templated page chains
+    two otherwise-distinct clusters.
+
+    Deterministic by construction: plurality is a (count DESC, label
+    ASC) rank, rounds are FIXED on both engines (the async/random-order
+    LPA of the literature is not replayable -- the synchronous variant
+    is the one a distributed engine wants anyway).  Each round is one
+    neighbor join + one count + one per-node rank, all keyed on doc
+    ids; the oracle unrolls the identical rounds as CTEs.  Output:
+    communities with >= 2 members.
+    """
+    from eecs485_p4_mapreduce_spark.operators.dedup import _minhash_banded
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, banded = _minhash_banded(docs)
+    eu = (
+        banded.select(F.col("doc_id").alias("u"), "b", "band_hash")
+        .join(banded.select(F.col("doc_id").alias("v"), "b", "band_hash"),
+              ["b", "band_hash"])
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = eu.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            eu.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
