@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "window_abc_classification",
     "resample_peak_preserving",
     "graph_lpa_communities",
+    "text_keywords_rake",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

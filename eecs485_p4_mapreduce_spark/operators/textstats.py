@@ -1319,3 +1319,90 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("avg_surprisal").alias("max_surprisal"),
         )
     )
+
+
+_RAKE_STOPS = ("the", "a", "and", "of", "to", "is", "in")
+_RAKE_TOPK = 30
+
+
+def _rake_stop_list(dialect: str) -> str:
+    items = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+    return f"[{items}]" if dialect == "duckdb" else f"array({items})"
+
+
+@query(
+    "text_keywords_rake",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    pos AS (SELECT doc_id, unnest(toks) AS w,
+                   unnest(range(1, len(toks) + 1)) AS i
+            FROM tk),
+    nonstop AS (
+      SELECT doc_id, w, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM pos
+      WHERE NOT list_contains({_rake_stop_list('duckdb')}, w)),
+    phrased AS (
+      SELECT doc_id, grp, w,
+             COUNT(*) OVER (PARTITION BY doc_id, grp) AS phrase_len
+      FROM nonstop),
+    wordstats AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(phrase_len) AS BIGINT) AS degree
+      FROM phrased GROUP BY w),
+    ranked AS (
+      SELECT w, freq, degree,
+             row_number() OVER (
+               ORDER BY (degree * 10000) // freq DESC, freq DESC, w ASC) AS rk
+      FROM wordstats)
+    SELECT w AS keyword, freq, degree,
+           CAST((degree * 10000) // freq AS BIGINT) AS rake_score_bp
+    FROM ranked WHERE rk <= {_RAKE_TOPK}
+    """,
+)
+def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al.): split token streams into
+    candidate phrases at stopwords, then score each word by
+    degree/frequency -- degree counts co-occurrence within its phrases
+    (here via phrase length), so words that anchor long content
+    phrases outrank merely-frequent ones.  The island detection (i -
+    row_number over kept positions) is the gaps-and-islands trick on
+    token indices.
+
+    Scoring stays integral: degree/freq becomes basis points by
+    integer division, ranked with (score, freq, word) tie-breaks --
+    no float anywhere.  Shape: one explode, one doc-keyed window for
+    islands, one word-keyed aggregate; the global top-30 rank runs on
+    vocabulary-sized data and lowers to a window group limit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks"))
+    pos = tk.select(
+        "doc_id",
+        F.posexplode("toks").alias("i0", "w"),
+    ).select("doc_id", F.col("w"), (F.col("i0") + 1).alias("i"))
+    stop = F.expr(f"{_rake_stop_list('spark')}")
+    nonstop = pos.filter(~F.array_contains(stop, F.col("w"))).withColumn(
+        "grp",
+        F.col("i")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("i")),
+    )
+    phrased = nonstop.withColumn(
+        "phrase_len", F.count("*").over(Window.partitionBy("doc_id", "grp"))
+    )
+    wordstats = phrased.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("phrase_len").cast("bigint").alias("degree"),
+    )
+    score = F.expr("(degree * 10000) div freq")
+    w = Window.orderBy(score.desc(), F.col("freq").desc(), F.col("w").asc())
+    return (
+        wordstats.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RAKE_TOPK)
+        .select(
+            F.col("w").alias("keyword"),
+            "freq",
+            "degree",
+            score.cast("bigint").alias("rake_score_bp"),
+        )
+    )
