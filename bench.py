@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "resample_peak_preserving",
     "graph_lpa_communities",
     "text_keywords_rake",
+    "timeseries_seasonal_residual",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

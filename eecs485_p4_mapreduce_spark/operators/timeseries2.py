@@ -780,3 +780,90 @@ def resample_peak_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("double").alias("value"),
         )
     )
+
+
+@query(
+    "timeseries_seasonal_residual",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, EXTRACT(HOUR FROM ts) AS hod,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+      FROM events),
+    base AS (
+      SELECT event_type, hod, SUM(v) AS sv, COUNT(*) AS n
+      FROM b GROUP BY event_type, hod),
+    m AS (
+      SELECT event_type, hod, sv, n,
+             CAST(round(CAST(sv AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS mu
+      FROM base),
+    dev AS (
+      SELECT b.event_type, b.hod, abs(b.v - m.mu) AS d, m.n, m.mu
+      FROM b JOIN m ON m.event_type = b.event_type AND m.hod = b.hod),
+    agg AS (
+      SELECT event_type, hod, MAX(n) AS n, MAX(mu) AS mu,
+             SUM(d) AS sd
+      FROM dev GROUP BY event_type, hod)
+    SELECT a.event_type, CAST(a.hod AS BIGINT) AS hod,
+           CAST(a.n AS BIGINT) AS n,
+           CAST(a.mu AS DOUBLE) AS seasonal_mean,
+           CAST((SELECT COUNT(*) FROM dev d
+                 WHERE d.event_type = a.event_type AND d.hod = a.hod
+                   AND d.d * a.n > 3 * a.sd) AS BIGINT) AS n_anomalies
+    FROM agg a
+    """,
+)
+def timeseries_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly counts: the hour-of-day profile per
+    event type is the baseline (the simplest seasonal decomposition),
+    and an event is anomalous when its deviation exceeds 3x the
+    cell's mean absolute deviation -- the time-of-day-aware variant of
+    the global z-score monitor, which flags every rush hour as an
+    outlier because it has no seasonal term.
+
+    The threshold is a cross-multiplied decimal compare (dev * n >
+    3 * sum_dev): the quantized cell mean makes every deviation an
+    exact decimal, so no float inequality ever decides membership.
+    Two passes over events (baseline, then deviations) joined on the
+    output-sized (type, hour) grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr("extract(hour from ts)").alias("hod"),
+        F.round("value", 6).cast("decimal(18,6)").alias("v"),
+    )
+    base = b.groupBy("event_type", "hod").agg(
+        F.sum("v").alias("sv"), F.count("*").alias("n")
+    )
+    m = base.withColumn(
+        "mu",
+        F.round(F.col("sv").cast("double") / F.col("n"), 6).cast("decimal(18,6)"),
+    )
+    dev = b.join(F.broadcast(m), ["event_type", "hod"]).select(
+        "event_type", "hod", F.abs(F.col("v") - F.col("mu")).alias("d"), "n", "mu"
+    )
+    cell = dev.groupBy("event_type", "hod").agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mu"),
+        F.sum("d").alias("sd"),
+    )
+    agg = (
+        dev.select("event_type", "hod", "d")
+        .join(F.broadcast(cell), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("mu").alias("mu"),
+            F.sum(
+                F.when(F.col("d") * F.col("n") > F.lit(3) * F.col("sd"), 1)
+                .otherwise(0)
+            ).alias("n_anomalies"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.col("hod").cast("bigint").alias("hod"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("mu").cast("double").alias("seasonal_mean"),
+        F.col("n_anomalies").cast("bigint").alias("n_anomalies"),
+    )
