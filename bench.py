@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "graph_lpa_communities",
     "text_keywords_rake",
     "timeseries_seasonal_residual",
+    "multimodal_vad_segments",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -18,7 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -650,4 +650,78 @@ def corpus_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_with_payload"),
             F.sum("n_chars").cast("bigint").alias("total_payload_bytes"),
         )
+    )
+
+
+@query(
+    "multimodal_vad_segments",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    w AS (SELECT vec_id, CAST(t.i AS BIGINT) AS win_idx,
+                 CAST(round(list_inner_product(
+                        list_slice(v, t.i * 8 + 1, t.i * 8 + 16),
+                        list_slice(v, t.i * 8 + 1, t.i * 8 + 16)), 6)
+                      AS DECIMAL(18,6)) AS energy
+          FROM e, unnest(range(0, 7)) AS t(i)),
+    tot AS (SELECT vec_id, SUM(energy) AS se FROM w GROUP BY vec_id),
+    act AS (
+      SELECT w.vec_id, w.win_idx,
+             w.win_idx - row_number() OVER (PARTITION BY w.vec_id
+                                            ORDER BY w.win_idx) AS grp
+      FROM w JOIN tot ON tot.vec_id = w.vec_id
+      WHERE w.energy * 7 > tot.se),
+    seg AS (SELECT vec_id, grp, COUNT(*) AS seg_len
+            FROM act GROUP BY vec_id, grp)
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(MAX(seg_len) AS BIGINT) AS longest_segment,
+           CAST(SUM(seg_len) AS BIGINT) AS n_active_windows
+    FROM seg GROUP BY vec_id
+    """,
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation over the framed audio stage:
+    a window is ACTIVE when its energy exceeds the asset's mean window
+    energy (cross-multiplied decimal compare, e*7 > sum_e -- no float
+    threshold), and consecutive active windows merge into segments via
+    gaps-and-islands on window indices.  Per asset: segment count,
+    longest run, active-window total -- the speech/silence readout a
+    real VAD emits, with the energy detector standing in for a model.
+
+    Builds directly on multimodal_audio_windows' framing (same slices,
+    same sequential-fold energy) -- the stage composition a production
+    audio pipeline runs; everything after the frame energies is
+    output-sized integer work.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    win = "slice(v, win_idx * 8 + 1, 16)"
+    energy = (
+        f"cast(round(aggregate(transform({win}, x -> x * x),"
+        f" cast(0.0 as double), (acc, x) -> acc + x), 6) as decimal(18,6))"
+    )
+    w = (
+        e.select("vec_id", "v",
+                 F.explode(F.sequence(F.lit(0), F.lit(6))).alias("wi"))
+        .select("vec_id", F.col("wi").cast("bigint").alias("win_idx"), "v")
+        .select("vec_id", "win_idx", F.expr(energy).alias("energy"))
+    )
+    tot = w.groupBy("vec_id").agg(F.sum("energy").alias("se"))
+    act = (
+        w.join(tot, "vec_id")
+        .filter(F.col("energy") * 7 > F.col("se"))
+        .withColumn(
+            "grp",
+            F.col("win_idx")
+            - F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("win_idx")
+            ),
+        )
+    )
+    seg = act.groupBy("vec_id", "grp").agg(F.count("*").alias("seg_len"))
+    return seg.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.max("seg_len").cast("bigint").alias("longest_segment"),
+        F.sum("seg_len").cast("bigint").alias("n_active_windows"),
     )
