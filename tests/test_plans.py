@@ -540,3 +540,16 @@ def test_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
     plan = explain(spark, sf_dir, "join_dynamic_partition_pruning")
     assert "dynamicpruningexpression" in plan.lower()
     assert "PartitionFilters" in plan
+
+
+def test_new_ranked_queries_lower_to_bounded_topk(spark, sf_dir):
+    """The new ranked queries must keep their top-k bounded: docsim's
+    LIMIT plans as TakeOrderedAndProject, and the zipf / RAKE rank
+    filters lower to WindowGroupLimit so no executor materializes a
+    full vocabulary ordering."""
+    plan = explain(spark, sf_dir, "search_docsim_sparse_cosine")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for name in ("corpus_zipf_slope", "text_keywords_rake"):
+        plan = explain(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, name
