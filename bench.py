@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "text_keywords_rake",
     "timeseries_seasonal_residual",
     "multimodal_vad_segments",
+    "dedup_minhash_calibration",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -1241,3 +1241,98 @@ def contamination_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_leaky_pairs"),
         F.countDistinct("doc_b").cast("bigint").alias("n_docs_b"),
     )
+
+
+def _calibration_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.textfn import shingles_sql
+
+    sh = shingles_sql("text", _SHINGLE, duckdb=True)
+    return f"""{_MINHASH_BANDED_DUCK},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    est AS (
+      SELECT doc_a, doc_b,
+             CAST(({_EST_DUCK}) * {_K} AS BIGINT) AS est_sixteenths
+      FROM cand),
+    shs AS MATERIALIZED (SELECT doc_id, {sh} AS sh FROM documents),
+    exact AS (
+      SELECT e.est_sixteenths,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS un
+      FROM est e
+      JOIN shs sa ON sa.doc_id = e.doc_a
+      JOIN shs sb ON sb.doc_id = e.doc_b)
+    SELECT est_sixteenths,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(inter) AS DOUBLE) / SUM(un), 6)
+             AS pooled_exact_jaccard
+    FROM exact GROUP BY est_sixteenths
+    """
+
+
+@query("dedup_minhash_calibration", oracle=_calibration_oracle())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration curve for the MinHash near-dup detector:
+    bucket every LSH candidate pair by its estimated similarity (in
+    sixteenths -- the exact granularity of a 16-hash signature) and
+    report the POOLED exact shingle Jaccard per bucket.  A healthy
+    detector shows the buckets climbing monotonically toward their
+    nominal values; drift here means the shingle width or hash count no
+    longer fits the corpus -- the eval one runs before trusting dedup
+    decisions at 100 TB.
+
+    The exact side joins text only for candidate pairs (never all
+    pairs), and the per-bucket ratio divides two integer sums once --
+    the same exact-verify economics as dedup_ngram_jaccard.  est*16 is
+    an exact integer because signature agreement is m/16 by
+    construction.
+    """
+    from eecs485_p4_mapreduce_spark.functions.textfn import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig_df, sig = _minhash_banded(docs)
+    a = sig.select(F.col("doc_id").alias("doc_a"), "b", "band_hash")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "b", "band_hash")
+    pairs = (
+        a.join(b, ["b", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sigs = F.broadcast(sig_df)
+    est = (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"cast(({_EST_SPARK}) * {_K} as bigint)").alias(
+                "est_sixteenths"
+            ),
+        )
+    )
+    sh = docs.select("doc_id", shingles("text", _SHINGLE).alias("sh"))
+    ex = (
+        est.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
+        .select(
+            "est_sixteenths",
+            F.size(F.array_intersect("sa", "sb")).alias("inter"),
+            (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))).alias("un"),
+        )
+    )
+    return ex.groupBy("est_sixteenths").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("inter").cast("double") / F.sum("un"), 6).alias(
+            "pooled_exact_jaccard"
+        ),
+    )
