@@ -1256,7 +1256,10 @@ def _calibration_oracle() -> str:
     est AS (
       SELECT doc_a, doc_b,
              CAST(({_EST_DUCK}) * {_K} AS BIGINT) AS est_sixteenths
-      FROM cand),
+      FROM cand
+      WHERE (strpos('0123456789abcdef', substring(
+               md5(concat(CAST(doc_a AS VARCHAR), '-', CAST(doc_b AS VARCHAR))),
+               1, 1)) - 1) < 4),
     shs AS MATERIALIZED (SELECT doc_id, {sh} AS sh FROM documents),
     exact AS (
       SELECT e.est_sixteenths,
@@ -1288,7 +1291,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs), and the per-bucket ratio divides two integer sums once --
     the same exact-verify economics as dedup_ngram_jaccard.  est*16 is
     an exact integer because signature agreement is m/16 by
-    construction.
+    construction.  The exact verify runs on a deterministic 1-in-4
+    md5-bucket sample of candidate pairs (mirrored in the oracle) --
+    calibration is a statistical audit, so sampling the expensive
+    stage is the honest scale trade.
     """
     from eecs485_p4_mapreduce_spark.functions.textfn import shingles
 
@@ -1319,6 +1325,17 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "est_sixteenths"
             ),
         )
+        # Deterministic 1-in-4 pair sample (first md5 hex digit < 4):
+        # a calibration curve is a statistical audit, and the exact
+        # verify is the expensive stage -- the same md5-bucket sampling
+        # discipline as the samplers, mirrored in the oracle so both
+        # engines audit the identical pair set.
+        .filter(
+            F.expr(
+                "conv(substring(md5(concat(cast(doc_a as string), '-',"
+                " cast(doc_b as string))), 1, 1), 16, 10) < 4"
+            )
+        )
     )
     sh = docs.select("doc_id", shingles("text", _SHINGLE).alias("sh"))
     ex = (
@@ -1327,7 +1344,16 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "est_sixteenths",
             F.size(F.array_intersect("sa", "sb")).alias("inter"),
-            (F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))).alias("un"),
+            (F.size("sa") + F.size("sb")).alias("lsum"),
+        )
+        # inter is referenced twice downstream; computing it in its own
+        # projection (and deriving the union arithmetically) keeps
+        # projection collapse from inlining TWO array_intersect calls
+        # per pair (the dedup.py materialization discipline).
+        .select(
+            "est_sixteenths",
+            "inter",
+            (F.col("lsum") - F.col("inter")).alias("un"),
         )
     )
     return ex.groupBy("est_sixteenths").agg(
