@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "timeseries_seasonal_residual",
     "multimodal_vad_segments",
     "dedup_minhash_calibration",
+    "agg_argminmax_by",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

@@ -313,3 +313,50 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
         END
         """
     )
+
+
+# (round(value,6) exact-decimal * 1e6) * 1e9 + event_id: one BIGINT that
+# orders by (value, event_id) -- makes arg-extremes tie-proof on both
+# engines (max_by/arg_max take no composite ordering key in DuckDB).
+_ARG_KEY_SPARK = (
+    "cast(cast(round(value, 6) as decimal(18,6)) * 1000000 as bigint)"
+    " * 1000000000 + event_id"
+)
+_ARG_KEY_DUCK = (
+    "CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    " * 1000000000 + event_id"
+)
+
+
+@query(
+    "agg_argminmax_by",
+    oracle=f"""
+    SELECT event_type,
+           round(max(value), 6) AS max_value,
+           arg_max(event_id, {_ARG_KEY_DUCK}) AS argmax_id,
+           round(min(value), 6) AS min_value,
+           arg_min(event_id, {_ARG_KEY_DUCK}) AS argmin_id
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_argminmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extreme aggregates (``max_by``/``min_by``, Spark 3.3+): the
+    event id that carries each type's maximum and minimum value -- the
+    one-pass answer to "which row set the record", replacing the
+    self-join-on-the-max anti-pattern that scans twice and breaks under
+    ties.
+
+    Ties are the correctness trap in every argmax: both engines pick an
+    arbitrary row among equal values, so the ordering key here is a
+    single bigint encoding (exact-decimal value, event_id) -- bitwise
+    the same winner everywhere, at the cost of one multiply per row.
+    One map-side-combinable aggregate; no join, no window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    key = F.expr(_ARG_KEY_SPARK)
+    return e.groupBy("event_type").agg(
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.max_by("event_id", key).alias("argmax_id"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.min_by("event_id", key).alias("argmin_id"),
+    )
