@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "multimodal_vad_segments",
     "dedup_minhash_calibration",
     "agg_argminmax_by",
+    "corpus_kl_divergence_by_source",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

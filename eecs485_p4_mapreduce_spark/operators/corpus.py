@@ -478,3 +478,80 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("nt").cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "corpus_kl_divergence_by_source",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({DUCK_TOKENS}) AS w FROM documents),
+    cs AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cs GROUP BY source),
+    cc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM cs GROUP BY w),
+    nc AS (SELECT CAST(SUM(cw) AS BIGINT) AS nt FROM cc),
+    contrib AS (
+      SELECT cs.source,
+             CAST(cs.c AS DECIMAL(18,4))
+               * CAST(round(ln((CAST(cs.c AS DOUBLE) * nc.nt)
+                               / (CAST(ns.n AS DOUBLE) * cc.cw)), 4)
+                      AS DECIMAL(18,4)) AS x
+      FROM cs
+      JOIN ns ON ns.source = cs.source
+      JOIN cc ON cc.w = cs.w
+      CROSS JOIN nc)
+    SELECT c.source, ns.n AS n_tokens,
+           round(CAST(SUM(c.x) AS DOUBLE) / ns.n, 6) AS kl_nats
+    FROM contrib c JOIN ns ON ns.source = c.source
+    GROUP BY c.source, ns.n
+    """,
+)
+def corpus_kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the unigram distribution from the
+    corpus distribution -- the vocabulary-level domain-shift meter
+    (high KL = the source speaks its own dialect; the number that
+    decides whether a source needs its own mixing weight or tokenizer
+    attention).  Complements the value-distribution KS drift audit and
+    the vocabulary Venn with an information-theoretic summary.
+
+    KL(s||corpus) = sum_w p_s(w) ln(p_s(w)/p_c(w)) over the source's
+    own support (every ratio is of observed counts, so no smoothing
+    term and no log of zero).  Cross-engine discipline: the log ratio
+    quantizes to 4 places, multiplies the INTEGER count exactly in
+    decimal, and one double division per source happens at the end --
+    the surprisal-family guard applied to a two-distribution statistic.
+    Shape: two word-keyed aggregates (source-conditional and global)
+    joined on the word key, everything else output-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("w"))
+    cs = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    ns = cs.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    cc = cs.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    nt = cc.agg(F.sum("cw").cast("bigint").alias("nt"))
+    contrib = (
+        cs.join(ns, "source")
+        .join(cc, "w")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            (
+                F.col("c").cast("decimal(18,4)")
+                * F.round(
+                    F.log(
+                        (F.col("c").cast("double") * F.col("nt"))
+                        / (F.col("n").cast("double") * F.col("cw"))
+                    ),
+                    4,
+                ).cast("decimal(18,4)")
+            ).alias("x"),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(F.sum("x").alias("sx"))
+        .join(ns, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("kl_nats"),
+        )
+    )
