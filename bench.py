@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "dedup_minhash_calibration",
     "agg_argminmax_by",
     "corpus_kl_divergence_by_source",
+    "stats_theil_within_nation",
     "mix_temperature_sampling",
     "quality_repeated_ngrams",
     "inference_linear_scores",

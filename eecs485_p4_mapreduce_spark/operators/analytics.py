@@ -1733,3 +1733,80 @@ def window_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_customers"),
         F.sum("r").cast("double").alias("class_revenue"),
     )
+
+
+@query(
+    "stats_theil_within_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_custkey, c.c_nationkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS r
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_nationkey),
+    g AS (SELECT c_nationkey, SUM(r) AS gr, COUNT(*) AS n
+          FROM rev GROUP BY c_nationkey),
+    mu AS (SELECT c_nationkey, gr, n,
+                  CAST(round(CAST(gr AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS m
+           FROM g),
+    contrib AS (
+      SELECT rev.c_nationkey,
+             CAST(round((CAST(rev.r AS DOUBLE) / CAST(mu.m AS DOUBLE))
+                        * round(ln(CAST(rev.r AS DOUBLE)
+                                   / CAST(mu.m AS DOUBLE)), 4), 4)
+                  AS DECIMAL(18,4)) AS x
+      FROM rev JOIN mu ON mu.c_nationkey = rev.c_nationkey)
+    SELECT c.c_nationkey,
+           CAST(mu.n AS BIGINT) AS n_customers,
+           round(CAST(SUM(c.x) AS DOUBLE) / mu.n, 6) AS theil_within
+    FROM contrib c JOIN mu ON mu.c_nationkey = c.c_nationkey
+    GROUP BY c.c_nationkey, mu.n
+    """,
+)
+def stats_theil_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of customer revenue WITHIN each nation --
+    the decomposable inequality index: unlike Gini, per-group Theil
+    terms roll up exactly into a corpus-wide number (within + between),
+    so each nation's index is computable independently and merged
+    later, the property that matters when groups live on different
+    machines.  Read with stats_gini_revenue: same concentration story,
+    but this one shards.
+
+    Each term (x/mu)ln(x/mu) quantizes its log factor to 4 places and
+    the whole contribution to 4 more before the decimal-exact sum --
+    the surprisal-family guard -- with exact-decimal group means
+    underneath.  Shape: one custkey aggregate, one nation aggregate,
+    one broadcast-able mean join back.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("r"))
+    )
+    g = rev.groupBy("c_nationkey").agg(
+        F.sum("r").alias("gr"), F.count("*").alias("n")
+    )
+    mu = g.withColumn(
+        "m",
+        F.round(F.col("gr").cast("double") / F.col("n"), 6).cast("decimal(18,6)"),
+    )
+    ratio = F.col("r").cast("double") / F.col("m").cast("double")
+    contrib = rev.join(F.broadcast(mu), "c_nationkey").select(
+        "c_nationkey",
+        F.round(ratio * F.round(F.log(ratio), 4), 4)
+        .cast("decimal(18,4)")
+        .alias("x"),
+    )
+    return (
+        contrib.groupBy("c_nationkey")
+        .agg(F.sum("x").alias("sx"))
+        .join(F.broadcast(mu.select("c_nationkey", "n")), "c_nationkey")
+        .select(
+            "c_nationkey",
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round(F.col("sx").cast("double") / F.col("n"), 6).alias(
+                "theil_within"
+            ),
+        )
+    )
