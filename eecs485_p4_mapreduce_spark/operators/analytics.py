@@ -555,8 +555,9 @@ _BENFORD_EXPECTED = "CASE digit WHEN '1' THEN 0.30103 WHEN '2' THEN 0.176091 WHE
     g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
     t AS (SELECT SUM(n) AS total FROM g)
     SELECT digit, CAST(n AS BIGINT) AS n,
-           round(CAST(n AS DOUBLE) / t.total, 6) AS frac,
-           {_BENFORD_EXPECTED} AS benford_expected
+           CAST((n * 2000000 + t.total) // (2 * t.total) AS DOUBLE)
+             / 1000000.0 AS frac,
+           CAST(({_BENFORD_EXPECTED}) AS DOUBLE) AS benford_expected
     FROM g, t
     """,
 )
@@ -565,9 +566,14 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-quality check for fabricated or truncated numeric columns.
     The leading digit comes from integer->string conversion (identical
     in both engines; no float formatting), and the Benford expectations
-    are Python-computed literals shared by both SQL texts, so there is
-    no cross-engine log10 at query time.  One scan, a 9-group
-    aggregate, and a broadcast scalar total."""
+    are Python-computed literals shared by both SQL texts, cast to
+    DOUBLE on both sides so neither engine's DECIMAL literal typing
+    leaks into the output.  ``frac`` is round-half-up(n/total, 6) done
+    entirely in int64 — ``(2n*10^6 + total) div (2 total)`` — then one
+    identical IEEE divide by 1e6, so no engine's round() implementation
+    is in the loop (CLAUDE.md determinism rule: ratios via integer
+    arithmetic, never raw-float round).  One scan, a 9-group aggregate,
+    and a broadcast scalar total."""
     o = load_table(spark, sf_dir, "orders")
     d = o.filter(F.col("o_totalprice") >= 1.0).select(
         F.substring(
@@ -579,8 +585,11 @@ def quality_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(total)).select(
         "digit",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("frac"),
-        F.expr(_BENFORD_EXPECTED).alias("benford_expected"),
+        (
+            F.expr("CAST((n * 2000000 + total) DIV (2 * total) AS DOUBLE)")
+            / F.lit(1000000.0)
+        ).alias("frac"),
+        F.expr(f"CAST(({_BENFORD_EXPECTED}) AS DOUBLE)").alias("benford_expected"),
     )
 
 

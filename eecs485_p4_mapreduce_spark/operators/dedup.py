@@ -225,7 +225,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer MIN aggregates (partial agg collapses map-side).  Only
     (band, band_hash, doc_id) rows shuffle for the candidate equi-join --
     at 100 TB its key cardinality ~= corpus size * bands -- and
-    signatures re-attach to the surviving pairs via broadcast.
+    signatures re-attach to the surviving pairs via shuffle hash joins
+    on doc_id: the signature table has one row per document, the
+    textbook NON-broadcastable side at corpus scale, so we leave the
+    join strategy to AQE (which still broadcasts when the side is
+    measured small at runtime).
     """
     docs = load_table(spark, sf_dir, "documents")
     sig_df, sig = _minhash_banded(docs)
@@ -236,7 +240,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "b", "band_hash"
     )
     # Distinct on the bare id pair first (ints shuffle, not signatures);
-    # signatures re-attach via broadcast joins afterwards.
+    # signatures re-attach via doc_id equi-joins afterwards (shuffle of
+    # 16-int rows, never a corpus-sized broadcast).
     pairs = (
         a.drop("sig_a")
         .join(b.drop("sig_b"), ["b", "band_hash"])
@@ -244,7 +249,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sigs = F.broadcast(sig_df)
+    sigs = sig_df
     cand = (
         pairs.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
         .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
@@ -780,7 +785,9 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         old.join(new, ["b", "band_hash"]).select("doc_old", "doc_new").distinct()
     )
-    sigs = F.broadcast(sig_df)
+    # Re-attach via doc_id shuffle hash joins, not a broadcast: the
+    # signature table is per-document (corpus-sized at 100 TB).
+    sigs = sig_df
     cand = pairs.join(
         sigs.select(F.col("doc_id").alias("doc_old"), F.col("sig").alias("sig_a")),
         "doc_old",
@@ -1308,7 +1315,9 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sigs = F.broadcast(sig_df)
+    # Re-attach via doc_id shuffle hash joins, not a broadcast: the
+    # signature table is per-document (corpus-sized at 100 TB).
+    sigs = sig_df
     est = (
         pairs.join(
             sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),

@@ -85,13 +85,14 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     an EARLIER (lower vec_id) cluster member exceeds {_SEM_T}; ``kept``
     is the canonical-representative survivor set.
 
-    Scale shape: the pair stage is an equi-join on the cluster id with
-    the earlier side broadcast, so its cost is Σ_k |cluster_k|² — the
-    SemDeDup paper's point is that k grows with the corpus and cluster
-    size stays bounded (their 100 M-doc runs use k=50 000), keeping the
-    quadratic term constant per cluster while assignment is one
-    broadcast-join scan.  Nothing global ever shuffles but (vec_id,
-    max_cos) pairs.  The oracle replays quantizer training, assignment,
+    Scale shape: the pair stage is a shuffle equi-join on the cluster
+    id (both sides are per-vector — corpus-sized at 100 TB, never a
+    broadcast candidate; AQE still broadcasts if a side measures small
+    at runtime), so its cost is Σ_k |cluster_k|² — the SemDeDup paper's
+    point is that k grows with the corpus and cluster size stays
+    bounded (their 100 M-doc runs use k=50 000), keeping the quadratic
+    term constant per cluster while co-locating each cluster in one
+    task.  Nothing global ever shuffles but (vec_id, max_cos) pairs.  The oracle replays quantizer training, assignment,
     and intra-cluster pruning in one unrolled-CTE statement, so the
     whole pipeline — not just the final filter — is cross-engine proven.
     """
@@ -122,8 +123,7 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dot = F.expr(_COS_FOLD.format(a="av", b="bv"))
     mx = (
-        F.broadcast(a)
-        .join(b, "k")
+        a.join(b, "k")
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("cos", dot / (F.col("na") * F.col("nb")))
         .groupBy(F.col("b_id").alias("vec_id"))

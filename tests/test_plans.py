@@ -283,14 +283,45 @@ def test_partitioned_source_prunes_partitions(spark, sf_dir):
 
 def test_semdedup_pair_stage_is_equi_join(spark, sf_dir):
     """SemDeDup's quadratic stage must be an equi-join on the cluster id
-    (cost bounded by cluster size); the only nested-loop joins in the
-    plan are the K=8 broadcast-centroid assignments."""
+    (cost bounded by cluster size) — shuffled, since both sides are
+    per-vector and therefore non-broadcastable at corpus scale."""
     plan = explain(spark, sf_dir, "dedup_semdedup_clusters")
-    assert "BroadcastHashJoin" in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     # the a_id < b_id predicate rides as a residual condition on the
-    # k-equi hash join, not as a nested-loop join condition
+    # k-equi join, not as a nested-loop join condition
     assert re.search(r"Join condition: \(a_id#\d+L? < b_id#\d+L?\)", plan), plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "dedup_incremental_minhash",
+        "dedup_minhash_calibration",
+        "dedup_semdedup_clusters",
+    ],
+)
+def test_no_forced_broadcast_of_per_document_side(name, spark, sf_dir):
+    """The signature / vector-assignment re-attach joins must NOT carry a
+    forced broadcast hint: those sides are one row per document/vector —
+    corpus-sized at 100 TB, the textbook non-broadcastable side.  With
+    autoBroadcastJoinThreshold=-1 only *hinted* broadcasts survive
+    planning, so any BroadcastExchange of a sig/vector column here means
+    a forced F.broadcast() crept back in.  (At real sf the CBO/AQE still
+    broadcasts these sides when they measure small — that path stays
+    available; this pins only that we never FORCE it.)"""
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = explain(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    for m in re.finditer(r"\(\d+\) BroadcastExchange\n(?:.+\n)+?(?=\n)", plan):
+        block = m.group(0)
+        assert not re.search(r"\b(sig|sig_a|sig_b|av|bv|v)#", block), (
+            f"{name} force-broadcasts a per-document side:\n{block}"
+        )
 
 
 def test_countmin_probe_is_broadcast_equi_join(spark, sf_dir):
