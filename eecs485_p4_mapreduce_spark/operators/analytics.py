@@ -299,24 +299,38 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact spend, then roll up the 64 possible 'RFM' segments.
 
     ntile ties are broken by custkey in BOTH engines, so quartile
-    boundaries are deterministic.  The three global ntile sorts run over
-    the per-customer AGGREGATE (one row per customer), not the order
-    table — the distinction that keeps this viable when orders is the
-    100 TB side.  (A truly global sort is still a single-partition
-    window at extreme customer counts; production would range-partition
-    by the sort key first, the ids_contiguous_assign recipe.)"""
+    boundaries are deterministic.  No single-task window anywhere: each
+    quartile score is a range-partitioned global rank (partition-offset
+    recipe, functions/ranking.py) mapped through the exact ANSI
+    tile-size rule — the per-customer aggregate never funnels through
+    one partition, so the plan survives any customer count.  The oracle
+    keeps the naive ntile spelling; identical ordering makes the tiles
+    bitwise equal."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("freq"),
         dsum("o_totalprice").alias("monetary"),
-    )
-    scored = base.select(
-        "o_custkey",
-        "monetary",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).alias("r"),
-        F.ntile(4).over(Window.orderBy("freq", "o_custkey")).alias("f"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    ).localCheckpoint()  # three rank passes share one aggregate
+
+    def quartile(order_col: str, alias: str) -> DataFrame:
+        ranked = with_global_rank(
+            base.select("o_custkey", order_col), [order_col, "o_custkey"]
+        )
+        return ranked.select(
+            "o_custkey", ntile_from_rank("_rk", "_n", 4).alias(alias)
+        )
+
+    scored = (
+        base.select("o_custkey", "monetary")
+        .join(quartile("last_order", "r"), "o_custkey")
+        .join(quartile("freq", "f"), "o_custkey")
+        .join(quartile("monetary", "m"), "o_custkey")
     )
     return (
         scored.select(
@@ -760,8 +774,12 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from first view to first purchase, summarized with the nearest-rank
     median (integer epoch arithmetic end to end — no interpolation, no
     floats).  One conditional-MIN aggregate (the funnel shape) feeds a
-    single small rank selection over converters only."""
-    from pyspark.sql import Window
+    rank selection over converters, done with the range-partitioned
+    partition-offset rank (functions/ranking.py) so even an
+    every-user-converts corpus never funnels through one task; the
+    min/max/count summary is an ordinary aggregate cross-joined with
+    the 1-row median."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
 
     e = load_table(spark, sf_dir, "events")
     stages = e.groupBy("user_id").agg(
@@ -776,24 +794,19 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "us_to_convert"
         ),
     )
-    w = Window.orderBy("us_to_convert", "user_id")
-    ranked = conv.select(
-        "us_to_convert",
-        F.row_number().over(w).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    conv = conv.localCheckpoint()  # shared by the rank pass + summary
+    median = (
+        with_global_rank(conv, ["us_to_convert", "user_id"])
+        .filter(F.col("_rk") == F.expr("(_n + 1) DIV 2"))
+        .select(F.col("us_to_convert").cast("bigint").alias("median_us"))
     )
-    return ranked.agg(
-        F.max("n").cast("bigint").alias("n_converted"),
-        F.min(
-            F.when(
-                F.col("rk") == F.ceil(F.col("n") / 2.0).cast("bigint"),
-                F.col("us_to_convert"),
-            )
-        )
-        .cast("bigint")
-        .alias("median_us"),
+    summary = conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
         F.min("us_to_convert").cast("bigint").alias("min_us"),
         F.max("us_to_convert").cast("bigint").alias("max_us"),
+    )
+    return summary.crossJoin(F.broadcast(median)).select(
+        "n_converted", "median_us", "min_us", "max_us"
     )
 
 
@@ -1565,19 +1578,18 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, the rank orders by (decimal revenue, custkey) so ties are
     impossible, and i*x_i accumulates in decimal -- the only doubles
     are the final three-term expression, identical on both engines.
-    The rank is a single global window over customer-sized (not
-    order-sized) data; at larger scale the two-pass partition-offset
-    rank (`ids_contiguous_assign`) swaps in.
+    The rank is the range-partitioned partition-offset global rank
+    (functions/ranking.py) — no single-task window at any customer
+    count; the only global frame left is the P-row offsets table.
     """
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("r")
     )
-    w = Window.orderBy("r", "o_custkey")
-    ranked = rev.select(
-        "r",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    ranked = with_global_rank(rev, ["r", "o_custkey"]).select(
+        "r", F.col("_rk").alias("i"), F.col("_n").alias("n")
     )
     m = ranked.agg(
         F.max("n").alias("n"),
@@ -1715,22 +1727,21 @@ def window_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals over a tie-free ordering (decimal revenue, custkey), and
     the class boundaries are cross-multiplied decimal compares
     (cum*100 <= tot*80) -- no float enters a comparison, so the class
-    assignment is bitwise identical on both engines.  The global
-    window runs over customer-sized aggregates, not orders.
+    assignment is bitwise identical on both engines.  The running sum
+    is the range-partitioned partition-offset prefix sum
+    (functions/ranking.py): each partition cumsums locally and adds
+    the broadcast decimal total of all earlier ranges — exact, and no
+    single-task window at any customer count.
     """
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("r")
     )
-    wcum = (
-        Window.orderBy(F.col("r").desc(), "o_custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = rev.select(
-        "r",
-        F.sum("r").over(wcum).alias("cum"),
-        F.sum("r").over(Window.partitionBy()).alias("tot"),
-    )
+    ranked = with_global_rank(
+        rev, [F.col("r").desc(), F.col("o_custkey")], sum_col="r"
+    ).select("r", F.col("_cum").alias("cum"), F.col("_tot").alias("tot"))
     classed = ranked.select(
         F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
         .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")

@@ -242,19 +242,26 @@ def mix_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end to end: deciles are ntile over (n_chars, doc_id)
     (integer + id tie-break), acceptance is the md5-bucket-vs-integer
     -threshold compare every sampler in this engine uses -- so the same
-    mix falls out on every engine and retry.  The global ntile is fine
-    at audit scale; the produce-the-mix-at-100 TB variant derives decile
-    BOUNDARIES with the two-pass histogram select
-    (stats_exact_median_distributed's shape) and banding becomes a
-    scan-side compare against 9 broadcast literals."""
+    mix falls out on every engine and retry.  The decile is computed
+    from a range-partitioned partition-offset global rank
+    (functions/ranking.py) pushed through the exact ANSI tile-size
+    rule — this ntile runs over the DOCUMENTS table itself, so the
+    naive one-task window was the first thing to break at corpus
+    scale; here nothing funnels through one partition."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    ranked = docs.select(
+    ranked = with_global_rank(
+        docs.select("doc_id", "source", "n_chars"),
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+    ).select(
         "doc_id",
         "source",
         "n_chars",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc()))
-        .alias("decile"),
+        ntile_from_rank("_rk", "_n", 10).alias("decile"),
     )
     accepted = (F.expr(_HEX3["spark"]) % 256) < (F.col("decile") * 25)
     return (

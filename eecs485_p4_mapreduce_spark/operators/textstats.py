@@ -440,7 +440,13 @@ def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 1, 0)), i ->"
+                # slice-of-sequence, NOT sequence(1, size-1): for 0/1-token
+                # docs sequence(1, 0) DESCENDS to [1, 0] in Spark and the
+                # element_at(toks, 0) probe throws; the slice spelling is
+                # empty there and identical for size >= 2 (the oracle's
+                # range(1, len) is naturally empty).
+                "transform(slice(sequence(0, size(toks)), 2,"
+                " greatest(size(toks) - 1, 0)), i ->"
                 " named_struct('w1', element_at(toks, i),"
                 " 'bigram', concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
             )
@@ -1089,7 +1095,13 @@ def corpus_vocab_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 1, 0)), i ->"
+                # slice-of-sequence, NOT sequence(1, size-1): for 0/1-token
+                # docs sequence(1, 0) DESCENDS to [1, 0] in Spark and the
+                # element_at(toks, 0) probe throws; the slice spelling is
+                # empty there and identical for size >= 2 (the oracle's
+                # range(1, len) is naturally empty).
+                "transform(slice(sequence(0, size(toks)), 2,"
+                " greatest(size(toks) - 1, 0)), i ->"
                 " concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
             )
         ).alias("gram"),
@@ -1258,11 +1270,13 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing CCNet uses to keep head+middle and drop or downweight
     the tail of a web crawl.
 
-    The ntile runs over per-document rows (output-sized relative to the
-    token stream) with a doc_id tie-break, and both engines assign
-    ntile groups by the same first-(n%3)-groups-get-one-extra rule over
-    an identical ordering, so the bucket boundaries are bitwise stable.
-    Per-bucket means sum the already-rounded per-doc scores in decimal.
+    The bucket comes from a range-partitioned partition-offset global
+    rank (functions/ranking.py) mapped through the exact ANSI
+    first-(n%3)-groups-get-one-extra tile rule — per-document rows are
+    still corpus-sized, so no one-task window is allowed here.  Both
+    engines order by (score, doc_id), so the bucket boundaries are
+    bitwise stable.  Per-bucket means sum the already-rounded per-doc
+    scores in decimal.
     """
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select("doc_id", tokens("text").alias("toks"))
@@ -1270,7 +1284,13 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                "transform(sequence(1, greatest(size(toks) - 1, 0)), i ->"
+                # slice-of-sequence, NOT sequence(1, size-1): for 0/1-token
+                # docs sequence(1, 0) DESCENDS to [1, 0] in Spark and the
+                # element_at(toks, 0) probe throws; the slice spelling is
+                # empty there and identical for size >= 2 (the oracle's
+                # range(1, len) is naturally empty).
+                "transform(slice(sequence(0, size(toks)), 2,"
+                " greatest(size(toks) - 1, 0)), i ->"
                 " named_struct('w1', element_at(toks, i),"
                 " 'bigram', concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"
             )
@@ -1296,9 +1316,13 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal")
         )
     )
-    bucketed = per_doc.withColumn(
-        "bucket",
-        F.ntile(3).over(Window.orderBy("avg_surprisal", "doc_id")),
+    from eecs485_p4_mapreduce_spark.functions.ranking import (
+        ntile_from_rank,
+        with_global_rank,
+    )
+
+    bucketed = with_global_rank(per_doc, ["avg_surprisal", "doc_id"]).withColumn(
+        "bucket", ntile_from_rank("_rk", "_n", 3)
     )
     return (
         bucketed.withColumn(
@@ -1372,8 +1396,10 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scoring stays integral: degree/freq becomes basis points by
     integer division, ranked with (score, freq, word) tie-breaks --
     no float anywhere.  Shape: one explode, one doc-keyed window for
-    islands, one word-keyed aggregate; the global top-30 rank runs on
-    vocabulary-sized data and lowers to a window group limit.
+    islands, one word-keyed aggregate; the global top-30 is
+    sort+limit, which Spark plans as TakeOrderedAndProject — each
+    partition keeps its own 30, the driver merges 30*P rows — so no
+    executor ever materializes a full vocabulary ordering.
     """
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select("doc_id", tokens("text").alias("toks"))
@@ -1395,14 +1421,14 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("phrase_len").cast("bigint").alias("degree"),
     )
     score = F.expr("(degree * 10000) div freq")
-    w = Window.orderBy(score.desc(), F.col("freq").desc(), F.col("w").asc())
     return (
-        wordstats.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _RAKE_TOPK)
+        wordstats.withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col("freq").desc(), F.col("w").asc())
+        .limit(_RAKE_TOPK)
         .select(
             F.col("w").alias("keyword"),
             "freq",
             "degree",
-            score.cast("bigint").alias("rake_score_bp"),
+            F.col("score").cast("bigint").alias("rake_score_bp"),
         )
     )

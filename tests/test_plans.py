@@ -324,6 +324,47 @@ def test_no_forced_broadcast_of_per_document_side(name, spark, sf_dir):
         )
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rfm_segmentation",
+        "window_abc_classification",
+        "stats_gini_revenue",
+        "mix_quality_weighted",
+        "quality_perplexity_buckets",
+        "funnel_time_to_convert",
+        "ids_contiguous_assign",
+    ],
+)
+def test_global_rank_queries_have_no_data_sized_global_window(name, spark, sf_dir):
+    """These queries used to run ntile/rank/cumsum in ONE task via an
+    unpartitioned window over entity-scale data.  After the
+    partition-offset rewrite (functions/ranking.py) the only windows
+    allowed in their plans are the recipe's own: the per-partition rank
+    (partitioned by _pid) and the P-row offsets prefix sum (ordered by
+    _pid, constant-size at any data scale).  Any windowspecdefinition
+    NOT referencing _pid means a data-sized single-task window crept
+    back in."""
+    plan = explain(spark, sf_dir, name)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, f"{name}: expected the ranking-recipe windows in the plan"
+    for s in specs:
+        # ids_contiguous_assign predates the helper and spells it "pid"
+        assert re.search(r"\b_?pid#", s), (
+            f"{name} has a data-sized global window: {s}"
+        )
+
+
+def test_rake_topk_is_take_ordered(spark, sf_dir):
+    """text_keywords_rake's global top-30 must plan as
+    TakeOrderedAndProject (per-partition top-k, driver merge) and its
+    only windows are the doc-keyed island detection."""
+    plan = explain(spark, sf_dir, "text_keywords_rake")
+    assert "TakeOrderedAndProject" in plan
+    for s in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id#" in s, f"unpartitioned window crept in: {s}"
+
+
 def test_countmin_probe_is_broadcast_equi_join(spark, sf_dir):
     """The Count-Min point-query probes its d buckets via a broadcast
     equi-join on (row, bucket) -- the sketch table never shuffles for
