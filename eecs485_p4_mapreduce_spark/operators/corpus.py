@@ -445,7 +445,7 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH n AS (SELECT source, len({DUCK_TOKENS}) AS nt FROM documents),
     b AS (SELECT source, nt,
-                 CAST(floor(ln(greatest(nt, 1)) / ln(2)) AS BIGINT) AS bucket
+                 CAST(length(bin(greatest(nt, 1))) - 1 AS BIGINT) AS bucket
           FROM n)
     SELECT source, bucket,
            CAST(pow(2, bucket) AS BIGINT) AS bucket_min_tokens,
@@ -460,18 +460,17 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     much padding a fixed context window wastes and whether greedy
     packing (``pack_sequences_greedy``) will find complements.
 
-    Bucket = floor(log2(tokens)) spelled as ln/ln(2) with an integer
-    floor -- log2's last-ulp disagreement between engines cannot move a
-    floor except exactly at powers of two, where ln(2^k)/ln(2) is exact
-    in IEEE double for the k in range here, so the bucketing is
-    bitwise stable.  One scan, one partial-aggregated (source, bucket)
-    shuffle of output size.
+    Bucket = floor(log2(tokens)) spelled WITHOUT floats: the bit length
+    of the count (``length(bin(n)) - 1``, identical builtins in both
+    engines) -- no libm in the loop, so a 1-ulp ln() disagreement at an
+    exact power of two can never move a bucket boundary.  One scan, one
+    partial-aggregated (source, bucket) shuffle of output size.
     """
     docs = load_table(spark, sf_dir, "documents")
     n = docs.select("source", F.size(tokens("text")).alias("nt"))
     b = n.withColumn(
         "bucket",
-        F.expr("cast(floor(ln(greatest(nt, 1)) / ln(2)) as bigint)"),
+        F.expr("cast(length(bin(cast(greatest(nt, 1) as bigint))) - 1 as bigint)"),
     )
     return b.groupBy("source", "bucket").agg(
         F.expr("cast(pow(2, bucket) as bigint)").alias("bucket_min_tokens"),

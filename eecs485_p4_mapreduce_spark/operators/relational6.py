@@ -318,6 +318,13 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
 # (round(value,6) exact-decimal * 1e6) * 1e9 + event_id: one BIGINT that
 # orders by (value, event_id) -- makes arg-extremes tie-proof on both
 # engines (max_by/arg_max take no composite ordering key in DuckDB).
+# PRECONDITIONS (hold for the events table, asserted in
+# tests/test_testdata_schema.py): 0 <= value < 9.2e3 and
+# 0 <= event_id < 1e9.  |value|*1e6*1e9 overflows int64 at |value| ~=
+# 9223.37, and an event_id >= 1e9 (or negative) would bleed into the
+# value digits and mis-order.  Outside those bounds, use a struct
+# ordering key on the Spark side (max_by(id, struct(value, event_id)))
+# and keep this packed key only where DuckDB's arg_max needs a scalar.
 _ARG_KEY_SPARK = (
     "cast(cast(round(value, 6) as decimal(18,6)) * 1000000 as bigint)"
     " * 1000000000 + event_id"

@@ -28,6 +28,39 @@ def test_cli_unknown_query_is_error():
     assert main(["run", "definitely_not_a_query"]) == 2
 
 
+def test_mr_submit_shutdown_stops_cluster(monkeypatch):
+    """--shutdown twin of the reference's mapreduce-submit --shutdown
+    (ref mapreduce/submit.py:62,77-79): no job fields required; the
+    'cluster' (SparkSession) gets stop()ed."""
+    import eecs485_p4_mapreduce_spark as pkg
+    from tools.mr_submit import main as mr_main
+
+    stopped = []
+
+    class FakeSession:
+        def stop(self):
+            stopped.append(True)
+
+    monkeypatch.setattr(pkg, "get_spark", lambda name: FakeSession())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert mr_main(["--shutdown"]) == 0
+    assert stopped == [True]
+    assert "shutdown" in buf.getvalue()
+
+
+def test_mr_submit_requires_job_args_without_shutdown():
+    from tools.mr_submit import main as mr_main
+
+    with contextlib.redirect_stderr(io.StringIO()):
+        try:
+            mr_main(["--input", "/tmp/x"])
+        except SystemExit as e:
+            assert e.code == 2
+        else:
+            raise AssertionError("expected argparse error")
+
+
 def test_cli_run_shows_rows(spark, sf_dir):
     # reuses the session fixture's JVM; get_spark returns the active one
     buf = io.StringIO()

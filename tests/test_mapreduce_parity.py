@@ -127,6 +127,48 @@ def test_grep_golden_parity(spark, tmp_path):
 
 
 @needs_ref
+def test_two_jobs_fifo_isolated_outputs(spark, tmp_path):
+    """Back-to-back job submission (ref tests/test_manager_03.py:58-104:
+    queued jobs run FIFO with isolated job-{id:05d} dirs): wordcount then
+    grep on one cluster/session must produce isolated outputs with exact
+    part naming, and job 0's bytes must be untouched by job 1."""
+    exe = os.path.join(REF, "tests", "testdata", "exec")
+    correct = os.path.join(REF, "tests", "testdata", "correct")
+    out0, out1 = str(tmp_path / "job0"), str(tmp_path / "job1")
+    MapReduceJob(
+        input_directory=os.path.join(REF, "tests", "testdata", "input"),
+        output_directory=out0,
+        mapper_executable=os.path.join(exe, "wc_map.sh"),
+        reducer_executable=os.path.join(exe, "wc_reduce.sh"),
+        num_mappers=4,
+        num_reducers=2,
+    ).run(spark)
+    snapshot = {
+        name: open(os.path.join(out0, name), "rb").read()
+        for name in sorted(os.listdir(out0))
+    }
+    MapReduceJob(
+        input_directory=os.path.join(REF, "tests", "testdata", "input"),
+        output_directory=out1,
+        mapper_executable=os.path.join(exe, "grep_map.py"),
+        reducer_executable=os.path.join(exe, "grep_reduce.py"),
+        num_mappers=4,
+        num_reducers=1,
+    ).run(spark)
+    # exact part naming per job, nothing cross-contaminated
+    assert sorted(os.listdir(out0)) == ["part-00000", "part-00001"]
+    assert sorted(os.listdir(out1)) == ["part-00000"]
+    # job 0's output unchanged by job 1 (isolation)
+    for name, data in snapshot.items():
+        assert open(os.path.join(out0, name), "rb").read() == data
+    # both jobs produced their goldens
+    with open(os.path.join(correct, "word_count_correct.txt"), encoding="utf-8") as fh:
+        assert sorted(_read_parts(out0)) == sorted(fh.read().splitlines())
+    with open(os.path.join(correct, "grep_correct.txt"), encoding="utf-8") as fh:
+        assert sorted(_read_parts(out1)) == sorted(fh.read().splitlines())
+
+
+@needs_ref
 def test_identity_mapper_partition_placement(spark, tmp_path):
     """cat-as-mapper repartition+sort (the reference's test_worker_11
     shape): every intermediate line lands in the md5-chosen partition."""

@@ -168,3 +168,23 @@ def test_events_loader_handles_both_ts_encodings(spark, tmp_path):
         )
     assert results["us"] == results["nanos_as_int64"], results
     assert [t for _, t in results["us"]] == instants
+
+
+def test_events_bounds_for_packed_argminmax_key():
+    """agg_argminmax_by (operators/relational6.py) packs (value, event_id)
+    into one int64: correctness requires 0 <= value < 9.2e3 (no int64
+    overflow after *1e6*1e9) and 0 <= event_id < 1e9 (id digits must not
+    bleed into value digits).  Assert the corpus actually satisfies the
+    preconditions at every shipped sf."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(path):
+            continue
+        lo_v, hi_v, lo_id, hi_id = duckdb.sql(
+            f"SELECT min(value), max(value), min(event_id), max(event_id)"
+            f" FROM '{path}'"
+        ).fetchone()
+        assert 0 <= lo_v and hi_v < 9.2e3, (sf, lo_v, hi_v)
+        assert 0 <= lo_id and hi_id < 1e9, (sf, lo_id, hi_id)

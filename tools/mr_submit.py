@@ -18,18 +18,39 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> int:
+def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="input directory of text files")
-    ap.add_argument("--output", required=True, help="output directory (created)")
-    ap.add_argument("--mapper", required=True, help="mapper executable")
-    ap.add_argument("--reducer", required=True, help="reducer executable")
+    ap.add_argument(
+        "--shutdown",
+        "-s",
+        action="store_true",
+        help="shut the cluster down instead of submitting a job "
+        "(reference mapreduce/submit.py:62,77-79: sends {'message_type':"
+        " 'shutdown'}; here the cluster is the SparkSession, so the twin"
+        " is spark.stop())",
+    )
+    ap.add_argument("--input", help="input directory of text files")
+    ap.add_argument("--output", help="output directory (created)")
+    ap.add_argument("--mapper", help="mapper executable")
+    ap.add_argument("--reducer", help="reducer executable")
     ap.add_argument("--nmappers", type=int, default=4)
     ap.add_argument("--nreducers", type=int, default=2)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from eecs485_p4_mapreduce_spark import get_spark
     from eecs485_p4_mapreduce_spark.mapreduce import MapReduceJob
+
+    if args.shutdown:
+        spark = get_spark("mr-submit")
+        spark.stop()
+        print("shutdown")
+        return 0
+    missing = [
+        f"--{k}" for k in ("input", "output", "mapper", "reducer")
+        if getattr(args, k) is None
+    ]
+    if missing:
+        ap.error(f"the following arguments are required: {', '.join(missing)}")
 
     spark = get_spark("mr-submit")
     spark.sparkContext.setLogLevel("ERROR")
