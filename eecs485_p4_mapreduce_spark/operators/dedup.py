@@ -51,155 +51,63 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------- minhash + LSH
+#
+# All MinHash/LSH templates and the signature builder live in
+# functions/minhashfn.py (a leaf module, importable before this one) so
+# graph.py / pipeline.py / streaming can build their oracles at
+# decoration time no matter which operator module the process imports
+# first.  Re-bound here under the historical names for local use.
 
-_K = 16          # minhash signature length
-_BANDS = 8       # LSH bands (r = _K // _BANDS = 2 rows per band)
-_R = _K // _BANDS
-_SHINGLE = 8     # char-shingle width
+from eecs485_p4_mapreduce_spark.functions import minhashfn as _mh
 
-# DuckDB spelling for: char shingles of lowered text (kept as a multiset
-# -- MIN is duplicate-insensitive, so no distinct pass needed).  The live
-# Spark-side construction is the explode form in _minhash_banded.
-_SH_DUCK = (
-    f"list_transform(range(1, greatest(length(lower(text)) - {_SHINGLE - 1}, 1) + 1),"
-    f" i -> substring(lower(text), i, {_SHINGLE}))"
-)
-
-# Broder-style minhash family: ONE md5 per shingle yields two 32-bit
-# integers (hex chars 1-8 and 9-16); hash i = (h1 + i * (2*h2+1)) mod 2^32.
-# Integer mixing instead of k md5s makes the signature k-independent at
-# ~zero marginal cost per extra hash -- the 100 TB-friendly construction.
-_M32 = 4_294_967_296
-
+_K = _mh.K
+_BANDS = _mh.BANDS
+_R = _mh.R
+_SHINGLE = _mh.SHINGLE
+_M32 = _mh.M32
+_SH_DUCK = _mh.SH_DUCK
+_BANDS_SPARK = _mh.BANDS_SPARK
+_BANDS_DUCK = _mh.BANDS_DUCK
+_EST_SPARK = _mh.EST_SPARK
+_EST_DUCK = _mh.EST_DUCK
+_MIN_EXPRS_DUCK = _mh.MIN_EXPRS_DUCK
+_MINHASH_BANDED_DUCK = _mh.MINHASH_BANDED_DUCK
+MINHASH_SIG_FOLD = _mh.MINHASH_SIG_FOLD
+_minhash_banded = _mh.minhash_banded
+_banded_from_sig = _mh.banded_from_sig
 
 # moved to functions/hashfn.py (shared with the Count-Min sketch without
 # a decoration-time circular import); re-bound here for all local uses
 _hex_int_sql = hex_int_sql
 
 
-
-def _bands_sql(dialect: str) -> str:
-    """band b (1.._BANDS) key = md5 over its r signature entries."""
-    if dialect == "spark":
-        tr, idx, seq = "transform", "element_at", f"sequence(1, {_BANDS})"
-        ints = ", ".join(
-            f"cast({idx}(sig, (b - 1) * {_R} + {j + 1}) as string)" for j in range(_R)
-        )
-    else:
-        tr, idx, seq = "list_transform", "list_extract", f"range(1, {_BANDS} + 1)"
-        ints = ", ".join(
-            f"CAST({idx}(sig, (b - 1) * {_R} + {j + 1}) AS VARCHAR)" for j in range(_R)
-        )
-    return f"{tr}({seq}, b -> md5(concat({ints})))"
+# Session-scoped signature store: (applicationId, sf_dir, loader) ->
+# materialized (doc_id, sig).  Eight queries (the minhash dedup family,
+# the band-graph family, contamination audits) each need the identical
+# signature table; recomputing it per query was the suite's entire
+# ~5 s-per-query tail.  This is the in-process stand-in for what
+# production does with a stored, bucketed signature TABLE that ingest
+# keeps fresh -- the docstrings' "stored signature" caveat, made real.
+# Keyed by applicationId so a new SparkContext (whose checkpointed RDDs
+# died with the old one) naturally misses and rebuilds, and by the
+# loader function so tests that monkeypatch load_table get their own
+# entries instead of a stale corpus.
+_SIG_CACHE: dict[tuple, DataFrame] = {}
 
 
-_BANDS_SPARK = _bands_sql("spark")
-_BANDS_DUCK = _bands_sql("duckdb")
-
-# est similarity = fraction of equal signature entries (1-based indexing)
-_EST_SPARK = (
-    f"cast(size(filter(sequence(1, {_K}),"
-    f" i -> element_at(sig_a, i) = element_at(sig_b, i))) as double) / {_K}"
-)
-_EST_DUCK = (
-    f"CAST(len(list_filter(range(1, {_K} + 1),"
-    f" i -> list_extract(sig_a, i) = list_extract(sig_b, i))) AS DOUBLE) / {_K}"
-)
-
-
-_MIN_EXPRS_DUCK = ", ".join(
-    f"MIN((h1 + {i} * (2 * h2 + 1)) % {_M32})" for i in range(_K)
-)
-
-# shared CTE chain: documents -> shingles -> signatures -> per-band rows
-# (used by the full-corpus LSH oracle and the incremental-batch oracle)
-_MINHASH_BANDED_DUCK = f"""
-    WITH sh AS MATERIALIZED (SELECT doc_id, {_SH_DUCK} AS sh FROM documents),
-    ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
-    hx AS MATERIALIZED (SELECT doc_id, md5(g) AS h FROM ex),
-    hint AS MATERIALIZED (SELECT doc_id,
-           {_hex_int_sql('duckdb', 'h', 1)} AS h1,
-           {_hex_int_sql('duckdb', 'h', 9)} AS h2 FROM hx),
-    sig AS MATERIALIZED (SELECT doc_id, list_value({_MIN_EXPRS_DUCK}) AS sig
-                         FROM hint GROUP BY doc_id),
-    withbands AS MATERIALIZED (SELECT doc_id, sig, {_BANDS_DUCK} AS bands FROM sig),
-    banded AS (
-      SELECT doc_id, sig, b, list_extract(bands, b) AS band_hash
-      FROM withbands, unnest(range(1, {_BANDS} + 1)) AS t(b))"""
-
-
-# One-pass, fully scan-side signature: md5 each shingle once (inner
-# transform), then a single HOF aggregate folds all K running minimums.
-# Stateless -- usable under Structured Streaming, where the explode +
-# groupBy(doc_id) construction below would become a stateful aggregate.
-# Bit-identical to _minhash_banded's signatures (same shingles, same
-# affine mixes, min is order-insensitive); ~1.4x slower in batch (7.5 s
-# vs 5.5 s at sf0.1, measured), which is why batch keeps the explode form.
-MINHASH_SIG_FOLD = (
-    "aggregate("
-    f"transform(transform(sequence(1, greatest(length(lower(text)) - {_SHINGLE - 1}, 1)),"
-    f" i -> md5(substring(lower(text), i, {_SHINGLE}))),"
-    f" h -> named_struct('h1', {_hex_int_sql('spark', 'h', 1)},"
-    f" 'h2', {_hex_int_sql('spark', 'h', 9)})),"
-    f" array_repeat(cast({_M32} as bigint), {_K}),"
-    f" (acc, s) -> transform(sequence(0, {_K - 1}),"
-    f" j -> least(element_at(acc, j + 1), (s.h1 + j * (2 * s.h2 + 1)) % {_M32})))"
-)
-
-
-def _minhash_banded(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(signatures, per-band rows) for MinHash LSH over ``docs``.
-
-    Returns ``sig_df`` (doc_id, sig) localCheckpointed -- every consumer
-    references it repeatedly and projection collapse would otherwise
-    recompute the signature per reference -- and ``sig`` exploded to one
-    row per (doc_id, band, band_hash).
-
-    Construction choice, measured at sf0.1: the cost is ~one md5 per
-    character of text, which is inherent (md5 is the only digest Spark
-    and DuckDB both implement bit-identically, so cross-engine
-    determinism pins it); explode + partial-agg (5.5 s), a scan-side
-    16-array_min expression (6.2 s), and a one-pass HOF aggregate fold
-    (7.5 s) all converge on that floor, so the explode form is kept --
-    the map-side partial aggregate collapses to one row per doc per
-    partition before the (tiny) shuffle.
-
-    Two expression-inlining traps avoided here: lower(text) is hoisted to
-    its own projection so the generator does not re-lowercase the whole
-    document for every shingle index, and md5 runs inside the generator
-    so each shingle is hashed exactly once (projecting md5 after the
-    explode would let projection collapse inline it into every hex-digit
-    reference below).
-    """
-    sh_from_lt = (
-        f"transform(sequence(1, greatest(length(lt) - {_SHINGLE - 1}, 1)),"
-        f" i -> md5(substring(lt, i, {_SHINGLE})))"
-    )
-    hx = docs.select("doc_id", F.lower(F.col("text")).alias("lt")).select(
-        "doc_id", F.explode(F.expr(sh_from_lt)).alias("h")
-    )
-    hint = hx.select(
-        "doc_id",
-        F.expr(_hex_int_sql("spark", "h", 1)).alias("h1"),
-        F.expr(_hex_int_sql("spark", "h", 9)).alias("h2"),
-    )
-    sig_df = hint.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min((F.col("h1") + i * (2 * F.col("h2") + 1)) % _M32)
-                for i in range(_K)
-            ]
-        ).alias("sig")
-    )
-    # Materialize signatures once; at cluster scale this is a
-    # checkpoint/cached table between stages.
-    sig_df = sig_df.localCheckpoint()
-    sig = (
-        sig_df.withColumn("bands", F.expr(_BANDS_SPARK))
-        .select("doc_id", "sig", F.posexplode("bands").alias("b0", "band_hash"))
-        .select("doc_id", "sig", (F.col("b0") + 1).alias("b"), "band_hash")
-    )
-    return sig_df, sig
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Session-cached ``(sig_df, banded)`` for the full documents corpus
+    at ``sf_dir`` — bit-identical to ``_minhash_banded(load_table(...))``
+    (it IS that, memoized), so every consumer's oracle is unchanged."""
+    loader = load_table  # module global: respects monkeypatched loaders
+    key = (spark.sparkContext.applicationId, sf_dir, loader)
+    sig_df = _SIG_CACHE.get(key)
+    if sig_df is None:
+        sig_df, _ = _minhash_banded(loader(spark, sf_dir, "documents"))
+        _SIG_CACHE[key] = sig_df
+    return sig_df, _banded_from_sig(sig_df)
 
 
 @query(
@@ -232,7 +140,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured small at runtime).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig_df, sig = _minhash_banded(docs)
+    sig_df, sig = minhash_signatures(spark, sf_dir)
     a = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "b", "band_hash"
     )
@@ -392,7 +300,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade-offs cancel out and the comparison is exact.
     """
     docs = load_table(spark, sf_dir, "documents")
-    _, banded = _minhash_banded(docs)
+    _, banded = minhash_signatures(spark, sf_dir)
     cand = (
         banded.select(F.col("doc_id").alias("doc_a"), "b", "band_hash")
         .join(
@@ -743,7 +651,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- incremental (new batch)
 
-_SPLIT = 400  # doc_id >= _SPLIT plays the role of the newly ingested batch
+_SPLIT = _mh.SPLIT  # doc_id >= _SPLIT plays the newly ingested batch
 
 
 @query(
@@ -775,7 +683,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is engine-safe) keeps only pairs worth a verify pass.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig_df, sig = _minhash_banded(docs)
+    sig_df, sig = minhash_signatures(spark, sf_dir)
     old = sig.filter(F.col("doc_id") < _SPLIT).select(
         F.col("doc_id").alias("doc_old"), "b", "band_hash"
     )
@@ -1070,7 +978,7 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives; the hard-delete paths verify).
     """
     docs = load_table(spark, sf_dir, "documents")
-    _, banded = _minhash_banded(docs)
+    _, banded = minhash_signatures(spark, sf_dir)
     pairs = (
         banded.select(F.col("doc_id").alias("a"), "b", "band_hash")
         .join(banded.select(F.col("doc_id").alias("p"), "b", "band_hash"),
@@ -1131,7 +1039,7 @@ def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus features.  Two rows out: removed=true / removed=false.
     """
     docs = load_table(spark, sf_dir, "documents")
-    _, banded = _minhash_banded(docs)
+    _, banded = minhash_signatures(spark, sf_dir)
     victims = (
         banded.select(F.col("doc_id").alias("a"), "b", "band_hash")
         .join(banded.select("doc_id", "b", "band_hash"), ["b", "band_hash"])
@@ -1220,7 +1128,7 @@ def contamination_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-    _, banded = _minhash_banded(docs)
+    _, banded = minhash_signatures(spark, sf_dir)
     pairs = (
         banded.select(F.col("doc_id").alias("a"), "b", "band_hash")
         .join(
@@ -1306,7 +1214,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eecs485_p4_mapreduce_spark.functions.textfn import shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    sig_df, sig = _minhash_banded(docs)
+    sig_df, sig = minhash_signatures(spark, sf_dir)
     a = sig.select(F.col("doc_id").alias("doc_a"), "b", "band_hash")
     b = sig.select(F.col("doc_id").alias("doc_b"), "b", "band_hash")
     pairs = (

@@ -119,9 +119,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triangle_oracle() -> str:
-    from eecs485_p4_mapreduce_spark.operators.dedup import _MINHASH_BANDED_DUCK
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
 
-    return f"""{_MINHASH_BANDED_DUCK},
+    return f"""{MINHASH_BANDED_DUCK},
     e AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
           FROM banded a JOIN banded b
             ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
@@ -156,10 +156,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation so hub nodes don't own every wedge — noted here, not
     needed at candidate-graph densities, where LSH banding already
     bounds per-bucket degree."""
-    from eecs485_p4_mapreduce_spark.operators.dedup import _minhash_banded
+    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    _, sig = _minhash_banded(docs)
+    _, sig = minhash_signatures(spark, sf_dir)
     left = sig.select("doc_id", "b", "band_hash")
     edges = (
         left.alias("x")
@@ -239,9 +238,9 @@ _KCORE_ROUNDS = 6
 
 
 def _kcore_oracle() -> str:
-    from eecs485_p4_mapreduce_spark.operators.dedup import _MINHASH_BANDED_DUCK
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
 
-    sql = f"""{_MINHASH_BANDED_DUCK},
+    sql = f"""{MINHASH_BANDED_DUCK},
     e0 AS MATERIALIZED (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
            FROM banded a JOIN banded b
              ON a.b = b.b AND a.band_hash = b.band_hash
@@ -284,10 +283,9 @@ def graph_kcore_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins convergence at test scale).  Output: surviving nodes with
     their in-core degree.
     """
-    from eecs485_p4_mapreduce_spark.operators.dedup import _minhash_banded
+    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    _, sig = _minhash_banded(docs)
+    _, sig = minhash_signatures(spark, sf_dir)
     left = sig.select("doc_id", "b", "band_hash")
     edges = (
         left.alias("x")
@@ -324,9 +322,9 @@ _LPA_ROUNDS = 2
 
 
 def _lpa_oracle() -> str:
-    from eecs485_p4_mapreduce_spark.operators.dedup import _MINHASH_BANDED_DUCK
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
 
-    sql = f"""{_MINHASH_BANDED_DUCK},
+    sql = f"""{MINHASH_BANDED_DUCK},
     eu AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
       FROM banded a JOIN banded b
@@ -370,10 +368,9 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids; the oracle unrolls the identical rounds as CTEs.  Output:
     communities with >= 2 members.
     """
-    from eecs485_p4_mapreduce_spark.operators.dedup import _minhash_banded
+    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    _, banded = _minhash_banded(docs)
+    _, banded = minhash_signatures(spark, sf_dir)
     eu = (
         banded.select(F.col("doc_id").alias("u"), "b", "band_hash")
         .join(banded.select(F.col("doc_id").alias("v"), "b", "band_hash"),

@@ -725,3 +725,238 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seg_len").cast("bigint").alias("longest_segment"),
         F.sum("seg_len").cast("bigint").alias("n_active_windows"),
     )
+
+
+# ---- real pure-Python codecs (BMP / WAV) ---------------------------------
+#
+# The 'fake' codec above stands in for library-backed decoders (PIL,
+# ffmpeg) that this container lacks.  These two are NOT stubs: they are
+# complete, real parsers for two uncompressed container formats that need
+# nothing beyond ``struct`` -- 24-bit bottom-up padded BMP and RIFF/WAVE
+# 16-bit PCM with proper chunk walking.  Payloads are synthesized
+# deterministically from doc_id (real bytes through the real encoder), so
+# the DuckDB oracle can recompute every decoded statistic closed-form and
+# the whole encode->parse->aggregate path is cross-engine checked.
+
+import struct
+
+
+def _encode_bmp(doc_id: int) -> bytes:
+    """Real 24-bit uncompressed BMP: 14-byte file header, 40-byte
+    BITMAPINFOHEADER, bottom-up BGR rows padded to 4 bytes."""
+    w, h = doc_id % 5 + 2, doc_id % 3 + 2
+    stride = (3 * w + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(w):
+            v = (doc_id * 7 + y * w + x) % 256
+            row += bytes((v, (3 * v) % 256, (5 * v) % 256))  # B,G,R
+        row += b"\x00" * (stride - 3 * w)
+        rows.append(bytes(row))
+    pixel_data = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixel_data), 0, 0, 54)
+    return header + info + pixel_data
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
+    """Parse a 24-bit uncompressed BMP; returns (width, height, pixels)
+    with pixels in TOP-DOWN (x, y) raster order as (b, g, r) tuples.
+    Handles the two things naive readers get wrong: 4-byte row padding
+    and bottom-up row order (positive biHeight)."""
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bitcount, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1 or bitcount != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up = h_signed > 0
+    h = abs(h_signed)
+    stride = (3 * w + 3) & ~3
+    px: list[tuple[int, int, int]] = []
+    for y in range(h):
+        src_row = (h - 1 - y) if bottom_up else y
+        base = offset + src_row * stride
+        for x in range(w):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            px.append((b, g, r))
+    return w, h, px
+
+
+def _encode_wav(doc_id: int) -> bytes:
+    """Real RIFF/WAVE, mono 16-bit PCM, with a junk LIST chunk between
+    fmt and data so decoders must actually walk chunks."""
+    n = doc_id % 50 + 10
+    rate = 8000 + (doc_id % 3) * 4000
+    samples = [((doc_id * 31 + i * 13) % 65536) - 32768 for i in range(n)]
+    data = struct.pack(f"<{n}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    junk = b"pad" + b"\x00" * 5
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(junk)) + junk
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Parse RIFF/WAVE: walk chunks (word-aligned, unknown chunks
+    skipped), read the PCM fmt, return (sample_rate, samples)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    rate, bits, channels, samples = None, None, None, None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        clen = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1:
+                raise ValueError("only PCM supported")
+        elif cid == b"data":
+            if bits != 16 or channels != 1:
+                raise ValueError("only mono 16-bit supported")
+            samples = list(struct.unpack(f"<{clen // 2}h", body))
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+_BMP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("topleft_b", LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h
+               FROM documents),
+    px AS (
+      SELECT doc_id, w, h, (doc_id * 7 + t.i) % 256 AS v
+      FROM d, unnest(range(0, w * h)) AS t(i))
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_b,
+           CAST(SUM((3 * v) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((5 * v) % 256) AS BIGINT) AS sum_r,
+           CAST(doc_id * 7 % 256 AS BIGINT) AS topleft_b
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode path (no stub): synthesize a genuine 24-bit
+    BMP per document (real header, bottom-up rows, 4-byte padding),
+    parse it back with a complete pure-Python BMP reader inside one
+    Arrow-batched ``mapInPandas`` stage, and aggregate per-channel pixel
+    sums.  ``topleft_b`` is the decode-order canary: the top-left pixel
+    lives in the LAST stored row of a bottom-up BMP, so a parser that
+    ignores row order (or padding) hash-mismatches the oracle, which
+    recomputes every statistic closed-form from the generator arithmetic.
+    Payload bytes never shuffle — encode, parse, and reduce all happen
+    inside the one Python stage; only 8 ints per asset come back."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = _encode_bmp(int(doc_id))
+                w, h, px = _decode_bmp(payload)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "n_pixels": len(px),
+                        "sum_b": sum(p[0] for p in px),
+                        "sum_g": sum(p[1] for p in px),
+                        "sum_r": sum(p[2] for p in px),
+                        "topleft_b": px[0][0],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _BMP_SCHEMA.fields])
+
+    return docs.mapInPandas(kernel, schema=_BMP_SCHEMA)
+
+
+_WAV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("first_sample", LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_wav_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n,
+                      8000 + (doc_id % 3) * 4000 AS rate
+               FROM documents),
+    s AS (
+      SELECT doc_id, n, rate,
+             (doc_id * 31 + t.i * 13) % 65536 - 32768 AS v
+      FROM d, unnest(range(0, n)) AS t(i))
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+           CAST(doc_id * 31 % 65536 - 32768 AS BIGINT) AS first_sample
+    FROM s GROUP BY doc_id, n, rate
+    """,
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode path (no stub): synthesize a genuine RIFF/WAVE
+    container per document — mono 16-bit PCM plus a junk LIST chunk so
+    the reader must actually walk word-aligned chunks, not assume a
+    fixed 44-byte layout — and parse it back with a complete pure-Python
+    RIFF reader in one ``mapInPandas`` stage.  The oracle recomputes
+    sample count, rate, and the absolute-amplitude sum closed-form from
+    the generator arithmetic, so a parser that misreads chunk sizes,
+    alignment, or int16 endianness fails the hash.  Same 100 TB shape as
+    every media kernel here: bytes stay inside the task, only the
+    5-int summary row crosses."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                rate, samples = _decode_wav(_encode_wav(int(doc_id)))
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sample_rate": rate,
+                        "n_samples": len(samples),
+                        "sum_abs": sum(abs(s) for s in samples),
+                        "first_sample": samples[0],
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in _WAV_SCHEMA.fields])
+
+    return docs.mapInPandas(kernel, schema=_WAV_SCHEMA)

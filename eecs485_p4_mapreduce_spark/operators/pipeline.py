@@ -27,9 +27,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
-from eecs485_p4_mapreduce_spark.operators.dedup import (
-    _MINHASH_BANDED_DUCK,
-    _minhash_banded,
+from eecs485_p4_mapreduce_spark.functions.minhashfn import (
+    MINHASH_BANDED_DUCK as _MINHASH_BANDED_DUCK,
+    minhash_banded as _minhash_banded,
 )
 from eecs485_p4_mapreduce_spark.operators.mixing import (
     _BUCKETS,

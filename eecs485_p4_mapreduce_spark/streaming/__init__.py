@@ -554,10 +554,10 @@ def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _streaming_minhash_oracle() -> str:
-    from eecs485_p4_mapreduce_spark.operators.dedup import (
-        _EST_DUCK,
-        _MINHASH_BANDED_DUCK,
-        _SPLIT,
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import (
+        EST_DUCK as _EST_DUCK,
+        MINHASH_BANDED_DUCK as _MINHASH_BANDED_DUCK,
+        SPLIT as _SPLIT,
     )
 
     return f"""{_MINHASH_BANDED_DUCK},
@@ -590,12 +590,12 @@ def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     computed once per run here; in production they are a stored bucketed
     table broadcast (as here) or bucket-joined against each micro-batch.
     """
-    from eecs485_p4_mapreduce_spark.operators.dedup import (
-        _BANDS_SPARK,
-        _EST_SPARK,
-        _SPLIT,
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import (
+        BANDS_SPARK as _BANDS_SPARK,
+        EST_SPARK as _EST_SPARK,
         MINHASH_SIG_FOLD,
-        _minhash_banded,
+        SPLIT as _SPLIT,
+        minhash_banded as _minhash_banded,
     )
 
     docs = load_table(spark, sf_dir, "documents")
