@@ -591,10 +591,11 @@ def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     table broadcast (as here) or bucket-joined against each micro-batch.
     """
     from eecs485_p4_mapreduce_spark.functions.minhashfn import (
-        BANDS_SPARK as _BANDS_SPARK,
+        BANDS as _BANDS,
         EST_SPARK as _EST_SPARK,
         MINHASH_SIG_FOLD,
         SPLIT as _SPLIT,
+        band_hash_sql,
         minhash_banded as _minhash_banded,
     )
 
@@ -608,14 +609,29 @@ def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     new = (
         _documents_stream(spark, sf_dir)
         .filter(F.col("doc_id") >= _SPLIT)
+        # The file stream delivers each parquet file as ONE input
+        # partition, so without this the md5-per-shingle fold for the
+        # whole micro-batch runs in a single task (measured 205 s at
+        # sf0.1 vs ~2 s parallel).  Re-spreading the batch across the
+        # cores is the standard right-sizing step after a file trigger;
+        # at cluster scale the count tracks batch bytes, not files.
+        .repartition(32, "doc_id")
         .select("doc_id", F.expr(MINHASH_SIG_FOLD).alias("sig"))
-        .withColumn("bands", F.expr(_BANDS_SPARK))
-        .select("doc_id", "sig", F.posexplode("bands").alias("b0", "band_hash"))
+        # Explode a CONSTANT band sequence and key each band from the
+        # sig ATTRIBUTE after the Generate barrier — exploding a bands
+        # ARRAY here lets InferFiltersFromGenerate push a size(bands)>0
+        # guard (with the whole signature fold inlined into it) below
+        # the repartition into the one-task scan; see
+        # functions/minhashfn.band_hash_sql.
+        .select(
+            "doc_id", "sig",
+            F.explode(F.expr(f"sequence(1, {_BANDS})")).alias("b"),
+        )
         .select(
             F.col("doc_id").alias("doc_new"),
             F.col("sig").alias("sig_b"),
-            (F.col("b0") + 1).alias("b"),
-            "band_hash",
+            "b",
+            F.expr(band_hash_sql()).alias("band_hash"),
         )
     )
     pairs = (
