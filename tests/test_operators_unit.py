@@ -812,3 +812,52 @@ def test_rag_index_chunk_conservation(spark, sf_dir):
     )
     assert sum(r.n_chunks for r in rows) == expected
     assert all(0 <= r.bucket < 16 for r in rows)
+
+
+def test_ntile_from_rank_matches_native_ntile(spark):
+    """The ANSI tile-size arithmetic in functions/ranking.py must agree
+    with Spark's own ntile() for every (n, tiles) shape — including the
+    n < tiles edge where the ELSE branch would divide by q=0 if the
+    CASE didn't short-circuit."""
+    from pyspark.sql import Window
+
+    from eecs485_p4_mapreduce_spark.functions.ranking import ntile_from_rank
+
+    for n, tiles in [(1, 4), (3, 4), (4, 4), (10, 4), (10, 3), (55, 7), (100, 10)]:
+        df = spark.range(1, n + 1).select(
+            F.col("id").alias("k"),
+            F.lit(n).alias("n"),
+        )
+        got = df.select(
+            "k", ntile_from_rank("k", "n", tiles).alias("t")
+        )
+        want = df.select(
+            "k", F.ntile(tiles).over(Window.orderBy("k")).alias("t")
+        )
+        g = {r["k"]: r["t"] for r in got.collect()}
+        w = {r["k"]: r["t"] for r in want.collect()}
+        assert g == w, (n, tiles)
+
+
+def test_with_global_rank_matches_row_number(spark):
+    """Partition-offset global rank == row_number over the same ordering,
+    independent of where the sampled range boundaries fall."""
+    from pyspark.sql import Window
+
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 101).alias("v"), F.col("id").alias("tid")
+    )
+    ranked = with_global_rank(df, ["v", "tid"], sum_col="v")
+    got = {(r["v"], r["tid"]): (r["_rk"], r["_n"], r["_cum"], r["_tot"])
+           for r in ranked.collect()}
+    w = Window.orderBy("v", "tid")
+    want_rows = df.select(
+        "v", "tid",
+        F.row_number().over(w).alias("rk"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).collect()
+    for r in want_rows:
+        rk, n, cum, tot = got[(r["v"], r["tid"])]
+        assert rk == r["rk"] and n == 500 and cum == r["cum"], r

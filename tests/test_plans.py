@@ -334,6 +334,7 @@ def test_no_forced_broadcast_of_per_document_side(name, spark, sf_dir):
         "quality_perplexity_buckets",
         "funnel_time_to_convert",
         "ids_contiguous_assign",
+        "skyline_orders_pareto",
     ],
 )
 def test_global_rank_queries_have_no_data_sized_global_window(name, spark, sf_dir):
