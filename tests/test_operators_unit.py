@@ -861,3 +861,17 @@ def test_with_global_rank_matches_row_number(spark):
     for r in want_rows:
         rk, n, cum, tot = got[(r["v"], r["tid"])]
         assert rk == r["rk"] and n == 500 and cum == r["cum"], r
+
+
+def test_minhash_signature_cache_shared_across_queries(spark, sf_dir):
+    """Two different minhash-family queries in one session must reuse the
+    SAME materialized signature frame — the stored-signature-table
+    stand-in.  A cache regression re-introduces the ~5s-per-query
+    signature rebuild the bench tail used to pay."""
+    from eecs485_p4_mapreduce_spark.operators import dedup
+
+    key_count = len(dedup._SIG_CACHE)
+    sig1, _ = dedup.minhash_signatures(spark, sf_dir)
+    sig2, _ = dedup.minhash_signatures(spark, sf_dir)
+    assert sig1 is sig2
+    assert len(dedup._SIG_CACHE) == key_count + 1

@@ -5,7 +5,12 @@ SQL through DuckDB, then compares row count, column names, and values
 (order-insensitive, driver-strict type-tagged render -- see tools/canon.py;
 a tolerance fallback is reported for diagnosis only).  Usage:
 
-    python tools/oracle_check.py [sf_dir] [query ...]
+    python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
+
+``--vanilla`` runs on a bare ``SparkSession.builder.getOrCreate()`` with
+NONE of the engine's session confs -- the driver's exact environment --
+so any query that silently depends on get_spark's configuration fails
+here first.
 """
 
 from __future__ import annotations
@@ -27,14 +32,21 @@ from tools.canon import close as _close  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    names = [a for a in sys.argv[1:] if not os.path.isdir(a)] or list(REGISTRY)
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    names = [a for a in args if not os.path.isdir(a)] or list(REGISTRY)
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     failures = 0
     for name in names:
         spec = REGISTRY[name]
