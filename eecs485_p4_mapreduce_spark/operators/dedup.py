@@ -1253,8 +1253,29 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " cast(doc_b as string))), 1, 1), 16, 10) < 4"
             )
         )
+        # referenced three times below (candidate-id set + both joins);
+        # materialize so the band join does not replay per reference
+        .localCheckpoint()
     )
-    sh = docs.select("doc_id", shingles("text", _SHINGLE).alias("sh"))
+    # Shingle ONLY the documents that appear in a sampled pair: the
+    # semi-join filters (doc_id, text) rows BEFORE the shingle arrays are
+    # built, so verify cost follows the candidate set, not the corpus —
+    # the shape that matters when the corpus is 100 TB and the sampled
+    # verify set is not.
+    cand_ids = (
+        est.select(F.col("doc_a").alias("doc_id"))
+        .union(est.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", "text")
+        # same single-split right-sizing as minhashfn.minhash_banded: a
+        # compact parquet delivers one scan partition, which would build
+        # every shingle array on one core
+        .repartition(32, "doc_id")
+        .select("doc_id", shingles("text", _SHINGLE).alias("sh"))
+    )
     ex = (
         est.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
