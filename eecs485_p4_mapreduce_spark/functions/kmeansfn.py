@@ -40,35 +40,55 @@ def km_assign(e: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
-def lloyds_assignments(spark: SparkSession, e: DataFrame):
+# Session-scoped trained-quantizer store: (applicationId, cache_key) ->
+# centroid list.  Three queries (IVF training, trained-IVF search,
+# SemDeDup) train the IDENTICAL quantizer over the same embeddings; the
+# centroids are a K x D python list (tiny, driver-side), so memoizing
+# them is the in-process stand-in for the stored model table a
+# production pipeline would read.  Deterministic, so cached vs fresh is
+# bit-identical — every consumer's oracle replays the same training.
+_CENTROID_CACHE: dict[tuple[str, str], list] = {}
+
+
+def lloyds_assignments(spark: SparkSession, e: DataFrame, cache_key: str | None = None):
     """Run the fixed Lloyd's rounds; return (final centroid DF, final
     assignment DF).  Shared by the training query, the trained-IVF
     search query, and the SemDeDup pruner so all provably use the same
-    quantizer."""
-    init = e.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("k"), F.col("v").alias("cv")
+    quantizer.  Pass ``cache_key`` (the sf_dir) to reuse this session's
+    trained centroids instead of re-running the training jobs."""
+    key = (
+        (spark.sparkContext.applicationId, cache_key)
+        if cache_key is not None
+        else None
     )
-    centroids = [(int(r["k"]), list(r["cv"])) for r in init.collect()]
-    for _ in range(KM_ROUNDS):
-        cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
-        assigned = km_assign(e, cdf)
-        means = (
-            assigned.select("k", F.posexplode("v").alias("d0", "x"))
-            .groupBy("k", (F.col("d0") + 1).alias("d"))
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("c")
-            )
-            .collect()
+    centroids = _CENTROID_CACHE.get(key) if key else None
+    if centroids is None:
+        init = e.filter(F.col("vec_id") < KM_K).select(
+            F.col("vec_id").alias("k"), F.col("v").alias("cv")
         )
-        by_k: dict[int, list] = {}
-        for r in means:
-            by_k.setdefault(int(r["k"]), []).append((r["d"], r["c"]))
-        centroids = [
-            (k, [c for _, c in sorted(vals)]) for k, vals in sorted(by_k.items())
-        ]
+        centroids = [(int(r["k"]), list(r["cv"])) for r in init.collect()]
+        for _ in range(KM_ROUNDS):
+            cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
+            assigned = km_assign(e, cdf)
+            means = (
+                assigned.select("k", F.posexplode("v").alias("d0", "x"))
+                .groupBy("k", (F.col("d0") + 1).alias("d"))
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("c")
+                )
+                .collect()
+            )
+            by_k: dict[int, list] = {}
+            for r in means:
+                by_k.setdefault(int(r["k"]), []).append((r["d"], r["c"]))
+            centroids = [
+                (k, [c for _, c in sorted(vals)]) for k, vals in sorted(by_k.items())
+            ]
+        if key:
+            _CENTROID_CACHE[key] = centroids
     cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
     return cdf, km_assign(e, cdf)
 

@@ -870,8 +870,8 @@ def test_minhash_signature_cache_shared_across_queries(spark, sf_dir):
     signature rebuild the bench tail used to pay."""
     from eecs485_p4_mapreduce_spark.operators import dedup
 
-    key_count = len(dedup._SIG_CACHE)
     sig1, _ = dedup.minhash_signatures(spark, sf_dir)
+    key_count = len(dedup._SIG_CACHE)  # entry may predate this test
     sig2, _ = dedup.minhash_signatures(spark, sf_dir)
     assert sig1 is sig2
-    assert len(dedup._SIG_CACHE) == key_count + 1
+    assert len(dedup._SIG_CACHE) == key_count  # hit, not a new entry
