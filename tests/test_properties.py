@@ -160,3 +160,66 @@ def test_prefix_filter_has_no_false_negatives(docsets):
                 assert prefix(a) & prefix(b), (
                     f"false negative: {sorted(a)} vs {sorted(b)}"
                 )
+
+
+# ---- real-codec roundtrips (operators/multimodal.py) ---------------------
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=100)
+def test_bmp_encode_decode_roundtrip(doc_id):
+    """Every synthesized BMP must parse back to exactly the generator's
+    dimensions and pixel values — including the bottom-up row order and
+    4-byte padding the header dictates."""
+    from eecs485_p4_mapreduce_spark.operators.multimodal import (
+        _decode_bmp,
+        _encode_bmp,
+    )
+
+    w, h, px = _decode_bmp(_encode_bmp(doc_id))
+    assert (w, h) == (doc_id % 5 + 2, doc_id % 3 + 2)
+    assert len(px) == w * h
+    for i, (b, g, r) in enumerate(px):
+        v = (doc_id * 7 + i) % 256
+        assert (b, g, r) == (v, (3 * v) % 256, (5 * v) % 256), i
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=100)
+def test_wav_encode_decode_roundtrip(doc_id):
+    """Every synthesized RIFF/WAVE must parse back to the generator's
+    rate and samples — proving the chunk walk skips the junk LIST chunk
+    and honors word alignment and int16 endianness."""
+    from eecs485_p4_mapreduce_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+    )
+
+    rate, samples = _decode_wav(_encode_wav(doc_id))
+    n = doc_id % 50 + 10
+    assert rate == 8000 + (doc_id % 3) * 4000
+    assert samples == [((doc_id * 31 + i * 13) % 65536) - 32768 for i in range(n)]
+
+
+def test_wav_decoder_rejects_malformed():
+    """The RIFF reader must refuse non-WAVE payloads and truncated
+    containers rather than mis-parsing them."""
+    import pytest as _pytest
+
+    from eecs485_p4_mapreduce_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_wav,
+        _encode_wav,
+    )
+
+    with _pytest.raises(ValueError):
+        _decode_wav(b"RIFFxxxxJUNK")
+    with _pytest.raises(ValueError):
+        _decode_wav(b"not a riff at all....")
+    with _pytest.raises(ValueError):
+        _decode_bmp(b"PNG\x00 definitely not a bitmap")
+    # fmt-only container (no data chunk) must be rejected, not guessed
+    good = _encode_wav(7)
+    no_data = good[: good.index(b"data")]
+    fixed = no_data[:4] + len(no_data[8:]).to_bytes(4, "little") + no_data[8:]
+    with _pytest.raises(ValueError):
+        _decode_wav(fixed)
