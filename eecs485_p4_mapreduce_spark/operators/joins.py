@@ -717,3 +717,68 @@ def graph_temporal_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros("t_us").alias("reach_ts"),
     )
     return out1.unionByName(out2)
+
+
+@query(
+    "join_runtime_bloom_filter",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {dsum_sql('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (SPARK-32268): when a shuffle
+    join's small side carries a selective predicate, Spark builds a
+    bloom filter over its join keys at runtime and injects a
+    ``might_contain`` guard into the BIG side's scan — rows whose
+    order key cannot match are dropped BEFORE the shuffle.  At 100 TB
+    this is the difference between shuffling the full fact table and
+    shuffling only the ~1/5 of it that can survive the join; it is the
+    shuffle-join complement of broadcast DPP
+    (``join_dynamic_partition_pruning``).
+
+    The injection preconditions are set for THIS plan only:
+    autoBroadcastJoinThreshold=-1 forces the shuffle join (at real
+    scale both sides exceed the threshold naturally) and the
+    application-side size floor is lowered to admit test-scale scans.
+    The plan is optimized and materialized eagerly (localCheckpoint)
+    inside a try/finally that restores both confs, so the session's
+    other queries keep their broadcast behavior; the driver then reads
+    the checkpointed result.  Plan shape (bloom aggregate on the
+    creation side, might_contain on the fact scan) is pinned in
+    tests/test_plans.py.  Results are conf-independent — the oracle is
+    the plain join — so correctness never depends on whether the
+    filter was injected."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        return joined.localCheckpoint()  # optimize + run under the confs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )

@@ -356,6 +356,48 @@ def test_global_rank_queries_have_no_data_sized_global_window(name, spark, sf_di
         )
 
 
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """join_runtime_bloom_filter's contract: under its conf window (no
+    broadcast, test-scale size floor) Spark must inject a runtime bloom
+    filter — a bloom aggregate over the selective side's join keys and a
+    might_contain guard on the fact scan side.  Losing the injection
+    silently turns the demo into a plain shuffle join."""
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        import pyspark.sql.functions as F
+
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_lines"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan, plan[:2000]
+
+
 def test_rake_topk_is_take_ordered(spark, sf_dir):
     """text_keywords_rake's global top-30 must plan as
     TakeOrderedAndProject (per-partition top-k, driver merge) and its
