@@ -596,11 +596,12 @@ def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         MINHASH_SIG_FOLD,
         SPLIT as _SPLIT,
         band_hash_sql,
-        minhash_banded as _minhash_banded,
     )
+    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
 
-    docs = load_table(spark, sf_dir, "documents")
-    _, banded = _minhash_banded(docs)
+    # corpus side: the session's stored signature table (cache-shared
+    # with the batch dedup family), banded for the probe join
+    _, banded = minhash_signatures(spark, sf_dir)
     corpus = F.broadcast(
         banded.filter(F.col("doc_id") < _SPLIT).select(
             F.col("doc_id").alias("doc_old"), F.col("sig").alias("sig_a"), "b", "band_hash"
