@@ -40,6 +40,12 @@ _REPRESENTATIVES = [
     "search_bm25_rank",         # driver-side avgdl collect on empty corpus
     "mix_temperature_sampling", # empty rates table
     "ml_logreg_gradient_step",  # n = 0 division guard surface
+    "window_abc_classification",# partition-offset running sum on empty
+    "skyline_orders_pareto",    # partition-offset suffix max on empty
+    "funnel_time_to_convert",   # rank-select median over zero converters
+    "join_runtime_bloom_filter",# conf window + eager checkpoint on empty
+    "multimodal_bmp_decode",    # real codec kernel over zero assets
+    "pipeline_curation_end_to_end",  # signature-table semi-join on empty
 ]
 
 
