@@ -1300,3 +1300,82 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pooled_exact_jaccard"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (corpus vs eval set)
+# ---------------------------------------------------------------------------
+
+# Stand-in eval set: prompts lifted verbatim from these corpus documents
+# (tokens 5..20) — the "leaked benchmark" scenario a decontamination run
+# exists to catch.  Ids exist at every shipped sf.
+_BENCH_IDS = (3, 77, 141, 256, 307)
+
+
+@query(
+    "contamination_benchmark_ngrams",
+    oracle=f"""
+    WITH {_GRAMS_DUCK},
+    bench AS (
+      SELECT doc_id AS bench_id, list_slice({DUCK_TOKENS}, 5, 20) AS tk
+      FROM documents WHERE doc_id IN {_BENCH_IDS}),
+    bg AS (
+      SELECT DISTINCT bench_id,
+             md5(array_to_string(list_slice(tk, i, i + {_NGRAM - 1}), ' ')) AS h
+      FROM bench, unnest(range(1, greatest(len(tk) - {_NGRAM - 2}, 1))) AS t(i)),
+    hits AS (
+      SELECT DISTINCT bg.bench_id, g.doc_id, g.source
+      FROM g JOIN bg ON g.h = bg.h)
+    SELECT bench_id,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM hits GROUP BY bench_id
+    """,
+)
+def contamination_benchmark_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share a
+    verbatim 8-token window with any EVAL-SET item — the PaLM/GPT-style
+    n-gram overlap rule run before training so leaked benchmark text is
+    dropped or flagged.  (Here the eval set is synthesized by lifting a
+    16-token prompt from five corpus documents, so hits are guaranteed
+    and the check exercises the true leak topology: the source document
+    plus any near-copies.)
+
+    Scale shape: the eval side is benchmark-sized (thousands of prompts,
+    each a handful of windows) — md5 window keys for it BROADCAST, and
+    the corpus side reuses the shared 8-token-window posting stage
+    (``_token_windows``), so the probe is one broadcast hash join over
+    scan-side hashes; no corpus text ever shuffles, and cost is one
+    corpus gram pass regardless of benchmark count.  Per-item readout:
+    contaminated doc count, source spread, and the earliest doc id (the
+    presumed origin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+
+    bench = docs.filter(F.col("doc_id").isin(*_BENCH_IDS)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.slice(tokens("text"), 5, 16).alias("tk"),
+    )
+    # slice-of-sequence guard: never a descending sequence on short docs
+    bg = bench.select(
+        "bench_id",
+        F.explode(
+            F.expr(
+                f"transform(slice(sequence(0, size(tk)), 2,"
+                f" greatest(size(tk) - {_NGRAM - 1}, 0)), i ->"
+                f" md5(array_join(slice(tk, i, {_NGRAM}), ' ')))"
+            )
+        ).alias("h"),
+    ).distinct()
+    corpus = _token_windows(spark, sf_dir)
+    hits = (
+        corpus.join(F.broadcast(bg), "h")
+        .select("bench_id", "doc_id", "source")
+        .distinct()
+    )
+    return hits.groupBy("bench_id").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_contaminated_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
