@@ -1191,26 +1191,11 @@ def _calibration_oracle() -> str:
     """
 
 
-@query("dedup_minhash_calibration", oracle=_calibration_oracle())
-def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Estimator calibration curve for the MinHash near-dup detector:
-    bucket every LSH candidate pair by its estimated similarity (in
-    sixteenths -- the exact granularity of a 16-hash signature) and
-    report the POOLED exact shingle Jaccard per bucket.  A healthy
-    detector shows the buckets climbing monotonically toward their
-    nominal values; drift here means the shingle width or hash count no
-    longer fits the corpus -- the eval one runs before trusting dedup
-    decisions at 100 TB.
-
-    The exact side joins text only for candidate pairs (never all
-    pairs), and the per-bucket ratio divides two integer sums once --
-    the same exact-verify economics as dedup_ngram_jaccard.  est*16 is
-    an exact integer because signature agreement is m/16 by
-    construction.  The exact verify runs on a deterministic 1-in-4
-    md5-bucket sample of candidate pairs (mirrored in the oracle) --
-    calibration is a statistical audit, so sampling the expensive
-    stage is the honest scale trade.
-    """
+def _calibration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy calibration-curve plan (candidate gating, sampled verify);
+    plan shape is asserted on THIS builder while the registered query
+    wraps it in its execution-conf window.  See
+    :func:`dedup_minhash_calibration` for semantics."""
     from eecs485_p4_mapreduce_spark.functions.textfn import shingles
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1300,6 +1285,44 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pooled_exact_jaccard"
         ),
     )
+
+
+@query("dedup_minhash_calibration", oracle=_calibration_oracle())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration curve for the MinHash near-dup detector:
+    bucket every LSH candidate pair by its estimated similarity (in
+    sixteenths -- the exact granularity of a 16-hash signature) and
+    report the POOLED exact shingle Jaccard per bucket.  A healthy
+    detector shows the buckets climbing monotonically toward their
+    nominal values; drift here means the shingle width or hash count no
+    longer fits the corpus -- the eval one runs before trusting dedup
+    decisions at 100 TB.
+
+    The exact side joins text only for candidate pairs (never all
+    pairs), and the per-bucket ratio divides two integer sums once --
+    the same exact-verify economics as dedup_ngram_jaccard.  est*16 is
+    an exact integer because signature agreement is m/16 by
+    construction.  The exact verify runs on a deterministic 1-in-4
+    md5-bucket sample of candidate pairs (mirrored in the oracle) --
+    calibration is a statistical audit, so sampling the expensive
+    stage is the honest scale trade.
+
+    Execution-conf window: AQE's post-shuffle coalescing sizes
+    partitions by BYTES, and the per-pair array_intersect stage is
+    CPU-heavy small rows — at test scale AQE collapses it to one task
+    (measured 8.2 s vs 2.2 s, the whole suite ceiling).  The curve is
+    therefore optimized and materialized eagerly with coalescing
+    disabled, restoring the conf in a finally — the bloom-filter-query
+    pattern; at real scale the same stage carries enough bytes to keep
+    its width and the window is a no-op.  The lazy plan stays pinned
+    via :func:`_calibration_frame`."""
+    curve = _calibration_frame(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        return curve.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
 
 
 # ---------------------------------------------------------------------------
