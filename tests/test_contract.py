@@ -39,3 +39,16 @@ def test_bench_queries_all_registered():
     missing = [q for q in bench.BENCH_QUERIES if q not in REGISTRY]
     assert not missing, missing
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_bench_covers_whole_registry():
+    """No silent caps: every registered query is benched unless it has an
+    explicit, reasoned exclusion (surfaced in the headline JSON)."""
+    import bench
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    benched = set(bench.BENCH_QUERIES) | set(bench.BENCH_EXCLUDE)
+    assert benched == set(REGISTRY), set(REGISTRY) ^ benched
+    for name, reason in bench.BENCH_EXCLUDE.items():
+        assert reason.strip(), f"exclusion without a reason: {name}"
