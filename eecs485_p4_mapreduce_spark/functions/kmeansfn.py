@@ -41,20 +41,23 @@ def km_assign(e: DataFrame, cdf: DataFrame) -> DataFrame:
 
 
 # Session-scoped trained-quantizer store: (applicationId, cache_key) ->
+# (cache_key = caller's (sf_dir, loader) tuple) ->
 # centroid list.  Three queries (IVF training, trained-IVF search,
 # SemDeDup) train the IDENTICAL quantizer over the same embeddings; the
 # centroids are a K x D python list (tiny, driver-side), so memoizing
 # them is the in-process stand-in for the stored model table a
 # production pipeline would read.  Deterministic, so cached vs fresh is
 # bit-identical — every consumer's oracle replays the same training.
-_CENTROID_CACHE: dict[tuple[str, str], list] = {}
+_CENTROID_CACHE: dict[tuple, list] = {}
 
 
-def lloyds_assignments(spark: SparkSession, e: DataFrame, cache_key: str | None = None):
+def lloyds_assignments(spark: SparkSession, e: DataFrame, cache_key: object = None):
     """Run the fixed Lloyd's rounds; return (final centroid DF, final
     assignment DF).  Shared by the training query, the trained-IVF
     search query, and the SemDeDup pruner so all provably use the same
-    quantizer.  Pass ``cache_key`` (the sf_dir) to reuse this session's
+    quantizer.  Pass ``cache_key`` — callers use (sf_dir, loader), so
+    a monkeypatched load_table gets its own entry rather than stale
+    centroids (the _SIG_CACHE discipline) — to reuse this session's
     trained centroids instead of re-running the training jobs."""
     key = (
         (spark.sparkContext.applicationId, cache_key)

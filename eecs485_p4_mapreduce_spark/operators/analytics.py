@@ -795,13 +795,21 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     conv = conv.localCheckpoint()  # shared by the rank pass + summary
+    # aggregate the selected row so BOTH sides are always exactly one row
+    # — a filter-only median frame would be EMPTY on a zero-converter
+    # corpus and the crossJoin would drop the summary row, where the
+    # oracle's aggregate-over-empty returns one all-NULL row
     median = (
         with_global_rank(conv, ["us_to_convert", "user_id"])
         .filter(F.col("_rk") == F.expr("(_n + 1) DIV 2"))
-        .select(F.col("us_to_convert").cast("bigint").alias("median_us"))
+        .agg(F.min("us_to_convert").cast("bigint").alias("median_us"))
     )
     summary = conv.agg(
-        F.count("*").cast("bigint").alias("n_converted"),
+        # NULL (not 0) when nobody converts: the oracle's MAX(n) over an
+        # empty ranked set is NULL, and so was the pre-rewrite max(n)
+        F.when(F.count("*") > 0, F.count("*"))
+        .cast("bigint")
+        .alias("n_converted"),
         F.min("us_to_convert").cast("bigint").alias("min_us"),
         F.max("us_to_convert").cast("bigint").alias("max_us"),
     )

@@ -1252,15 +1252,15 @@ def _calibration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(est.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = (
-        docs.join(cand_ids, "doc_id", "left_semi")
-        .select("doc_id", "text")
-        # same single-split right-sizing as minhashfn.minhash_banded: a
-        # compact parquet delivers one scan partition, which would build
-        # every shingle array on one core
-        .repartition(32, "doc_id")
-        .select("doc_id", shingles("text", _SHINGLE).alias("sh"))
-    )
+    sh_base = docs.join(cand_ids, "doc_id", "left_semi").select("doc_id", "text")
+    # same single-split right-sizing as minhashfn.minhash_banded: a
+    # compact parquet delivers one scan partition, which would build
+    # every shingle array on one core; no-op when the scan already has
+    # enough splits (always, at real scale)
+    target = spark.sparkContext.defaultParallelism
+    if sh_base.rdd.getNumPartitions() < target:
+        sh_base = sh_base.repartition(target, "doc_id")
+    sh = sh_base.select("doc_id", shingles("text", _SHINGLE).alias("sh"))
     ex = (
         est.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")

@@ -182,7 +182,7 @@ def embedding_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cdf, final = _lloyds_assignments(spark, e, cache_key=sf_dir)
+    cdf, final = _lloyds_assignments(spark, e, cache_key=(sf_dir, load_table))
     norm = F.expr(
         "aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
         " (acc, x) -> acc + x)"
@@ -243,7 +243,7 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    _, assigned = _lloyds_assignments(spark, e, cache_key=sf_dir)
+    _, assigned = _lloyds_assignments(spark, e, cache_key=(sf_dir, load_table))
     corpus = assigned.select("vec_id", "v", "k")
     q = F.broadcast(
         corpus.filter(F.col("vec_id") < _IVF_NQ).select(

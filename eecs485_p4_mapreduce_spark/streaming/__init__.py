@@ -616,7 +616,7 @@ def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         # sf0.1 vs ~2 s parallel).  Re-spreading the batch across the
         # cores is the standard right-sizing step after a file trigger;
         # at cluster scale the count tracks batch bytes, not files.
-        .repartition(32, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", F.expr(MINHASH_SIG_FOLD).alias("sig"))
         # Explode a CONSTANT band sequence and key each band from the
         # sig ATTRIBUTE after the Generate barrier — exploding a bands

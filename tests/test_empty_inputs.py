@@ -62,3 +62,14 @@ def empty_sf_dir(tmp_path_factory, sf_dir):
 def test_runs_on_empty_tables(name, spark, empty_sf_dir):
     rows = REGISTRY[name].fn(spark, empty_sf_dir).collect()
     assert rows == [] or all(r is not None for r in rows)
+
+
+def test_funnel_time_to_convert_empty_matches_oracle_shape(spark, empty_sf_dir):
+    """Zero converters must yield the oracle's ONE all-NULL summary row,
+    not zero rows — the crossJoin's median side is aggregated to stay
+    1-row and n_converted is NULL (not 0), matching MAX(n) over empty."""
+    rows = REGISTRY["funnel_time_to_convert"].fn(spark, empty_sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_converted"] is None and r["median_us"] is None
+    assert r["min_us"] is None and r["max_us"] is None
