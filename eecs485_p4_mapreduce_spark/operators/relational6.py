@@ -322,13 +322,12 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
 # tests/test_testdata_schema.py): 0 <= value < 9.2e3 and
 # 0 <= event_id < 1e9.  |value|*1e6*1e9 overflows int64 at |value| ~=
 # 9223.37, and an event_id >= 1e9 (or negative) would bleed into the
-# value digits and mis-order.  Outside those bounds, use a struct
-# ordering key on the Spark side (max_by(id, struct(value, event_id)))
-# and keep this packed key only where DuckDB's arg_max needs a scalar.
-_ARG_KEY_SPARK = (
-    "cast(cast(round(value, 6) as decimal(18,6)) * 1000000 as bigint)"
-    " * 1000000000 + event_id"
-)
+# value digits and mis-order.  The Spark side therefore orders by a
+# STRUCT key (no range preconditions); this packed scalar exists only
+# because DuckDB's arg_max takes no composite ordering key, and the
+# bounds above are what make the two orderings coincide.
+# (Spark side uses a struct ordering key — see agg_argminmax_by — so only
+# the DuckDB twin needs the packed-scalar spelling.)
 _ARG_KEY_DUCK = (
     "CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
     " * 1000000000 + event_id"
@@ -354,13 +353,19 @@ def agg_argminmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties.
 
     Ties are the correctness trap in every argmax: both engines pick an
-    arbitrary row among equal values, so the ordering key here is a
-    single bigint encoding (exact-decimal value, event_id) -- bitwise
-    the same winner everywhere, at the cost of one multiply per row.
+    arbitrary row among equal values, so the ordering key is the pair
+    (rounded value, event_id).  The Spark side orders by a STRUCT key —
+    lexicographic, no range preconditions at all — while the DuckDB
+    oracle packs the same pair into one bigint only because its
+    ``arg_max`` takes no composite ordering key; within the corpus's
+    asserted bounds (see _ARG_KEY preconditions) the two orderings are
+    identical, and the engine side stays correct even beyond them.
     One map-side-combinable aggregate; no join, no window.
     """
     e = load_table(spark, sf_dir, "events")
-    key = F.expr(_ARG_KEY_SPARK)
+    key = F.struct(
+        F.round("value", 6).alias("v"), F.col("event_id").alias("i")
+    )
     return e.groupBy("event_type").agg(
         F.round(F.max("value"), 6).alias("max_value"),
         F.max_by("event_id", key).alias("argmax_id"),
