@@ -16,12 +16,23 @@ plan, factored here from ``ids_contiguous_assign``
 ``global offset + local rank`` equals the global rank for ANY disjoint
 ordered ranges, so the result is independent of where
 repartitionByRange's *sampled* boundaries happen to fall.  The ranged
-frame is localCheckpoint()ed because both branches (per-partition stats
-and the numbering) must observe the same physical partitioning, and the
+frame is checkpointed because both branches (per-partition stats and
+the numbering) must observe the same physical partitioning, and the
 checkpoint stops projection collapse from replaying the exchange.
 
-The only global window left is the P-row prefix sum — constant-size at
-any data scale.
+Checkpoint durability: when the session has a reliable checkpoint
+directory configured (``sc.setCheckpointDir``) the ranged frame uses
+``checkpoint()`` — an executor loss mid-query recovers from the
+replicated store.  Otherwise it falls back to ``localCheckpoint()``,
+which is faster (executor-local blocks, no FS round-trip) but NOT
+fault-tolerant: losing an executor after the checkpoint kills the
+query, and the recompute story is "re-run the query".  That is the
+right trade locally and acceptable for interactive jobs; long batch
+jobs on a real cluster should set a checkpoint dir (e.g. under the
+warehouse on HDFS/S3) and get durability with no code change here.
+
+The only global window left is the P-row prefix sum — P = partition
+count, cluster-sized (not data-sized) at any scale.
 """
 
 from __future__ import annotations
@@ -31,7 +42,24 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_PARTS = 32
+
+def default_rank_partitions(df: DataFrame) -> int:
+    """Partition count for the ranged frame: one per available core
+    (``defaultParallelism`` — executors × cores on a cluster), floored
+    at 2 so the recipe is still exercised on a 1-core session.  A fixed
+    constant would cap the rank stage's parallelism on a 1000-executor
+    cluster; tracking defaultParallelism scales it with the cluster.
+    Rows per partition stay ~data/cores, the same balance every other
+    shuffle in the job runs at."""
+    return max(int(df.sparkSession.sparkContext.defaultParallelism), 2)
+
+
+def _pin_partitioning(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` so both consumers see one physical
+    partitioning (see module docstring for the durability trade)."""
+    if df.sparkSession.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
 
 
 def with_global_rank(
@@ -39,7 +67,8 @@ def with_global_rank(
     order_cols: Sequence[Column | str],
     *,
     sum_col: str | None = None,
-    partitions: int = _PARTS,
+    partitions: int | None = None,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Return ``df`` + ``_rk`` (1-based global rank over ``order_cols``)
     and ``_n`` (total row count), computed with the range-partition /
@@ -50,22 +79,44 @@ def with_global_rank(
 
     ``order_cols`` may include ``F.col(...).desc()`` sort orders; they
     are applied identically to the range partitioner and the local
-    window, which is what makes offset+local == global."""
-    ranged = (
-        df.repartitionByRange(partitions, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+    window, which is what makes offset+local == global.
+
+    ``partition_cols`` generalizes to GROUPED global ranks (``rank()
+    OVER (PARTITION BY g ORDER BY ...)``) that stay scale-safe when the
+    groups are few and huge: ranks restart per group, ``_n``/``_tot``
+    become per-group totals, and the range partitioner spreads each
+    group across contiguous ranges instead of one task per group.  The
+    offsets frame grows to partitions x n_groups rows — still
+    cluster-sized, but keep ``partition_cols`` low-cardinality (for
+    high-cardinality groups an ordinary partitioned window is already
+    parallel and should be used instead).
+
+    ``partitions`` defaults to :func:`default_rank_partitions` (one per
+    core, cluster-sized); pass an explicit count only when the caller
+    knows the input is small."""
+    if partitions is None:
+        partitions = default_rank_partitions(df)
+    pcols = list(partition_cols)
+    ranged = _pin_partitioning(
+        df.repartitionByRange(partitions, *pcols, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     aggs = [F.count("*").alias("_c")]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_s"))
-    per_part = ranged.groupBy("_pid").agg(*aggs)
-    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("_pid").rowsBetween(
+    per_part = ranged.groupBy("_pid", *pcols).agg(*aggs)
+    w_base = (
+        Window.partitionBy(*pcols).orderBy("_pid") if pcols
+        else Window.orderBy("_pid")
+    )
+    w_prev = w_base.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = w_base.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     off_cols = [
         F.col("_pid"),
+        *[F.col(c) for c in pcols],
         F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_off"),
         F.sum("_c").over(w_all).alias("_n"),
     ]
@@ -76,7 +127,7 @@ def with_global_rank(
         ]
     offsets = per_part.select(*off_cols)
 
-    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    w_local = Window.partitionBy("_pid", *pcols).orderBy(*order_cols)
     out = ranged.withColumn("_local_rk", F.row_number().over(w_local))
     if sum_col is not None:
         out = out.withColumn(
@@ -85,13 +136,68 @@ def with_global_rank(
                 w_local.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-    out = out.join(F.broadcast(offsets), "_pid")
+    out = out.join(F.broadcast(offsets), ["_pid", *pcols])
     out = out.withColumn(
         "_rk", (F.col("_off") + F.col("_local_rk")).cast("bigint")
     )
     if sum_col is not None:
         out = out.withColumn("_cum", F.col("_soff") + F.col("_local_cum"))
     return out.drop("_pid", "_off", "_local_rk", "_soff", "_local_cum")
+
+
+def with_running_max(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    val_col: str,
+    *,
+    partition_cols: Sequence[str] = (),
+    partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df`` + ``_runmax``: the running maximum of ``val_col``
+    over ``order_cols`` within each ``partition_cols`` group — the
+    high-water-mark shape — WITHOUT a per-group single-task window.
+
+    ``max`` is associative, so the partition-offset recipe applies
+    verbatim with prefix-max in place of prefix-sum: range-partition on
+    (partition_cols, order_cols) so each group's rows land in contiguous
+    ranges, take the running max within each (partition, group) slice,
+    and combine with the max over the group's EARLIER partitions via a
+    broadcast P-row offsets frame.  A low-cardinality ``partition_cols``
+    (e.g. ~5 event types) would otherwise funnel corpus/5 rows through
+    one window task."""
+    if partitions is None:
+        partitions = default_rank_partitions(df)
+    pcols = list(partition_cols)
+    ranged = _pin_partitioning(
+        df.repartitionByRange(partitions, *pcols, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    per_part = ranged.groupBy("_pid", *pcols).agg(F.max(val_col).alias("_pmax"))
+    w_prev = (
+        Window.partitionBy(*pcols).orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        if pcols
+        else Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_part.select(
+        "_pid", *pcols, F.max("_pmax").over(w_prev).alias("_prevmax")
+    )
+    w_local = (
+        Window.partitionBy("_pid", *pcols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = ranged.withColumn("_localmax", F.max(val_col).over(w_local)).join(
+        F.broadcast(offsets), ["_pid", *pcols]
+    )
+    # greatest() skips NULLs, so the first partition of each group
+    # (NULL _prevmax) falls back to its local running max alone
+    out = out.withColumn(
+        "_runmax", F.greatest(F.col("_localmax"), F.col("_prevmax"))
+    )
+    return out.drop("_pid", "_pmax", "_prevmax", "_localmax")
 
 
 def ntile_from_rank(rk: str, n: str, tiles: int) -> Column:

@@ -299,13 +299,16 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact spend, then roll up the 64 possible 'RFM' segments.
 
     ntile ties are broken by custkey in BOTH engines, so quartile
-    boundaries are deterministic.  No single-task window anywhere: each
-    quartile score is a range-partitioned global rank (partition-offset
-    recipe, functions/ranking.py) mapped through the exact ANSI
-    tile-size rule — the per-customer aggregate never funnels through
-    one partition, so the plan survives any customer count.  The oracle
-    keeps the naive ntile spelling; identical ordering makes the tiles
-    bitwise equal."""
+    boundaries are deterministic.  No single-task window anywhere, and
+    — unlike the first rewrite, which paid three separate range
+    exchanges + checkpoints — ALL THREE quartile dimensions ride ONE
+    grouped-rank pass: the per-customer aggregate is stacked into three
+    tagged rows (dim, keys) and ranked with the partition-offset recipe
+    grouped by dim (functions/ranking.py, ``partition_cols``), then
+    pivoted back per customer.  One exchange over 3N tagged rows
+    replaces three over N plus three shuffle joins; the plan survives
+    any customer count.  The oracle keeps the naive ntile spelling;
+    identical ordering makes the tiles bitwise equal."""
     from eecs485_p4_mapreduce_spark.functions.ranking import (
         ntile_from_rank,
         with_global_rank,
@@ -316,21 +319,36 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("freq"),
         dsum("o_totalprice").alias("monetary"),
-    ).localCheckpoint()  # three rank passes share one aggregate
-
-    def quartile(order_col: str, alias: str) -> DataFrame:
-        ranked = with_global_rank(
-            base.select("o_custkey", order_col), [order_col, "o_custkey"]
-        )
-        return ranked.select(
-            "o_custkey", ntile_from_rank("_rk", "_n", 4).alias(alias)
-        )
-
-    scored = (
-        base.select("o_custkey", "monetary")
-        .join(quartile("last_order", "r"), "o_custkey")
-        .join(quartile("freq", "f"), "o_custkey")
-        .join(quartile("monetary", "m"), "o_custkey")
+    ).localCheckpoint()  # read twice: range-boundary sampling + the rank
+    # one tagged row per (customer, dimension); the unused key columns
+    # are all-NULL constants within a dim, so ordering by (_kd,_kl,_km)
+    # inside each dim degenerates to exactly that dim's key
+    stacked = base.select(
+        "o_custkey",
+        "monetary",
+        F.expr(
+            "stack(3,"
+            " 'r', last_order, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),"
+            " 'f', CAST(NULL AS TIMESTAMP_NTZ), freq, CAST(NULL AS DOUBLE),"
+            " 'm', CAST(NULL AS TIMESTAMP_NTZ), CAST(NULL AS BIGINT), monetary)"
+            " AS (_dim, _kd, _kl, _km)"
+        ),
+    )
+    ranked = with_global_rank(
+        stacked,
+        ["_kd", "_kl", "_km", "o_custkey"],
+        partition_cols=["_dim"],
+    ).select(
+        "o_custkey",
+        "monetary",
+        "_dim",
+        ntile_from_rank("_rk", "_n", 4).alias("t"),
+    )
+    scored = ranked.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("_dim") == "r", F.col("t"))).alias("r"),
+        F.max(F.when(F.col("_dim") == "f", F.col("t"))).alias("f"),
+        F.max(F.when(F.col("_dim") == "m", F.col("t"))).alias("m"),
+        F.max("monetary").alias("monetary"),
     )
     return (
         scored.select(

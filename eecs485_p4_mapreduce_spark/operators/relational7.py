@@ -515,10 +515,14 @@ def stats_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFram
 
     This is how a global order statistic survives 100 TB: the naive
     window (the oracle's spelling) funnels everything through one
-    partition, while this plan's biggest single-node obligation is one
-    bucket.  Both passes are deterministic (integer bucket ids,
-    event_id tie-break), so the result equals the oracle's
-    single-partition rank selection exactly."""
+    partition, while this plan never sorts more than one range
+    partition's slice of one bucket in a single task — the in-bucket
+    rank-select itself goes through the partition-offset recipe
+    (functions/ranking.py), so even the winning bucket (~1/buckets of
+    the corpus, ~1 TB at 100 TB) is ranked in parallel.  Both passes
+    are deterministic (integer bucket ids, event_id tie-break), so the
+    result equals the oracle's single-partition rank selection
+    exactly."""
     e = load_table(spark, sf_dir, "events")
     # pass 1: integer-bucket histogram (value in [0, ~100) at any sf)
     hist = (
@@ -535,12 +539,16 @@ def stats_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFram
             bucket, before = r["b"], acc
             break
         acc += r["c"]
-    # pass 2: rank-select inside the single winning bucket
-    w = Window.orderBy("value", "event_id")
-    in_bucket = e.filter(F.floor("value").cast("bigint") == bucket)
+    # pass 2: rank-select inside the single winning bucket, itself
+    # distributed via the partition-offset recipe
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    in_bucket = e.filter(F.floor("value").cast("bigint") == bucket).select(
+        "value", "event_id"
+    )
     return (
-        in_bucket.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == target - before)
+        with_global_rank(in_bucket, ["value", "event_id"])
+        .filter(F.col("_rk") == target - before)
         .select(
             F.lit(total).cast("bigint").alias("n"),
             F.col("value").alias("median"),

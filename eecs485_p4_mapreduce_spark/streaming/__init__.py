@@ -1263,6 +1263,34 @@ _AUTO_WM_SQL_LATE = """
 """
 
 
+def _auto_wm_lateness_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy measurement frame for ``streaming_auto_watermark_tumbling``:
+    per-event lateness (high-water-mark minus event time) with its
+    global rank attached.  Both sequential shapes go through the
+    partition-offset recipes of ``functions/ranking.py`` — the
+    per-type high-water mark via :func:`with_running_max` (PARTITION BY
+    event_type alone would push corpus/n_types rows through one task)
+    and the p95 rank via :func:`with_global_rank` (an unpartitioned
+    ``row_number`` would push the whole corpus through one).  Factored
+    out so tests/test_plans.py can pin that every windowspec in the
+    measurement plan is ``_pid``-scoped."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import (
+        with_global_rank,
+        with_running_max,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    late = with_running_max(
+        e.select(
+            "event_type", "event_id", F.expr("unix_micros(ts)").alias("t_us")
+        ),
+        ["event_id"],
+        "t_us",
+        partition_cols=["event_type"],
+    ).select((F.col("_runmax") - F.col("t_us")).alias("late_us"), "event_id")
+    return with_global_rank(late, ["late_us", "event_id"])
+
+
 @query(
     "streaming_auto_watermark_tumbling",
     oracle=f"""
@@ -1302,29 +1330,15 @@ def streaming_auto_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataF
     the same final-watermark cutoff (window_end <= max(ts) - delay), so
     the check proves both the measurement and the append contract under
     a data-derived delay.  The measurement collects exactly ONE scalar
-    to the driver (the delay); the global p95 rank runs on lateness
-    rows, audit-sized at any corpus scale.
+    to the driver (the delay); the lateness rows are corpus-sized, so
+    both the per-type high-water mark and the global p95 rank run on
+    the partition-offset recipes (``_auto_wm_lateness_ranked``) — no
+    data-sized single-task window anywhere in the measurement plan
+    (pinned by tests/test_plans.py).
     """
-    e = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("event_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    late = (
-        e.select("event_type", "event_id", F.expr("unix_micros(ts)").alias("t_us"))
-        .withColumn("hwm_us", F.max("t_us").over(w))
-        .select((F.col("hwm_us") - F.col("t_us")).alias("late_us"), "event_id")
-    )
-    ranked = late.select(
-        "late_us",
-        F.row_number().over(W.orderBy("late_us", "event_id")).alias("rk"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-    )
+    ranked = _auto_wm_lateness_ranked(spark, sf_dir)
     delay_s = int(
-        ranked.filter(F.col("rk") == F.ceil(0.95 * F.col("n")).cast("bigint"))
+        ranked.filter(F.col("_rk") == F.ceil(0.95 * F.col("_n")).cast("bigint"))
         .select(F.ceil(F.col("late_us").cast("double") / 1e6).cast("bigint"))
         .collect()[0][0]
     )

@@ -863,6 +863,36 @@ def test_with_global_rank_matches_row_number(spark):
         assert rk == r["rk"] and n == 500 and cum == r["cum"], r
 
 
+def test_with_running_max_matches_window_hwm(spark):
+    """Partition-offset running max == max() OVER (PARTITION BY grp
+    ORDER BY seq ROWS UNBOUNDED PRECEDING..CURRENT), for both the
+    grouped and the ungrouped (global) shape."""
+    from pyspark.sql import Window
+
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_running_max
+
+    df = spark.range(0, 400).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 73 % 157).alias("v"),
+    )
+    got = with_running_max(df, ["seq"], "v", partition_cols=["grp"])
+    gmap = {(r["grp"], r["seq"]): r["_runmax"] for r in got.collect()}
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for r in df.withColumn("hwm", F.max("v").over(w)).collect():
+        assert gmap[(r["grp"], r["seq"])] == r["hwm"], r
+    # ungrouped: one global high-water mark series
+    got_g = with_running_max(df, ["seq"], "v")
+    ggmap = {r["seq"]: r["_runmax"] for r in got_g.collect()}
+    wg = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    for r in df.withColumn("hwm", F.max("v").over(wg)).collect():
+        assert ggmap[r["seq"]] == r["hwm"], r
+
+
 def test_minhash_signature_cache_shared_across_queries(spark, sf_dir):
     """Two different minhash-family queries in one session must reuse the
     SAME materialized signature frame — the stored-signature-table

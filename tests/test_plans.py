@@ -347,6 +347,7 @@ def test_no_forced_broadcast_of_per_document_side(name, spark, sf_dir):
         "funnel_time_to_convert",
         "ids_contiguous_assign",
         "skyline_orders_pareto",
+        "stats_exact_median_distributed",
     ],
 )
 def test_global_rank_queries_have_no_data_sized_global_window(name, spark, sf_dir):
@@ -366,6 +367,53 @@ def test_global_rank_queries_have_no_data_sized_global_window(name, spark, sf_di
         assert re.search(r"\b_?pid#", s), (
             f"{name} has a data-sized global window: {s}"
         )
+
+
+def test_auto_watermark_measurement_has_no_data_sized_window(spark, sf_dir):
+    """streaming_auto_watermark_tumbling's batch measurement (the p95
+    lateness scan that configures the stream's watermark) executes at
+    definition time, so the registered query's plan never shows it --
+    pin the factored lazy frame instead.  Every windowspec must be
+    _pid-scoped: the per-type high-water mark via with_running_max and
+    the p95 rank via with_global_rank; an unscoped spec means a
+    corpus-sized single-task window crept back into the measurement."""
+    from eecs485_p4_mapreduce_spark.streaming import _auto_wm_lateness_ranked
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _auto_wm_lateness_ranked(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the ranking-recipe windows in the plan"
+    for s in specs:
+        assert re.search(r"\b_pid#", s), f"data-sized global window: {s}"
+
+
+def test_rank_partitions_track_default_parallelism(spark, sf_dir):
+    """with_global_rank's ranged frame must scale its partition count
+    with the session's defaultParallelism (cluster size), not a fixed
+    constant -- the fixed-32 cap would throttle the rank stage on a
+    1000-executor cluster."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import (
+        default_rank_partitions,
+        with_global_rank,
+    )
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    expected = max(spark.sparkContext.defaultParallelism, 2)
+    assert default_rank_partitions(o) == expected
+    # AQE rightly coalesces the tiny test frame at runtime; disable
+    # coalescing to observe the STATIC request, which is what scales
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        ranked = with_global_rank(o, ["o_orderkey"])
+        # the joined output carries the ranged frame's partitioning
+        # through the broadcast join
+        assert ranked.rdd.getNumPartitions() == expected
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
 
 
 def test_runtime_bloom_filter_injected(spark, sf_dir):
