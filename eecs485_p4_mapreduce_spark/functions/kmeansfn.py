@@ -48,7 +48,15 @@ def km_assign(e: DataFrame, cdf: DataFrame) -> DataFrame:
 # them is the in-process stand-in for the stored model table a
 # production pipeline would read.  Deterministic, so cached vs fresh is
 # bit-identical — every consumer's oracle replays the same training.
+# Same immutable-sf_dir assumption (and clear() escape hatch) as
+# dedup._SIG_CACHE: entries live for the application; if the parquet
+# under a cached sf_dir is rewritten mid-application, clear first.
 _CENTROID_CACHE: dict[tuple, list] = {}
+
+
+def clear_centroid_cache() -> None:
+    """Drop every cached trained quantizer (see _CENTROID_CACHE caveats)."""
+    _CENTROID_CACHE.clear()
 
 
 def lloyds_assignments(spark: SparkSession, e: DataFrame, cache_key: object = None):

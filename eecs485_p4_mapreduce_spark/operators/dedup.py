@@ -92,7 +92,22 @@ _hex_int_sql = hex_int_sql
 # died with the old one) naturally misses and rebuilds, and by the
 # loader function so tests that monkeypatch load_table get their own
 # entries instead of a stale corpus.
+#
+# ASSUMPTION: the parquet under a given sf_dir is immutable for the
+# lifetime of one Spark application (true for the driver's testdata and
+# for production's immutable snapshot dirs).  If files under sf_dir were
+# rewritten mid-application the cache would serve signatures of the old
+# corpus — call clear_signature_cache() after any such rewrite.  Entries
+# are never evicted otherwise: each pins one localCheckpointed RDD
+# (~corpus rows x 16 ints) for the application lifetime, which is the
+# point — it IS the stored signature table — but long-lived sessions
+# cycling through many sf_dirs should clear() between corpora.
 _SIG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_signature_cache() -> None:
+    """Drop every cached signature frame (see _SIG_CACHE caveats)."""
+    _SIG_CACHE.clear()
 
 
 def minhash_signatures(
@@ -139,7 +154,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     join strategy to AQE (which still broadcasts when the side is
     measured small at runtime).
     """
-    docs = load_table(spark, sf_dir, "documents")
     sig_df, sig = minhash_signatures(spark, sf_dir)
     a = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "b", "band_hash"
@@ -682,7 +696,6 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus.  The est >= 0.5 filter (exact multiples of 1/16, so the
     comparison is engine-safe) keeps only pairs worth a verify pass.
     """
-    docs = load_table(spark, sf_dir, "documents")
     sig_df, sig = minhash_signatures(spark, sf_dir)
     old = sig.filter(F.col("doc_id") < _SPLIT).select(
         F.col("doc_id").alias("doc_old"), "b", "band_hash"
@@ -1315,7 +1328,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     disabled, restoring the conf in a finally — the bloom-filter-query
     pattern; at real scale the same stage carries enough bytes to keep
     its width and the window is a no-op.  The lazy plan stays pinned
-    via :func:`_calibration_frame`."""
+    via :func:`_calibration_frame`.  Same concurrency caveat as
+    ``join_runtime_bloom_filter``: spark.conf is session-global, safe
+    under the engine's serial-per-session execution; use a child
+    ``spark.newSession()`` scope if concurrent submission is added."""
     curve = _calibration_frame(spark, sf_dir)
     prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")

@@ -752,7 +752,16 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     creation side, might_contain on the fact scan) is pinned in
     tests/test_plans.py.  Results are conf-independent — the oracle is
     the plain join — so correctness never depends on whether the
-    filter was injected."""
+    filter was injected.
+
+    CONCURRENCY CAVEAT: spark.conf is session-global, so a query
+    planned CONCURRENTLY in this session during the set/restore window
+    would inherit the altered confs.  The engine's execution model is
+    serial per session (the driver and bench submit one query at a
+    time), which makes the window private in practice; if concurrent
+    submission is ever added, scope the override via
+    ``spark.newSession()`` (child session with its own SQLConf) around
+    this block instead."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"

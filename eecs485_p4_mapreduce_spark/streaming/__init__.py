@@ -588,7 +588,10 @@ def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     the state a production pipeline would carry (emitted pairs), bounded
     by the duplicate count, not the corpus.  The corpus side's bands are
     computed once per run here; in production they are a stored bucketed
-    table broadcast (as here) or bucket-joined against each micro-batch.
+    table bucket-joined against each micro-batch.  Like the batch
+    family (test_no_forced_broadcast), the corpus side carries NO
+    forced broadcast hint — it is per-document, corpus-sized at 100 TB;
+    the planner still broadcasts it when its measured size is small.
     """
     from eecs485_p4_mapreduce_spark.functions.minhashfn import (
         BANDS as _BANDS,
@@ -602,10 +605,8 @@ def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     # corpus side: the session's stored signature table (cache-shared
     # with the batch dedup family), banded for the probe join
     _, banded = minhash_signatures(spark, sf_dir)
-    corpus = F.broadcast(
-        banded.filter(F.col("doc_id") < _SPLIT).select(
-            F.col("doc_id").alias("doc_old"), F.col("sig").alias("sig_a"), "b", "band_hash"
-        )
+    corpus = banded.filter(F.col("doc_id") < _SPLIT).select(
+        F.col("doc_id").alias("doc_old"), F.col("sig").alias("sig_a"), "b", "band_hash"
     )
     new = (
         _documents_stream(spark, sf_dir)
