@@ -466,6 +466,55 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_TAU = 0.2  # minhash est_jaccard edge threshold
 
 
+def _cc_step(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label-propagation round (propagate + pointer-jump) for
+    connected components; the template dedup_clusters' driver loop
+    repeats to a fixpoint.  Audited by tools/plan_audit.py as the
+    representative iterative plan."""
+    neighbor_min = (
+        edges.join(labels, edges.d == labels.node)
+        .groupBy(F.col("s").alias("node2"))
+        .agg(F.min("lbl").alias("nlbl"))
+    )
+    prop = (
+        labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+        .select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+        )
+    )
+    # pointer-jump: adopt the label of one's label (path halving), so
+    # chains collapse in O(log diameter) rounds instead of O(diameter)
+    lbl_of_lbl = labels.select(
+        F.col("node").alias("lnode"), F.col("lbl").alias("llbl")
+    )
+    return (
+        prop.join(lbl_of_lbl, prop.lbl == F.col("lnode"), "left")
+        .select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("llbl"), F.col("lbl"))).alias("lbl"),
+        )
+    )
+
+
+def _cc_iteration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy one-round CC plan over the real candidate-edge graph (setup
+    executes; the returned frame does not) -- the audit surface."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= _CLUSTER_TAU
+    ).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = edges.select(F.col("s").alias("node")).distinct()
+    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint()
+    return _cc_step(edges, labels)
+
+
+
 @query(
     "dedup_clusters",
     oracle=f"""
@@ -537,32 +586,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint()
     max_rounds = 30
     for it in range(max_rounds):
-        # propagate: min over neighbors' labels
-        neighbor_min = (
-            edges.join(labels, edges.d == labels.node)
-            .groupBy(F.col("s").alias("node2"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        prop = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-            )
-        )
-        # pointer-jump: adopt the label of one's label (path halving), so
-        # chains collapse in O(log diameter) rounds instead of O(diameter)
-        lbl_of_lbl = labels.select(
-            F.col("node").alias("lnode"), F.col("lbl").alias("llbl")
-        )
-        new_labels = (
-            prop.join(lbl_of_lbl, prop.lbl == F.col("lnode"), "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("llbl"), F.col("lbl"))).alias("lbl"),
-            )
-            .localCheckpoint()
-        )
+        new_labels = _cc_step(edges, labels).localCheckpoint()
         converged = False
         if it % 2 == 1 or it == max_rounds - 1:  # check every other round
             changed = (

@@ -58,19 +58,10 @@ def _pagerank_oracle() -> str:
     )
 
 
-@query("graph_pagerank", oracle=_pagerank_oracle())
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted PageRank (10 iterations, d=0.85) on event-type
-    transitions.
-
-    Spark side: one window shuffle extracts edges from the raw log, then
-    a driver-side loop iterates on the aggregated graph (broadcast-sized
-    here; at billions of nodes each iteration is the classic
-    join-aggregate with the rank DataFrame checkpointed every few steps
-    to truncate lineage -- same code shape).  The DuckDB oracle unrolls
-    the same 10 iterations as chained CTEs, proving even the iterative
-    operator exactly.
-    """
+def _pagerank_setup(spark: SparkSession, sf_dir: str):
+    """Build the iteration-invariant frames (edges, out-weights, nodes)
+    and the initial uniform rank vector; shared by the query loop and
+    the plan audit's per-iteration template."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
     edges = (
@@ -91,26 +82,57 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     contrib_base = edges.join(outw, "src")
+    return nodes, contrib_base, ranks, n_nodes
+
+
+def _pagerank_step(nodes, contrib_base, ranks, n_nodes: int) -> DataFrame:
+    """ONE PageRank iteration: contribution join + inflow aggregate +
+    damped update -- the template the driver loop repeats.  Audited by
+    tools/plan_audit.py as the representative iterative plan."""
+    incoming = (
+        contrib_base.join(ranks, contrib_base.src == ranks.node)
+        .select(
+            F.col("dst"),
+            (F.col("rank") * F.col("w") / F.col("tw")).alias("c"),
+        )
+        .groupBy("dst")
+        .agg(F.sum("c").alias("inflow"))
+    )
+    return (
+        nodes.join(incoming, nodes.node == incoming.dst, "left")
+        .select(
+            "node",
+            (
+                F.lit((1.0 - _DAMP) / n_nodes)
+                + F.lit(_DAMP) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    )
+
+
+def _pagerank_iteration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy one-iteration plan for the audit (setup executes; the
+    returned frame does not)."""
+    nodes, contrib_base, ranks, n_nodes = _pagerank_setup(spark, sf_dir)
+    return _pagerank_step(nodes, contrib_base, ranks, n_nodes)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (10 iterations, d=0.85) on event-type
+    transitions.
+
+    Spark side: one window shuffle extracts edges from the raw log, then
+    a driver-side loop iterates on the aggregated graph (broadcast-sized
+    here; at billions of nodes each iteration is the classic
+    join-aggregate with the rank DataFrame checkpointed every few steps
+    to truncate lineage -- same code shape).  The DuckDB oracle unrolls
+    the same 10 iterations as chained CTEs, proving even the iterative
+    operator exactly.
+    """
+    nodes, contrib_base, ranks, n_nodes = _pagerank_setup(spark, sf_dir)
     for k in range(_ITERS):
-        incoming = (
-            contrib_base.join(ranks, contrib_base.src == ranks.node)
-            .select(
-                F.col("dst"),
-                (F.col("rank") * F.col("w") / F.col("tw")).alias("c"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        ranks = (
-            nodes.join(incoming, nodes.node == incoming.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - _DAMP) / n_nodes)
-                    + F.lit(_DAMP) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
+        ranks = _pagerank_step(nodes, contrib_base, ranks, n_nodes)
         if (k + 1) % 4 == 0:
             # truncate lineage: iterative plans grow linearly and would
             # blow up analysis/codegen time by iteration ~15 otherwise

@@ -200,6 +200,41 @@ def test_wav_encode_decode_roundtrip(doc_id):
     assert samples == [((doc_id * 31 + i * 13) % 65536) - 32768 for i in range(n)]
 
 
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=100)
+def test_video_container_roundtrip(doc_id, nbytes):
+    """Every synthesized SGV1 container must walk back to exactly
+    ``nbytes % 4 + 1`` frames, each a real BMP whose decoded dims and
+    blue channel match the per-frame seed arithmetic the oracles use."""
+    from eecs485_p4_mapreduce_spark.operators.multimodal import (
+        _decode_video,
+        _encode_video,
+    )
+
+    frames = _decode_video(_encode_video(doc_id, nbytes))
+    assert len(frames) == nbytes % 4 + 1
+    for i, (frame, w, h, px) in enumerate(frames):
+        seed = doc_id * 131 + i * 17
+        assert frame[:2] == b"BM"
+        assert (w, h) == (seed % 5 + 2, seed % 3 + 2)
+        assert sum(p[0] for p in px) == sum(
+            (seed * 7 + p) % 256 for p in range(w * h)
+        )
+
+
+def test_video_decoder_rejects_malformed():
+    """The container walk must refuse a non-SGV1 payload."""
+    import pytest as _pytest
+
+    from eecs485_p4_mapreduce_spark.operators.multimodal import _decode_video
+
+    with _pytest.raises(ValueError):
+        _decode_video(b"NOPE\x00\x00\x00\x01")
+
+
 def test_wav_decoder_rejects_malformed():
     """The RIFF reader must refuse non-WAVE payloads and truncated
     containers rather than mis-parsing them."""

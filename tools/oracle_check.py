@@ -7,6 +7,12 @@ a tolerance fallback is reported for diagnosis only).  Usage:
 
     python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
 
+A full-registry run (no query filter) additionally writes
+``CORRECTNESS_LOCAL.json`` at the repo root -- the driver-schema
+per-query artifact (rows/schema/hash match + row counts + error), with a
+``_meta`` entry recording HEAD, sf_dir, and timestamp -- so the local
+314/314 sweep is a checked-in, diffable record rather than a prose claim.
+
 ``--vanilla`` runs on a bare ``SparkSession.builder.getOrCreate()`` with
 NONE of the engine's session confs -- the driver's exact environment --
 so any query that silently depends on get_spark's configuration fails
@@ -15,7 +21,9 @@ here first.
 
 from __future__ import annotations
 
+import json
 import os
+import subprocess
 import sys
 import time
 
@@ -48,6 +56,7 @@ def main() -> int:
     else:
         spark = get_spark("oracle-check")
     failures = 0
+    results: dict[str, dict] = {}
     for name in names:
         spec = REGISTRY[name]
         t0 = time.time()
@@ -57,10 +66,16 @@ def main() -> int:
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": None,
+                             "oracle_rows": None, "err": f"spark error: {e}"}
             failures += 1
             continue
         if spec.oracle is None:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"rows_match": len(srows) >= 0, "schema_match": None,
+                             "hash_match": None, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": None}
             continue
         try:
             rel = con.sql(spec.oracle)
@@ -68,6 +83,9 @@ def main() -> int:
             dcols = rel.columns
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": None, "err": f"duckdb error: {e}"}
             failures += 1
             continue
         try:
@@ -75,6 +93,10 @@ def main() -> int:
             d_canon, d_cols = _canon(drows, dcols)
         except TypeError as e:
             print(f"FAIL  {name}: canonicalize error: {e}")
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "spark_rows": len(srows),
+                             "oracle_rows": len(drows),
+                             "err": f"canonicalize error: {e}"}
             failures += 1
             continue
         status = []
@@ -91,12 +113,37 @@ def main() -> int:
             status.append(
                 f"{exact_bad}/{len(s_canon)} rows differ ({'within 1e-9' if near else 'VALUE MISMATCH'}); e.g. {diffs}"
             )
+        results[name] = {
+            "rows_match": len(s_canon) == len(d_canon),
+            "schema_match": s_cols == d_cols,
+            "hash_match": not status and s_canon == d_canon,
+            "spark_rows": len(s_canon),
+            "oracle_rows": len(d_canon),
+            "err": "; ".join(status) if status else None,
+        }
         if status:
             print(f"FAIL  {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
             failures += 1
         else:
             print(f"ok    {name}: {len(s_canon)} rows [{time.time()-t0:.1f}s]")
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if set(names) == set(REGISTRY):
+        head = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip()
+        results["_meta"] = {
+            "head": head,
+            "sf_dir": sf_dir,
+            "vanilla": vanilla,
+            "when": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "passed": len(names) - failures,
+            "total": len(names),
+        }
+        out = os.path.join(REPO, "CORRECTNESS_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     return 1 if failures else 0
 
 

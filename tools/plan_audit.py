@@ -2,9 +2,26 @@
 
 For each query, records the scale-critical plan facts: scan pushdown +
 read schema, join strategies, aggregation shape, exchange count, codegen
-coverage, and Python-boundary operators.  Usage:
+coverage, Python-boundary operators, and window-partitioning risk.  Usage:
 
     python tools/plan_audit.py [sf_dir] > PLANS.md
+
+Coverage of the formerly skipped families (the round-4 lesson: the last
+two scale bugs hid exactly where the audit said "skipped"):
+
+- ``streaming_*`` queries execute their sink at definition time, so the
+  registered callable can't be explained directly.  The audit intercepts
+  ``run_to_completion`` to capture the STREAMING frame right before the
+  sink and explains that — the full pre-sink plan, including any batch
+  setup joined into it.  Driver-side measurement collects that run
+  before the stream is built still execute (they are part of definition).
+- Iterative queries (``graph_pagerank``, ``dedup_clusters``) loop a
+  fixed join+aggregate template under a driver loop; the audit explains
+  the factored one-iteration frame (``_pagerank_iteration_frame``,
+  ``_cc_iteration_frame``) — the plan every round repeats.
+- ``mr_*`` stays plan-less by nature: the exe-compat path is an RDD
+  ``pipe()`` pipeline (no Catalyst plan exists); its scale story is the
+  reference-parity contract in mapreduce/job.py's docstrings.
 """
 
 from __future__ import annotations
@@ -21,9 +38,11 @@ sys.path.insert(0, REPO)
 from eecs485_p4_mapreduce_spark import get_spark  # noqa: E402
 from eecs485_p4_mapreduce_spark.plans import REGISTRY  # noqa: E402
 
-# queries that execute work at definition time (streams, exe jobs,
-# iterative loops) -- the interesting plan is internal, skip the audit
-SKIP = {n for n in REGISTRY if n.startswith(("streaming_", "mr_"))} | {"graph_pagerank", "dedup_clusters"}
+SKIP = {
+    n: "exe-compat RDD pipe() pipeline; no Catalyst plan (see mapreduce/job.py)"
+    for n in REGISTRY
+    if n.startswith("mr_")
+}
 
 _FACTS = [
     ("BroadcastHashJoin", "broadcast-hash join"),
@@ -43,7 +62,75 @@ _FACTS = [
     ("MapInPandas", "mapInPandas"),
     ("FlatMapGroupsInPandas", "applyInPandas"),
     ("PythonUDTF", "python UDTF"),
+    ("StreamingRelation", "streaming source"),
+    ("CartesianProduct", "CARTESIAN PRODUCT (scale hazard)"),
 ]
+
+# windowspecdefinition(pcol#1, ocol#2 ASC NULLS FIRST, specifiedwindowframe(..))
+_SPEC_RE = re.compile(
+    r"windowspecdefinition\(([^()]*(?:\([^()]*\)[^()]*)*)\)"
+)
+
+
+def _window_partition_risk(plan: str) -> tuple[int, int]:
+    """(n_specs, n_unpartitioned): a spec with NO partition column (every
+    argument before the frame carries a sort direction) funnels its whole
+    input through one task — fine only for provably constant-size frames
+    (the ranking recipe's P-row offsets, output-sized grids)."""
+    n = unpart = 0
+    for m in _SPEC_RE.finditer(plan):
+        args = m.group(1)
+        args = re.sub(r"specifiedwindowframe\([^()]*\)", "", args)
+        cols = [a.strip() for a in args.split(",") if a.strip()]
+        parts = [c for c in cols if not re.search(r"\b(ASC|DESC)\b", c)]
+        n += 1
+        if not parts:
+            unpart += 1
+    return n, unpart
+
+
+class _CapturedStream(Exception):
+    def __init__(self, df):
+        super().__init__("captured")
+        self.df = df
+
+
+def _frame_for(name: str, spark, sf_dir: str):
+    """Return (lazy frame to explain, audit-mode note)."""
+    if name == "graph_pagerank":
+        from eecs485_p4_mapreduce_spark.operators.graph import (
+            _pagerank_iteration_frame,
+        )
+
+        return _pagerank_iteration_frame(spark, sf_dir), "per-iteration template"
+    if name == "dedup_clusters":
+        from eecs485_p4_mapreduce_spark.operators.dedup import (
+            _cc_iteration_frame,
+        )
+
+        return _cc_iteration_frame(spark, sf_dir), "per-iteration template"
+    if name == "dedup_minhash_calibration":
+        from eecs485_p4_mapreduce_spark.operators.dedup import (
+            _calibration_frame,
+        )
+
+        return _calibration_frame(spark, sf_dir), "pre-materialization frame"
+    if name.startswith("streaming_"):
+        import eecs485_p4_mapreduce_spark.streaming as streaming
+
+        def _capture(stream_df, **_kw):
+            raise _CapturedStream(stream_df)
+
+        orig = streaming.run_to_completion
+        streaming.run_to_completion = _capture
+        try:
+            df = REGISTRY[name].fn(spark, sf_dir)
+        except _CapturedStream as c:
+            return c.df, "streaming plan, pre-sink"
+        finally:
+            streaming.run_to_completion = orig
+        return df, "returned batch frame (no run_to_completion call)"
+    return REGISTRY[name].fn(spark, sf_dir), None
 
 
 def main() -> None:
@@ -57,15 +144,16 @@ def main() -> None:
     print("# PLANS — physical-plan audit of every declared query")
     print()
     print(f"Generated by tools/plan_audit.py at {sf_dir} "
-          "(AQE on; final plans may further coalesce at runtime).")
+          "(AQE on at runtime; final plans may further coalesce). "
+          "Streaming queries are audited at their pre-sink frame, "
+          "iterative queries at their one-iteration template.")
     print()
     for name in sorted(REGISTRY):
         if name in SKIP:
-            print(f"## {name}\n\nskipped (executes work at definition: stream/exe/iterative;"
-                  " see module docstring for its plan story)\n")
+            print(f"## {name}\n\nskipped: {SKIP[name]}\n")
             continue
         try:
-            df = REGISTRY[name].fn(spark, sf_dir)
+            df, note = _frame_for(name, spark, sf_dir)
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
@@ -80,15 +168,25 @@ def main() -> None:
         schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
         ids = [int(m) for m in re.findall(r"codegen id : (\d+)", plan)]
         codegen = max(ids) if ids else 0
+        n_specs, n_unpart = _window_partition_risk(plan)
         print(f"## {name}\n")
+        if note:
+            print(f"- audited: {note}")
         print(f"- operators: {', '.join(facts) if facts else '(scan/project only)'}")
         print(f"- shuffles: {n_exchange} hash exchange(s), {n_broadcast_ex} broadcast exchange(s)")
         if pushed:
-            interesting = [p for p in pushed if p and "IsNotNull" != p.strip()]
             print(f"- pushed filters: {'; '.join(p[:100] for p in pushed if p)[:300] or '(none)'}")
         for s in schemas[:3]:
             cols = [c.split(":")[0] for c in s.split(",")]
             print(f"- scan columns: {', '.join(cols)[:140]}")
+        if n_specs:
+            tag = (
+                " — VERIFY each is a constant-size frame"
+                " (P-row offsets / output grid); anything data-sized is a bug"
+                if n_unpart
+                else ""
+            )
+            print(f"- window specs: {n_specs}, unpartitioned: {n_unpart}{tag}")
         print(f"- whole-stage codegen spans: {codegen}")
         print()
 
