@@ -153,6 +153,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook NON-broadcastable side at corpus scale, so we leave the
     join strategy to AQE (which still broadcasts when the side is
     measured small at runtime).
+
+    SKEW: band buckets on a boilerplate-heavy corpus are Zipf-skewed --
+    one hot (b, band_hash) bucket can hold thousands of near-identical
+    docs and would otherwise sort/join in a single straggler task.  The
+    engine relies on AQE's OptimizeSkewedJoin to split hot partitions
+    (replicating the matching other-side partition), which handles even
+    a single hot KEY; tests/test_scale_layout.py::
+    test_aqe_splits_skewed_band_bucket proves the reliance against a
+    synthetic hot-bucket fixture (skew=true in the final plan).  At
+    cluster scale the production knobs are skewedPartitionThresholdInBytes
+    / skewedPartitionFactor; an application-level backstop for
+    pathological buckets is capping bucket size at ingest (drop or
+    side-table buckets over ~10k docs -- they are 100%-duplicate
+    boilerplate by construction and get exact-deduped anyway).
     """
     sig_df, sig = minhash_signatures(spark, sf_dir)
     a = sig.select(

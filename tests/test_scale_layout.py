@@ -322,3 +322,61 @@ def test_range_clustered_files_have_tight_minmax(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_aqe_splits_skewed_band_bucket(spark):
+    """The LSH band join's skew story: band buckets on a boilerplate-
+    heavy corpus are Zipf-skewed (one hot (b, band_hash) bucket can hold
+    thousands of near-identical docs), and the engine relies on AQE's
+    OptimizeSkewedJoin to split the hot partition instead of hand-salting
+    (dedup_minhash_lsh docstring).  This pins that the reliance is REAL:
+    a synthetic banded frame with one hot bucket, joined the way the
+    probe join runs (shuffle join, production thresholds scaled to the
+    fixture), must come out of AQE with the skew-join marker -- the hot
+    partition was split across tasks, so no straggler sorts the whole
+    bucket."""
+    confs = {
+        # force the shuffle join the probe runs at corpus scale
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # production defaults (256 MB / 5x) scaled down to the fixture's
+        # COMPRESSED shuffle bytes (MapOutputStatistics sizes, ~tens of KB)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # one hot bucket (band 0, hash 0) with 3000 docs; 300 cold buckets
+        hot = spark.range(0, 3000).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("b"),
+            F.lit(0).cast("bigint").alias("band_hash"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        cold = spark.range(3000, 3600).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 8).cast("int").alias("b"),
+            (F.col("id") % 300).cast("bigint").alias("band_hash"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        banded = hot.union(cold)
+        a = banded.select(F.col("doc_id").alias("doc_a"), "b", "band_hash", F.col("pad").alias("pa"))
+        bb = banded.select(F.col("doc_id").alias("doc_b"), "b", "band_hash", F.col("pad").alias("pb"))
+        pairs = a.join(bb, ["b", "band_hash"]).filter(F.col("doc_a") < F.col("doc_b"))
+        # collect through the SAME DataFrame whose query execution we
+        # inspect -- count() would plan (and skew-optimize) a separate one
+        cnt = pairs.groupBy().count()
+        n = cnt.collect()[0][0]
+        from collections import Counter
+
+        buckets = Counter([(0, 0)] * 3000)
+        buckets.update((i % 8, i % 300) for i in range(3000, 3600))
+        assert n == sum(c * (c - 1) // 2 for c in buckets.values())
+        final = cnt._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:3000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
