@@ -16,6 +16,7 @@ from eecs485_p4_mapreduce_spark.operators import (  # noqa: F401
     linalg,
     mixing,
     multimodal,
+    pii,
     pipeline,
     relational,
     relational2,

@@ -403,17 +403,19 @@ def test_rank_partitions_track_default_parallelism(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").select("o_orderkey")
     expected = max(spark.sparkContext.defaultParallelism, 2)
     assert default_rank_partitions(o) == expected
-    # AQE rightly coalesces the tiny test frame at runtime; disable
-    # coalescing to observe the STATIC request, which is what scales
-    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    # AQE rightly coalesces the tiny test frame at runtime; turn it off
+    # to observe the STATIC request, which is what scales (and to keep
+    # the observation independent of ambient adaptive confs left by
+    # other tests in the session)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         ranked = with_global_rank(o, ["o_orderkey"])
         # the joined output carries the ranged frame's partitioning
         # through the broadcast join
         assert ranked.rdd.getNumPartitions() == expected
     finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def test_runtime_bloom_filter_injected(spark, sf_dir):
@@ -728,3 +730,19 @@ def test_new_ranked_queries_lower_to_bounded_topk(spark, sf_dir):
     for name in ("corpus_zipf_slope", "text_keywords_rake"):
         plan = explain(spark, sf_dir, name)
         assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, name
+
+
+def test_pii_queries_are_scan_side_jvm_regex(spark, sf_dir):
+    """The PII detect/redact pair must stay JVM-side codegen regex over
+    the scan with ONE exchange (the tiny per-source aggregate): a Python
+    eval node or a pre-aggregate shuffle of document text would turn the
+    compliance pass from IO-bound into the pipeline bottleneck."""
+    for name in ("pii_detect_counts", "pii_redact_audit"):
+        plan = explain(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, (name, n_exchanges)
+        # partial+final (redact's min(string digest) forces SortAggregate;
+        # the partials are per-source scalars either way)
+        n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+        assert n_aggs >= 2, name
