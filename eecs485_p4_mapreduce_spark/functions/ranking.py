@@ -7,11 +7,15 @@ plan, factored here from ``ids_contiguous_assign``
 (operators/relational6.py), is:
 
 1. ``repartitionByRange`` on the sort key — each partition holds a
-   contiguous key range;
-2. rank (and, optionally, running-sum) WITHIN each partition — an
-   ordinary partitioned window, parallel across partitions;
-3. aggregate one count/sum row per partition (P rows, P = partition
-   count), prefix-sum that P-row frame, and broadcast the offsets back.
+   contiguous key range — then ``sortWithinPartitions`` on the same
+   key and stamp ``monotonically_increasing_id()``: the id packs
+   (partition id << 33) | in-partition row counter, so the LOCAL rank
+   is pure arithmetic on the stamped id — no per-partition window, and
+   therefore no second full-data ``hashpartitioning(_pid)`` exchange
+   (the window spelling re-shuffled everything a second time);
+2. aggregate one count/min-id/sum row per partition (P rows, P =
+   partition count), prefix-sum that P-row frame, and broadcast the
+   offsets back.
 
 ``global offset + local rank`` equals the global rank for ANY disjoint
 ordered ranges, so the result is independent of where
@@ -97,12 +101,17 @@ def with_global_rank(
     if partitions is None:
         partitions = default_rank_partitions(df)
     pcols = list(partition_cols)
+    # range-partition, sort in place, stamp the packed (pid, counter) id.
+    # The id projection sits ABOVE the sort and is nondeterministic, so
+    # Catalyst never reorders it below; rows of one (partition, group)
+    # slice are contiguous because the range key leads with the groups.
     ranged = _pin_partitioning(
-        df.repartitionByRange(partitions, *pcols, *order_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
+        df.repartitionByRange(partitions, *pcols, *order_cols)
+        .sortWithinPartitions(*pcols, *order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
     )
-    aggs = [F.count("*").alias("_c")]
+    aggs = [F.count("*").alias("_c"), F.min("_mid").alias("_minmid")]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_s"))
     per_part = ranged.groupBy("_pid", *pcols).agg(*aggs)
@@ -117,6 +126,7 @@ def with_global_rank(
     off_cols = [
         F.col("_pid"),
         *[F.col(c) for c in pcols],
+        F.col("_minmid"),
         F.coalesce(F.sum("_c").over(w_prev), F.lit(0)).alias("_off"),
         F.sum("_c").over(w_all).alias("_n"),
     ]
@@ -127,22 +137,28 @@ def with_global_rank(
         ]
     offsets = per_part.select(*off_cols)
 
-    w_local = Window.partitionBy("_pid", *pcols).orderBy(*order_cols)
-    out = ranged.withColumn("_local_rk", F.row_number().over(w_local))
+    out = ranged.join(F.broadcast(offsets), ["_pid", *pcols])
+    # local rank = packed counter distance from the slice's first row
+    out = out.withColumn("_local_rk", F.col("_mid") - F.col("_minmid") + 1)
     if sum_col is not None:
+        # the running sum is not arithmetic-derivable; this one window
+        # keeps the _pid-scoped shape (its exchange moves each ranged
+        # partition as a block, never a data-sized single task)
+        w_local = Window.partitionBy("_pid", *pcols).orderBy("_local_rk")
         out = out.withColumn(
             "_local_cum",
             F.sum(sum_col).over(
                 w_local.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-    out = out.join(F.broadcast(offsets), ["_pid", *pcols])
     out = out.withColumn(
         "_rk", (F.col("_off") + F.col("_local_rk")).cast("bigint")
     )
     if sum_col is not None:
         out = out.withColumn("_cum", F.col("_soff") + F.col("_local_cum"))
-    return out.drop("_pid", "_off", "_local_rk", "_soff", "_local_cum")
+    return out.drop(
+        "_pid", "_mid", "_minmid", "_off", "_local_rk", "_soff", "_local_cum"
+    )
 
 
 def with_running_max(

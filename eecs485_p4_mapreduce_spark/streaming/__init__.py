@@ -573,6 +573,63 @@ def _streaming_minhash_oracle() -> str:
     """
 
 
+# session-scoped band-index tables already materialized (app, sf_dir) ->
+# table name; same immutable-sf_dir discipline as dedup._SIG_CACHE
+_BAND_INDEX_TABLES: dict[tuple, str] = {}
+
+
+def _band_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED banded signature index the streaming probe joins
+    against: corpus-side (doc_id < SPLIT) bands written ONCE per session
+    as a warehouse table bucketed+sorted by the join key (b, band_hash).
+
+    This is the production shape made literal: at 100 TB the static
+    side of a stream-static join must not re-shuffle per micro-batch,
+    and a bucketed table gives the sort-merge join its clustering for
+    free (zero static-side exchange); while the index is measured small
+    the planner still broadcasts it — both scales get the right plan
+    without a forced hint.  Bucket count is the local stream-state
+    width; a cluster deployment sizes it to corpus/bucket-target."""
+    import hashlib
+
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import SPLIT as _SPLIT
+    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    name = _BAND_INDEX_TABLES.get(key)
+    if name is None:
+        name = "sg_band_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        # a FRESH session's in-memory catalog has no entry for the table,
+        # but a previous session's managed location may survive on disk --
+        # drop both before writing.  (Local-session convenience: a real
+        # deployment CREATEs the index once at ingest and only reads here.)
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, name)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
+        _, banded = minhash_signatures(spark, sf_dir)
+        (
+            banded.filter(F.col("doc_id") < _SPLIT)
+            .select(
+                F.col("doc_id").alias("doc_old"),
+                F.col("sig").alias("sig_a"),
+                "b",
+                "band_hash",
+            )
+            .write.mode("overwrite")
+            .bucketBy(8, "b", "band_hash")
+            .sortBy("b", "band_hash")
+            .saveAsTable(name)
+        )
+        _BAND_INDEX_TABLES[key] = name
+    return spark.table(name)
+
+
 @query("streaming_minhash_incremental", oracle=_streaming_minhash_oracle())
 def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest dedup: newly arriving documents (doc_id >=
@@ -586,12 +643,14 @@ def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     (dedup.MINHASH_SIG_FOLD): a pure projection, so the only stateful
     operator is the final dropDuplicates on the candidate pair -- exactly
     the state a production pipeline would carry (emitted pairs), bounded
-    by the duplicate count, not the corpus.  The corpus side's bands are
-    computed once per run here; in production they are a stored bucketed
-    table bucket-joined against each micro-batch.  Like the batch
-    family (test_no_forced_broadcast), the corpus side carries NO
-    forced broadcast hint — it is per-document, corpus-sized at 100 TB;
-    the planner still broadcasts it when its measured size is small.
+    by the duplicate count, not the corpus.  The corpus side IS a
+    stored bucketed index here — a warehouse table bucketed+sorted on
+    (b, band_hash) written once per session (``_band_index_table``) —
+    so at corpus scale each micro-batch's probe join needs NO
+    static-side shuffle, and there is no forced broadcast hint
+    (test_no_forced_broadcast rationale: the side is per-document,
+    corpus-sized at 100 TB; the planner still broadcasts it while its
+    measured size is small).
     """
     from eecs485_p4_mapreduce_spark.functions.minhashfn import (
         BANDS as _BANDS,
@@ -600,14 +659,9 @@ def streaming_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         SPLIT as _SPLIT,
         band_hash_sql,
     )
-    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
 
-    # corpus side: the session's stored signature table (cache-shared
-    # with the batch dedup family), banded for the probe join
-    _, banded = minhash_signatures(spark, sf_dir)
-    corpus = banded.filter(F.col("doc_id") < _SPLIT).select(
-        F.col("doc_id").alias("doc_old"), F.col("sig").alias("sig_a"), "b", "band_hash"
-    )
+    # corpus side: the stored bucketed band index (see helper above)
+    corpus = _band_index_table(spark, sf_dir)
     new = (
         _documents_stream(spark, sf_dir)
         .filter(F.col("doc_id") >= _SPLIT)
