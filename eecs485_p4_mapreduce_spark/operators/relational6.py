@@ -124,36 +124,21 @@ def ids_contiguous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key -- collapses the whole table into ONE task and is the
     classic 100 TB deadend (the oracle uses it; DuckDB is welcome to).
     Here the only global structure is the P-row offsets frame (P =
-    number of range partitions): counts aggregate map-side, the prefix
-    sum runs over P rows, and the offsets broadcast back.  The ranged
-    frame is localCheckpoint()ed because repartitionByRange SAMPLES its
-    boundaries: both branches (counts and numbering) must see the same
-    physical partitioning, and the checkpoint also stops projection
-    collapse from recomputing the exchange.  Result ids are independent
-    of where the sampled boundaries fall -- offset + local rank is the
-    global rank for ANY disjoint ordered ranges.
+    number of range partitions, cluster-sized): counts aggregate
+    map-side, the prefix sum runs over P rows, and the offsets
+    broadcast back.  This query originated the recipe; it now delegates
+    to the factored helper (functions/ranking.py), which also derives
+    the local rank arithmetically from a packed monotonically-increasing
+    id -- ONE full-data exchange total, no per-partition window.  Result
+    ids are independent of where the sampled range boundaries fall --
+    offset + local rank is the global rank for ANY disjoint ordered
+    ranges.
     """
-    from pyspark.sql import Window
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    ranged = (
-        docs.repartitionByRange(32, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = ranged.groupBy("pid").count()
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("offset", F.sum("count").over(w_off)).na.fill(
-        0, ["offset"]
-    )
-    w_local = Window.partitionBy("pid").orderBy("doc_id")
-    return (
-        ranged.withColumn("local_rk", F.row_number().over(w_local))
-        .join(F.broadcast(offsets.select("pid", "offset")), "pid")
-        .select(
-            "doc_id",
-            (F.col("offset") + F.col("local_rk") - 1).cast("bigint").alias("row_id"),
-        )
+    return with_global_rank(docs, ["doc_id"]).select(
+        "doc_id", (F.col("_rk") - 1).cast("bigint").alias("row_id")
     )
 
 

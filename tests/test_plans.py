@@ -363,8 +363,7 @@ def test_global_rank_queries_have_no_data_sized_global_window(name, spark, sf_di
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, f"{name}: expected the ranking-recipe windows in the plan"
     for s in specs:
-        # ids_contiguous_assign predates the helper and spells it "pid"
-        assert re.search(r"\b_?pid#", s), (
+        assert re.search(r"\b_pid#", s), (
             f"{name} has a data-sized global window: {s}"
         )
 

@@ -258,3 +258,77 @@ def test_wav_decoder_rejects_malformed():
     fixed = no_data[:4] + len(no_data[8:]).to_bytes(4, "little") + no_data[8:]
     with _pytest.raises(ValueError):
         _decode_wav(fixed)
+
+
+# ---- ranking recipe vs native windows (functions/ranking.py) --------------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 2)),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(min_value=2, max_value=7),
+)
+@settings(max_examples=12, deadline=None)
+def test_grouped_global_rank_matches_window(spark, rows, parts):
+    """Property: with_global_rank(partition_cols=[g]) equals rank()
+    computed by an ordinary window for ANY data (duplicates, skewed
+    groups, fewer rows than partitions) and ANY partition count --
+    including the packed-id arithmetic's edge cases (empty range
+    partitions, single-row groups)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    df = spark.createDataFrame(
+        [(v, g, i) for i, (v, g) in enumerate(rows)], "v int, g int, tid int"
+    )
+    got = with_global_rank(
+        df, ["v", "tid"], partitions=parts, partition_cols=["g"]
+    )
+    gmap = {(r["g"], r["v"], r["tid"]): (r["_rk"], r["_n"]) for r in got.collect()}
+    w = Window.partitionBy("g").orderBy("v", "tid")
+    want = df.select(
+        "g", "v", "tid",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(
+            Window.partitionBy("g").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    ).collect()
+    assert len(gmap) == len(want)
+    for r in want:
+        assert gmap[(r["g"], r["v"], r["tid"])] == (r["rk"], r["n"]), r
+
+
+@given(
+    st.lists(st.integers(-50, 50), min_size=1, max_size=150),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=12, deadline=None)
+def test_global_rank_cumsum_matches_window(spark, vals, parts):
+    """Property: the sum_col variant's _cum/_tot equal the native
+    running-sum window for any values (negatives, duplicates) and any
+    partition count."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v int, tid int"
+    )
+    got = with_global_rank(df, ["v", "tid"], sum_col="v", partitions=parts)
+    gmap = {r["tid"]: (r["_rk"], r["_cum"], r["_tot"]) for r in got.collect()}
+    w = Window.orderBy("v", "tid")
+    want = df.select(
+        "tid",
+        F.row_number().over(w).alias("rk"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).collect()
+    tot = sum(vals)
+    for r in want:
+        assert gmap[r["tid"]] == (r["rk"], r["cum"], tot), r

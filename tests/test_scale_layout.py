@@ -380,3 +380,45 @@ def test_aqe_splits_skewed_band_bucket(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_global_rank_uses_reliable_checkpoint_when_dir_set(tmp_path):
+    """Fault-tolerance contract of functions/ranking.py: with a
+    checkpoint directory configured (the cluster deployment posture),
+    the ranged frame must materialize through reliable checkpoint()
+    (files under the dir -- survives executor loss) and still produce
+    exact ranks.  Runs in its own subprocess because setCheckpointDir
+    is session-sticky and would silently switch every other test's
+    recipe onto the slower reliable path."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+        from pyspark.sql import SparkSession
+        import pyspark.sql.functions as F
+        from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.sparkContext.setCheckpointDir({repr(str(tmp_path / "ckpt"))})
+        df = spark.range(0, 200).select(
+            (F.col("id") * 7 % 31).alias("v"), F.col("id").alias("tid"))
+        got = sorted((r["v"], r["tid"], r["_rk"])
+                     for r in with_global_rank(df, ["v", "tid"], partitions=4).collect())
+        want = sorted((v, t, rk + 1) for rk, (v, t) in enumerate(
+            sorted((i * 7 % 31, i) for i in range(200))))
+        assert got == want, "ranks wrong under reliable checkpoint"
+        import os
+        files = [f for _, _, fs in os.walk({repr(str(tmp_path / "ckpt"))}) for f in fs]
+        assert files, "no reliable checkpoint files written"
+        print("RELIABLE_OK")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert "RELIABLE_OK" in out.stdout, out.stdout + out.stderr

@@ -8,7 +8,8 @@ a tolerance fallback is reported for diagnosis only).  Usage:
     python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
 
 A full-registry run (no query filter) additionally writes
-``CORRECTNESS_LOCAL.json`` at the repo root -- the driver-schema
+``CORRECTNESS_LOCAL.json`` at the repo root (``CORRECTNESS_LOCAL_<sf>.json``
+for non-default scale factors) -- the driver-schema
 per-query artifact (rows/schema/hash match + row counts + error), with a
 ``_meta`` entry recording HEAD, sf_dir, and timestamp -- so the local
 314/314 sweep is a checked-in, diffable record rather than a prose claim.
@@ -140,7 +141,9 @@ def main() -> int:
             "passed": len(names) - failures,
             "total": len(names),
         }
-        out = os.path.join(REPO, "CORRECTNESS_LOCAL.json")
+        base = os.path.basename(os.path.normpath(sf_dir))
+        suffix = "" if base == "sf0.01" else f"_{base}"
+        out = os.path.join(REPO, f"CORRECTNESS_LOCAL{suffix}.json")
         with open(out, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
         print(f"wrote {out}")
