@@ -168,10 +168,14 @@ def with_running_max(
     *,
     partition_cols: Sequence[str] = (),
     partitions: int | None = None,
+    inclusive: bool = True,
 ) -> DataFrame:
     """Return ``df`` + ``_runmax``: the running maximum of ``val_col``
     over ``order_cols`` within each ``partition_cols`` group — the
     high-water-mark shape — WITHOUT a per-group single-task window.
+    With ``inclusive=False`` the frame excludes the current row (the
+    strict-predecessor max, e.g. a Pareto/skyline dominance test):
+    ``_runmax`` is then NULL for each group's first row.
 
     ``max`` is associative, so the partition-offset recipe applies
     verbatim with prefix-max in place of prefix-sum: range-partition on
@@ -203,13 +207,14 @@ def with_running_max(
     w_local = (
         Window.partitionBy("_pid", *pcols)
         .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     )
     out = ranged.withColumn("_localmax", F.max(val_col).over(w_local)).join(
         F.broadcast(offsets), ["_pid", *pcols]
     )
     # greatest() skips NULLs, so the first partition of each group
-    # (NULL _prevmax) falls back to its local running max alone
+    # (NULL _prevmax) falls back to its local running max alone — and in
+    # the exclusive form a group's very first row (both NULL) stays NULL
     out = out.withColumn(
         "_runmax", F.greatest(F.col("_localmax"), F.col("_prevmax"))
     )

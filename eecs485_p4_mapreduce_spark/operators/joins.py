@@ -558,47 +558,27 @@ def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the defining NOT EXISTS -- a quadratic self-join.
     The engine's shape: collapse to the max date per distinct price
     (one hash agg over the input -- the only full-data pass), then the
-    running max date over strictly-higher prices via the
-    range-partition + partition-offset recipe (functions/ranking.py's
-    pattern, with MAX as the prefix combiner): each partition computes
-    its local exclusive running max, a P-row frame prefix-maxes the
-    per-partition maxima, and greatest(local, prior-partitions) is the
-    exclusive global running max -- no single-task window even when a
-    continuous price column makes distinct prices ~ order count.  A
-    point survives iff its date beats that prefix max.  For k > 2
-    dimensions this becomes grid-partition pruning.  Doubles/dates are
-    stored values compared identically -- deterministic."""
-    from pyspark.sql import Window
+    EXCLUSIVE running max date over strictly-higher prices via
+    functions/ranking.py's with_running_max(inclusive=False) -- the
+    range-partition + partition-offset recipe with MAX as the prefix
+    combiner, no single-task window even when a continuous price column
+    makes distinct prices ~ order count.  A point survives iff its date
+    beats that strict-predecessor max (NULL = no higher price exists).
+    For k > 2 dimensions this becomes grid-partition pruning.
+    Doubles/dates are stored values compared identically --
+    deterministic."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_running_max
 
     o = load_table(spark, sf_dir, "orders")
     per_price = o.groupBy(F.col("o_totalprice").alias("price")).agg(
         F.max("o_orderdate").alias("odate")
     )
-    ranged = (
-        per_price.repartitionByRange(32, F.desc("price"))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        ranged.groupBy("_pid")
-        .agg(F.max("odate").alias("_pm"))
-        .select("_pid", F.max("_pm").over(w_prev).alias("_prior"))
-    )
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy(F.desc("price"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     return (
-        ranged.withColumn("_lmax", F.max("odate").over(w_local))
-        .join(F.broadcast(offsets), "_pid")
-        # greatest() skips NULLs, so first-row/first-partition cases fall
-        # out naturally: NULL only when no strictly-higher price exists.
-        .withColumn("best_higher", F.greatest(F.col("_lmax"), F.col("_prior")))
+        with_running_max(
+            per_price, [F.desc("price")], "odate", inclusive=False
+        )
         .filter(
-            F.col("best_higher").isNull()
-            | (F.col("odate") > F.col("best_higher"))
+            F.col("_runmax").isNull() | (F.col("odate") > F.col("_runmax"))
         )
         .select("price", "odate")
     )

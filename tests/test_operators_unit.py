@@ -891,6 +891,13 @@ def test_with_running_max_matches_window_hwm(spark):
     wg = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
     for r in df.withColumn("hwm", F.max("v").over(wg)).collect():
         assert ggmap[r["seq"]] == r["hwm"], r
+    # exclusive (strict-predecessor) form: NULL for the first row, and
+    # equal to max() over ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    got_x = with_running_max(df, ["seq"], "v", inclusive=False)
+    gxmap = {r["seq"]: r["_runmax"] for r in got_x.collect()}
+    wx = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, -1)
+    for r in df.withColumn("hwm", F.max("v").over(wx)).collect():
+        assert gxmap[r["seq"]] == r["hwm"], r
 
 
 def test_minhash_signature_cache_shared_across_queries(spark, sf_dir):
