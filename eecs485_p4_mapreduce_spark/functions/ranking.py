@@ -37,6 +37,14 @@ warehouse on HDFS/S3) and get durability with no code change here.
 
 The only global window left is the P-row prefix sum — P = partition
 count, cluster-sized (not data-sized) at any scale.
+
+Packed-id capacity: ``monotonically_increasing_id`` reserves 33 bits
+for the in-partition counter, so the arithmetic is exact up to 2^33
+(~8.6e9) rows per range partition.  With partitions tracking cluster
+cores a partition holds ~data/cores rows — hundreds of millions at
+100 TB on a 1000-executor cluster — leaving >30x headroom; a pathological
+single-partition configuration would hit Spark's own id contract long
+before this recipe's.
 """
 
 from __future__ import annotations
