@@ -74,6 +74,26 @@ def _pin_partitioning(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def _attach_offsets(ranged: DataFrame, offsets: DataFrame, pcols: list) -> DataFrame:
+    """Broadcast-join the P-row offsets frame back onto the ranged frame,
+    NULL-SAFE on the group columns: PARTITION BY treats NULL as a group,
+    so the re-attach must too — a plain name-join (NULL != NULL) would
+    silently drop every NULL-group row.  The offsets side's keys are
+    renamed before the join so the self-join condition is unambiguous
+    (offsets derives from ranged)."""
+    if not pcols:
+        return ranged.join(F.broadcast(offsets), "_pid")
+    renamed = offsets.withColumnRenamed("_pid", "_sgoff_pid")
+    for c in pcols:
+        renamed = renamed.withColumnRenamed(c, f"_sgoff_{c}")
+    cond = ranged["_pid"] == F.col("_sgoff_pid")
+    for c in pcols:
+        cond = cond & ranged[c].eqNullSafe(F.col(f"_sgoff_{c}"))
+    return ranged.join(F.broadcast(renamed), cond).drop(
+        "_sgoff_pid", *[f"_sgoff_{c}" for c in pcols]
+    )
+
+
 def with_global_rank(
     df: DataFrame,
     order_cols: Sequence[Column | str],
@@ -145,7 +165,7 @@ def with_global_rank(
         ]
     offsets = per_part.select(*off_cols)
 
-    out = ranged.join(F.broadcast(offsets), ["_pid", *pcols])
+    out = _attach_offsets(ranged, offsets, pcols)
     # local rank = packed counter distance from the slice's first row
     out = out.withColumn("_local_rk", F.col("_mid") - F.col("_minmid") + 1)
     if sum_col is not None:
@@ -217,8 +237,10 @@ def with_running_max(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
     )
-    out = ranged.withColumn("_localmax", F.max(val_col).over(w_local)).join(
-        F.broadcast(offsets), ["_pid", *pcols]
+    out = _attach_offsets(
+        ranged.withColumn("_localmax", F.max(val_col).over(w_local)),
+        offsets,
+        pcols,
     )
     # greatest() skips NULLs, so the first partition of each group
     # (NULL _prevmax) falls back to its local running max alone — and in

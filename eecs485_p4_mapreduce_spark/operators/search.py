@@ -136,10 +136,15 @@ def search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+    # global top-k via TakeOrdered (per-partition top-k + driver merge;
+    # a rank-filter window would sort EVERY matched doc in one task when
+    # a query term is common), then rank the <=_TOPK-row result -- the
+    # only window left is constant-size
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOPK)
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .withColumn("rk", F.row_number().over(w))
         .select("doc_id", "n_terms_matched", "score", "rk")
     )
 
@@ -222,10 +227,15 @@ def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
+    # global top-k via TakeOrdered (per-partition top-k + driver merge;
+    # a rank-filter window would sort EVERY matched doc in one task when
+    # a query term is common), then rank the <=_TOPK-row result -- the
+    # only window left is constant-size
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _TOPK)
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .withColumn("rk", F.row_number().over(w))
         .select("doc_id", "n_terms_matched", "score", "rk")
     )
 

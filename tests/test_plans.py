@@ -731,6 +731,16 @@ def test_new_ranked_queries_lower_to_bounded_topk(spark, sf_dir):
         assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, name
 
 
+def test_search_topk_is_take_ordered_then_tiny_rank(spark, sf_dir):
+    """tfidf/bm25 retrieval must select the global top-k via
+    TakeOrderedAndProject (per-partition top-k + driver merge) BEFORE
+    ranking: a rank-filter window over all matched docs would sort the
+    whole posting intersection in one task when a query term is common."""
+    for name in ("search_tfidf_rank", "search_bm25_rank"):
+        plan = explain(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
 def test_pii_queries_are_scan_side_jvm_regex(spark, sf_dir):
     """The PII detect/redact pair must stay JVM-side codegen regex over
     the scan with ONE exchange (the tiny per-source aggregate): a Python

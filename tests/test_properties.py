@@ -264,7 +264,10 @@ def test_wav_decoder_rejects_malformed():
 
 @given(
     st.lists(
-        st.tuples(st.integers(0, 30), st.integers(0, 2)),
+        st.tuples(
+            st.integers(0, 30),
+            st.one_of(st.none(), st.integers(0, 2)),
+        ),
         min_size=1,
         max_size=120,
     ),
@@ -274,9 +277,11 @@ def test_wav_decoder_rejects_malformed():
 def test_grouped_global_rank_matches_window(spark, rows, parts):
     """Property: with_global_rank(partition_cols=[g]) equals rank()
     computed by an ordinary window for ANY data (duplicates, skewed
-    groups, fewer rows than partitions) and ANY partition count --
-    including the packed-id arithmetic's edge cases (empty range
-    partitions, single-row groups)."""
+    groups, fewer rows than partitions, NULL group values -- PARTITION
+    BY keeps NULL as a group and so must the recipe's null-safe
+    re-attach) and ANY partition count -- including the packed-id
+    arithmetic's edge cases (empty range partitions, single-row
+    groups)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 

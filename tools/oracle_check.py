@@ -74,7 +74,8 @@ def main() -> int:
             continue
         if spec.oracle is None:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            results[name] = {"rows_match": len(srows) >= 0, "schema_match": None,
+            # no oracle: nothing was compared — record only that it ran
+            results[name] = {"rows_match": None, "schema_match": None,
                              "hash_match": None, "spark_rows": len(srows),
                              "oracle_rows": None, "err": None}
             continue

@@ -66,10 +66,48 @@ _FACTS = [
     ("CartesianProduct", "CARTESIAN PRODUCT (scale hazard)"),
 ]
 
-# windowspecdefinition(pcol#1, ocol#2 ASC NULLS FIRST, specifiedwindowframe(..))
-_SPEC_RE = re.compile(
-    r"windowspecdefinition\(([^()]*(?:\([^()]*\)[^()]*)*)\)"
-)
+# windowspecdefinition(pcol#1, ocol#2 ASC NULLS FIRST,
+#                      specifiedwindowframe(RowFrame, unboundedpreceding$(), ...))
+# Frames contain NESTED parens (unboundedpreceding$() etc.), so extraction
+# must balance parens — a fixed-depth regex silently returns ZERO specs for
+# every row_number/rank/running-aggregate window (the round-5 review bug:
+# the audit's whole reason to exist went unmatched).
+
+
+def _balanced_args(plan: str, needle: str) -> list[str]:
+    """Every balanced argument string following ``needle(`` in ``plan``."""
+    out, i = [], 0
+    while True:
+        j = plan.find(needle + "(", i)
+        if j < 0:
+            return out
+        k = j + len(needle) + 1
+        depth = 1
+        while k < len(plan) and depth:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        out.append(plan[j + len(needle) + 1 : k - 1])
+        i = k
+
+
+def _split_top_level(args: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in args:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
 
 
 def _window_partition_risk(plan: str) -> tuple[int, int]:
@@ -78,10 +116,12 @@ def _window_partition_risk(plan: str) -> tuple[int, int]:
     input through one task — fine only for provably constant-size frames
     (the ranking recipe's P-row offsets, output-sized grids)."""
     n = unpart = 0
-    for m in _SPEC_RE.finditer(plan):
-        args = m.group(1)
-        args = re.sub(r"specifiedwindowframe\([^()]*\)", "", args)
-        cols = [a.strip() for a in args.split(",") if a.strip()]
+    for args in _balanced_args(plan, "windowspecdefinition"):
+        cols = [
+            c
+            for c in _split_top_level(args)
+            if not c.startswith("specifiedwindowframe(")
+        ]
         parts = [c for c in cols if not re.search(r"\b(ASC|DESC)\b", c)]
         n += 1
         if not parts:
