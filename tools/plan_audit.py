@@ -44,6 +44,30 @@ SKIP = {
     if n.startswith("mr_")
 }
 
+# Unpartitioned windowspecs ADJUDICATED constant-size (audited by hand;
+# a query appearing with an unpartitioned spec but NOT in this map is an
+# unreviewed scale hazard and the audit line says so).
+CONSTANT_WINDOW_OK = {
+    "funnel_time_to_convert": "P-row offsets frame (ranking recipe)",
+    "ids_contiguous_assign": "P-row offsets frame (ranking recipe)",
+    "mix_epoch_token_budget": "remainder-rank over one row per source",
+    "mix_quality_weighted": "P-row offsets frame (ranking recipe)",
+    "quality_perplexity_buckets": "P-row offsets frame (ranking recipe)",
+    "search_tfidf_rank": "rank over the <=10-row TakeOrdered result",
+    "search_bm25_rank": "rank over the <=10-row TakeOrdered result",
+    "search_rrf_fusion": "rank over the fused <=20-row top-k lists",
+    "skyline_orders_pareto": "P-row prefix-max frame (ranking recipe)",
+    "stats_exact_median_distributed": "P-row offsets frame (ranking recipe)",
+    "stats_gini_revenue": "P-row offsets frame (ranking recipe)",
+    "stats_mannwhitney_en_lengths": "distinct-length histogram (output-sized)",
+    "stats_ks_drift_by_source": "distinct-length histogram (output-sized)",
+    "window_abc_classification": "P-row offsets frame (ranking recipe)",
+    "window_cumulative_users": "daily-grid cumsum (calendar-bounded)",
+    "window_period_over_period": "daily-grid lag (calendar-bounded)",
+    "rfm_segmentation": "P-row offsets frame (ranking recipe, grouped)",
+    "streaming_auto_watermark_tumbling": "P-row offsets frames (ranking recipes)",
+}
+
 _FACTS = [
     ("BroadcastHashJoin", "broadcast-hash join"),
     ("SortMergeJoin", "sort-merge join"),
@@ -220,12 +244,15 @@ def main() -> None:
             cols = [c.split(":")[0] for c in s.split(",")]
             print(f"- scan columns: {', '.join(cols)[:140]}")
         if n_specs:
-            tag = (
-                " — VERIFY each is a constant-size frame"
-                " (P-row offsets / output grid); anything data-sized is a bug"
-                if n_unpart
-                else ""
-            )
+            if n_unpart and name in CONSTANT_WINDOW_OK:
+                tag = f" — adjudicated constant-size: {CONSTANT_WINDOW_OK[name]}"
+            elif n_unpart:
+                tag = (
+                    " — UNREVIEWED: verify constant-size or fix"
+                    " (anything data-sized is a single-task scale bug)"
+                )
+            else:
+                tag = ""
             print(f"- window specs: {n_specs}, unpartitioned: {n_unpart}{tag}")
         print(f"- whole-stage codegen spans: {codegen}")
         print()
