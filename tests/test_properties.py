@@ -337,3 +337,58 @@ def test_global_rank_cumsum_matches_window(spark, vals, parts):
     tot = sum(vals)
     for r in want:
         assert gmap[r["tid"]] == (r["rk"], r["cum"], tot), r
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(
+                alphabet="aA0.@-_% 5", min_size=0, max_size=12
+            ),  # adversarial: pattern-alphabet soup
+            st.sampled_from(
+                [
+                    "a@b.cd", "x@y", "@.com", "555-1234", "555-12345",
+                    "a555-1234b", "123-45-6789", "1234-45-6789",
+                    "123-456-789", "a.b@c-d.ef", "..@..", "-555-0000-",
+                ]
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_pii_regex_cross_engine_parity(spark, pieces):
+    """The pii queries' whole oracle contract: Spark's Java regex and
+    DuckDB's RE2 must count the SAME spans for the three patterns on
+    arbitrary text — including adjacent candidates, partial matches,
+    and boundary-adversarial strings.  A dialect divergence here would
+    hash-mismatch the oracle on some future corpus."""
+    import duckdb
+
+    from eecs485_p4_mapreduce_spark.operators.pii import (
+        EMAIL_PAT,
+        PHONE_PAT,
+        SSN_PAT,
+    )
+
+    text = " ".join(pieces)
+    import pyspark.sql.functions as F
+
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(
+            F.regexp_count("t", F.lit(EMAIL_PAT)).alias("e"),
+            F.regexp_count("t", F.lit(PHONE_PAT)).alias("p"),
+            F.regexp_count("t", F.lit(SSN_PAT)).alias("s"),
+        )
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT len(regexp_extract_all(?, ?)),"
+        " len(regexp_extract_all(?, ?)),"
+        " len(regexp_extract_all(?, ?))",
+        [text, EMAIL_PAT, text, PHONE_PAT, text, SSN_PAT],
+    ).fetchone()
+    assert (row["e"], row["p"], row["s"]) == d, (text, tuple(row), d)
