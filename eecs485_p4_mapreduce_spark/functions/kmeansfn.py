@@ -40,66 +40,113 @@ def km_assign(e: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
-# Session-scoped trained-quantizer store: (applicationId, cache_key) ->
-# (cache_key = caller's (sf_dir, loader) tuple) ->
-# centroid list.  Three queries (IVF training, trained-IVF search,
-# SemDeDup) train the IDENTICAL quantizer over the same embeddings; the
-# centroids are a K x D python list (tiny, driver-side), so memoizing
-# them is the in-process stand-in for the stored model table a
-# production pipeline would read.  Deterministic, so cached vs fresh is
-# bit-identical — every consumer's oracle replays the same training.
-# Same immutable-sf_dir assumption (and clear() escape hatch) as
-# dedup._SIG_CACHE: entries live for the application; if the parquet
-# under a cached sf_dir is rewritten mid-application, clear first.
-_CENTROID_CACHE: dict[tuple, list] = {}
+# In-memory front of the trained-quantizer store: (applicationId,
+# cache_key, corpus mtime) -> centroid list.  Three queries (IVF
+# training, trained-IVF search, SemDeDup) train the IDENTICAL quantizer
+# over the same embeddings; the centroids are a K x D python list
+# (tiny, driver-side).  Behind it sits the PERSISTED model store
+# (functions/modelstore.py): the trained centroids are published as a
+# tiny parquet model under the warehouse, content-addressed by corpus
+# mtime, so a fresh application reads the model instead of re-running
+# the training jobs.  Deterministic training + exact double parquet
+# round-trip means cached vs stored vs fresh are bit-identical — every
+# consumer's oracle replays the same training.  Bounded LRU + mtime
+# keys replace the round-5 unbounded dict (memo.py rationale).
+from eecs485_p4_mapreduce_spark.functions.memo import LRU, mtime_token
+
+_CENTROID_CACHE = LRU()
 
 
 def clear_centroid_cache() -> None:
-    """Drop every cached trained quantizer (see _CENTROID_CACHE caveats)."""
+    """Evict every cached trained quantizer (in-memory only; the
+    persisted model store is content-addressed and never stale)."""
     _CENTROID_CACHE.clear()
 
 
-def lloyds_assignments(spark: SparkSession, e: DataFrame, cache_key: object = None):
+def loader_tag(prefix: str, cache_key: object) -> str:
+    """Model-store kind tag: the real loader maps to a stable name so
+    the store is shared across applications; a monkeypatched loader
+    (different qualname) gets its own location instead of polluting —
+    or reading — the real corpus's model."""
+    import hashlib
+
+    names = "|".join(
+        f"{getattr(p, '__module__', '')}.{getattr(p, '__qualname__', '')}"
+        for p in (cache_key if isinstance(cache_key, tuple) else (cache_key,))
+        if callable(p)
+    )
+    return f"{prefix}_{hashlib.md5(names.encode()).hexdigest()[:6]}"
+
+
+def lloyds_assignments(
+    spark: SparkSession,
+    e: DataFrame,
+    cache_key: object = None,
+    sf_dir: str | None = None,
+):
     """Run the fixed Lloyd's rounds; return (final centroid DF, final
     assignment DF).  Shared by the training query, the trained-IVF
     search query, and the SemDeDup pruner so all provably use the same
     quantizer.  Pass ``cache_key`` — callers use (sf_dir, loader), so
     a monkeypatched load_table gets its own entry rather than stale
     centroids (the _SIG_CACHE discipline) — to reuse this session's
-    trained centroids instead of re-running the training jobs."""
+    trained centroids instead of re-running the training jobs; pass
+    ``sf_dir`` to also read/publish the persisted model store, which
+    lets even a FRESH application skip training."""
+    from eecs485_p4_mapreduce_spark.functions.modelstore import load_or_train
+
     key = (
-        (spark.sparkContext.applicationId, cache_key)
+        (
+            spark.sparkContext.applicationId,
+            cache_key,
+            mtime_token(sf_dir, "embeddings") if sf_dir else None,
+        )
         if cache_key is not None
         else None
     )
     centroids = _CENTROID_CACHE.get(key) if key else None
     if centroids is None:
-        init = e.filter(F.col("vec_id") < KM_K).select(
-            F.col("vec_id").alias("k"), F.col("v").alias("cv")
-        )
-        centroids = [(int(r["k"]), list(r["cv"])) for r in init.collect()]
-        for _ in range(KM_ROUNDS):
-            cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
-            assigned = km_assign(e, cdf)
-            means = (
-                assigned.select("k", F.posexplode("v").alias("d0", "x"))
-                .groupBy("k", (F.col("d0") + 1).alias("d"))
-                .agg(
-                    (
-                        F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
-                        / F.count(F.lit(1))
-                    ).alias("c")
-                )
-                .collect()
+
+        def train() -> list[tuple]:
+            init = e.filter(F.col("vec_id") < KM_K).select(
+                F.col("vec_id").alias("k"), F.col("v").alias("cv")
             )
-            by_k: dict[int, list] = {}
-            for r in means:
-                by_k.setdefault(int(r["k"]), []).append((r["d"], r["c"]))
-            centroids = [
-                (k, [c for _, c in sorted(vals)]) for k, vals in sorted(by_k.items())
-            ]
+            cents = [(int(r["k"]), list(r["cv"])) for r in init.collect()]
+            for _ in range(KM_ROUNDS):
+                cdf = spark.createDataFrame(cents, "k bigint, cv array<double>")
+                assigned = km_assign(e, cdf)
+                means = (
+                    assigned.select("k", F.posexplode("v").alias("d0", "x"))
+                    .groupBy("k", (F.col("d0") + 1).alias("d"))
+                    .agg(
+                        (
+                            F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                            / F.count(F.lit(1))
+                        ).alias("c")
+                    )
+                    .collect()
+                )
+                by_k: dict[int, list] = {}
+                for r in means:
+                    by_k.setdefault(int(r["k"]), []).append((r["d"], r["c"]))
+                cents = [
+                    (k, [c for _, c in sorted(vals)])
+                    for k, vals in sorted(by_k.items())
+                ]
+            return cents
+
+        if sf_dir is not None:
+            centroids = load_or_train(
+                spark,
+                loader_tag("kmeans", cache_key),
+                sf_dir,
+                "k bigint, cv array<double>",
+                train,
+            )
+        else:
+            centroids = train()
         if key:
-            _CENTROID_CACHE[key] = centroids
+            _CENTROID_CACHE.put(key, centroids)
     cdf = spark.createDataFrame(centroids, "k bigint, cv array<double>")
     return cdf, km_assign(e, cdf)
 

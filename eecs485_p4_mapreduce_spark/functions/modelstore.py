@@ -1,0 +1,89 @@
+"""Persisted trained-model store: the stored-model table for quantizers.
+
+The engine trains small models over a corpus — the Lloyd's k-means
+quantizer (IVF / SemDeDup centroids) and the PQ per-subspace codebooks.
+Training is deterministic but costs a few Spark jobs (~2.5 s at sf0.1);
+the model itself is tiny (K x D doubles, driver-side).  The streaming
+band index already showed the production shape: derive once, STORE,
+read thereafter.  This module gives the quantizers the same treatment:
+
+- Models live as parquet directories under the Spark SQL warehouse
+  (``spark.sql.warehouse.dir``), named content-addressed by corpus path
+  + file mtime: a rewritten corpus gets a NEW location, so a live
+  reader of the old model is never clobbered (the band-index advice);
+  stale versions are only junk on disk, bounded by corpus rewrites
+  (production corpora are immutable snapshot dirs, so normally zero).
+- Publish is atomic on a POSIX filesystem: write to a unique temp dir,
+  ``os.rename`` into place.  A lost race (rename target exists) falls
+  back to reading the winner — training is deterministic, so both
+  writers' content is bit-identical anyway.  (Object stores lack atomic
+  rename; a cluster deployment fronts this with its catalog/ingest
+  instead, which is where stored models belong at 100 TB.)
+- Reads cross APPLICATIONS: the in-memory quantizer caches are keyed by
+  applicationId and die with the context, but a fresh application finds
+  the published model on disk and skips training entirely.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import uuid
+from typing import Callable
+from urllib.parse import urlparse
+
+from pyspark.sql import SparkSession
+
+from eecs485_p4_mapreduce_spark.functions.memo import mtime_token
+
+
+def warehouse_path(spark: SparkSession) -> str:
+    """Local filesystem path of the session warehouse dir."""
+    raw = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(raw)
+    return parsed.path if parsed.scheme in ("", "file") else raw
+
+
+def model_location(
+    spark: SparkSession, kind: str, sf_dir: str, token: int | None
+) -> str:
+    """Content-addressed model dir: corpus path hash + mtime token."""
+    digest = hashlib.md5(os.path.realpath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(
+        warehouse_path(spark), f"sg_model_{kind}_{digest}_{token or 0}"
+    )
+
+
+def load_or_train(
+    spark: SparkSession,
+    kind: str,
+    sf_dir: str,
+    schema: str,
+    train: Callable[[], list[tuple]],
+) -> list[tuple]:
+    """Rows of the trained model for (``kind``, corpus at ``sf_dir``):
+    read the published copy when one exists, else train, publish, and
+    return.  Rows are returned sorted so cached vs fresh is
+    deterministic for every consumer."""
+    token = mtime_token(sf_dir, "embeddings")
+    loc = model_location(spark, kind, sf_dir, token)
+    if token is not None and os.path.exists(os.path.join(loc, "_SUCCESS")):
+        rows = [tuple(r) for r in spark.read.parquet(loc).collect()]
+        if rows:
+            return sorted(rows)
+    rows = sorted(train())
+    if token is None:
+        return rows  # unreadable corpus mtime: don't publish what we can't key
+    tmp = loc + ".tmp-" + uuid.uuid4().hex[:8]
+    # coalesce(1): the model is a handful of KB; one part file keeps the
+    # publish rename + future reads trivial.
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    try:
+        os.rename(tmp, loc)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race; winner's
+        # content is identical (deterministic training) so ours is junk
+    return rows

@@ -21,10 +21,13 @@ the same expressions (1-based element_at/list_extract in both).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+from eecs485_p4_mapreduce_spark.functions.memo import LRU, mtime_token
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -81,32 +84,45 @@ _banded_from_sig = _mh.banded_from_sig
 _hex_int_sql = hex_int_sql
 
 
-# Session-scoped signature store: (applicationId, sf_dir, loader) ->
-# materialized (doc_id, sig).  Eight queries (the minhash dedup family,
-# the band-graph family, contamination audits) each need the identical
-# signature table; recomputing it per query was the suite's entire
-# ~5 s-per-query tail.  This is the in-process stand-in for what
-# production does with a stored, bucketed signature TABLE that ingest
-# keeps fresh -- the docstrings' "stored signature" caveat, made real.
-# Keyed by applicationId so a new SparkContext (whose checkpointed RDDs
-# died with the old one) naturally misses and rebuilds, and by the
-# loader function so tests that monkeypatch load_table get their own
-# entries instead of a stale corpus.
+# Session-scoped signature store: (applicationId, sf_dir, mtime, loader)
+# -> global-temp-view NAME over the materialized (doc_id, sig) frame.
+# Eight queries (the minhash dedup family, the band-graph family,
+# contamination audits) each need the identical signature table;
+# recomputing it per query was the suite's entire ~5 s-per-query tail.
+# This is the in-process stand-in for what production does with a
+# stored, bucketed signature TABLE that ingest keeps fresh -- the
+# docstrings' "stored signature" caveat, made real.  Keyed by
+# applicationId so a new SparkContext (whose checkpointed RDDs died
+# with the old one) naturally misses and rebuilds; by the corpus file
+# mtime so a parquet rewritten in place misses instead of serving the
+# old corpus's signatures; and by the loader function so tests that
+# monkeypatch load_table get their own entries instead of a stale
+# corpus.
 #
-# ASSUMPTION: the parquet under a given sf_dir is immutable for the
-# lifetime of one Spark application (true for the driver's testdata and
-# for production's immutable snapshot dirs).  If files under sf_dir were
-# rewritten mid-application the cache would serve signatures of the old
-# corpus — call clear_signature_cache() after any such rewrite.  Entries
-# are never evicted otherwise: each pins one localCheckpointed RDD
-# (~corpus rows x 16 ints) for the application lifetime, which is the
-# point — it IS the stored signature table — but long-lived sessions
-# cycling through many sf_dirs should clear() between corpora.
-_SIG_CACHE: dict[tuple, DataFrame] = {}
+# Bounded: an LRU (SPARK_GRAFT_MEMO_SLOTS corpora, default 4).  Each
+# live entry pins one localCheckpointed RDD (~corpus rows x 16 ints) —
+# the point: it IS the stored signature table — but eviction drops the
+# global temp view, after which ContextCleaner reclaims the blocks, so
+# a long-lived session cycling many corpora stays bounded.
+_SIG_CACHE = LRU()
+
+
+def _mtime_token(sf_dir: str) -> int | None:
+    return mtime_token(sf_dir, "documents")
+
+
+def _drop_sig_view(spark: SparkSession):
+    """Eviction callback: unregister the aged-out signature view so the
+    checkpointed frame becomes collectible."""
+
+    def drop(name: str) -> None:
+        spark.catalog.dropGlobalTempView(name)
+
+    return drop
 
 
 def clear_signature_cache() -> None:
-    """Drop every cached signature frame (see _SIG_CACHE caveats)."""
+    """Evict every cached signature frame (see _SIG_CACHE notes)."""
     _SIG_CACHE.clear()
 
 
@@ -115,13 +131,23 @@ def minhash_signatures(
 ) -> tuple[DataFrame, DataFrame]:
     """Session-cached ``(sig_df, banded)`` for the full documents corpus
     at ``sf_dir`` — bit-identical to ``_minhash_banded(load_table(...))``
-    (it IS that, memoized), so every consumer's oracle is unchanged."""
+    (it IS that, memoized), so every consumer's oracle is unchanged.
+
+    The materialized frame is published as a GLOBAL temp view and read
+    back through the REQUESTING session's catalog: global temp views are
+    Spark's public cross-session sharing surface, so a consumer running
+    on a conf-scoped child session (e.g. ``dedup_minhash_calibration``)
+    gets a frame bound to ITS session — its conf overrides apply — while
+    still reusing the one checkpointed signature RDD."""
     loader = load_table  # module global: respects monkeypatched loaders
-    key = (spark.sparkContext.applicationId, sf_dir, loader)
-    sig_df = _SIG_CACHE.get(key)
-    if sig_df is None:
+    key = (spark.sparkContext.applicationId, sf_dir, _mtime_token(sf_dir), loader)
+    name = _SIG_CACHE.get(key)
+    if name is None:
         sig_df, _ = _minhash_banded(loader(spark, sf_dir, "documents"))
-        _SIG_CACHE[key] = sig_df
+        name = f"sg_sig_{uuid.uuid4().hex[:12]}"
+        sig_df.createOrReplaceGlobalTempView(name)
+        _SIG_CACHE.put(key, name, on_evict=_drop_sig_view(spark))
+    sig_df = spark.table(f"global_temp.{name}")
     return sig_df, _banded_from_sig(sig_df)
 
 
@@ -1358,25 +1384,24 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibration is a statistical audit, so sampling the expensive
     stage is the honest scale trade.
 
-    Execution-conf window: AQE's post-shuffle coalescing sizes
+    Execution-conf scope: AQE's post-shuffle coalescing sizes
     partitions by BYTES, and the per-pair array_intersect stage is
     CPU-heavy small rows — at test scale AQE collapses it to one task
     (measured 8.2 s vs 2.2 s, the whole suite ceiling).  The curve is
     therefore optimized and materialized eagerly with coalescing
-    disabled, restoring the conf in a finally — the bloom-filter-query
-    pattern; at real scale the same stage carries enough bytes to keep
-    its width and the window is a no-op.  The lazy plan stays pinned
-    via :func:`_calibration_frame`.  Same concurrency caveat as
-    ``join_runtime_bloom_filter``: spark.conf is session-global, safe
-    under the engine's serial-per-session execution; use a child
-    ``spark.newSession()`` scope if concurrent submission is added."""
-    curve = _calibration_frame(spark, sf_dir)
-    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    try:
-        return curve.localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    disabled on a CHILD session (``conf_scoped_session`` — the
+    bloom-filter-query pattern: isolated SQLConf, so no concurrently
+    submitted query can inherit the override); at real scale the same
+    stage carries enough bytes to keep its width and the override is a
+    no-op.  The lazy plan stays pinned via :func:`_calibration_frame`."""
+    from eecs485_p4_mapreduce_spark.functions.confscope import (
+        conf_scoped_session,
+    )
+
+    child = conf_scoped_session(
+        spark, {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+    )
+    return _calibration_frame(child, sf_dir).localCheckpoint()
 
 
 # ---------------------------------------------------------------------------

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions.confscope import conf_scoped_session
 from eecs485_p4_mapreduce_spark.functions.numeric import davg_sql, dsum, dsum_sql, davg
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -725,25 +726,26 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     autoBroadcastJoinThreshold=-1 forces the shuffle join (at real
     scale both sides exceed the threshold naturally) and the
     application-side size floor is lowered to admit test-scale scans.
-    The plan is optimized and materialized eagerly (localCheckpoint)
-    inside a try/finally that restores both confs, so the session's
-    other queries keep their broadcast behavior; the driver then reads
-    the checkpointed result.  Plan shape (bloom aggregate on the
-    creation side, might_contain on the fact scan) is pinned in
-    tests/test_plans.py.  Results are conf-independent — the oracle is
-    the plain join — so correctness never depends on whether the
-    filter was injected.
-
-    CONCURRENCY CAVEAT: spark.conf is session-global, so a query
-    planned CONCURRENTLY in this session during the set/restore window
-    would inherit the altered confs.  The engine's execution model is
-    serial per session (the driver and bench submit one query at a
-    time), which makes the window private in practice; if concurrent
-    submission is ever added, scope the override via
-    ``spark.newSession()`` (child session with its own SQLConf) around
-    this block instead."""
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders").filter(
+    The overrides live on a CHILD session (``conf_scoped_session`` —
+    isolated SQLConf over the shared SparkContext), so no other query
+    can observe them regardless of submission interleaving; the plan is
+    optimized and materialized eagerly (localCheckpoint) on the child
+    and the driver reads the checkpointed result.  Plan shape (bloom
+    aggregate on the creation side, might_contain on the fact scan) is
+    pinned in tests/test_plans.py; conf isolation is pinned in
+    tests/test_scale_layout.py.  Results are conf-independent — the
+    oracle is the plain join — so correctness never depends on whether
+    the filter was injected."""
+    child = conf_scoped_session(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+        },
+    )
+    l = load_table(child, sf_dir, "lineitem")
+    o = load_table(child, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     joined = (
@@ -754,20 +756,4 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("revenue"),
         )
     )
-    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    prev_app = spark.conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-    )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
-    )
-    try:
-        return joined.localCheckpoint()  # optimize + run under the confs
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            prev_app,
-        )
+    return joined.localCheckpoint()  # optimize + run under the child confs

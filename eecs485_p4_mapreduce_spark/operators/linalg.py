@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions import kmeansfn
+from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
+from eecs485_p4_mapreduce_spark.functions.memo import LRU, mtime_token
+from eecs485_p4_mapreduce_spark.functions.modelstore import load_or_train
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -182,7 +185,7 @@ def embedding_kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cdf, final = _lloyds_assignments(spark, e, cache_key=(sf_dir, load_table))
+    cdf, final = _lloyds_assignments(spark, e, cache_key=(sf_dir, load_table), sf_dir=sf_dir)
     norm = F.expr(
         "aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
         " (acc, x) -> acc + x)"
@@ -243,7 +246,7 @@ def knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    _, assigned = _lloyds_assignments(spark, e, cache_key=(sf_dir, load_table))
+    _, assigned = _lloyds_assignments(spark, e, cache_key=(sf_dir, load_table), sf_dir=sf_dir)
     corpus = assigned.select("vec_id", "v", "k")
     q = F.broadcast(
         corpus.filter(F.col("vec_id") < _IVF_NQ).select(
@@ -319,34 +322,68 @@ def _pq_assign(sub: DataFrame, cdf: DataFrame) -> DataFrame:
     )
 
 
-def _pq_codebook(spark: SparkSession, sub: DataFrame) -> DataFrame:
+# In-memory front of the trained PQ codebook (same discipline as
+# kmeansfn._CENTROID_CACHE: bounded LRU, mtime-keyed, persisted model
+# store behind it).
+_PQ_CB_CACHE = LRU()
+
+
+def _pq_codebook(
+    spark: SparkSession, sub: DataFrame, sf_dir: str | None = None
+) -> DataFrame:
     """Train the per-subspace codebooks: deterministic init (codeword k =
     vec_id k's subvector), then _PQ_ROUNDS Lloyd updates with
     decimal-exact component means.  Only the M x K x SUB codebook (256
-    doubles) reaches the driver between rounds."""
-    init = sub.filter(F.col("vec_id") < _PQ_K).select(
-        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cv")
-    )
-    cb = [(int(r["m"]), int(r["k"]), list(r["cv"])) for r in init.collect()]
-    for _ in range(_PQ_ROUNDS):
-        cdf = spark.createDataFrame(cb, "m bigint, k bigint, cv array<double>")
-        assigned = _pq_assign(sub, cdf)
-        means = (
-            assigned.select("m", "k", F.posexplode("sv").alias("d0", "x"))
-            .groupBy("m", "k", (F.col("d0") + 1).alias("d"))
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("c")
-            )
-            .collect()
+    doubles) reaches the driver between rounds — and with ``sf_dir`` it
+    is read back from the persisted model store
+    (functions/modelstore.py) instead of retrained, so repeated PQ
+    queries skip every training job."""
+
+    def train() -> list[tuple]:
+        init = sub.filter(F.col("vec_id") < _PQ_K).select(
+            "m", F.col("vec_id").alias("k"), F.col("sv").alias("cv")
         )
-        by: dict[tuple, list] = {}
-        for r in means:
-            by.setdefault((int(r["m"]), int(r["k"])), []).append((r["d"], r["c"]))
-        cb = [(m, k, [c for _, c in sorted(vals)]) for (m, k), vals in sorted(by.items())]
-    return spark.createDataFrame(cb, "m bigint, k bigint, cv array<double>")
+        cb = [(int(r["m"]), int(r["k"]), list(r["cv"])) for r in init.collect()]
+        for _ in range(_PQ_ROUNDS):
+            cdf = spark.createDataFrame(cb, "m bigint, k bigint, cv array<double>")
+            assigned = _pq_assign(sub, cdf)
+            means = (
+                assigned.select("m", "k", F.posexplode("sv").alias("d0", "x"))
+                .groupBy("m", "k", (F.col("d0") + 1).alias("d"))
+                .agg(
+                    (
+                        F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("c")
+                )
+                .collect()
+            )
+            by: dict[tuple, list] = {}
+            for r in means:
+                by.setdefault((int(r["m"]), int(r["k"])), []).append((r["d"], r["c"]))
+            cb = [(m, k, [c for _, c in sorted(vals)]) for (m, k), vals in sorted(by.items())]
+        return cb
+
+    schema = "m bigint, k bigint, cv array<double>"
+    if sf_dir is None:
+        return spark.createDataFrame(train(), schema)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        mtime_token(sf_dir, "embeddings"),
+        load_table,
+    )
+    cb = _PQ_CB_CACHE.get(key)
+    if cb is None:
+        cb = load_or_train(
+            spark,
+            loader_tag("pqcb", (sf_dir, load_table)),
+            sf_dir,
+            schema,
+            train,
+        )
+        _PQ_CB_CACHE.put(key, cb)
+    return spark.createDataFrame(cb, schema)
 
 
 def _pq_oracle() -> str:
@@ -436,7 +473,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     sub = _pq_subvectors(e)
-    cdf = _pq_codebook(spark, sub)
+    cdf = _pq_codebook(spark, sub, sf_dir=sf_dir)
     enc = _pq_assign(sub, cdf).select("vec_id", "m", "k")
     qsub = sub.filter(F.col("vec_id") < _PQ_NQ)
     lut = (

@@ -279,11 +279,15 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
     proving the imperative loop and the declarative spelling agree
     bit-for-bit (thresholds are exact powers of two in both engines).
     The scripting conf is set inside the query path because the driver
-    runs a vanilla session.
+    runs a vanilla session — on a CHILD session (isolated SQLConf), so
+    the shared session never observes it.
     """
+    from eecs485_p4_mapreduce_spark.functions.confscope import (
+        conf_scoped_session,
+    )
     from eecs485_p4_mapreduce_spark.sources import register_views
 
-    spark.conf.set("spark.sql.scripting.enabled", "true")
+    spark = conf_scoped_session(spark, {"spark.sql.scripting.enabled": "true"})
     register_views(spark, sf_dir)
     return spark.sql(
         """

@@ -11,6 +11,7 @@ parquet, so a lossy writer/reader would hash-mismatch.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -311,25 +312,35 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     reruns work: overwrite exactly the (day, source) partitions the run
     owns.
     """
-    e = load_table(spark, sf_dir, "events")
+    from eecs485_p4_mapreduce_spark.functions.confscope import (
+        conf_scoped_session,
+    )
+
+    # The overwrite-mode override lives on a child session (isolated
+    # SQLConf): the frame being WRITTEN must be child-bound, since the
+    # write picks up the conf from its own session.
+    child = conf_scoped_session(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    )
+    e = load_table(child, sf_dir, "events")
     out = os.path.join(
         tempfile.gettempdir(),
         "spark-graft-roundtrip",
         f"events_dpo_{os.path.basename(sf_dir.rstrip('/'))}",
     )
+    # The initial full write now also runs under dynamic mode, which
+    # replaces only partitions present in the data — clear the target
+    # first so a stale leftover partition from some other corpus can't
+    # survive (static mode used to truncate it implicitly).
+    shutil.rmtree(out, ignore_errors=True)
     e.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            e.filter(F.col("event_type") == "click")
-            .withColumn("value", F.col("value") * 2)
-            .write.mode("overwrite")
-            .partitionBy("event_type")
-            .parquet(out)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("value", F.col("value") * 2)
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),

@@ -23,6 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions.confscope import stream_session
 from eecs485_p4_mapreduce_spark.functions.numeric import dsum, dsum_sql
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -31,7 +32,14 @@ from eecs485_p4_mapreduce_spark.sources.tables import normalize_events_ts
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet, with the same ts normalization
-    the batch reader applies (sources/tables.py:normalize_events_ts)."""
+    the batch reader applies (sources/tables.py:normalize_events_ts).
+
+    Built on the session's STREAMING CHILD session (confscope.
+    stream_session): all streaming conf — reader legacy/timezone here,
+    state-partition width in run_to_completion, state-store provider in
+    the TWS queries — lands on an isolated SQLConf that no concurrently
+    submitted batch query can inherit."""
+    spark = stream_session(spark)
     # Harmless for timestamp[us] files; required if ts is TIMESTAMP(NANOS).
     # Must be set BEFORE any schema read of the file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -384,6 +392,7 @@ def streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame
     is an accident of file listing.  At 100 TB the snapshot is a
     key-partitioned table and each merge rewrites only the partitions the
     batch touches."""
+    spark = stream_session(spark)  # raw readStream below: same child
     src = tempfile.mkdtemp(prefix="spark-graft-upsert-src-")
     load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
         "overwrite"
@@ -496,6 +505,7 @@ def streaming_join_static_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is not incremental), only for the downstream aggregate; at
     100 TB the dimension pins in executor memory once per batch while
     the stream side never materializes."""
+    spark = stream_session(spark)  # both legs on the streaming child
     ev = events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
     agg = (
@@ -543,7 +553,8 @@ def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the documents parquet (file source, same pattern
-    as events_stream)."""
+    as events_stream, including the streaming child session)."""
+    spark = stream_session(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     return (
         spark.readStream.schema(raw_schema)
@@ -598,20 +609,31 @@ def _band_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     name = _BAND_INDEX_TABLES.get(key)
     if name is None:
-        name = "sg_band_index_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        # a FRESH session's in-memory catalog has no entry for the table,
-        # but a previous session's managed location may survive on disk --
-        # drop both before writing.  (Local-session convenience: a real
-        # deployment CREATEs the index once at ingest and only reads here.)
+        # The name mixes in the applicationId: two applications sharing
+        # one warehouse dir each own a private index location, so the
+        # cleanup below can never delete an index another live
+        # application is reading (round-5 advice).  A previous RUN's
+        # orphaned location (same app name re-launched, crash leftovers)
+        # is swept only when it is NOT a table in this session's catalog.
         import os
         import shutil
         from urllib.parse import urlparse
 
+        app_tag = hashlib.md5(
+            spark.sparkContext.applicationId.encode()
+        ).hexdigest()[:6]
+        name = (
+            "sg_band_index_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+            + "_"
+            + app_tag
+        )
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         loc = os.path.join(wh, name)
         if os.path.isdir(loc):
-            shutil.rmtree(loc)
+            shutil.rmtree(loc)  # orphan: the DROP above removed any
+            # catalog entry this application could have had
         _, banded = minhash_signatures(spark, sf_dir)
         (
             banded.filter(F.col("doc_id") < _SPLIT)
@@ -832,6 +854,9 @@ def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         def close(self) -> None:
             pass
 
+    # The provider conf must bind the session that STARTS the stream —
+    # the streaming child (events_stream builds there).
+    spark = stream_session(spark)
     ev = events_stream(spark, sf_dir).withColumn(
         "shard", F.pmod(F.col("user_id"), F.lit(_NSHARDS))
     )
@@ -1224,6 +1249,9 @@ def source_state_store_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the checkpoint filesystem, no running query required."""
     import os
 
+    # Stream start, shuffle-width conf, and statestore read all on the
+    # streaming child (the run_to_completion discipline, inlined).
+    spark = stream_session(spark)
     ev = events_stream(spark, sf_dir)
     agg = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count("*").alias("n")

@@ -910,5 +910,10 @@ def test_minhash_signature_cache_shared_across_queries(spark, sf_dir):
     sig1, _ = dedup.minhash_signatures(spark, sf_dir)
     key_count = len(dedup._SIG_CACHE)  # entry may predate this test
     sig2, _ = dedup.minhash_signatures(spark, sf_dir)
-    assert sig1 is sig2
+    # both calls resolve to the SAME stored global-temp-view (one
+    # materialized signature RDD), even though each returns a fresh
+    # session-bound wrapper
+    p1 = sig1._jdf.queryExecution().analyzed()
+    p2 = sig2._jdf.queryExecution().analyzed()
+    assert p1.sameResult(p2)
     assert len(dedup._SIG_CACHE) == key_count  # hit, not a new entry

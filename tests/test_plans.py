@@ -348,6 +348,7 @@ def test_no_forced_broadcast_of_per_document_side(name, spark, sf_dir):
         "ids_contiguous_assign",
         "skyline_orders_pareto",
         "stats_exact_median_distributed",
+        "pii_redaction_density_deciles",
     ],
 )
 def test_global_rank_queries_have_no_data_sized_global_window(name, spark, sf_dir):
@@ -746,11 +747,20 @@ def test_pii_queries_are_scan_side_jvm_regex(spark, sf_dir):
     the scan with ONE exchange (the tiny per-source aggregate): a Python
     eval node or a pre-aggregate shuffle of document text would turn the
     compliance pass from IO-bound into the pipeline bottleneck."""
-    for name in ("pii_detect_counts", "pii_redact_audit"):
+    for name in (
+        "pii_detect_counts",
+        "pii_redact_audit",
+        "pii_luhn_creditcard",
+        "pii_iban_mod97",
+    ):
         plan = explain(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        # <= 1, not == 1: ambient adaptive confs left by other tests in
+        # the shared session can legitimately elide the tiny final
+        # exchange; the regression this guards is EXTRA exchanges
+        # (pre-aggregate shuffles of document text)
         n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
-        assert n_exchanges == 1, (name, n_exchanges)
+        assert n_exchanges <= 1, (name, n_exchanges)
         # partial+final (redact's min(string digest) forces SortAggregate;
         # the partials are per-source scalars either way)
         n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")

@@ -392,3 +392,90 @@ def test_pii_regex_cross_engine_parity(spark, pieces):
         [text, EMAIL_PAT, text, PHONE_PAT, text, SSN_PAT],
     ).fetchone()
     assert (row["e"], row["p"], row["s"]) == d, (text, tuple(row), d)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="0123456789", min_size=16, max_size=16),
+        min_size=0,
+        max_size=4,
+    ),
+    st.lists(
+        st.text(alphabet="0123456789", min_size=20, max_size=20),
+        min_size=0,
+        max_size=4,
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_pii_checksum_cross_engine_parity(spark, cards, bbans):
+    """The checksum queries' oracle contract, three ways: Spark's int64
+    fold, DuckDB's list fold, and a plain-Python reference must agree on
+    the number of Luhn-valid 16-digit runs and mod-97-valid DE IBANs in
+    arbitrary digit soup.  A fold-order or integer-division divergence
+    in either engine would hash-mismatch the oracle on some corpus."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from eecs485_p4_mapreduce_spark.operators.pii import (
+        _IBAN_VALID_DUCK,
+        _IBAN_VALID_SPARK,
+        _LUHN_VALID_DUCK,
+        _LUHN_VALID_SPARK,
+        CARD_PAT,
+        IBAN_PAT,
+    )
+
+    text = " pay " + " ".join(cards) + " acct " + " ".join(
+        "DE" + b for b in bbans
+    )
+
+    def luhn_ok(c: str) -> bool:
+        s = 0
+        for i, ch in enumerate(c, start=1):
+            d = ord(ch) - 48
+            if (16 - i) % 2 == 1:
+                s += (2 * d) // 10 + (2 * d) % 10
+            else:
+                s += d
+        return s % 10 == 0
+
+    def m97_ok(c: str) -> bool:
+        acc = 0
+        for ch in c[4:] + "1314" + c[2:4]:
+            acc = (acc * 10 + ord(ch) - 48) % 97
+        return acc == 1
+
+    exp = (
+        sum(luhn_ok(c) for c in cards),
+        sum(m97_ok("DE" + b) for b in bbans),
+    )
+    card_cands = "regexp_extract_all(t, '\\\\b[0-9]{16}\\\\b', 0)"
+    iban_cands = "regexp_extract_all(t, '\\\\bDE[0-9]{20}\\\\b', 0)"
+    row = (
+        spark.createDataFrame([(text,)], "t string")
+        .select(
+            F.expr(
+                f"aggregate({card_cands}, cast(0 as bigint), (acc, c) ->"
+                f" acc + CASE WHEN {_LUHN_VALID_SPARK} THEN 1 ELSE 0 END)"
+            ).alias("nl"),
+            F.expr(
+                f"aggregate({iban_cands}, cast(0 as bigint), (acc, c) ->"
+                f" acc + CASE WHEN {_IBAN_VALID_SPARK} THEN 1 ELSE 0 END)"
+            ).alias("ni"),
+        )
+        .collect()[0]
+    )
+    got_spark = (row["nl"], row["ni"])
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"""
+        SELECT coalesce(list_sum(list_transform(
+                 regexp_extract_all(?, '{CARD_PAT}'),
+                 c -> CASE WHEN {_LUHN_VALID_DUCK} THEN 1 ELSE 0 END)), 0),
+               coalesce(list_sum(list_transform(
+                 regexp_extract_all(?, '{IBAN_PAT}'),
+                 c -> CASE WHEN {_IBAN_VALID_DUCK} THEN 1 ELSE 0 END)), 0)
+        """,
+        [text, text],
+    ).fetchone()
+    assert got_spark == tuple(got_duck) == exp, (text, got_spark, got_duck, exp)

@@ -382,14 +382,14 @@ def test_aqe_splits_skewed_band_bucket(spark):
             spark.conf.set(k, v)
 
 
-def test_global_rank_uses_reliable_checkpoint_when_dir_set(tmp_path):
-    """Fault-tolerance contract of functions/ranking.py: with a
-    checkpoint directory configured (the cluster deployment posture),
-    the ranged frame must materialize through reliable checkpoint()
-    (files under the dir -- survives executor loss) and still produce
-    exact ranks.  Runs in its own subprocess because setCheckpointDir
-    is session-sticky and would silently switch every other test's
-    recipe onto the slower reliable path."""
+def test_global_rank_reliable_checkpoint_on_vanilla_session(tmp_path):
+    """Durability contract of functions/ranking.py (round-5 verdict item
+    2): even on a VANILLA session with no checkpoint dir configured —
+    the driver's posture — the recipe must self-provision one (env
+    override honored) and materialize the ranged frame through reliable
+    ``checkpoint()`` (files on the checkpoint filesystem — survives
+    executor loss), producing exact ranks.  Runs in its own subprocess
+    because setCheckpointDir is SparkContext-sticky."""
     import subprocess
     import sys
     import textwrap
@@ -404,7 +404,7 @@ def test_global_rank_uses_reliable_checkpoint_when_dir_set(tmp_path):
         spark = (SparkSession.builder.master("local[2]")
                  .config("spark.ui.enabled", "false").getOrCreate())
         spark.sparkContext.setLogLevel("ERROR")
-        spark.sparkContext.setCheckpointDir({repr(str(tmp_path / "ckpt"))})
+        assert spark.sparkContext.getCheckpointDir() is None  # vanilla
         df = spark.range(0, 200).select(
             (F.col("id") * 7 % 31).alias("v"), F.col("id").alias("tid"))
         got = sorted((r["v"], r["tid"], r["_rk"])
@@ -412,13 +412,158 @@ def test_global_rank_uses_reliable_checkpoint_when_dir_set(tmp_path):
         want = sorted((v, t, rk + 1) for rk, (v, t) in enumerate(
             sorted((i * 7 % 31, i) for i in range(200))))
         assert got == want, "ranks wrong under reliable checkpoint"
+        # the recipe provisioned the env-pointed dir and WROTE to it
         import os
-        files = [f for _, _, fs in os.walk({repr(str(tmp_path / "ckpt"))}) for f in fs]
+        ckpt = spark.sparkContext.getCheckpointDir()
+        assert ckpt is not None and {repr(str(tmp_path / "envckpt"))} in ckpt, ckpt
+        files = [f for _, _, fs in os.walk({repr(str(tmp_path / "envckpt"))}) for f in fs]
         assert files, "no reliable checkpoint files written"
         print("RELIABLE_OK")
         """
     )
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CHECKPOINT_DIR"] = str(tmp_path / "envckpt")
     out = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
     )
     assert "RELIABLE_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_conf_scoped_queries_leave_shared_session_untouched(spark, sf_dir):
+    """Round-5 verdict item 1: the conf-overriding queries (runtime
+    bloom join, SQL scripting, dynamic partition overwrite, streaming
+    state width) must run their overrides on CHILD sessions — the
+    shared session's SQLConf is never touched, so a concurrently
+    planned query can never inherit a foreign conf."""
+    from eecs485_p4_mapreduce_spark.operators.joins import (
+        join_runtime_bloom_filter,
+    )
+    from eecs485_p4_mapreduce_spark.operators.relational6 import (
+        sql_scripting_threshold_search,
+    )
+    from eecs485_p4_mapreduce_spark.operators.sourcesink import (
+        sink_dynamic_partition_overwrite,
+    )
+    from eecs485_p4_mapreduce_spark.streaming import streaming_tumbling_1h
+
+    watched = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.sources.partitionOverwriteMode",
+        "spark.sql.scripting.enabled",
+        "spark.sql.shuffle.partitions",
+    ]
+    snap = {k: spark.conf.get(k, None) for k in watched}
+    for q in (
+        join_runtime_bloom_filter,
+        sql_scripting_threshold_search,
+        sink_dynamic_partition_overwrite,
+        streaming_tumbling_1h,
+    ):
+        q(spark, sf_dir).collect()
+        got = {k: spark.conf.get(k, None) for k in watched}
+        assert got == snap, (q.__name__, got)
+
+
+def test_grouped_rank_spreads_skewed_group(spark):
+    """Round-5 verdict item 7: with_global_rank(partition_cols=...)
+    under pathological GROUP skew (one group = 99% of rows) must spread
+    the hot group across contiguous ranges — no range partition may
+    hold more than 4x the median (the straggler bound the LSH skew test
+    pins for AQE) — while ranks stay exact and dense per group."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    n, parts = 40_000, 8
+    df = spark.range(n).select(
+        F.when(F.col("id") % 100 == 0, "rare").otherwise("hot").alias("g"),
+        F.col("id").alias("k"),
+    )
+    ranked = with_global_rank(df, ["k"], partition_cols=["g"], partitions=parts)
+    stats = (
+        ranked.groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_rk").alias("mn"),
+            F.max("_rk").alias("mx"),
+            F.countDistinct("_rk").alias("nd"),
+        )
+        .collect()
+    )
+    assert len(stats) == 2
+    for r in stats:
+        assert r["mn"] == 1 and r["mx"] == r["n"] == r["nd"], r
+    # layout: replicate the recipe's ranged stage and measure balance
+    sizes = (
+        df.repartitionByRange(parts, "g", "k")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    counts = sorted(r["count"] for r in sizes)
+    median = counts[len(counts) // 2]
+    assert counts[-1] <= 4 * median, counts
+
+
+def test_signature_cache_bounded_lru_and_mtime_fresh(spark, tmp_path, monkeypatch):
+    """Round-5 verdict item 3: the signature memo must be BOUNDED (LRU
+    evicts the oldest corpus; the dropped view frees its checkpointed
+    frame) and MTIME-KEYED (rewriting the parquet under a cached dir
+    misses instead of serving stale signatures)."""
+    import shutil
+
+    from eecs485_p4_mapreduce_spark.functions.memo import LRU
+    from eecs485_p4_mapreduce_spark.operators import dedup
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d1, d2 = tmp_path / "c1", tmp_path / "c2"
+    d1.mkdir(), d2.mkdir()
+    shutil.copy(src, d1 / "documents.parquet")
+    shutil.copy(src, d2 / "documents.parquet")
+
+    monkeypatch.setattr(dedup, "_SIG_CACHE", LRU(maxsize=1))
+    s1, _ = dedup.minhash_signatures(spark, str(d1))
+    n1 = s1.count()
+    assert n1 > 0 and len(dedup._SIG_CACHE) == 1
+    dedup.minhash_signatures(spark, str(d2))
+    assert len(dedup._SIG_CACHE) == 1  # corpus 1 evicted, bounded
+    # corpus 1 again: rebuilt (not an error against a dropped view)
+    s3, _ = dedup.minhash_signatures(spark, str(d1))
+    assert s3.count() == n1 and len(dedup._SIG_CACHE) == 1
+    # rewrite corpus 1 in place with HALF the docs; mtime key must miss
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE doc_id % 2 = 0) TO"
+        f" '{tmp_path / 'half.parquet'}' (FORMAT PARQUET)"
+    )
+    shutil.copy(tmp_path / "half.parquet", d1 / "documents.parquet")
+    s4, _ = dedup.minhash_signatures(spark, str(d1))
+    assert s4.count() < n1  # fresh signatures of the REWRITTEN corpus
+
+
+def test_model_store_roundtrip_and_cross_app_read(spark, tmp_path, monkeypatch):
+    """functions/modelstore.py: first call trains and publishes; second
+    call — even with the in-memory cache cold, i.e. a fresh application
+    — reads the published model and must NOT retrain.  Rows round-trip
+    bit-identically (doubles are exact in parquet)."""
+    from eecs485_p4_mapreduce_spark.functions import modelstore
+
+    monkeypatch.setattr(modelstore, "warehouse_path", lambda s: str(tmp_path))
+    calls = []
+
+    def train():
+        calls.append(1)
+        return [(1, [1.5, -2.25]), (0, [0.5, 1e-17])]
+
+    sf = "/root/testdata/sf0.001"
+    schema = "k bigint, cv array<double>"
+    r1 = modelstore.load_or_train(spark, "t1", sf, schema, train)
+    r2 = modelstore.load_or_train(spark, "t1", sf, schema, train)
+    assert len(calls) == 1  # second served from the published model
+    assert r1 == r2 == [(0, [0.5, 1e-17]), (1, [1.5, -2.25])]
