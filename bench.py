@@ -5,6 +5,15 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 Execution is measured with the noop sink (full plan runs, nothing is
 collected to the driver), after an untimed warmup query that absorbs JVM/
 codegen startup so per-query numbers reflect the plans, not the JIT.
+
+``--median N`` (round-5 verdict item 6) runs every query N times and
+records per-query run lists + warm medians into BENCH_DETAIL.json
+alongside the single-pass (first-run) totals, so an apparent regression
+in a driver round is diffable from artifacts: ambient-host noise shows
+as a first-run outlier with a flat median; a real plan regression moves
+the median.  The headline JSON keeps the single-pass total as `value`
+(comparable across rounds) and adds `median_total` when N > 1.  This
+host is shared — BENCHNOTES.md records the warm bands.
 """
 
 from __future__ import annotations
@@ -271,6 +280,19 @@ BENCH_QUERIES = [n for n in _ORDERED if n not in BENCH_EXCLUDE] + [
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--median",
+        type=int,
+        default=1,
+        metavar="N",
+        help="run each query N times; record run lists + warm medians"
+        " in BENCH_DETAIL.json (default 1 = single pass, round-driver mode)",
+    )
+    args = ap.parse_args()
+    n_runs = max(args.median, 1)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -295,36 +317,50 @@ def main() -> None:
     ).mode("overwrite").save()
 
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = REGISTRY[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        rs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            rs.append(round(time.time() - t0, 3))
+        runs[name] = rs
+        times[name] = rs[0]  # first run = the comparable single-pass time
 
     total = round(sum(times.values()), 3)
     # Full per-query map goes to a FILE; the stdout line stays short (the
     # round-1 driver captured only a truncated tail of a 75-entry inline
     # map and recorded parsed=null).  The headline line keeps the required
     # shape with the 10 slowest queries inline.
+    detail_payload: dict = {"sf": sf, "total_sec": total, "queries": times}
+    headline: dict = {
+        "metric": "total_sec_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "n_registry": len(REGISTRY),
+        "excluded": BENCH_EXCLUDE,
+        "detail_file": "BENCH_DETAIL.json",
+        "sf": sf,
+    }
+    if n_runs > 1:
+        # upper median of the sorted runs: with a cold first run and
+        # warm repeats this lands on a warm measurement
+        medians = {
+            n: sorted(rs)[len(rs) // 2] for n, rs in runs.items()
+        }
+        detail_payload["median_n"] = n_runs
+        detail_payload["median"] = medians
+        detail_payload["runs"] = runs
+        detail_payload["median_total_sec"] = round(sum(medians.values()), 3)
+        headline["median_n"] = n_runs
+        headline["median_total"] = detail_payload["median_total_sec"]
     detail = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail, "w", encoding="utf-8") as fh:
-        json.dump({"sf": sf, "total_sec": total, "queries": times}, fh, indent=1, sort_keys=True)
-    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec_headline_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": slowest,
-                "n_queries": len(times),
-                "n_registry": len(REGISTRY),
-                "excluded": BENCH_EXCLUDE,
-                "detail_file": "BENCH_DETAIL.json",
-                "sf": sf,
-            }
-        )
-    )
+        json.dump(detail_payload, fh, indent=1, sort_keys=True)
+    headline["queries"] = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

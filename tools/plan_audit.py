@@ -66,6 +66,8 @@ CONSTANT_WINDOW_OK = {
     "window_period_over_period": "daily-grid lag (calendar-bounded)",
     "rfm_segmentation": "P-row offsets frame (ranking recipe, grouped)",
     "streaming_auto_watermark_tumbling": "P-row offsets frames (ranking recipes)",
+    "pii_redaction_density_deciles": "P-row offsets frames (ranking recipe;"
+    " _pid-scoped pinned in test_plans)",
 }
 
 _FACTS = [
