@@ -55,6 +55,25 @@ def model_location(
     )
 
 
+_PA_TYPES = {"bigint": "int64", "array<double>": "list<double>"}
+
+
+def _pa_schema(schema: str):
+    """DDL-ish model schema ("k bigint, cv array<double>") -> pyarrow."""
+    import pyarrow as pa
+
+    fields = []
+    for part in schema.split(","):
+        name, typ = part.strip().split(" ", 1)
+        fields.append(
+            pa.field(
+                name,
+                pa.int64() if typ == "bigint" else pa.list_(pa.float64()),
+            )
+        )
+    return pa.schema(fields)
+
+
 def load_or_train(
     spark: SparkSession,
     kind: str,
@@ -65,22 +84,43 @@ def load_or_train(
     """Rows of the trained model for (``kind``, corpus at ``sf_dir``):
     read the published copy when one exists, else train, publish, and
     return.  Rows are returned sorted so cached vs fresh is
-    deterministic for every consumer."""
+    deterministic for every consumer.
+
+    The model is driver-sized (KB), so publish/read go through pyarrow
+    directly — no Spark job.  (A Spark write of a Python-local 8-row
+    frame costs ~4 s: ``coalesce(1)`` funnels every parallelize
+    partition's Python-runner round-trip through one task.  The dir is
+    still plain parquet + _SUCCESS, readable by ``spark.read.parquet``
+    on a cluster.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     token = mtime_token(sf_dir, "embeddings")
     loc = model_location(spark, kind, sf_dir, token)
     if token is not None and os.path.exists(os.path.join(loc, "_SUCCESS")):
-        rows = [tuple(r) for r in spark.read.parquet(loc).collect()]
+        table = pq.read_table(loc)
+        rows = [
+            tuple(
+                list(v) if isinstance(v, list) else v
+                for v in rec.values()
+            )
+            for rec in table.to_pylist()
+        ]
         if rows:
             return sorted(rows)
     rows = sorted(train())
     if token is None:
         return rows  # unreadable corpus mtime: don't publish what we can't key
     tmp = loc + ".tmp-" + uuid.uuid4().hex[:8]
-    # coalesce(1): the model is a handful of KB; one part file keeps the
-    # publish rename + future reads trivial.
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    pa_schema = _pa_schema(schema)
+    cols = list(zip(*rows))
+    table = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, pa_schema)],
+        schema=pa_schema,
+    )
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
     try:
         os.rename(tmp, loc)
     except OSError:
