@@ -322,7 +322,8 @@ def pii_iban_mod97(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``doc_id div 2`` parity — mixes valid/invalid WITHIN each source,
     whose doc_ids share low-bit parity), then detect
     candidates by regex and validate by the rearrangement fold — all
-    int64 arithmetic inside codegen, exactly half the candidates valid by construction (which the oracle independently recomputes).  The
+    int64 arithmetic inside codegen, exactly half the candidates valid
+    by construction (which the oracle independently recomputes).  The
     check-digit derivation itself (98 - fold(bban || '131400')) runs in
     BOTH engines, so a fold discrepancy would fail the hash match even
     before the validator disagreed."""

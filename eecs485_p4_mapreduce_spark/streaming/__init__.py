@@ -622,18 +622,33 @@ def _band_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         app_tag = hashlib.md5(
             spark.sparkContext.applicationId.encode()
         ).hexdigest()[:6]
-        name = (
-            "sg_band_index_"
-            + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-            + "_"
-            + app_tag
-        )
+        dir_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        name = f"sg_band_index_{dir_tag}_{app_tag}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         loc = os.path.join(wh, name)
         if os.path.isdir(loc):
             shutil.rmtree(loc)  # orphan: the DROP above removed any
             # catalog entry this application could have had
+        # GC sibling orphans from DEAD applications: same corpus tag,
+        # different app tag, untouched for > SPARK_GRAFT_INDEX_TTL_H
+        # hours (default 72).  A live concurrent application's index is
+        # necessarily younger than the TTL, so — unlike the round-5
+        # unconditional rmtree this replaced — the sweep can never
+        # delete an index another running application is reading.
+        import time
+
+        ttl_s = float(os.environ.get("SPARK_GRAFT_INDEX_TTL_H", "72")) * 3600
+        prefix = f"sg_band_index_{dir_tag}_"
+        for entry in os.listdir(wh) if os.path.isdir(wh) else []:
+            sib = os.path.join(wh, entry)
+            if (
+                entry.startswith(prefix)
+                and entry != name
+                and os.path.isdir(sib)
+                and time.time() - os.path.getmtime(sib) > ttl_s
+            ):
+                shutil.rmtree(sib, ignore_errors=True)
         _, banded = minhash_signatures(spark, sf_dir)
         (
             banded.filter(F.col("doc_id") < _SPLIT)
