@@ -1481,3 +1481,133 @@ def contamination_benchmark_ngrams(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("source").cast("bigint").alias("n_sources"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup (the crawl-side dedup step)
+# ---------------------------------------------------------------------------
+
+# The same canonicalization chain, spelled per dialect (backreference
+# syntax is the only gap: Java '$1' vs RE2 '\1').  Steps: drop the
+# fragment, drop an explicit default :443 port, lowercase, strip utm_*
+# tracking params (a LEADING utm keeps its '?' for the next param; any
+# other position strips cleanly), collapse a path-final slash before
+# the query, strip a bare trailing slash.  Patterns stay in the
+# Java/RE2 common subset and are assert-guarded like the PII patterns.
+_URL_CANON_STEPS = [
+    (r"#.*$", "", ""),
+    (r"//([^/]*):443", "//$1", r"//\1"),
+    ("__LOWER__", "", ""),
+    (r"[?]utm_[a-z]+=[^&#]*&", "?", "?"),
+    (r"[?&]utm_[a-z]+=[^&#]*", "", ""),
+    (r"/[?]", "?", "?"),
+    (r"/$", "", ""),
+]
+
+for _pat, _js, _ds in _URL_CANON_STEPS:
+    assert "'" not in _pat + _js + _ds, "URL pattern not SQL-literal-safe"
+
+
+def _url_canon_duck(col: str) -> str:
+    out = col
+    for pat, _java, duck in _URL_CANON_STEPS:
+        if pat == "__LOWER__":
+            out = f"lower({out})"
+        else:
+            out = f"regexp_replace({out}, '{pat}', '{duck}', 'g')"
+    return out
+
+
+def _url_canon_spark(col) -> F.Column:
+    out = col
+    for pat, java, _duck in _URL_CANON_STEPS:
+        if pat == "__LOWER__":
+            out = F.lower(out)
+        else:
+            out = F.regexp_replace(out, F.lit(pat), F.lit(java))
+    return out
+
+
+_URL_VARIANTS_DUCK = """
+      SELECT doc_id, source,
+             CASE doc_id % 3
+               WHEN 0 THEN 'https://site' || CAST(doc_id // 3 AS VARCHAR)
+                 || '.example.com/page/' || CAST(doc_id // 3 AS VARCHAR)
+                 || '?id=' || CAST(doc_id // 3 AS VARCHAR)
+               WHEN 1 THEN 'https://SITE' || CAST(doc_id // 3 AS VARCHAR)
+                 || '.Example.COM:443/page/' || CAST(doc_id // 3 AS VARCHAR)
+                 || '/?id=' || CAST(doc_id // 3 AS VARCHAR) || '&utm_source=feed'
+               ELSE 'https://site' || CAST(doc_id // 3 AS VARCHAR)
+                 || '.example.com/page/' || CAST(doc_id // 3 AS VARCHAR)
+                 || '?utm_campaign=x&id=' || CAST(doc_id // 3 AS VARCHAR)
+                 || '#frag'
+             END AS url
+      FROM documents
+"""
+
+
+def _url_variants_spark(d: DataFrame) -> DataFrame:
+    cid = F.expr("doc_id div 3").cast("string")
+    v0 = F.concat(
+        F.lit("https://site"), cid, F.lit(".example.com/page/"), cid,
+        F.lit("?id="), cid,
+    )
+    v1 = F.concat(
+        F.lit("https://SITE"), cid, F.lit(".Example.COM:443/page/"), cid,
+        F.lit("/?id="), cid, F.lit("&utm_source=feed"),
+    )
+    v2 = F.concat(
+        F.lit("https://site"), cid, F.lit(".example.com/page/"), cid,
+        F.lit("?utm_campaign=x&id="), cid, F.lit("#frag"),
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, v0)
+        .when(F.col("doc_id") % 3 == 1, v1)
+        .otherwise(v2)
+        .alias("url"),
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH u AS ({_URL_VARIANTS_DUCK}),
+    c AS (SELECT doc_id, source, {_url_canon_duck('url')} AS canonical FROM u)
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS kept_doc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           MIN(source) AS first_source
+    FROM c GROUP BY canonical
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the crawl-side dedup step that runs BEFORE
+    any content hashing: variant URLs of one page (tracking params,
+    host case, explicit default port, trailing slash, fragments) are
+    canonicalized by a fixed rewrite chain and collapsed to one kept
+    fetch per canonical URL (min doc_id — the deterministic survivor
+    rule exact dedup uses).  URL variants are synthesized from doc_id
+    (three variants per page id) so the oracle recomputes the identical
+    canonicalization; the chain itself is dialect-split ONLY on
+    backreference syntax (Java '$1' vs RE2 '\\\\1') and pattern-guarded
+    like the PII family.
+
+    Scale shape: canonicalization is scan-side codegen string rewriting;
+    the only shuffle groups by the canonical URL (short keys, one row
+    per URL out).  At 100 TB this is the frontier-dedup pass a crawler
+    runs per batch: hash-partition on canonical, keep min fetch id, no
+    content bytes move."""
+    d = load_table(spark, sf_dir, "documents")
+    u = _url_variants_spark(d)
+    c = u.select(
+        "doc_id", "source", _url_canon_spark(F.col("url")).alias("canonical")
+    )
+    return c.groupBy("canonical").agg(
+        F.count("*").cast("bigint").alias("n_variants"),
+        F.min("doc_id").cast("bigint").alias("kept_doc"),
+        (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+        F.min("source").alias("first_source"),
+    )

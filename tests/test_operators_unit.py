@@ -917,3 +917,36 @@ def test_minhash_signature_cache_shared_across_queries(spark, sf_dir):
     p2 = sig2._jdf.queryExecution().analyzed()
     assert p1.sameResult(p2)
     assert len(dedup._SIG_CACHE) == key_count  # hit, not a new entry
+
+
+def test_url_canonicalization_collapses_variants(spark):
+    """dedup_url_canonical's rewrite chain: every synthesized variant
+    shape (tracking params leading/trailing, host case, explicit :443,
+    trailing slash, fragment) must land on the SAME canonical URL —
+    pinned on literals so a chain reorder can't regress to a state
+    where both engines are identically wrong (the bug this test was
+    written against: stripping a leading utm param ate the '?')."""
+    import pyspark.sql.functions as F
+
+    from eecs485_p4_mapreduce_spark.operators.dedup import _url_canon_spark
+
+    cases = [
+        ("https://site7.example.com/page/7?id=7",
+         "https://site7.example.com/page/7?id=7"),
+        ("https://SITE7.Example.COM:443/page/7/?id=7&utm_source=feed",
+         "https://site7.example.com/page/7?id=7"),
+        ("https://site7.example.com/page/7?utm_campaign=x&id=7#frag",
+         "https://site7.example.com/page/7?id=7"),
+        # lone tracking param: whole query goes, then the bare slash
+        ("https://a.example.org/x/?utm_only=1", "https://a.example.org/x"),
+        # utm between two kept params strips cleanly
+        ("https://a.example.org/x?id=1&utm_x=2&z=3",
+         "https://a.example.org/x?id=1&z=3"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"] for r in df.select(
+            _url_canon_spark(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases], got
