@@ -1856,3 +1856,86 @@ def stats_theil_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RTBF_MOD = 97  # deterministic erasure cohort: subject keys ≡ 0 (mod 97)
+
+
+@query(
+    "privacy_rtbf_cascade",
+    oracle=f"""
+    WITH subj AS (SELECT c_custkey AS k FROM customer
+                  WHERE c_custkey % {_RTBF_MOD} = 0),
+    o AS (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_custkey IN (SELECT k FROM subj)),
+    l AS (SELECT l.l_orderkey, o.o_custkey FROM lineitem l
+          JOIN o ON l.l_orderkey = o.o_orderkey),
+    e AS (SELECT user_id FROM events
+          WHERE user_id IN (SELECT k FROM subj))
+    SELECT tbl, n_rows, n_subjects FROM (
+      SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_subjects FROM subj
+      UNION ALL
+      SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM o
+      UNION ALL
+      SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM l
+      UNION ALL
+      SELECT 'events', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM e
+    ) t
+    """,
+)
+def privacy_rtbf_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten deletion-cascade audit: given a
+    deterministic erasure cohort (subject keys ≡ 0 mod 97 -- in
+    production, the batch of GDPR/CCPA deletion requests), count every
+    row the erasure must touch across the schema: the subjects
+    themselves, their orders, the line items under those orders
+    (two-hop cascade through the foreign-key chain), and their event
+    history.  This is the audit report a compliance pipeline emits
+    BEFORE running the actual ``merge_upsert_snapshot``-style deletes.
+
+    Scale shape: the cohort is request-batch-sized at any corpus scale,
+    so it broadcasts; orders and events prune by a broadcast semi-join
+    on the subject key; only the lineitem hop shuffles, keyed on
+    orderkey against the already-filtered (~cohort-sized) order list --
+    also broadcastable.  No full-table joins, no row bodies in any
+    exchange; each branch is a count-aggregate over a pruned scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    subj = cust.filter(F.col("c_custkey") % _RTBF_MOD == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    o = orders.join(
+        F.broadcast(subj), orders["o_custkey"] == subj["k"]
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.join(
+        F.broadcast(o.select("o_orderkey", "o_custkey")),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    ).select("l_orderkey", "o_custkey")
+    ev = events.join(F.broadcast(subj), events["user_id"] == subj["k"]).select(
+        "user_id"
+    )
+
+    c_subj = subj.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_subjects"),
+    ).select(F.lit("customer").alias("tbl"), "n_rows", "n_subjects")
+    c_o = o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_subjects"),
+    ).select(F.lit("orders").alias("tbl"), "n_rows", "n_subjects")
+    c_l = li.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_subjects"),
+    ).select(F.lit("lineitem").alias("tbl"), "n_rows", "n_subjects")
+    c_e = ev.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_subjects"),
+    ).select(F.lit("events").alias("tbl"), "n_rows", "n_subjects")
+    return c_subj.unionByName(c_o).unionByName(c_l).unionByName(c_e)

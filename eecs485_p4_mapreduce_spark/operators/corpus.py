@@ -554,3 +554,212 @@ def corpus_kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("kl_nats"),
         )
     )
+
+
+_BOILER_K = 20  # boilerplate list size (global top-k 5-grams by doc freq)
+
+
+@query(
+    "quality_boilerplate_ngrams",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, {DUCK_TOKENS} AS toks FROM documents),
+    g AS (SELECT doc_id, source,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 3, 1)), i ->
+                     concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ',
+                            toks[i+3], ' ', toks[i+4])))) AS g5
+          FROM tk WHERE len(toks) >= 5),
+    df AS (SELECT g5, COUNT(*) AS nd FROM g GROUP BY g5),
+    top AS (SELECT g5 FROM df ORDER BY nd DESC, g5 ASC LIMIT {_BOILER_K}),
+    fl AS (SELECT DISTINCT g.doc_id, g.source
+           FROM g JOIN top ON top.g5 = g.g5),
+    per AS (SELECT source, COUNT(*) AS n_flagged FROM fl GROUP BY source)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(MAX(per.n_flagged), 0) AS BIGINT) AS n_flagged,
+           round(CAST(COALESCE(MAX(per.n_flagged), 0) AS DOUBLE)
+                 / COUNT(*), 6) AS flagged_ratio
+    FROM documents d LEFT JOIN per ON per.source = d.source
+    GROUP BY d.source
+    """,
+)
+def quality_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: the global top-20
+    5-grams by DOCUMENT frequency (headers, footers, nav text -- the
+    strings that recur across pages, not within one) are mined in one
+    pass, then every document containing at least one of them is
+    flagged, aggregated per source.  This is the cross-document twin of
+    ``quality_repeated_ngrams`` (within-doc repetition) and the rewrite
+    trigger ``dedup_span_rewrite`` acts on.
+
+    Scale shape: per-doc DISTINCT 5-grams shuffle once on the gram
+    string (map-side combinable count = document frequency); the top-k
+    cut is a TakeOrdered of the gram table with a (df DESC, gram ASC)
+    deterministic tie-break; the 20-row boilerplate list
+    broadcasts back onto the gram stream, so flagging costs no second
+    corpus shuffle on text.  At 100 TB the only wide exchange carries
+    short gram keys, never document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "source", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 5
+    )
+    g = tk.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 4), i ->"
+                    " concat(element_at(toks, i), ' ', element_at(toks, i + 1),"
+                    " ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3),"
+                    " ' ', element_at(toks, i + 4)))"
+                )
+            )
+        ).alias("g5"),
+    )
+    df = g.groupBy("g5").agg(F.count("*").alias("nd"))
+    top = df.orderBy(F.desc("nd"), F.asc("g5")).limit(_BOILER_K).select("g5")
+    fl = (
+        g.join(F.broadcast(top), "g5")
+        .select("doc_id", "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n_flagged"))
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .join(fl, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("n_flagged", F.lit(0)).cast("bigint").alias("n_flagged"),
+            F.round(
+                F.coalesce("n_flagged", F.lit(0)).cast("double") / F.col("n_docs"),
+                6,
+            ).alias("flagged_ratio"),
+        )
+    )
+
+
+_URLF_VARIANTS_DUCK = """
+SELECT doc_id, source,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN concat('https://site', CAST(doc_id AS VARCHAR),
+                            '.example.com/articles/post-', CAST(doc_id AS VARCHAR))
+         WHEN 1 THEN concat('https://site', CAST(doc_id AS VARCHAR),
+                            '.example.com/a/b/c/d/e/f/p-', CAST(doc_id AS VARCHAR))
+         WHEN 2 THEN concat('https://site', CAST(doc_id AS VARCHAR),
+                            '.example.com/p?a=1&b=2&c=3&d=4&sessionid=',
+                            CAST(doc_id AS VARCHAR))
+         ELSE concat('https://casino', CAST(doc_id AS VARCHAR),
+                     '.example.com/win-', CAST(doc_id AS VARCHAR), '?ref=spin')
+       END AS url
+FROM documents
+"""
+
+
+def _urlf_variants_spark(d: DataFrame) -> DataFrame:
+    cid = F.col("doc_id").cast("string")
+    v0 = F.concat(
+        F.lit("https://site"), cid, F.lit(".example.com/articles/post-"), cid
+    )
+    v1 = F.concat(
+        F.lit("https://site"), cid, F.lit(".example.com/a/b/c/d/e/f/p-"), cid
+    )
+    v2 = F.concat(
+        F.lit("https://site"), cid,
+        F.lit(".example.com/p?a=1&b=2&c=3&d=4&sessionid="), cid,
+    )
+    v3 = F.concat(
+        F.lit("https://casino"), cid, F.lit(".example.com/win-"), cid,
+        F.lit("?ref=spin"),
+    )
+    m = F.col("doc_id") % 4
+    return d.select(
+        "doc_id",
+        "source",
+        F.when(m == 0, v0).when(m == 1, v1).when(m == 2, v2).otherwise(v3)
+        .alias("url"),
+    )
+
+
+@query(
+    "quality_url_filters",
+    oracle=f"""
+    WITH u AS ({_URLF_VARIANTS_DUCK}),
+    p AS (SELECT source,
+                 regexp_extract(url, '^https://([^/]+)', 1) AS host,
+                 split_part(regexp_replace(url, '^https://[^/]+', ''),
+                            '?', 1) AS path,
+                 split_part(regexp_replace(url, '^https://[^/]+', ''),
+                            '?', 2) AS qs
+          FROM u),
+    r AS (SELECT source,
+            CASE WHEN length(path) - length(replace(path, '/', '')) > 5
+                 THEN 1 ELSE 0 END AS f_depth,
+            CASE WHEN qs <> '' AND
+                      length(qs) - length(replace(qs, '&', '')) + 1 >= 4
+                 THEN 1
+                 WHEN contains(qs, 'sessionid=') THEN 1 ELSE 0 END AS f_params,
+            CASE WHEN contains(host, 'casino') THEN 1 ELSE 0 END AS f_block
+          FROM p)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(f_depth) AS BIGINT) AS n_fail_depth,
+           CAST(SUM(f_params) AS BIGINT) AS n_fail_params,
+           CAST(SUM(f_block) AS BIGINT) AS n_fail_blocklist,
+           CAST(SUM(CASE WHEN f_depth + f_params + f_block = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM r GROUP BY source
+    """,
+)
+def quality_url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level quality filtering -- the RefinedWeb/CCNet-style crawl
+    gate that runs BEFORE any content is fetched or parsed: reject
+    fetches whose URL alone signals low value (excessive path depth,
+    query-string spam / session ids, blocklisted host tokens).  URLs
+    are synthesized deterministically from doc_id (four shapes, one
+    exercising each rule) exactly as ``dedup_url_canonical`` does, so
+    the oracle recomputes identical inputs.
+
+    Every rule is codegen string arithmetic on the scan side --
+    slash/ampersand counts via length-difference, host/query splits via
+    split_part, blocklist via contains; the single shuffle is the
+    per-source rollup (output-sized, map-side combinable).  At 100 TB
+    of frontier URLs this is a scan-rate filter: no join, no explode,
+    no Python, and the regexes live in the Java∩RE2 subset passed as
+    API literals (the PII-family convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = _urlf_variants_spark(docs)
+    rest = F.regexp_replace("url", "^https://[^/]+", "")
+    p = u.select(
+        "source",
+        F.regexp_extract("url", "^https://([^/]+)", 1).alias("host"),
+        F.split_part(rest, F.lit("?"), F.lit(1)).alias("path"),
+        F.split_part(rest, F.lit("?"), F.lit(2)).alias("qs"),
+    )
+    depth = F.length("path") - F.length(F.expr("replace(path, '/', '')"))
+    nparams = F.when(
+        F.col("qs") == "", F.lit(0)
+    ).otherwise(F.length("qs") - F.length(F.expr("replace(qs, '&', '')")) + 1)
+    r = p.select(
+        "source",
+        F.when(depth > 5, 1).otherwise(0).alias("f_depth"),
+        F.when(nparams >= 4, 1)
+        .when(F.col("qs").contains("sessionid="), 1)
+        .otherwise(0)
+        .alias("f_params"),
+        F.when(F.col("host").contains("casino"), 1).otherwise(0).alias("f_block"),
+    )
+    return r.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum("f_depth").cast("bigint").alias("n_fail_depth"),
+        F.sum("f_params").cast("bigint").alias("n_fail_params"),
+        F.sum("f_block").cast("bigint").alias("n_fail_blocklist"),
+        F.sum(
+            F.when(
+                F.col("f_depth") + F.col("f_params") + F.col("f_block") == 0, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+    )

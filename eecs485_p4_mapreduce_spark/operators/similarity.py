@@ -1307,3 +1307,141 @@ def sketch_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("est_sum") <= 3 * _AMS_ROWS * F.col("f2_exact"))
         ).alias("within_bound"),
     )
+
+
+_BTX_SRC = 0  # "source language" label
+_BTX_TGT = 1  # "target language" label
+_BTX_K = 4  # margin denominator: avg cosine of each side's top-k neighbors
+
+
+@query(
+    "bitext_margin_mining",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id AS x_id, v AS xv,
+                 sqrt(list_inner_product(v, v)) AS xn
+          FROM e WHERE label = {_BTX_SRC}),
+    t AS (SELECT vec_id AS y_id, v AS yv,
+                 sqrt(list_inner_product(v, v)) AS yn
+          FROM e WHERE label = {_BTX_TGT}),
+    p AS (SELECT x_id, y_id,
+                 round(list_inner_product(xv, yv) / (xn * yn), 6) AS cos_r
+          FROM s, t),
+    rx AS (SELECT *, row_number() OVER
+             (PARTITION BY x_id ORDER BY cos_r DESC, y_id) AS rk FROM p),
+    ax AS (SELECT x_id,
+                  round(CAST(SUM(CAST(cos_r AS DECIMAL(18,6))) AS DOUBLE)
+                        / {_BTX_K}, 6) AS avg_x
+           FROM rx WHERE rk <= {_BTX_K} GROUP BY x_id),
+    ry AS (SELECT *, row_number() OVER
+             (PARTITION BY y_id ORDER BY cos_r DESC, x_id) AS rk FROM p),
+    ay AS (SELECT y_id,
+                  round(CAST(SUM(CAST(cos_r AS DECIMAL(18,6))) AS DOUBLE)
+                        / {_BTX_K}, 6) AS avg_y
+           FROM ry WHERE rk <= {_BTX_K} GROUP BY y_id),
+    m AS (SELECT p.x_id, p.y_id, p.cos_r,
+                 round(2 * p.cos_r / (ax.avg_x + ay.avg_y), 6) AS margin
+          FROM p JOIN ax ON ax.x_id = p.x_id
+                 JOIN ay ON ay.y_id = p.y_id),
+    bx AS (SELECT *, row_number() OVER
+             (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bxr FROM m),
+    by AS (SELECT x_id, y_id, row_number() OVER
+             (PARTITION BY y_id ORDER BY margin DESC, x_id) AS byr FROM m)
+    SELECT bx.x_id AS src_id, bx.y_id AS tgt_id, bx.cos_r, bx.margin
+    FROM bx JOIN by ON by.x_id = bx.x_id AND by.y_id = bx.y_id
+    WHERE bx.bxr = 1 AND by.byr = 1
+    """,
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-corpus (bitext) mining with ratio-margin scoring -- the
+    Artetxe-Schwenk / CCMatrix recipe for harvesting translation pairs
+    from two monolingual embedding spaces: score every cross-lingual
+    pair by cosine NORMALIZED by the mean cosine of each side's top-k
+    neighborhood (margin = 2*cos(x,y)/(avgk(x)+avgk(y)), which cancels
+    hubness), then keep only MUTUAL best matches.  Labels 0 and 1 stand
+    in for the two languages.
+
+    Determinism: pair cosines are rounded to 6 places BEFORE any
+    ranking or averaging; neighborhood averages sum decimals of the
+    rounded values (partial-agg order can't move an ulp); every window
+    tie-breaks on the vector id (the ranking convention).  Scale shape:
+    norms are precomputed per side so the pair stage does ONE dot
+    product per pair; the top-k windows partition by vector id (never
+    global); at 100 TB the exhaustive pair stage is replaced by the
+    ANN-prefiltered candidate stream (``ann_lsh_hyperplane`` recall,
+    the knn_hard_negatives note) with identical scoring downstream."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.expr("sqrt(" + _DOT.format(a="v", b="v") + ")")
+    s = e.filter(F.col("label") == _BTX_SRC).select(
+        F.col("vec_id").alias("x_id"), F.col("v").alias("xv"), norm.alias("xn")
+    )
+    t = e.filter(F.col("label") == _BTX_TGT).select(
+        F.col("vec_id").alias("y_id"), F.col("v").alias("yv"), norm.alias("yn")
+    )
+    p = (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "x_id",
+            "y_id",
+            F.round(
+                F.expr(_DOT.format(a="xv", b="yv")) / (F.col("xn") * F.col("yn")),
+                6,
+            ).alias("cos_r"),
+        )
+        .localCheckpoint()
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cos_r"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cos_r"), F.asc("x_id"))
+    ax = (
+        p.withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= _BTX_K)
+        .groupBy("x_id")
+        .agg(
+            F.round(
+                F.sum(F.col("cos_r").cast("decimal(18,6)")).cast("double")
+                / _BTX_K,
+                6,
+            ).alias("avg_x")
+        )
+    )
+    ay = (
+        p.withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= _BTX_K)
+        .groupBy("y_id")
+        .agg(
+            F.round(
+                F.sum(F.col("cos_r").cast("decimal(18,6)")).cast("double")
+                / _BTX_K,
+                6,
+            ).alias("avg_y")
+        )
+    )
+    m = (
+        p.join(ax, "x_id")
+        .join(ay, "y_id")
+        .select(
+            "x_id",
+            "y_id",
+            "cos_r",
+            F.round(
+                2 * F.col("cos_r") / (F.col("avg_x") + F.col("avg_y")), 6
+            ).alias("margin"),
+        )
+    )
+    wbx = Window.partitionBy("x_id").orderBy(F.desc("margin"), F.asc("y_id"))
+    wby = Window.partitionBy("y_id").orderBy(F.desc("margin"), F.asc("x_id"))
+    bx = m.withColumn("bxr", F.row_number().over(wbx)).filter(F.col("bxr") == 1)
+    by = (
+        m.withColumn("byr", F.row_number().over(wby))
+        .filter(F.col("byr") == 1)
+        .select("x_id", "y_id")
+    )
+    return bx.join(by, ["x_id", "y_id"]).select(
+        F.col("x_id").alias("src_id"),
+        F.col("y_id").alias("tgt_id"),
+        "cos_r",
+        "margin",
+    )
