@@ -224,10 +224,12 @@ _ALLOWED_NESTED_LOOP = {
     "knn_ivf_trained",  # deliberate: every vector scores all K=8 broadcast centroids
     "dedup_semdedup_clusters",  # same broadcast-centroid assignment as knn_ivf_trained
     "resample_gapfill_1h",
+    "bitext_margin_mining",  # exhaustive pair stage over the broadcast target side (ANN-prefiltered at scale, like knn_*)
 }
 
 _JOIN_FAMILY = re.compile(
     r"join|dedup|knn|ann|contamination|gapfill|lateral|tpch|cross|asof|range"
+    r"|bitext|rtbf"
 )
 
 
@@ -765,3 +767,48 @@ def test_pii_queries_are_scan_side_jvm_regex(spark, sf_dir):
         # the partials are per-source scalars either way)
         n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
         assert n_aggs >= 2, name
+
+
+def test_url_filters_scan_side_single_exchange(spark, sf_dir):
+    """quality_url_filters must stay codegen string arithmetic over the
+    scan with only the output-sized per-source rollup exchange — a join,
+    explode, or Python node here breaks the scan-rate frontier-filter
+    contract."""
+    plan = explain(spark, sf_dir, "quality_url_filters")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" not in plan and "Join" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, n_exchanges
+
+
+def test_boilerplate_topk_broadcasts_back(spark, sf_dir):
+    """quality_boilerplate_ngrams' flagging join must broadcast the
+    20-row boilerplate list onto the gram stream (never shuffle the
+    grams a second time), and the top-k cut must be a TakeOrdered, not
+    a global sort."""
+    plan = explain(spark, sf_dir, "quality_boilerplate_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rtbf_cascade_broadcasts_subject_keys(spark, sf_dir):
+    """privacy_rtbf_cascade prunes every table by a broadcast semi/hash
+    join on the request-batch-sized subject set; a sort-merge join here
+    means a full-table shuffle keyed on the erasure cohort — wrong at
+    any scale."""
+    plan = explain(spark, sf_dir, "privacy_rtbf_cascade")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bitext_windows_are_id_partitioned(spark, sf_dir):
+    """bitext_margin_mining's ranking windows must partition by the
+    vector id (windowspecdefinition carries x_id/y_id) — an empty
+    partition spec would funnel the whole pair table through one task."""
+    plan = explain(spark, sf_dir, "bitext_margin_mining")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected ranking windows in the plan"
+    for spec in specs:
+        assert "x_id" in spec or "y_id" in spec, spec
