@@ -1432,3 +1432,181 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("bigint").alias("rake_score_bp"),
         )
     )
+
+
+_BPE_ENC_MERGES = 3  # frozen merge-table size for the encode pass
+
+
+def _bpe_encode_sql(dialect: str) -> str:
+    """BPE ENCODE as one SQL text per dialect: rank the top three
+    adjacent pairs of the ORIGINAL stream once (the frozen merge
+    table), then apply them in priority order with the train query's
+    greedy left-to-right machinery.  Unlike training, later merges are
+    NOT re-counted on the rewritten stream — that is exactly how a
+    tokenizer applies a FIXED vocabulary at encode time, and why encode
+    is three cheap passes instead of three count+select rounds."""
+    if dialect == "spark":
+        s0 = (
+            "SELECT doc_id, source, pos, tok FROM (SELECT doc_id, source,"
+            " posexplode(filter(split(lower(text), '\\\\s+'), t -> t <> ''))"
+            " AS (pos, tok) FROM documents)"
+        )
+    else:
+        s0 = (
+            "SELECT doc_id, source, i - 1 AS pos, t[i] AS tok"
+            " FROM (SELECT doc_id, source, list_filter(string_split_regex("
+            "lower(text), '\\s+'), t -> t <> '') AS t FROM documents),"
+            " unnest(range(1, len(t) + 1)) AS u(i)"
+        )
+    parts = [
+        f"s0 AS ({s0})",
+        f"""
+    big0 AS (
+      SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM s0),
+    mtab AS (
+      SELECT tok AS pa, nxt AS pb,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok, nxt) AS rk
+      FROM big0 WHERE nxt IS NOT NULL
+      GROUP BY tok, nxt ORDER BY COUNT(*) DESC, tok, nxt
+      LIMIT {_BPE_ENC_MERGES})""",
+    ]
+    for i in range(1, _BPE_ENC_MERGES + 1):
+        p = i - 1
+        parts.append(f"""
+    big{i} AS (
+      SELECT doc_id, source, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM s{p}),
+    m{i} AS (
+      SELECT doc_id, source, pos, tok, nxt,
+             (tok = (SELECT pa FROM mtab WHERE rk = {i})
+              AND nxt = (SELECT pb FROM mtab WHERE rk = {i})) AS match
+      FROM big{i}),
+    g{i} AS (
+      SELECT *, pos - SUM(CASE WHEN match THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM m{i}),
+    mg{i} AS (
+      SELECT *, CASE WHEN match AND
+                 (pos - MIN(CASE WHEN match THEN pos END)
+                          OVER (PARTITION BY doc_id, grp)) % 2 = 0
+                THEN TRUE ELSE FALSE END AS merged
+      FROM g{i}),
+    c{i} AS (
+      SELECT *, coalesce(lag(merged) OVER (PARTITION BY doc_id ORDER BY pos),
+                         FALSE) AS consumed
+      FROM mg{i}),
+    s{i} AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos,
+             CASE WHEN merged THEN tok || ' ' || nxt ELSE tok END AS tok
+      FROM c{i} WHERE NOT consumed)""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+    , before AS (SELECT doc_id, source, COUNT(*) AS n0 FROM s0 GROUP BY doc_id, source),
+    after AS (SELECT doc_id, COUNT(*) AS n3 FROM s{_BPE_ENC_MERGES} GROUP BY doc_id)
+    SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n0) AS BIGINT) AS tokens_before,
+           CAST(SUM(a.n3) AS BIGINT) AS tokens_after,
+           round(CAST(SUM(a.n3) AS DOUBLE) / SUM(b.n0), 6) AS compression
+    FROM before b JOIN after a ON a.doc_id = b.doc_id
+    GROUP BY b.source
+    """
+    )
+
+
+@query("token_bpe_encode", oracle=_bpe_encode_sql("duckdb"))
+def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with a frozen merge table — the other half of
+    ``token_bpe_train_3merges``: rank the corpus's top three adjacent
+    pairs ONCE (the merge table a trainer would have produced), then
+    apply them in priority order, greedy left-to-right, without
+    re-counting between passes — exactly how a tokenizer encodes at
+    corpus scale.  Output is the per-source tokens-before/after
+    compression readout teams compare tokenizers with.
+
+    The 3-row merge table is collected to the driver and inlined as
+    literals (the kmeans-centroid bounded-model-state pattern): each
+    apply pass is then pure per-doc window machinery against constant
+    pair keys — match/run-group/parity/consume, the train query's
+    proven kernel — with NO join, subquery, or broadcast in the pass.
+    Per pass: windows over one (doc_id, pos) sort, stream
+    localCheckpointed between passes so pass i+1 never replays pass i.
+    The oracle replays selection AND all three applications in one
+    monolithic statement."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "tok")
+    ).localCheckpoint()
+    before = s.groupBy("doc_id", "source").agg(F.count("*").alias("n0"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    merge_table = (
+        s.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("tok", "nxt")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok", "nxt")
+        .limit(_BPE_ENC_MERGES)
+        .collect()  # bounded model state: exactly 3 (pa, pb) literals
+    )
+    for row in merge_table:
+        pa, pb = row["tok"], row["nxt"]
+        big = s.withColumn("nxt", F.lead("tok").over(w))
+        t2 = big.withColumn(
+            "match",
+            (F.col("tok") == F.lit(pa)) & (F.col("nxt") == F.lit(pb)),
+        )
+        g = t2.withColumn(
+            "grp",
+            F.col("pos")
+            - F.sum(F.when(F.col("match"), 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        wg = Window.partitionBy("doc_id", "grp")
+        mg = g.withColumn(
+            "merged",
+            F.when(
+                F.col("match")
+                & (
+                    (
+                        F.col("pos")
+                        - F.min(F.when(F.col("match"), F.col("pos"))).over(wg)
+                    )
+                    % 2
+                    == 0
+                ),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
+        )
+        c = mg.withColumn(
+            "consumed", F.coalesce(F.lag("merged").over(w), F.lit(False))
+        )
+        s = (
+            c.filter(~F.col("consumed"))
+            .select(
+                "doc_id",
+                "source",
+                (F.row_number().over(w) - 1).alias("pos"),
+                F.when(F.col("merged"), F.concat("tok", F.lit(" "), "nxt"))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+            .localCheckpoint()
+        )
+    after = s.groupBy("doc_id").agg(F.count("*").alias("n3"))
+    return (
+        before.join(after, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n0").cast("bigint").alias("tokens_before"),
+            F.sum("n3").cast("bigint").alias("tokens_after"),
+            F.round(
+                F.sum("n3").cast("double") / F.sum("n0"), 6
+            ).alias("compression"),
+        )
+    )
