@@ -950,3 +950,72 @@ def test_url_canonicalization_collapses_variants(spark):
         ).collect()
     ]
     assert got == [want for _, want in cases], got
+
+
+def test_bpe_encode_frozen_table_no_recount(spark, monkeypatch):
+    """Encode must apply the FROZEN merge table in priority order
+    without re-counting: on 'a b c a b c a b' the table ranked on the
+    original stream is (a,b)=3, (b,c)=2, (c,a)=2; after merge 1 the
+    stream is [ab, c, ab, c, ab] and merges 2/3 find no (b,c)/(c,a)
+    adjacency among the surviving singles -- 8 tokens encode to 5.
+    (Hierarchical TRAINING would instead re-count and merge (ab, c).)"""
+    from pyspark.sql import Row
+
+    from eecs485_p4_mapreduce_spark.operators import textstats
+
+    text = "a b c a b c a b"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=text, lang="en", source="s", n_chars=len(text))
+         for i in range(3)]
+    )
+    monkeypatch.setattr(textstats, "load_table", lambda spark_, sf, name: docs)
+    rows = textstats.token_bpe_encode(spark, "unused").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_docs"], r["tokens_before"], r["tokens_after"]) == (3, 24, 15)
+    assert r["compression"] == 0.625
+
+
+def test_bitext_margin_mutual_best_pairs(spark, monkeypatch):
+    """Hand-computed 2-D margin fixture: x1=(1,0), x2=(0,1) vs
+    y1=(1,0), y2=(0.6,0.8).  Margins (k=4 constant divisor):
+    (x1,y1)=2*1/(0.4+0.25), (x2,y2)=2*0.8/(0.2+0.35); mutual-best must
+    keep exactly those two pairs."""
+    from pyspark.sql import Row
+
+    from eecs485_p4_mapreduce_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0], label=0),
+            Row(vec_id=1, embedding=[0.0, 1.0], label=0),
+            Row(vec_id=10, embedding=[1.0, 0.0], label=1),
+            Row(vec_id=11, embedding=[0.6, 0.8], label=1),
+        ]
+    )
+    monkeypatch.setattr(similarity, "load_table", lambda spark_, sf, name: vecs)
+    rows = {
+        (r["src_id"], r["tgt_id"]): r["margin"]
+        for r in similarity.bitext_margin_mining(spark, "unused").collect()
+    }
+    assert set(rows) == {(0, 10), (1, 11)}
+    assert abs(rows[(0, 10)] - round(2 * 1.0 / (0.4 + 0.25), 6)) < 1e-9
+    assert abs(rows[(1, 11)] - round(2 * 0.8 / (0.2 + 0.35), 6)) < 1e-9
+
+
+def test_url_filter_shapes_map_to_rules(spark, monkeypatch):
+    """Each synthesized URL shape must trip exactly its own rule:
+    doc 0 passes, doc 1 fails depth, doc 2 fails params, doc 3 fails
+    the host blocklist."""
+    from pyspark.sql import Row
+
+    from eecs485_p4_mapreduce_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="x", lang="en", source="s", n_chars=1)
+         for i in range(4)]
+    )
+    monkeypatch.setattr(corpus, "load_table", lambda spark_, sf, name: docs)
+    r = corpus.quality_url_filters(spark, "unused").collect()[0]
+    assert (r["n_urls"], r["n_fail_depth"], r["n_fail_params"],
+            r["n_fail_blocklist"], r["n_pass"]) == (4, 1, 1, 1, 1)
