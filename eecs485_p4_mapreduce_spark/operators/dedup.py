@@ -1611,3 +1611,103 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") - 1).cast("bigint").alias("n_dropped"),
         F.min("source").alias("first_source"),
     )
+
+
+_SEM_EVAL_N = 32  # benchmark-embedding set: vec_id < 32 (the _NQ pattern)
+_SEM_HI, _SEM_MED, _SEM_LOW = 0.40, 0.30, 0.20  # risk-band cuts on round-6 cosine
+
+
+@query(
+    "contamination_semantic_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ev AS (SELECT v AS qv, sqrt(list_inner_product(v, v)) AS qn
+           FROM e WHERE vec_id < {_SEM_EVAL_N}),
+    corp AS (SELECT vec_id, label, v,
+                    sqrt(list_inner_product(v, v)) AS vn
+             FROM e WHERE vec_id >= {_SEM_EVAL_N}),
+    mx AS (SELECT c.vec_id, c.label,
+                  round(MAX(list_inner_product(c.v, ev.qv) / (c.vn * ev.qn)),
+                        6) AS max_cos
+           FROM corp c, ev GROUP BY c.vec_id, c.label),
+    banded AS (SELECT label,
+                 CASE WHEN max_cos >= {_SEM_HI} THEN 'high'
+                      WHEN max_cos >= {_SEM_MED} THEN 'medium'
+                      WHEN max_cos >= {_SEM_LOW} THEN 'low'
+                      ELSE 'clean' END AS risk
+               FROM mx)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN risk = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN risk = 'medium' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+           CAST(SUM(CASE WHEN risk = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN risk = 'clean' THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM banded GROUP BY label
+    """,
+)
+def contamination_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination screen: the n-gram contamination family
+    catches verbatim eval-set leakage; this catches paraphrased leakage
+    by scoring every corpus embedding's MAX cosine against the
+    benchmark-embedding set and bucketing each vector into risk bands
+    (>=0.40 high / >=0.30 medium / >=0.20 low on the round-6 cosine) —
+    the per-shard report that decides which sources need the expensive
+    exact re-check before a benchmark claim.
+
+    Scale shape: the eval set is benchmark-sized at ANY corpus scale,
+    so it broadcasts with precomputed norms; the corpus side computes
+    one dot product per (vector, eval) pair in a single scan-side pass
+    — no corpus shuffle at all until the label-sized rollup.  Banding
+    happens on the ROUNDED max (both engines compare identical
+    doubles); at larger eval sets the broadcast swaps for the
+    ANN-prefiltered candidate stream (the knn_hard_negatives note)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    norm = F.expr("sqrt(" + dot.format(a="v", b="v") + ")")
+    ev = F.broadcast(
+        e.filter(F.col("vec_id") < _SEM_EVAL_N).select(
+            F.col("v").alias("qv"), norm.alias("qn")
+        )
+    )
+    corp = e.filter(F.col("vec_id") >= _SEM_EVAL_N).select(
+        "vec_id", "label", "v", norm.alias("vn")
+    )
+    mx = (
+        corp.crossJoin(ev)
+        .select(
+            "vec_id",
+            "label",
+            (F.expr(dot.format(a="v", b="qv")) / (F.col("vn") * F.col("qn"))).alias(
+                "cos"
+            ),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.max("cos"), 6).alias("max_cos"))
+    )
+    risk = (
+        F.when(F.col("max_cos") >= _SEM_HI, "high")
+        .when(F.col("max_cos") >= _SEM_MED, "medium")
+        .when(F.col("max_cos") >= _SEM_LOW, "low")
+        .otherwise("clean")
+    )
+    banded = mx.select("label", risk.alias("risk"))
+    return banded.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum(F.when(F.col("risk") == "high", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+        F.sum(F.when(F.col("risk") == "medium", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_medium"),
+        F.sum(F.when(F.col("risk") == "low", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+        F.sum(F.when(F.col("risk") == "clean", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clean"),
+    )

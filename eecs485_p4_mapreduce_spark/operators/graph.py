@@ -423,3 +423,84 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_members"))
         .filter(F.col("n_members") >= 2)
     )
+
+
+_LP_TOPK = 50  # link-prediction readout size
+
+
+def _linkpred_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
+
+    return f"""{MINHASH_BANDED_DUCK},
+    e AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    adj AS (SELECT da AS u, db AS v FROM e
+            UNION ALL SELECT db AS u, da AS v FROM e),
+    wedge AS (SELECT a1.u AS a, a2.v AS c
+              FROM adj a1 JOIN adj a2 ON a2.u = a1.v AND a1.u < a2.v),
+    cn AS (SELECT a, c, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+           FROM wedge GROUP BY a, c),
+    pred AS (SELECT cn.a, cn.c, cn.common_neighbors
+             FROM cn LEFT JOIN e ON e.da = cn.a AND e.db = cn.c
+             WHERE e.da IS NULL)
+    SELECT a AS doc_a, c AS doc_b, common_neighbors
+    FROM pred ORDER BY common_neighbors DESC, a, c LIMIT {_LP_TOPK}
+    """
+
+
+@query("graph_linkpred_common_neighbors", oracle=_linkpred_oracle())
+def graph_linkpred_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count over the MinHash-LSH
+    candidate graph: the top non-edges ranked by how many shared
+    neighbors they have — pairs the banding *almost* connected.  In a
+    dedup pipeline this is the second-pass candidate list (pairs worth
+    an exact-similarity verify that no single band caught); on a social
+    graph it is the classic friend-of-friend recommender.
+
+    Plan: the shared session-cached signature table feeds the edge
+    self-join (same as triangle counting); wedges close with ONE
+    adjacency self-join keyed on the middle vertex; existing edges drop
+    via a hash anti-join; the readout is a TakeOrdered with full
+    (count DESC, a, c) tie-break.  Per-vertex fan-out is bounded by the
+    LSH bucket size, the same degree cap the triangle query documents —
+    at 100 TB one adds degree-ordered orientation before the wedge
+    join (noted there too)."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+
+    _, sig = minhash_signatures(spark, sf_dir)
+    left = sig.select("doc_id", "b", "band_hash")
+    edges = (
+        left.alias("x")
+        .join(left.alias("y"), ["b", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+        .localCheckpoint()  # adjacency + anti-join both read it
+    )
+    adj = edges.select(
+        F.col("da").alias("u"), F.col("db").alias("v")
+    ).unionAll(edges.select(F.col("db").alias("u"), F.col("da").alias("v")))
+    wedge = (
+        adj.alias("a1")
+        .join(adj.alias("a2"), F.col("a1.v") == F.col("a2.u"))
+        .filter(F.col("a1.u") < F.col("a2.v"))
+        .select(F.col("a1.u").alias("a"), F.col("a2.v").alias("c"))
+    )
+    cn = wedge.groupBy("a", "c").agg(
+        F.count("*").cast("bigint").alias("common_neighbors")
+    )
+    pred = cn.join(
+        edges,
+        (cn["a"] == edges["da"]) & (cn["c"] == edges["db"]),
+        "left_anti",
+    )
+    return (
+        pred.orderBy(F.desc("common_neighbors"), "a", "c")
+        .limit(_LP_TOPK)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("c").alias("doc_b"),
+            "common_neighbors",
+        )
+    )

@@ -225,11 +225,12 @@ _ALLOWED_NESTED_LOOP = {
     "dedup_semdedup_clusters",  # same broadcast-centroid assignment as knn_ivf_trained
     "resample_gapfill_1h",
     "bitext_margin_mining",  # exhaustive pair stage over the broadcast target side (ANN-prefiltered at scale, like knn_*)
+    "contamination_semantic_eval",  # benchmark-sized broadcast eval side, one dot per (vector, eval) pair
 }
 
 _JOIN_FAMILY = re.compile(
     r"join|dedup|knn|ann|contamination|gapfill|lateral|tpch|cross|asof|range"
-    r"|bitext|rtbf"
+    r"|bitext|rtbf|linkpred"
 )
 
 
