@@ -46,6 +46,12 @@ _REPRESENTATIVES = [
     "join_runtime_bloom_filter",# conf window + eager checkpoint on empty
     "multimodal_bmp_decode",    # real codec kernel over zero assets
     "pipeline_curation_end_to_end",  # signature-table semi-join on empty
+    "token_bpe_encode",         # empty merge table -> zero apply passes
+    "quality_boilerplate_ngrams",  # empty top-k broadcast side
+    "bitext_margin_mining",     # empty pair table through both rank windows
+    "privacy_rtbf_cascade",     # constant 4-row shape even on empty inputs
+    "graph_linkpred_common_neighbors",  # empty adjacency wedge + anti-join
+    "contamination_semantic_eval",  # empty broadcast eval side
 ]
 
 
