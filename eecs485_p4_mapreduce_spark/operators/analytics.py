@@ -1939,3 +1939,97 @@ def privacy_rtbf_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_subjects"),
     ).select(F.lit("events").alias("tbl"), "n_rows", "n_subjects")
     return c_subj.unionByName(c_o).unionByName(c_l).unionByName(c_e)
+
+
+@query(
+    "stats_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY 1),
+    w AS (
+      SELECT MAX(CASE WHEN grp = 'en' THEN n END) AS n1,
+             MAX(CASE WHEN grp = 'en' THEN s END) AS s1,
+             MAX(CASE WHEN grp = 'en' THEN ss END) AS ss1,
+             MAX(CASE WHEN grp = 'other' THEN n END) AS n2,
+             MAX(CASE WHEN grp = 'other' THEN s END) AS s2,
+             MAX(CASE WHEN grp = 'other' THEN ss END) AS ss2
+      FROM g),
+    d AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)
+               AS v1,
+             (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)
+               AS v2
+      FROM w)
+    SELECT n1 AS n_en, n2 AS n_other,
+           round(m1 - m2, 4) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
+                 4) AS df_welch
+    FROM d
+    """,
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on document length, en vs the
+    rest — the parametric twin of ``stats_mannwhitney_en_lengths`` (an
+    A/B readout wants both: U is rank-robust, t gives the magnitude and
+    the Welch-Satterthwaite df for the CI).
+
+    Everything upstream of the final division is EXACT int64 (n, sum,
+    sum-of-squares per group — one map-side-combinable aggregate over
+    the scan); means/variances derive from those integers identically
+    in both engines and the three reported doubles are quantized
+    round(4), so a last-ulp libm disagreement cannot move the output.
+    One exchange of two rows at any corpus scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            F.when(F.col("lang") == "en", "en").otherwise("other").alias("grp"),
+            F.col("n_chars").cast("bigint").alias("v"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+            F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == "en", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "en", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("grp") == "en", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("grp") == "other", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "other", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("grp") == "other", F.col("ss"))).alias("ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (
+        F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    v2 = (
+        F.col("ss2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
+    ) / (F.col("n2") - 1)
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    return w.select(
+        F.col("n1").alias("n_en"),
+        F.col("n2").alias("n_other"),
+        F.round(m1 - m2, 4).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(v1 / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(v2 / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            4,
+        ).alias("df_welch"),
+    )

@@ -757,3 +757,112 @@ def join_runtime_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.localCheckpoint()  # optimize + run under the child confs
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH c AS (SELECT user_id, ts, MIN(event_id) AS click_id
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    pv AS (SELECT p.event_id, p.user_id, p.ts,
+                  v.click_id AS prev_id, v.ts AS prev_ts
+           FROM p ASOF LEFT JOIN c v
+             ON p.user_id = v.user_id AND v.ts < p.ts),
+    nx AS (SELECT p.event_id, v.click_id AS next_id, v.ts AS next_ts
+           FROM p ASOF LEFT JOIN c v
+             ON p.user_id = v.user_id AND v.ts > p.ts)
+    SELECT pv.event_id AS purchase_id, pv.user_id,
+           CASE WHEN pv.prev_id IS NULL AND nx.next_id IS NULL THEN NULL
+                WHEN nx.next_id IS NULL THEN pv.prev_id
+                WHEN pv.prev_id IS NULL THEN nx.next_id
+                WHEN epoch_us(pv.ts) - epoch_us(pv.prev_ts)
+                     <= epoch_us(nx.next_ts) - epoch_us(pv.ts)
+                  THEN pv.prev_id ELSE nx.next_id END AS nearest_click_id,
+           CASE WHEN pv.prev_id IS NULL AND nx.next_id IS NULL THEN NULL
+                WHEN nx.next_id IS NULL
+                  THEN epoch_us(pv.prev_ts) - epoch_us(pv.ts)
+                WHEN pv.prev_id IS NULL
+                  THEN epoch_us(nx.next_ts) - epoch_us(pv.ts)
+                WHEN epoch_us(pv.ts) - epoch_us(pv.prev_ts)
+                     <= epoch_us(nx.next_ts) - epoch_us(pv.ts)
+                  THEN epoch_us(pv.prev_ts) - epoch_us(pv.ts)
+                ELSE epoch_us(nx.next_ts) - epoch_us(pv.ts) END AS delta_us
+    FROM pv JOIN nx ON nx.event_id = pv.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third member of the family: for each
+    purchase, the click by the same user closest in time on EITHER
+    side (strictly before or strictly after; ties go to the earlier
+    click).  kdb's ``aj`` and QuestDB's ASOF cover backward; nearest is
+    what attribution wants when the click can legitimately land just
+    after the purchase event is recorded.
+
+    Clicks are first deduplicated to one row per (user_id, ts) with the
+    min event_id — without this, simultaneous clicks would make the
+    matched id engine-dependent.  Both directions use the union-merge
+    window rewrite (one user_id exchange, two local sort orders): the
+    backward pass orders clicks BEFORE purchases at equal ts is wrong
+    for strictness, so the backward sort puts clicks AFTER purchases
+    (frame preceding can't see same-instant clicks) and the forward
+    sort puts clicks BEFORE purchases (frame following can't either) —
+    both sides strictly exclude equal timestamps, matching the
+    oracle's v.ts < / > p.ts.  Deltas compare as integer microseconds
+    (unix_micros), never as interval arithmetic."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("src_id"))
+        .withColumn("is_click", F.lit(1))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("src_id"), F.lit(0).alias("is_click")
+    )
+    u = clicks.unionByName(purch)
+    # backward pass: clicks sort AFTER purchases at equal ts, so the
+    # preceding frame only sees strictly-earlier clicks
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # forward pass: clicks sort BEFORE purchases at equal ts, so the
+    # following frame only sees strictly-later clicks
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_id = F.when(F.col("is_click") == 1, F.col("src_id"))
+    click_ts = F.when(F.col("is_click") == 1, F.col("ts"))
+    out = (
+        u.withColumn("prev_id", F.last(click_id, ignorenulls=True).over(wb))
+        .withColumn("prev_ts", F.last(click_ts, ignorenulls=True).over(wb))
+        .withColumn("next_id", F.first(click_id, ignorenulls=True).over(wf))
+        .withColumn("next_ts", F.first(click_ts, ignorenulls=True).over(wf))
+        .filter(F.col("is_click") == 0)
+    )
+    d_prev = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    d_next = F.unix_micros("next_ts") - F.unix_micros("ts")
+    take_prev = F.col("next_id").isNull() | (
+        F.col("prev_id").isNotNull() & (d_prev <= d_next)
+    )
+    return out.select(
+        F.col("src_id").alias("purchase_id"),
+        "user_id",
+        F.when(F.col("prev_id").isNull() & F.col("next_id").isNull(), None)
+        .when(take_prev, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+        .cast("bigint")
+        .alias("nearest_click_id"),
+        F.when(F.col("prev_id").isNull() & F.col("next_id").isNull(), None)
+        .when(take_prev, -d_prev)
+        .otherwise(d_next)
+        .cast("bigint")
+        .alias("delta_us"),
+    )

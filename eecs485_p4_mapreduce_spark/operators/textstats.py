@@ -1610,3 +1610,54 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+_OOV_V = 500  # tokenizer vocabulary budget for the coverage audit
+
+
+@query(
+    "tokenizer_oov_rate",
+    oracle=f"""
+    WITH tk AS (SELECT source, unnest({DUCK_TOKENS}) AS tok FROM documents),
+    c AS (SELECT source, tok, COUNT(*) AS cnt FROM tk GROUP BY source, tok),
+    tot AS (SELECT tok, SUM(cnt) AS n FROM c GROUP BY tok),
+    voc AS (SELECT tok FROM tot ORDER BY n DESC, tok LIMIT {_OOV_V})
+    SELECT c.source,
+           CAST(SUM(c.cnt) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN voc.tok IS NULL THEN c.cnt ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           round(CAST(SUM(CASE WHEN voc.tok IS NULL THEN c.cnt ELSE 0 END)
+                      AS DOUBLE) / SUM(c.cnt), 6) AS oov_rate
+    FROM c LEFT JOIN voc ON voc.tok = c.tok
+    GROUP BY c.source
+    """,
+)
+def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage (OOV-rate) audit: fix a 500-type vocabulary
+    (the corpus's most frequent tokens, deterministic (freq DESC, token)
+    cut) and report, per source, how much of its token mass falls
+    outside it — the tokenizer-health readout that decides whether a
+    vocabulary trained on one mix serves another (high OOV = fertility
+    blow-up for that source under a word-level or small-BPE vocab).
+
+    Scale shape: one (source, token) map-side-combinable count is the
+    only corpus-scale shuffle; global type totals reduce from it
+    (token-keyed, vocabulary-sized); the 500-row vocabulary is a
+    TakeOrdered that BROADCASTS back onto the per-source counts; the
+    readout rollup is output-sized.  Token strings shuffle once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    c = tk.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    tot = c.groupBy("tok").agg(F.sum("cnt").alias("n"))
+    voc = (
+        tot.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(_OOV_V)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    j = c.join(F.broadcast(voc), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0)
+    return j.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.sum(oov).cast("bigint").alias("oov_tokens"),
+        F.round(F.sum(oov).cast("double") / F.sum("cnt"), 6).alias("oov_rate"),
+    )
