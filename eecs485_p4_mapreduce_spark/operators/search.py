@@ -376,3 +376,111 @@ def search_docsim_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos2_bp").desc(), "doc_a", "doc_b")
         .limit(_DS_TOPK)
     )
+
+
+# nDCG position discounts 1/log2(i+1), i=1..10 — Python-precomputed
+# literals (the quality_benford_digits convention: no query-time
+# cross-engine log2), identical in both dialects by construction.
+_NDCG_W = (1.0, 0.63093, 0.5, 0.430677, 0.386853,
+           0.356207, 0.333333, 0.315465, 0.30103, 0.289065)
+_NDCG_K = 10
+
+
+def _ndcg_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.plans.registry import REGISTRY
+
+    b = REGISTRY["search_bm25_rank"].oracle
+    w_list = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+    terms = ", ".join(f"'{t}'" for t in _QTERMS)
+    gain = "(CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 ELSE 7 END)"
+    return f"""
+    WITH bm AS ({b}),
+    rel AS (SELECT doc_id,
+                   len(list_intersect(list_distinct({DUCK_TOKENS}),
+                                      [{terms}])) AS rel
+            FROM documents),
+    dcg AS (SELECT SUM(CAST({gain} * ({w_list})[bm.rk] AS DECIMAL(18,6)))
+              AS dcg
+            FROM bm JOIN rel ON rel.doc_id = bm.doc_id
+            WHERE bm.rk <= {_NDCG_K}),
+    ideal AS (SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS rk
+              FROM rel ORDER BY rel DESC, doc_id LIMIT {_NDCG_K}),
+    idcg AS (SELECT SUM(CAST({gain} * ({w_list})[rk] AS DECIMAL(18,6)))
+               AS idcg
+             FROM ideal)
+    SELECT CAST({_NDCG_K} AS BIGINT) AS k,
+           round(CAST(dcg.dcg AS DOUBLE), 6) AS dcg_at_k,
+           round(CAST(idcg.idcg AS DOUBLE), 6) AS idcg_at_k,
+           round(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6)
+             AS ndcg_at_k
+    FROM dcg, idcg
+    """
+
+
+@query("search_ndcg_eval", oracle=_ndcg_oracle())
+def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: nDCG@10 of the BM25 ranked list
+    against a graded relevance label (rel(doc) = number of distinct
+    query-bag terms the document contains, 0..3) — the eval-harness
+    readout a retrieval stack tracks per release; composes the BM25
+    pipeline exactly as ``search_rrf_fusion`` does.
+
+    Determinism: gains are exact ints via CASE (2^rel - 1); position
+    discounts are Python-precomputed literals indexed by rank (never
+    query-time log2); per-position contributions cast to decimal before
+    the sum; the ideal list is a (rel DESC, doc_id) TakeOrdered.  Scale
+    shape: relevance is one scan-side array_intersect pass; both DCG
+    sums reduce <=10 rows; the only corpus-scale work is the BM25
+    pipeline itself (already term-pruned)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bm = search_bm25_rank(spark, sf_dir).filter(F.col("rk") <= _NDCG_K)
+    rel = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tokens("text")),
+                F.array(*[F.lit(t) for t in _QTERMS]),
+            )
+        ).alias("rel"),
+    )
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    gain = (
+        F.when(F.col("rel") == 0, 0)
+        .when(F.col("rel") == 1, 1)
+        .when(F.col("rel") == 2, 3)
+        .otherwise(7)
+    )
+    dcg = (
+        bm.join(rel, "doc_id")
+        .select(
+            (gain * F.element_at(warr, F.col("rk").cast("int")))
+            .cast("decimal(18,6)")
+            .alias("c")
+        )
+        .agg(F.sum("c").alias("dcg"))
+    )
+    from pyspark.sql import Window
+
+    ideal = (
+        rel.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(_NDCG_K)
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("doc_id")))
+        )
+    )
+    idcg = ideal.select(
+        (gain * F.element_at(warr, F.col("rk").cast("int")))
+        .cast("decimal(18,6)")
+        .alias("c")
+    ).agg(F.sum("c").alias("idcg"))
+    return (
+        dcg.crossJoin(idcg)
+        .select(
+            F.lit(_NDCG_K).cast("bigint").alias("k"),
+            F.round(F.col("dcg").cast("double"), 6).alias("dcg_at_k"),
+            F.round(F.col("idcg").cast("double"), 6).alias("idcg_at_k"),
+            F.round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+            ).alias("ndcg_at_k"),
+        )
+    )

@@ -56,6 +56,8 @@ CONSTANT_WINDOW_OK = {
     "search_tfidf_rank": "rank over the <=10-row TakeOrdered result",
     "search_bm25_rank": "rank over the <=10-row TakeOrdered result",
     "search_rrf_fusion": "rank over the fused <=20-row top-k lists",
+    "search_ndcg_eval": "rank over the <=10-row ideal list + the BM25"
+    " sub-pipeline's adjudicated top-k rank",
     "skyline_orders_pareto": "P-row prefix-max frame (ranking recipe)",
     "stats_exact_median_distributed": "P-row offsets frame (ranking recipe)",
     "stats_gini_revenue": "P-row offsets frame (ranking recipe)",
