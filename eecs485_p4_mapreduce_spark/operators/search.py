@@ -474,7 +474,7 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("c")
     ).agg(F.sum("c").alias("idcg"))
     return (
-        dcg.crossJoin(idcg)
+        dcg.crossJoin(F.broadcast(idcg))  # two 1-row sides: broadcast-NL, never CartesianProduct
         .select(
             F.lit(_NDCG_K).cast("bigint").alias("k"),
             F.round(F.col("dcg").cast("double"), 6).alias("dcg_at_k"),
