@@ -345,10 +345,11 @@ def main() -> None:
         "sf": sf,
     }
     if n_runs > 1:
-        # upper median of the sorted runs: with a cold first run and
-        # warm repeats this lands on a warm measurement
+        # median over the WARM runs only (the first run is the cold
+        # outlier the median exists to exclude; an upper median of ALL
+        # runs would report the cold run itself at --median 2)
         medians = {
-            n: sorted(rs)[len(rs) // 2] for n, rs in runs.items()
+            n: sorted(rs[1:])[(len(rs) - 2) // 2] for n, rs in runs.items()
         }
         detail_payload["median_n"] = n_runs
         detail_payload["median"] = medians

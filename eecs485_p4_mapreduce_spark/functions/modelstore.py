@@ -55,9 +55,6 @@ def model_location(
     )
 
 
-_PA_TYPES = {"bigint": "int64", "array<double>": "list<double>"}
-
-
 def _pa_schema(schema: str):
     """DDL-ish model schema ("k bigint, cv array<double>") -> pyarrow."""
     import pyarrow as pa
@@ -106,15 +103,17 @@ def load_or_train(
             )
             for rec in table.to_pylist()
         ]
-        if rows:
-            return sorted(rows)
+        return sorted(rows)  # an empty model is valid for an empty corpus
     rows = sorted(train())
     if token is None:
         return rows  # unreadable corpus mtime: don't publish what we can't key
     tmp = loc + ".tmp-" + uuid.uuid4().hex[:8]
     os.makedirs(tmp, exist_ok=True)
     pa_schema = _pa_schema(schema)
-    cols = list(zip(*rows))
+    # zip(*[]) is [] — pad to one empty column per field so an empty
+    # corpus publishes a schema-correct zero-row model instead of
+    # crashing Table.from_arrays with a schema/array-count mismatch
+    cols = list(zip(*rows)) or [[] for _ in pa_schema]
     table = pa.Table.from_arrays(
         [pa.array(list(c), type=f.type) for c, f in zip(cols, pa_schema)],
         schema=pa_schema,

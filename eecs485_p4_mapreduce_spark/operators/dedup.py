@@ -1489,16 +1489,21 @@ def contamination_benchmark_ngrams(spark: SparkSession, sf_dir: str) -> DataFram
 
 # The same canonicalization chain, spelled per dialect (backreference
 # syntax is the only gap: Java '$1' vs RE2 '\1').  Steps: drop the
-# fragment, drop an explicit default :443 port, lowercase, strip utm_*
-# tracking params (a LEADING utm keeps its '?' for the next param; any
-# other position strips cleanly), collapse a path-final slash before
-# the query, strip a bare trailing slash.  Patterns stay in the
-# Java/RE2 common subset and are assert-guarded like the PII patterns.
+# fragment, drop an explicit default :443 port (anchored after the
+# host — ':443' inside a longer port like :4433 must not match, and
+# the fragment is already gone so [/?] or end-of-string terminates the
+# authority), lowercase, strip utm_* tracking params (a run of one or
+# more LEADING utm params is consumed in ONE match — a non-rescanning
+# global replace would otherwise leave the second of two adjacent
+# leading utm params attached to a bare '?'; any other position strips
+# cleanly), collapse a path-final slash before the query, strip a bare
+# trailing slash.  Patterns stay in the Java/RE2 common subset and are
+# assert-guarded like the PII patterns.
 _URL_CANON_STEPS = [
     (r"#.*$", "", ""),
-    (r"//([^/]*):443", "//$1", r"//\1"),
+    (r"//([^/:]*):443([/?]|$)", "//$1$2", r"//\1\2"),
     ("__LOWER__", "", ""),
-    (r"[?]utm_[a-z]+=[^&#]*&", "?", "?"),
+    (r"[?](utm_[a-z]+=[^&#]*&)+", "?", "?"),
     (r"[?&]utm_[a-z]+=[^&#]*", "", ""),
     (r"/[?]", "?", "?"),
     (r"/$", "", ""),

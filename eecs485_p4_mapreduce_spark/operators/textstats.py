@@ -1437,27 +1437,23 @@ def text_keywords_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ENC_MERGES = 3  # frozen merge-table size for the encode pass
 
 
-def _bpe_encode_sql(dialect: str) -> str:
-    """BPE ENCODE as one SQL text per dialect: rank the top three
-    adjacent pairs of the ORIGINAL stream once (the frozen merge
-    table), then apply them in priority order with the train query's
-    greedy left-to-right machinery.  Unlike training, later merges are
-    NOT re-counted on the rewritten stream — that is exactly how a
-    tokenizer applies a FIXED vocabulary at encode time, and why encode
-    is three cheap passes instead of three count+select rounds."""
-    if dialect == "spark":
-        s0 = (
-            "SELECT doc_id, source, pos, tok FROM (SELECT doc_id, source,"
-            " posexplode(filter(split(lower(text), '\\\\s+'), t -> t <> ''))"
-            " AS (pos, tok) FROM documents)"
-        )
-    else:
-        s0 = (
-            "SELECT doc_id, source, i - 1 AS pos, t[i] AS tok"
-            " FROM (SELECT doc_id, source, list_filter(string_split_regex("
-            "lower(text), '\\s+'), t -> t <> '') AS t FROM documents),"
-            " unnest(range(1, len(t) + 1)) AS u(i)"
-        )
+def _bpe_encode_sql() -> str:
+    """BPE ENCODE as one DuckDB SQL text (unlike ``_bpe_train_sql``
+    there is no Spark dialect to generate — the engine side is
+    DataFrame-built around the collected literal merge table): rank the
+    top three adjacent pairs of the ORIGINAL stream once (the frozen
+    merge table), then apply them in priority order with the train
+    query's greedy left-to-right machinery.  Unlike training, later
+    merges are NOT re-counted on the rewritten stream — that is exactly
+    how a tokenizer applies a FIXED vocabulary at encode time, and why
+    encode is three cheap passes instead of three count+select
+    rounds."""
+    s0 = (
+        "SELECT doc_id, source, i - 1 AS pos, t[i] AS tok"
+        " FROM (SELECT doc_id, source, list_filter(string_split_regex("
+        "lower(text), '\\s+'), t -> t <> '') AS t FROM documents),"
+        " unnest(range(1, len(t) + 1)) AS u(i)"
+    )
     parts = [
         f"s0 AS ({s0})",
         f"""
@@ -1516,7 +1512,7 @@ def _bpe_encode_sql(dialect: str) -> str:
     )
 
 
-@query("token_bpe_encode", oracle=_bpe_encode_sql("duckdb"))
+@query("token_bpe_encode", oracle=_bpe_encode_sql())
 def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE with a frozen merge table — the other half of
     ``token_bpe_train_3merges``: rank the corpus's top three adjacent

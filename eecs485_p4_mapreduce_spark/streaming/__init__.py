@@ -608,6 +608,26 @@ def _band_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (spark.sparkContext.applicationId, sf_dir)
     name = _BAND_INDEX_TABLES.get(key)
+    if name is not None:
+        # Keep the liveness signal honest for the sibling GC below: a
+        # write-once dir's mtime never advances on its own, so a
+        # long-lived application re-reading its cached index refreshes
+        # the timestamp here — an index is only TTL-stale if its owner
+        # has not QUERIED it for the whole TTL, not merely started
+        # long ago.
+        import os
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, name)
+        if os.path.isdir(loc):
+            os.utime(loc)
+        else:
+            # swept out from under us (idle past the TTL on a shared
+            # warehouse) — evict and rebuild below instead of returning
+            # a table whose files are gone
+            _BAND_INDEX_TABLES.pop(key, None)
+            name = None
     if name is None:
         # The name mixes in the applicationId: two applications sharing
         # one warehouse dir each own a private index location, so the
@@ -632,10 +652,14 @@ def _band_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             # catalog entry this application could have had
         # GC sibling orphans from DEAD applications: same corpus tag,
         # different app tag, untouched for > SPARK_GRAFT_INDEX_TTL_H
-        # hours (default 72).  A live concurrent application's index is
-        # necessarily younger than the TTL, so — unlike the round-5
-        # unconditional rmtree this replaced — the sweep can never
-        # delete an index another running application is reading.
+        # hours (default 72).  "Untouched" means NOT QUERIED: the
+        # cache-hit path above utimes the owner's dir on every re-read,
+        # so a live application's index stays younger than the TTL as
+        # long as it queries at least once per TTL window.  A live app
+        # idle on this corpus for the entire TTL can still lose its
+        # index; the cache-hit path detects the missing dir and
+        # rebuilds, so the cost is one rebuild, never a broken read.
+        # Size the TTL above the longest expected idle gap anyway.
         import time
 
         ttl_s = float(os.environ.get("SPARK_GRAFT_INDEX_TTL_H", "72")) * 3600

@@ -52,6 +52,13 @@ _REPRESENTATIVES = [
     "privacy_rtbf_cascade",     # constant 4-row shape even on empty inputs
     "graph_linkpred_common_neighbors",  # empty adjacency wedge + anti-join
     "contamination_semantic_eval",  # empty broadcast eval side
+    # model-store family: an empty corpus must publish a schema-correct
+    # zero-row model, not crash pyarrow Table.from_arrays (regression
+    # introduced with functions/modelstore.py, fixed by the empty-cols pad)
+    "embedding_kmeans_ivf_train",
+    "knn_ivf_trained",
+    "ann_pq_adc",
+    "dedup_semdedup_clusters",
 ]
 
 

@@ -942,6 +942,19 @@ def test_url_canonicalization_collapses_variants(spark):
         # utm between two kept params strips cleanly
         ("https://a.example.org/x?id=1&utm_x=2&z=3",
          "https://a.example.org/x?id=1&z=3"),
+        # TWO leading utm params: the run is consumed in one match —
+        # a non-rescanning replace must not leave '?utm_b' to step 5
+        # (which would strip the whole query and weld '&id=3' to the path)
+        ("https://a.example.org/p?utm_a=1&utm_b=2&id=3",
+         "https://a.example.org/p?id=3"),
+        # all-utm query: leading run eats all but the last, step 5 the rest
+        ("https://a.example.org/p?utm_a=1&utm_b=2",
+         "https://a.example.org/p"),
+        # :4433 is NOT the default port — the anchored :443 must not
+        # backtrack into it and corrupt the host
+        ("https://h.example.com:4433/p", "https://h.example.com:4433/p"),
+        # :443 at end-of-authority with no path still strips
+        ("https://h.example.com:443", "https://h.example.com"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [
