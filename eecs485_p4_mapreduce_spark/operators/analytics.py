@@ -2033,3 +2033,117 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("df_welch"),
     )
+
+
+# t-closeness: quasi-identifier classes (nation, segment), sensitive
+# attribute = account-balance band (2000-wide, shifted nonnegative so
+# integer div == floor div in both engines).  Threshold t = 0.2 (ppm).
+_TCLOSE_PPM = 200000
+_SENS_SQL = "(CAST(floor(c_acctbal) AS BIGINT) + 1000)"
+
+
+@query(
+    "privacy_t_closeness",
+    oracle=f"""
+    WITH cell AS (
+      SELECT c_nationkey, c_mktsegment, {_SENS_SQL} // 2000 AS sens,
+             COUNT(*) AS n_cs
+      FROM customer GROUP BY 1, 2, 3),
+    cls AS (SELECT c_nationkey, c_mktsegment, SUM(n_cs) AS n_c
+            FROM cell GROUP BY 1, 2),
+    sg AS (SELECT sens, SUM(n_cs) AS n_s FROM cell GROUP BY 1),
+    tot AS (SELECT SUM(n_s) AS n FROM sg),
+    d AS (
+      SELECT cls.c_nationkey, cls.c_mktsegment, cls.n_c, tot.n,
+             abs(CAST(COALESCE(cell.n_cs, 0) AS DECIMAL(14,0)) * tot.n
+                 - CAST(sg.n_s AS DECIMAL(14,0)) * cls.n_c) AS num
+      FROM cls CROSS JOIN sg CROSS JOIN tot
+      LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+        AND cell.c_mktsegment = cls.c_mktsegment AND cell.sens = sg.sens),
+    s AS (
+      SELECT c_nationkey, c_mktsegment, n_c,
+             1000000 * SUM(num) AS x,
+             2 * CAST(n_c AS DECIMAL(14,0)) * n AS y
+      FROM d GROUP BY c_nationkey, c_mktsegment, n_c, n)
+    SELECT c_nationkey, c_mktsegment, CAST(n_c AS BIGINT) AS n,
+           CAST((x - (x % y)) / y AS BIGINT) AS tvd_ppm,
+           CAST((x - (x % y)) / y AS BIGINT) <= {_TCLOSE_PPM} AS t_close
+    FROM s
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (the step past k-anonymity/l-diversity): for
+    each quasi-identifier class (nation, market segment), the total-
+    variation distance between the class's sensitive-attribute
+    distribution (account-balance band) and the global distribution —
+    classes where TVD > t leak the sensitive attribute even when they
+    are k-anonymous and l-diverse.
+
+    Determinism: probabilities never materialize — TVD is assembled
+    from cross-multiplied integer counts (|n_cs*N − N_s*n_c| summed per
+    class, then one integer ppm division), with DECIMAL(14,0) products
+    so the arithmetic is exact at any corpus scale (counts to 1e14;
+    intermediate sums bounded well inside DECIMAL(38,0)).  The final
+    ppm floor-division is Spark ``div`` (truncating, == floor for the
+    nonnegative operands); DuckDB's decimal ``//`` ROUNDS the quotient
+    before flooring, so the oracle uses the exact remainder identity
+    ``(x - x % y) / y`` instead.  The
+    sensitive band is shifted nonnegative before the 2000-wide integer
+    division so Spark's truncating ``div`` equals DuckDB's floor ``//``.
+
+    Scale shape: ONE corpus-scale map-side-combinable aggregate to
+    (class, band) cells; class totals, band marginals, and the grand
+    total are all rollups of those bounded cells (classes × bands ≈
+    750 rows), so the grid join and the final readout never touch
+    table-scale data again."""
+    c = load_table(spark, sf_dir, "customer")
+    cell = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(f"{_SENS_SQL} div 2000").alias("sens"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "sens")
+        .agg(F.count("*").alias("n_cs"))
+    )
+    cell = cell.localCheckpoint(eager=False)
+    cls = cell.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_cs").alias("n_c")
+    )
+    sg = cell.groupBy("sens").agg(F.sum("n_cs").alias("n_s"))
+    tot = sg.agg(F.sum("n_s").alias("n"))
+    dec = lambda col: F.col(col).cast("decimal(14,0)")  # noqa: E731
+    grid = (
+        cls.crossJoin(F.broadcast(sg))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(cell),
+            ["c_nationkey", "c_mktsegment", "sens"],
+            "left",
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_c",
+            "n",
+            F.abs(
+                F.coalesce(dec("n_cs"), F.lit(0).cast("decimal(14,0)"))
+                * F.col("n")
+                - dec("n_s") * F.col("n_c")
+            ).alias("num"),
+        )
+    )
+    g = grid.groupBy("c_nationkey", "c_mktsegment", "n_c", "n").agg(
+        F.sum("num").alias("s_num")
+    )
+    tvd = F.expr(
+        "cast((1000000 * s_num) div (2 * cast(n_c as decimal(14,0)) * n)"
+        " as bigint)"
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_c").cast("bigint").alias("n"),
+        tvd.alias("tvd_ppm"),
+        (tvd <= _TCLOSE_PPM).alias("t_close"),
+    )

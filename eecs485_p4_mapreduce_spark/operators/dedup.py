@@ -1716,3 +1716,112 @@ def contamination_semantic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_clean"),
     )
+
+
+# ------------------------------------------ asymmetric n-gram containment
+
+# Rare-gram blocking window: grams shared by 2..10 docs generate pairs.
+# df >= 2 (df = 1 grams pair nothing); df <= 10 bounds fan-out per gram
+# at df^2 = 100 regardless of corpus size (the docsim rare-term trade).
+_CONT_DFMIN = 2
+_CONT_DFMAX = 10
+_CONT_T = 0.5
+
+
+@query(
+    "dedup_containment_ngram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    ng AS (SELECT doc_id, {_NG_DUCK} AS ng FROM toks),
+    ex AS (SELECT doc_id, unnest(ng) AS g FROM ng),
+    df AS (SELECT g, COUNT(*) AS df FROM ex GROUP BY g),
+    rare AS (SELECT g FROM df
+             WHERE df BETWEEN {_CONT_DFMIN} AND {_CONT_DFMAX}),
+    rex AS (SELECT ex.doc_id, ex.g FROM ex JOIN rare USING (g)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM rex a JOIN rex b
+               ON a.g = b.g AND a.doc_id < b.doc_id),
+    sc AS (SELECT c.doc_a, c.doc_b,
+                  len(list_intersect(na.ng, nb.ng)) AS i,
+                  len(na.ng) AS sza, len(nb.ng) AS szb
+           FROM cand c
+           JOIN ng na ON na.doc_id = c.doc_a
+           JOIN ng nb ON nb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, CAST(i AS BIGINT) AS ngrams_shared,
+           CAST(i AS DOUBLE) / least(sza, szb) AS containment,
+           CASE WHEN sza <= szb THEN doc_a ELSE doc_b END AS contained_doc
+    FROM sc
+    WHERE i > 0 AND CAST(i AS DOUBLE) / least(sza, szb) >= {_CONT_T}
+    """,
+)
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT dedup (doc-in-doc detection):
+    containment c = |ng_a ∩ ng_b| / min(|ng_a|, |ng_b|) flags a short
+    document embedded inside a longer one (quoting, page-in-crawl,
+    concatenated shards) that Jaccard-gated near-dup misses — a 1 KB
+    doc fully contained in a 100 KB doc has Jaccard ~0.01 but
+    containment 1.0, so the MinHash-LSH band gate would never pair it.
+
+    The candidate gate is therefore NOT MinHash: pairs are generated
+    from a rare-gram inverted index (word 4-grams with document
+    frequency 2..10), which fires on ANY shared rare gram regardless of
+    size ratio; per-gram fan-out is bounded by df² ≤ 100 at any corpus
+    scale, and the exact verify is per-candidate array_intersect (the
+    ``dedup_ngram_jaccard`` economics with a containment scorer).
+
+    Determinism: containment is one IEEE division of exact integer
+    gram counts (identical both engines); the contained side ties to
+    doc_a on equal sizes.  Scale shape: gram df is a map-side-
+    combinable aggregate; only rare-gram postings join; the verify
+    joins candidates (bounded) back to the materialized gram arrays."""
+    docs = load_table(spark, sf_dir, "documents")
+    ng = (
+        docs.withColumn("toks", F.expr(_TOK_SPARK))
+        .withColumn("ng", F.expr(_NG_SPARK))
+        .select("doc_id", "ng")
+        .localCheckpoint()
+    )
+    ex = ng.select("doc_id", F.explode("ng").alias("g"))
+    rare = (
+        ex.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(
+            (F.col("df") >= _CONT_DFMIN) & (F.col("df") <= _CONT_DFMAX)
+        )
+        .select("g")
+    )
+    rex = ex.join(rare, "g")
+    cand = (
+        rex.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(rex.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    na = ng.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a"))
+    nb = ng.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("ng_b"))
+    sc = (
+        cand.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ng_a", "ng_b")).alias("i"),
+            F.size("ng_a").alias("sza"),
+            F.size("ng_b").alias("szb"),
+        )
+    )
+    cont = F.col("i").cast("double") / F.least("sza", "szb")
+    return (
+        sc.filter(F.col("i") > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("bigint").alias("ngrams_shared"),
+            cont.alias("containment"),
+            F.when(F.col("sza") <= F.col("szb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .filter(F.col("containment") >= _CONT_T)
+    )

@@ -484,3 +484,86 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_k"),
         )
     )
+
+
+# Reciprocal-rank literals 1/i, i=1..10 (the _NDCG_W convention: no
+# query-time division on the rank, identical in both dialects).
+_MRR_W = (1.0, 0.5, 0.333333, 0.25, 0.2, 0.166667,
+          0.142857, 0.125, 0.111111, 0.1)
+_MRR_K = 10
+
+
+def _mrr_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.plans.registry import REGISTRY
+
+    b = REGISTRY["search_bm25_rank"].oracle
+    w_list = "[" + ", ".join(str(w) for w in _MRR_W) + "]"
+    terms = ", ".join(f"'{t}'" for t in _QTERMS)
+    return f"""
+    WITH bm AS ({b}),
+    top AS (SELECT bm.doc_id, bm.rk, list_distinct({DUCK_TOKENS}) AS toks
+            FROM bm JOIN documents USING (doc_id)
+            WHERE bm.rk <= {_MRR_K}),
+    q AS (SELECT unnest([{terms}]) AS query_term),
+    hit AS (
+      SELECT q.query_term, MIN(top.rk) AS first_rank
+      FROM q LEFT JOIN top ON list_contains(top.toks, q.query_term)
+      GROUP BY q.query_term),
+    rr AS (
+      SELECT query_term,
+             CAST(COALESCE(first_rank, 0) AS BIGINT) AS first_rank,
+             CAST(CASE WHEN first_rank IS NULL THEN 0.0
+                       ELSE ({w_list})[first_rank] END AS DOUBLE) AS rr
+      FROM hit)
+    SELECT query_term, first_rank, rr,
+           round((SELECT SUM(rr) / COUNT(*) FROM rr), 6) AS mrr
+    FROM rr
+    """
+
+
+@query("search_mrr_eval", oracle=_mrr_oracle())
+def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@10 of the BM25 ranked list, per query term: for each term of
+    the query bag, the rank of the FIRST top-10 document containing it,
+    its reciprocal rank, and the bag-level mean reciprocal rank — the
+    second standard retrieval-eval readout next to ``search_ndcg_eval``
+    (nDCG grades the whole list, MRR grades time-to-first-hit; a fusion
+    change can move them in opposite directions).
+
+    Determinism: reciprocal ranks are Python-precomputed literals
+    indexed by rank (never query-time 1/rk division); terms missing
+    from the top-10 contribute exactly 0.0; MRR is one rounded division
+    of a ≤3-term sum.  Scale shape: the corpus-scale work is the BM25
+    pipeline itself; the top-10 list joins back to documents on a
+    10-key broadcast hash join, the 3-row term table is a broadcast
+    nested loop over those 10 rows, and everything after is
+    constant-size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bm = search_bm25_rank(spark, sf_dir).filter(F.col("rk") <= _MRR_K)
+    top = bm.join(
+        docs.select("doc_id", F.array_distinct(tokens("text")).alias("toks")),
+        "doc_id",
+    ).select("doc_id", "rk", "toks")
+    q = spark.createDataFrame(
+        [(t,) for t in _QTERMS], "query_term string"
+    )
+    hit = (
+        F.broadcast(q)
+        .join(top, F.array_contains(F.col("toks"), F.col("query_term")), "left")
+        .groupBy("query_term")
+        .agg(F.min("rk").alias("first_rank"))
+    )
+    warr = F.array(*[F.lit(w) for w in _MRR_W])
+    rr = hit.select(
+        "query_term",
+        F.coalesce(F.col("first_rank"), F.lit(0)).cast("bigint").alias(
+            "first_rank"
+        ),
+        F.when(F.col("first_rank").isNull(), F.lit(0.0))
+        .otherwise(F.element_at(warr, F.col("first_rank").cast("int")))
+        .alias("rr"),
+    ).localCheckpoint()
+    mrr = rr.agg(
+        F.round(F.sum("rr") / F.count("*"), 6).alias("mrr")
+    )
+    return rr.crossJoin(F.broadcast(mrr))

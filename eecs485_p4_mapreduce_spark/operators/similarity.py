@@ -1445,3 +1445,78 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_r",
         "margin",
     )
+
+
+def _calib_oracle() -> str:
+    w_list = ", ".join(str(w) for w in _INF_W)
+    return f"""
+    WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                      round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                            [{w_list}]), 6) AS logit
+               FROM embeddings),
+    p AS (SELECT y,
+                 CAST(round(10000 * (1 / (1 + exp(-logit)))) AS BIGINT)
+                   AS p_bp
+          FROM e),
+    b AS (SELECT least(p_bp // 1000, 9) AS bin, y, p_bp,
+                 (p_bp - 10000 * y) * (p_bp - 10000 * y) AS sq
+          FROM p)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(p_bp) AS DOUBLE) / (COUNT(*) * 10000.0), 6)
+             AS mean_predicted,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+           round(CAST(SUM(sq) AS DOUBLE) / (COUNT(*) * 100000000.0), 6)
+             AS brier
+    FROM b GROUP BY bin
+    """
+
+
+@query("eval_calibration_bins", oracle=_calib_oracle())
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-calibration audit (reliability diagram + per-bin
+    Brier score) for the linear scorer against the weak positive label
+    (label >= 5): sigmoid probabilities bucketed into deciles, each bin
+    reporting mean predicted probability vs empirical positive rate —
+    the readout that says whether a quality-filter's scores can be
+    thresholded by probability or must be re-calibrated first.
+
+    Determinism: the logit is the shared sequential-fold dot product
+    quantized round(6); the sigmoid is immediately quantized to integer
+    basis points (round-half-away on identical IEEE doubles — the ln
+    round-4 convention's risk class), after which EVERYTHING is integer:
+    the decile bin is a bigint div, the Brier numerator is the exact
+    integer (p_bp − 10000·y)², and the final ratios are single
+    divisions of exact integer sums.  Scale shape: embarrassingly
+    parallel scan+project into a ≤10-group map-side-combinable
+    aggregate; no joins, no windows, nothing leaves the executors but
+    10 rows."""
+    w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    dot = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_arr)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(F.expr(dot), 6).alias("logit"),
+    )
+    p = e.select(
+        "y",
+        F.round(10000 * (1 / (1 + F.exp(-F.col("logit")))))
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+    b = p.select(
+        F.least(F.expr("p_bp div 1000"), F.lit(9)).alias("bin"),
+        "y",
+        "p_bp",
+        ((F.col("p_bp") - 10000 * F.col("y"))
+         * (F.col("p_bp") - 10000 * F.col("y"))).alias("sq"),
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum("p_bp").cast("double") / (F.count("*") * 10000.0), 6
+        ).alias("mean_predicted"),
+        F.round(F.sum("y").cast("double") / F.count("*"), 6).alias("pos_rate"),
+        F.round(
+            F.sum("sq").cast("double") / (F.count("*") * 100000000.0), 6
+        ).alias("brier"),
+    )

@@ -1657,3 +1657,160 @@ def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("bigint").alias("oov_tokens"),
         F.round(F.sum(oov).cast("double") / F.sum("cnt"), 6).alias("oov_rate"),
     )
+
+
+# LIX readability constants: "long word" threshold (>= 7 chars, the
+# standard LIX cut) and the sentence-delimiter run regex (identical
+# Java/RE2 semantics: a character class + '+' quantifier).
+_LIX_LONG = 7
+_SENT_RE = "[.!?]+"
+
+
+@query(
+    "quality_readability_lix",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             len({DUCK_TOKENS}) AS words,
+             greatest(len(regexp_extract_all(text, '{_SENT_RE}')), 1)
+               AS sentences,
+             len(list_filter({DUCK_TOKENS}, t -> length(t) >= {_LIX_LONG}))
+               AS long_words
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS words,
+           CAST(SUM(sentences) AS BIGINT) AS sentences,
+           CAST(SUM(long_words) AS BIGINT) AS long_words,
+           round(CAST(SUM(words) AS DOUBLE) / SUM(sentences)
+                 + 100.0 * SUM(long_words) / SUM(words), 6) AS lix
+    FROM d GROUP BY source
+    """,
+)
+def quality_readability_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus readability audit: the LIX index (words/sentence +
+    100 * long-word share, long = 7+ chars) per source — the
+    syllable-free readability formula, so every input is an exact
+    integer count and the score is deterministic cross-engine (unlike
+    Flesch, which needs syllable heuristics).  A curation pipeline uses
+    the per-source LIX to spot sources whose prose complexity drifts
+    from the mix target.
+
+    Determinism: words/sentences/long-words are integer counts
+    (whitespace tokens; sentence-delimiter runs via the shared Java∩RE2
+    regex subset, per-doc floored at 1; token length >= 7), summed as
+    BIGINTs; LIX is computed once from the summed integers and rounded.
+    Scale shape: pure scan-side projection (regexp_extract_all + two
+    size(filter()) passes inside whole-stage codegen) into a
+    source-cardinality hash aggregate — no joins, no windows, one
+    map-side-combinable shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(tokens("text")).alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(_SENT_RE), F.lit(0))),
+            F.lit(1),
+        ).alias("sentences"),
+        F.size(
+            F.filter(tokens("text"), lambda t: F.length(t) >= _LIX_LONG)
+        ).alias("long_words"),
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("sentences").cast("bigint").alias("sentences"),
+        F.sum("long_words").cast("bigint").alias("long_words"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "long_words",
+        F.round(
+            F.col("words").cast("double") / F.col("sentences")
+            + F.lit(100.0) * F.col("long_words") / F.col("words"),
+            6,
+        ).alias("lix"),
+    )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             len({DUCK_TOKENS}) AS ws,
+             len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS re,
+             n_chars
+      FROM documents),
+    g AS (
+      SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens,
+             SUM(re) AS re_tokens, SUM(n_chars) AS chars
+      FROM d GROUP BY lang),
+    en AS (SELECT CAST(re_tokens AS DOUBLE) / ws_tokens AS f_en
+           FROM g WHERE lang = 'en')
+    SELECT g.lang,
+           CAST(g.n_docs AS BIGINT) AS n_docs,
+           CAST(g.ws_tokens AS BIGINT) AS ws_tokens,
+           CAST(g.re_tokens AS BIGINT) AS re_tokens,
+           round(CAST(g.re_tokens AS DOUBLE) / g.ws_tokens, 6) AS fertility,
+           round(CAST(g.chars AS DOUBLE) / g.re_tokens, 6)
+             AS chars_per_token,
+           round((CAST(g.re_tokens AS DOUBLE) / g.ws_tokens) / en.f_en, 6)
+             AS fertility_vs_en
+    FROM g, en
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit by language: subword (BPE-ish regex
+    lexer) tokens per whitespace word, characters per subword token,
+    and each language's fertility relative to English — the
+    multilingual-tokenizer health readout that decides whether a vocab
+    trained on an en-heavy mix taxes other languages with longer token
+    sequences (fertility_vs_en > 1 = that language pays more tokens per
+    word, i.e. more compute per sentence).
+
+    Determinism: all inputs are integer counts (whitespace tokens, regex
+    lexer matches via the shared Java∩RE2 ``_TOKEN_RE``, the n_chars
+    column) summed as BIGINTs; ratios are double divisions of exact
+    integers, rounded once.  Scale shape: scan-side token counting into
+    a lang-cardinality aggregate; the 1-row 'en' baseline is broadcast
+    back onto the per-lang rows (broadcast-NL on a single row, never a
+    CartesianProduct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(tokens("text")).alias("ws"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), F.lit(0))
+        ).alias("re"),
+        "n_chars",
+    )
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("re").cast("bigint").alias("re_tokens"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    en = g.filter(F.col("lang") == "en").select(
+        (F.col("re_tokens").cast("double") / F.col("ws_tokens")).alias("f_en")
+    )
+    return g.crossJoin(F.broadcast(en)).select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "re_tokens",
+        F.round(
+            F.col("re_tokens").cast("double") / F.col("ws_tokens"), 6
+        ).alias("fertility"),
+        F.round(F.col("chars").cast("double") / F.col("re_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(
+            (F.col("re_tokens").cast("double") / F.col("ws_tokens"))
+            / F.col("f_en"),
+            6,
+        ).alias("fertility_vs_en"),
+    )

@@ -59,6 +59,11 @@ _REPRESENTATIVES = [
     "knn_ivf_trained",
     "ann_pq_adc",
     "dedup_semdedup_clusters",
+    "dedup_containment_ngram",  # rare-gram postings + verify on empty
+    "search_mrr_eval",          # literal term table left-joined to empty top-10
+    "privacy_t_closeness",      # grid of empty cell rollups
+    "eval_calibration_bins",    # empty ≤10-bin aggregate
+    "tokenizer_fertility_by_lang",  # empty 'en' baseline broadcast side
 ]
 
 
