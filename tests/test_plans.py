@@ -813,3 +813,59 @@ def test_bitext_windows_are_id_partitioned(spark, sf_dir):
     assert specs, "expected ranking windows in the plan"
     for spec in specs:
         assert "x_id" in spec or "y_id" in spec, spec
+
+
+def test_readability_and_fertility_scan_side_jvm(spark, sf_dir):
+    """LIX readability and tokenizer fertility must stay JVM-side
+    codegen (size/filter/regexp_extract_all built-ins) over the scan
+    with only tiny group-cardinality exchanges — a Python eval node or
+    a pre-aggregate shuffle of document text is the 100 TB regression
+    this pin guards."""
+    for name in ("quality_readability_lix", "tokenizer_fertility_by_lang"):
+        plan = explain(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        # document text must never shuffle: every exchange in the plan
+        # moves pre-aggregated per-group rows (hash partitioning on the
+        # group key or a single-partition readout), never the text column
+        for m in re.finditer(r"Exchange [^\n]*", plan):
+            assert "text" not in m.group(0), (name, m.group(0))
+
+
+def test_calibration_bins_single_aggregate_no_python(spark, sf_dir):
+    """eval_calibration_bins is one scan-side JVM projection (the
+    sequential-fold dot, sigmoid, integer quantization) into a <=10-group
+    aggregate: no Python eval, no joins, one data exchange."""
+    plan = explain(spark, sf_dir, "eval_calibration_bins")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 1, n_exchanges
+
+
+def test_containment_candidates_are_rare_gram_equi_join(spark, sf_dir):
+    """dedup_containment_ngram's pair stage must be an equi-join on the
+    rare gram (df-bounded postings), with the exact verify a
+    per-candidate array_intersect — never a global all-pairs join of
+    gram arrays."""
+    plan = explain(spark, sf_dir, "dedup_containment_ngram")
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the df gate exists as a filter between the gram aggregate and the
+    # postings self-join
+    assert re.search(r"\(df#\d+L? >= 2\)", plan) or "df" in plan
+
+
+def test_t_closeness_single_corpus_aggregate(spark, sf_dir):
+    """privacy_t_closeness reads the customer table ONCE: class totals,
+    band marginals and the grand total are rollups of the (class, band)
+    cell aggregate, so exactly one scan of the base table appears in the
+    plan (the grid join runs over bounded cell rollups)."""
+    plan = explain(spark, sf_dir, "privacy_t_closeness")
+    # the lazy localCheckpoint replaces every branch's input with the SAME
+    # checkpointed cell RDD, so the customer parquet scan appears at most
+    # once (inside the RDD lineage, not the final plan) and all four
+    # rollup branches read ExistingRDD
+    scans = len(re.findall(r"Scan parquet[^\n]*customer", plan))
+    assert scans <= 1, scans
+    assert plan.count("Scan ExistingRDD") >= 3, plan[:2000]
