@@ -763,3 +763,116 @@ def quality_url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pass"),
     )
+
+
+@query(
+    "corpus_heaps_law",
+    oracle=f"""
+    WITH fd AS (
+      SELECT w, MIN(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents)
+      GROUP BY w),
+    mx AS (SELECT MAX(doc_id) AS maxid FROM documents),
+    grid AS (SELECT CAST(i AS BIGINT) AS decile,
+                    (mx.maxid * i) // 10 AS cut
+             FROM range(1, 11) t(i), mx),
+    dc AS (SELECT g.decile, COUNT(*) AS n_docs
+           FROM grid g JOIN documents d ON d.doc_id <= g.cut
+           GROUP BY g.decile),
+    vc AS (SELECT g.decile, COUNT(*) AS vocab
+           FROM grid g JOIN fd ON fd.first_doc <= g.cut
+           GROUP BY g.decile),
+    pts AS (SELECT dc.decile, dc.n_docs, vc.vocab,
+                   CAST(round(ln(CAST(dc.n_docs AS DOUBLE)), 4)
+                        AS DECIMAL(18,4)) AS x,
+                   CAST(round(ln(CAST(vc.vocab AS DOUBLE)), 4)
+                        AS DECIMAL(18,4)) AS y
+            FROM dc JOIN vc ON vc.decile = dc.decile),
+    m AS (SELECT COUNT(*) AS np, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM pts)
+    SELECT pts.decile, CAST(pts.n_docs AS BIGINT) AS n_docs,
+           CAST(pts.vocab AS BIGINT) AS vocab,
+           round(CAST(m.np * m.sxy - m.sx * m.sy AS DOUBLE)
+                 / CAST(m.np * m.sxx - m.sx * m.sx AS DOUBLE), 4)
+             AS heaps_beta
+    FROM pts, m
+    """,
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-type count as the
+    corpus grows through ten doc-id checkpoints, plus the fitted growth
+    exponent β (OLS of ln V on ln N; natural text sits near β ≈ 0.5 —
+    a flat curve means the incoming data stopped contributing new
+    vocabulary, the diminishing-returns signal for continued crawling
+    of a source).
+
+    The scalable trick: cumulative distinct counts WITHOUT re-scanning
+    per checkpoint — each type's FIRST-occurrence doc id is one
+    map-side-combinable min() aggregate, and V(cut) is then just how
+    many first-occurrences precede the cut (the inference_threshold_
+    sweep pattern: a 10-row checkpoint grid broadcast against the
+    bounded type table).  Determinism: checkpoints are integer ``div``
+    of max(doc_id); doc/vocab counts are exact integers; the two ln
+    inputs are quantized round(4) into decimals before the moment sums
+    (the zipf-slope guard), and β is one identical float expression on
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    fd = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = docs.agg(F.max("doc_id").alias("maxid"))
+    grid = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("bigint").alias("decile"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "decile", F.expr("(maxid * decile) div 10").alias("cut")
+        )
+    )
+    dc = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(grid))
+        .filter(F.col("doc_id") <= F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    vc = (
+        fd.crossJoin(F.broadcast(grid))
+        .filter(F.col("first_doc") <= F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("vocab"))
+    )
+    pts = (
+        dc.join(vc, "decile")
+        .select(
+            "decile",
+            "n_docs",
+            "vocab",
+            F.expr(
+                "cast(round(ln(cast(n_docs as double)), 4) as decimal(18,4))"
+            ).alias("x"),
+            F.expr(
+                "cast(round(ln(cast(vocab as double)), 4) as decimal(18,4))"
+            ).alias("y"),
+        )
+        .localCheckpoint()  # pts feeds both the readout and the moment agg
+    )
+    m = pts.agg(
+        F.count("*").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    beta = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return pts.crossJoin(F.broadcast(m)).select(
+        "decile",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.round(beta, 4).alias("heaps_beta"),
+    )

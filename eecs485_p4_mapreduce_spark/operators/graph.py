@@ -504,3 +504,98 @@ def graph_linkpred_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFra
             "common_neighbors",
         )
     )
+
+
+def _assortativity_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
+
+    return f"""{MINHASH_BANDED_DUCK},
+    e AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    deg AS (SELECT doc_id, COUNT(*) AS degree FROM
+            (SELECT da AS doc_id FROM e UNION ALL SELECT db AS doc_id FROM e)
+            GROUP BY doc_id),
+    ed AS (SELECT x.degree AS j, y.degree AS k
+           FROM e JOIN deg x ON x.doc_id = e.da
+                  JOIN deg y ON y.doc_id = e.db),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(j * k) AS BIGINT) AS s_jk,
+                 CAST(SUM(j + k) AS BIGINT) AS s1,
+                 CAST(SUM(j * j + k * k) AS BIGINT) AS s2
+          FROM ed)
+    SELECT m AS m_edges, s_jk, s1 AS sum_deg, s2 AS sum_deg_sq,
+           round(CAST(4 * m * s_jk - s1 * s1 AS DOUBLE)
+                 / (2 * m * s2 - s1 * s1), 6) AS assortativity
+    FROM s
+    """
+
+
+@query("graph_assortativity", oracle=_assortativity_oracle())
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity coefficient (Newman's r) of the MinHash-LSH
+    candidate graph: do high-degree documents pair with other
+    high-degree documents (r > 0, a hairball of templated boilerplate)
+    or with low-degree ones (r < 0, hub-and-spoke near-dup families)?
+    The readout that tells a dedup pipeline whether its candidate graph
+    clusters or chains — clustered graphs dedup safely cluster-by-
+    cluster, disassortative hubs need the span-rewrite treatment.
+
+    Determinism: degrees are exact integer counts; the three edge-sum
+    moments (Σjk, Σ(j+k), Σ(j²+k²)) accumulate as BIGINTs, and r is
+    ONE double division of integer combinations (4M·Σjk − S1²) /
+    (2M·ΣS2 − S1²) — the 2M-edge-end Pearson formula cleared of
+    fractions, so no float ever sums.  Scale shape: the edge set is the
+    banded LSH equi-join (bounded buckets); degrees are one
+    map-side-combinable aggregate; attaching endpoint degrees is two
+    doc-id hash joins; everything after is a single-row reduce."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+
+    _, sig = minhash_signatures(spark, sf_dir)
+    left = sig.select("doc_id", "b", "band_hash")
+    edges = (
+        left.alias("x")
+        .join(left.alias("y"), ["b", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+        .localCheckpoint()  # degree aggregate + two joins below reuse it
+    )
+    deg = (
+        edges.select(F.col("da").alias("doc_id"))
+        .unionAll(edges.select(F.col("db").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    ed = (
+        edges.join(
+            deg.select(F.col("doc_id").alias("da"), F.col("degree").alias("j")),
+            "da",
+        )
+        .join(
+            deg.select(F.col("doc_id").alias("db"), F.col("degree").alias("k")),
+            "db",
+        )
+        .select("j", "k")
+    )
+    s = ed.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("s_jk"),
+        F.sum(F.col("j") + F.col("k")).cast("bigint").alias("s1"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    return s.select(
+        F.col("m").alias("m_edges"),
+        "s_jk",
+        F.col("s1").alias("sum_deg"),
+        F.col("s2").alias("sum_deg_sq"),
+        F.round(
+            (4 * F.col("m") * F.col("s_jk") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+            / (2 * F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")),
+            6,
+        ).alias("assortativity"),
+    )

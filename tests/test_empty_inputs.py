@@ -64,6 +64,8 @@ _REPRESENTATIVES = [
     "privacy_t_closeness",      # grid of empty cell rollups
     "eval_calibration_bins",    # empty ≤10-bin aggregate
     "tokenizer_fertility_by_lang",  # empty 'en' baseline broadcast side
+    "graph_assortativity",      # single-row moment reduce over zero edges
+    "corpus_heaps_law",         # empty checkpoint grid (null maxid)
 ]
 
 
