@@ -2147,3 +2147,90 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         tvd.alias("tvd_ppm"),
         (tvd <= _TCLOSE_PPM).alias("t_close"),
     )
+
+
+@query(
+    "stats_psi_drift_by_source",
+    oracle="""
+    WITH b AS (SELECT source,
+                      CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT)
+                        AS bucket
+               FROM documents),
+    cell AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    gb AS (SELECT bucket, SUM(c) AS cg FROM cell GROUP BY 1),
+    ns AS (SELECT source, SUM(c) AS n_s FROM cell GROUP BY 1),
+    ng AS (SELECT SUM(cg) AS n_g, COUNT(*) AS nb FROM gb),
+    grid AS (SELECT ns.source, ns.n_s, gb.bucket, gb.cg, ng.n_g, ng.nb
+             FROM ns CROSS JOIN gb CROSS JOIN ng),
+    t AS (
+      SELECT g.source, g.n_s,
+             CAST(round(
+               (CAST(COALESCE(cell.c, 0) + 1 AS DOUBLE) / (g.n_s + g.nb)
+                - CAST(g.cg + 1 AS DOUBLE) / (g.n_g + g.nb))
+               * round(ln(
+                   (CAST(COALESCE(cell.c, 0) + 1 AS DOUBLE) * (g.n_g + g.nb))
+                   / (CAST(g.cg + 1 AS DOUBLE) * (g.n_s + g.nb))), 4),
+               6) AS DECIMAL(18,6)) AS contrib
+      FROM grid g LEFT JOIN cell
+        ON cell.source = g.source AND cell.bucket = g.bucket)
+    SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+           round(CAST(SUM(contrib) AS DOUBLE), 6) AS psi,
+           round(CAST(SUM(contrib) AS DOUBLE), 6) >= 0.25 AS drifted
+    FROM t GROUP BY source, n_s
+    """,
+)
+def stats_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source vs the whole corpus over
+    power-of-two document-length bins — the production drift metric
+    next to the KS gate (`stats_ks_drift_by_source`): KS reacts to the
+    single worst CDF gap, PSI integrates mass reallocation across all
+    bins (the score monitoring dashboards threshold at 0.1/0.25).
+
+    Determinism: bins are integer bit-lengths; Laplace-smoothed
+    probabilities (c+1)/(n+B) are single IEEE divisions of exact ints;
+    the ln factor is quantized round(4) BEFORE the product (the
+    surprisal convention), each bin's contribution is rounded to 6 and
+    cast DECIMAL before the order-independent sum.  Scale shape: one
+    map-side-combinable (source, bucket) aggregate is the only
+    corpus-scale pass; bins and marginals are rollups of it; the grid
+    is (sources × ~30 buckets), output-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        (F.length(F.bin(F.greatest(F.col("n_chars"), F.lit(1)))) - 1)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    cell = b.groupBy("source", "bucket").agg(F.count("*").alias("c"))
+    cell = cell.localCheckpoint(eager=False)
+    gb = cell.groupBy("bucket").agg(F.sum("c").alias("cg"))
+    ns = cell.groupBy("source").agg(F.sum("c").alias("n_s"))
+    ng = gb.agg(F.sum("cg").alias("n_g"), F.count("*").alias("nb"))
+    grid = (
+        ns.crossJoin(F.broadcast(gb))
+        .crossJoin(F.broadcast(ng))
+        .join(F.broadcast(cell), ["source", "bucket"], "left")
+    )
+    cs = F.coalesce(F.col("c"), F.lit(0)) + 1
+    p_s = cs.cast("double") / (F.col("n_s") + F.col("nb"))
+    p_g = (F.col("cg") + 1).cast("double") / (F.col("n_g") + F.col("nb"))
+    lnf = F.round(
+        F.log(
+            (cs.cast("double") * (F.col("n_g") + F.col("nb")))
+            / ((F.col("cg") + 1).cast("double") * (F.col("n_s") + F.col("nb")))
+        ),
+        4,
+    )
+    t = grid.select(
+        "source",
+        "n_s",
+        F.round((p_s - p_g) * lnf, 6).cast("decimal(18,6)").alias("contrib"),
+    )
+    g = t.groupBy("source", "n_s").agg(F.sum("contrib").alias("s"))
+    psi = F.round(F.col("s").cast("double"), 6)
+    return g.select(
+        "source",
+        F.col("n_s").cast("bigint").alias("n_docs"),
+        psi.alias("psi"),
+        (psi >= 0.25).alias("drifted"),
+    )

@@ -66,6 +66,7 @@ _REPRESENTATIVES = [
     "tokenizer_fertility_by_lang",  # empty 'en' baseline broadcast side
     "graph_assortativity",      # single-row moment reduce over zero edges
     "corpus_heaps_law",         # empty checkpoint grid (null maxid)
+    "stats_psi_drift_by_source",  # empty bin grid + smoothing guards
 ]
 
 
