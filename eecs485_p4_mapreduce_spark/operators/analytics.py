@@ -2066,8 +2066,10 @@ _SENS_SQL = "(CAST(floor(c_acctbal) AS BIGINT) + 1000)"
              2 * CAST(n_c AS DECIMAL(14,0)) * n AS y
       FROM d GROUP BY c_nationkey, c_mktsegment, n_c, n)
     SELECT c_nationkey, c_mktsegment, CAST(n_c AS BIGINT) AS n,
-           CAST((x - (x % y)) / y AS BIGINT) AS tvd_ppm,
-           CAST((x - (x % y)) / y AS BIGINT) <= {_TCLOSE_PPM} AS t_close
+           CAST(CAST(x AS HUGEINT) // CAST(y AS HUGEINT) AS BIGINT)
+             AS tvd_ppm,
+           CAST(CAST(x AS HUGEINT) // CAST(y AS HUGEINT) AS BIGINT)
+             <= {_TCLOSE_PPM} AS t_close
     FROM s
     """,
 )
@@ -2085,9 +2087,11 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the arithmetic is exact at any corpus scale (counts to 1e14;
     intermediate sums bounded well inside DECIMAL(38,0)).  The final
     ppm floor-division is Spark ``div`` (truncating, == floor for the
-    nonnegative operands); DuckDB's decimal ``//`` ROUNDS the quotient
-    before flooring, so the oracle uses the exact remainder identity
-    ``(x - x % y) / y`` instead.  The
+    nonnegative operands); on the DuckDB side decimal ``//`` ROUNDS the
+    quotient (and decimal ``/`` routes through DOUBLE, losing exactness
+    past 2^53), so the oracle casts to HUGEINT, whose ``//`` is exact
+    int128 floor division (property-pinned in tests/test_properties.py).
+    The
     sensitive band is shifted nonnegative before the 2000-wide integer
     division so Spark's truncating ``div`` equals DuckDB's floor ``//``.
 

@@ -479,3 +479,28 @@ def test_pii_checksum_cross_engine_parity(spark, cards, bbans):
         [text, text],
     ).fetchone()
     assert got_spark == tuple(got_duck) == exp, (text, got_spark, got_duck, exp)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**30),
+    st.integers(min_value=1, max_value=10**15),
+)
+def test_duckdb_hugeint_floor_div_is_exact(x, y):
+    """The oracle-side exact floor-division spelling used where int64
+    would overflow (privacy_t_closeness): DuckDB's decimal ``//`` ROUNDS
+    the quotient before flooring, and decimal ``/`` routes through
+    DOUBLE (exactness lost past 2^53 -- found by this test's first
+    version, which pinned the (x - x %% y) / y identity and caught the
+    double conversion).  HUGEINT ``//`` is true int128 floor division;
+    pin it against Python's arbitrary-precision floor division across
+    the full range the engine uses."""
+    import duckdb
+
+    got = duckdb.execute(
+        """
+        SELECT CAST(CAST(? AS HUGEINT) // CAST(? AS HUGEINT) AS VARCHAR)
+        """,
+        [str(x), str(y)],
+    ).fetchone()[0]
+    assert int(got) == x // y, (x, y, got, x // y)
