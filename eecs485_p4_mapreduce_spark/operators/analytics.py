@@ -2238,3 +2238,111 @@ def stats_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi.alias("psi"),
         (psi >= 0.25).alias("drifted"),
     )
+
+
+# Multi-touch attribution: lookback window and path-length cap (the
+# standard guardrails; the cap also keeps the 2^n decay weights exact
+# in int64).
+_ATTR_LOOKBACK_DAYS = 7
+_ATTR_MAX_TOUCHES = 16
+
+
+@query(
+    "attribution_position_decay",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS pid, user_id, ts, value
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS cid, user_id, ts FROM events
+          WHERE event_type = 'click'),
+    touch AS (
+      SELECT p.pid, p.value, c.cid, c.ts,
+             row_number() OVER (PARTITION BY p.pid
+                                ORDER BY c.ts DESC, c.cid DESC) AS k0
+      FROM p JOIN c ON c.user_id = p.user_id AND c.ts < p.ts
+        AND c.ts >= p.ts - INTERVAL {_ATTR_LOOKBACK_DAYS} DAY),
+    capped AS (SELECT * FROM touch WHERE k0 <= {_ATTR_MAX_TOUCHES}),
+    sized AS (
+      SELECT pid, value, cid, ts, k0,
+             COUNT(*) OVER (PARTITION BY pid) AS n
+      FROM capped),
+    credit AS (
+      SELECT (date_part('dow', ts) + 1) AS dow,
+             CAST(round(value / n, 6) AS DECIMAL(18,6)) AS lin,
+             CAST(round(value * ((1::BIGINT << (n - k0))
+                                 / CAST((1::BIGINT << n) - 1 AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS dec_c
+      FROM sized)
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           round(CAST(SUM(lin) AS DOUBLE), 6) AS credit_linear,
+           round(CAST(SUM(dec_c) AS DOUBLE), 6) AS credit_decay
+    FROM credit GROUP BY dow
+    """,
+)
+def attribution_position_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution beyond first/last: every click in the
+    7-day lookback before a purchase shares that purchase's value,
+    under BOTH the linear model (1/n each) and a position-decay model
+    whose weights halve per step away from the purchase — credited
+    value rolled up by click day-of-week (the channel-mix readout; the
+    corpus has no channel column, so day-of-week stands in as the
+    grouping dimension).
+
+    Determinism: decay shares are EXACT dyadic rationals 2^(n-k)/(2^n−1)
+    built with integer shifts (the path-length cap of 16 keeps them in
+    int64; no float pow), each per-touch credit is one IEEE multiply
+    rounded to 6 and cast DECIMAL before the order-independent sum.
+    Scale shape: the purchase×click fan-out is bounded by the lookback
+    window and the 16-touch cap; both windows partition on purchase id
+    (bounded groups); the readout is a 7-group aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts", "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    touch = p.join(
+        c,
+        (c["user_id"] == p["user_id"])
+        & (F.col("cts") < p["ts"])
+        & (
+            F.col("cts")
+            >= p["ts"] - F.expr(f"INTERVAL {_ATTR_LOOKBACK_DAYS} DAY")
+        ),
+    ).select("pid", "value", "cid", F.col("cts").alias("ts"))
+    wk = Window.partitionBy("pid").orderBy(
+        F.col("ts").desc(), F.col("cid").desc()
+    )
+    capped = (
+        touch.withColumn("k0", F.row_number().over(wk))
+        .filter(F.col("k0") <= _ATTR_MAX_TOUCHES)
+    )
+    sized = capped.withColumn(
+        "n", F.count("*").over(Window.partitionBy("pid"))
+    )
+    decay_share = F.expr(
+        "shiftleft(cast(1 as bigint), cast(n - k0 as int))"
+        " / cast(shiftleft(cast(1 as bigint), cast(n as int)) - 1 as double)"
+    )
+    credit = sized.select(
+        F.dayofweek("ts").alias("dow"),
+        F.round(F.col("value") / F.col("n"), 6)
+        .cast("decimal(18,6)")
+        .alias("lin"),
+        F.round(F.col("value") * decay_share, 6)
+        .cast("decimal(18,6)")
+        .alias("dec_c"),
+    )
+    return credit.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_touches"),
+        F.round(F.sum("lin").cast("double"), 6).alias("credit_linear"),
+        F.round(F.sum("dec_c").cast("double"), 6).alias("credit_decay"),
+    ).select(
+        F.col("dow").cast("bigint").alias("dow"),
+        "n_touches",
+        "credit_linear",
+        "credit_decay",
+    )

@@ -67,6 +67,7 @@ _REPRESENTATIVES = [
     "graph_assortativity",      # single-row moment reduce over zero edges
     "corpus_heaps_law",         # empty checkpoint grid (null maxid)
     "stats_psi_drift_by_source",  # empty bin grid + smoothing guards
+    "attribution_position_decay",  # purchase-keyed windows over zero touches
 ]
 
 
