@@ -2346,3 +2346,49 @@ def attribution_position_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "credit_linear",
         "credit_decay",
     )
+
+
+@query(
+    "dq_freshness_lag",
+    oracle="""
+    WITH g AS (SELECT event_type, MAX(ts) AS latest, COUNT(*) AS n
+               FROM events GROUP BY event_type),
+    mx AS (SELECT MAX(latest) AS head FROM g)
+    SELECT g.event_type, CAST(g.n AS BIGINT) AS n_events,
+           g.latest, mx.head,
+           CAST((epoch_us(mx.head) - epoch_us(g.latest)) // 60000000
+                AS BIGINT) AS lag_minutes,
+           (epoch_us(mx.head) - epoch_us(g.latest)) // 60000000 >= 60
+             AS stale
+    FROM g, mx
+    """,
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit: per event stream, how far its newest event
+    lags the head of the table — the staleness monitor every ingestion
+    DAG alarms on (a stream whose lag grows is a stuck upstream).  The
+    anchor is the corpus head (max ts), not wall-clock, so the readout
+    is deterministic and replayable.
+
+    Determinism: lag is integer microseconds through integer ``div`` to
+    minutes (the ns→us convention — never float division on
+    timestamps); the staleness flag compares the integer minutes.
+    Scale shape: one map-side-combinable per-type max/count; the 1-row
+    head anchor broadcasts back onto the ≤5 group rows."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(
+        F.max("ts").alias("latest"), F.count("*").alias("n")
+    )
+    g = g.localCheckpoint(eager=False)
+    mx = g.agg(F.max("latest").alias("head"))
+    lag_min = F.expr(
+        "(unix_micros(head) - unix_micros(latest)) div 60000000"
+    )
+    return g.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        "latest",
+        "head",
+        lag_min.cast("bigint").alias("lag_minutes"),
+        (lag_min >= 60).alias("stale"),
+    )

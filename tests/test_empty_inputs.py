@@ -68,6 +68,7 @@ _REPRESENTATIVES = [
     "corpus_heaps_law",         # empty checkpoint grid (null maxid)
     "stats_psi_drift_by_source",  # empty bin grid + smoothing guards
     "attribution_position_decay",  # purchase-keyed windows over zero touches
+    "dq_freshness_lag",         # null head anchor over zero streams
 ]
 
 
