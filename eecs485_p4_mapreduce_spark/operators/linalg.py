@@ -607,3 +607,137 @@ def ml_logreg_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("grad")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: IVF recall@k against the exact top-k
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    return (
+        _kmeans_cte()
+        + f""",
+        qa AS (SELECT a.vec_id AS query_id, a.k, e.v AS qv
+               FROM afin a JOIN e ON e.vec_id = a.vec_id
+               WHERE a.vec_id < {_IVF_NQ}),
+        iscored AS (
+          SELECT qa.query_id, a.vec_id AS neighbor_id,
+                 list_inner_product(qa.qv, e.v)
+                   / (sqrt(list_inner_product(qa.qv, qa.qv))
+                      * sqrt(list_inner_product(e.v, e.v))) AS cos_raw
+          FROM qa
+          JOIN afin a ON a.k = qa.k AND a.vec_id <> qa.query_id
+          JOIN e ON e.vec_id = a.vec_id),
+        itop AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rk
+            FROM iscored) WHERE rk <= {_IVF_TOPK}),
+        eq AS (SELECT vec_id AS query_id, v AS qv FROM e
+               WHERE vec_id < {_IVF_NQ}),
+        escored AS (
+          SELECT eq.query_id, e.vec_id AS neighbor_id,
+                 list_inner_product(eq.qv, e.v)
+                   / (sqrt(list_inner_product(eq.qv, eq.qv))
+                      * sqrt(list_inner_product(e.v, e.v))) AS cos_raw
+          FROM eq JOIN e ON e.vec_id <> eq.query_id),
+        etop AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_raw DESC, neighbor_id) AS rk
+            FROM escored) WHERE rk <= {_IVF_TOPK})
+        SELECT etop.query_id,
+               CAST(COUNT(it.neighbor_id) AS BIGINT) AS hits_at_k,
+               round(CAST(COUNT(it.neighbor_id) AS DOUBLE) / {_IVF_TOPK}, 4)
+                 AS recall_at_k
+        FROM etop
+        LEFT JOIN itop it ON it.query_id = etop.query_id
+          AND it.neighbor_id = etop.neighbor_id
+        GROUP BY etop.query_id
+        """
+    )
+
+
+@query("eval_ann_recall_ivf", oracle=_ann_recall_oracle())
+def eval_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the trained-IVF search (nprobe=1) against the exact
+    brute-force top-k -- the evaluation every ANN deployment runs before
+    trading exactness for the partition-pruned scan.  Composes two
+    registry recipes (``knn_ivf_trained``'s probe, ``knn_cosine``'s
+    exact rerank) over ONE shared quantizer training, and the oracle
+    re-derives both sides from the same unrolled Lloyd's CTEs, so the
+    recall numbers are proven end-to-end, not asserted.
+
+    Scale shape: the exact side is the broadcast-queries scan-everything
+    brute force (the verify stage you run on a SAMPLE of queries at
+    100 TB -- here the query set IS 10 rows); the IVF side scans 1/nlist
+    of the corpus via the list equi-join.  Hits are a (query_id,
+    neighbor_id) equi-join of two k-row-per-query frames -- |Q| x k rows
+    either side, trivially broadcastable at any corpus size.
+
+    Determinism: both top-k rankings order by (cos_raw DESC, neighbor_id)
+    -- the registry's rounded-score-plus-id-tie-break convention; recall
+    is hits/k, an identical small-integer division in both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    _, assigned = _lloyds_assignments(
+        spark, e, cache_key=(sf_dir, load_table), sf_dir=sf_dir
+    )
+    # four self-references below (both query sets + both probe sides):
+    # checkpoint the assigned corpus once so the trained-assignment
+    # lineage isn't re-derived per reference (graph_triangle_count
+    # precedent)
+    corpus = assigned.select("vec_id", "v", "k").localCheckpoint()
+    cos = F.expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+        " / (sqrt(aggregate(zip_with(qv, qv, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x))"
+        " * sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)))"
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.asc("neighbor_id")
+    )
+
+    # IVF side: probe only the query's own list (knn_ivf_trained shape).
+    q_ivf = F.broadcast(
+        corpus.filter(F.col("vec_id") < _IVF_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "k"
+        )
+    )
+    itop = (
+        q_ivf.join(corpus, "k")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", cos)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+        .withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+
+    # Exact side: brute force over the full corpus (knn_cosine shape).
+    q_ex = F.broadcast(
+        corpus.filter(F.col("vec_id") < _IVF_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    )
+    etop = (
+        q_ex.join(corpus, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", cos)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+        .withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+    hits = etop.join(F.broadcast(itop), ["query_id", "neighbor_id"], "left")
+    return hits.groupBy("query_id").agg(
+        F.count("hit").cast("bigint").alias("hits_at_k"),
+        F.round(F.count("hit").cast("double") / _IVF_TOPK, 4).alias("recall_at_k"),
+    )

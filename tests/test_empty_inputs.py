@@ -69,6 +69,7 @@ _REPRESENTATIVES = [
     "stats_psi_drift_by_source",  # empty bin grid + smoothing guards
     "attribution_position_decay",  # purchase-keyed windows over zero touches
     "dq_freshness_lag",         # null head anchor over zero streams
+    "eval_ann_recall_ivf",      # recall join of two empty top-k frames
 ]
 
 

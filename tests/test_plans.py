@@ -226,6 +226,7 @@ _ALLOWED_NESTED_LOOP = {
     "resample_gapfill_1h",
     "bitext_margin_mining",  # exhaustive pair stage over the broadcast target side (ANN-prefiltered at scale, like knn_*)
     "contamination_semantic_eval",  # benchmark-sized broadcast eval side, one dot per (vector, eval) pair
+    "eval_ann_recall_ivf",  # exact-recall baseline side is the knn_cosine brute force
 }
 
 _JOIN_FAMILY = re.compile(
@@ -869,3 +870,22 @@ def test_t_closeness_single_corpus_aggregate(spark, sf_dir):
     scans = len(re.findall(r"Scan parquet[^\n]*customer", plan))
     assert scans <= 1, scans
     assert plan.count("Scan ExistingRDD") >= 3, plan[:2000]
+
+
+def test_ann_recall_probes_list_and_broadcasts_topk(spark, sf_dir):
+    """eval_ann_recall_ivf's IVF side must stay the equi-join list probe
+    (BroadcastHashJoin on k) and the only nested loops beyond the shared
+    Lloyd's-training assignment (the knn_ivf_trained allowlisted shape)
+    are the exact baseline's deliberate knn_cosine brute force — pinned
+    as exactly ONE extra NL site vs the knn_ivf_trained plan."""
+    plan = explain(spark, sf_dir, "eval_ann_recall_ivf")
+    assert "CartesianProduct" not in plan
+    # list probe: an equi hash join keyed on the cluster id
+    assert "BroadcastHashJoin" in plan
+    # the assigned corpus is checkpointed once, so the training lineage
+    # never re-derives per reference; the single remaining NL site is the
+    # exact baseline's != scan (formatted explain lists each node twice)
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    assert "Scan ExistingRDD" in plan
