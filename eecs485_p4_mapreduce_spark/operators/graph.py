@@ -599,3 +599,128 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+def _clustcoef_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
+
+    return f"""{MINHASH_BANDED_DUCK},
+    e AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    tri AS (SELECT ab.da AS a, ab.db AS b, bc.db AS c
+            FROM e ab
+            JOIN e bc ON bc.da = ab.db
+            JOIN e ac ON ac.da = ab.da AND ac.db = bc.db),
+    tn AS (SELECT unnest(list_value(a, b, c)) AS doc_id FROM tri),
+    tc AS (SELECT doc_id, COUNT(*) AS t FROM tn GROUP BY doc_id),
+    deg AS (SELECT doc_id, COUNT(*) AS d FROM
+            (SELECT da AS doc_id FROM e UNION ALL SELECT db AS doc_id FROM e)
+            GROUP BY doc_id),
+    node AS (
+      SELECT deg.doc_id, deg.d, COALESCE(tc.t, 0) AS t
+      FROM deg LEFT JOIN tc ON tc.doc_id = deg.doc_id
+      WHERE deg.d >= 2),
+    cc AS (
+      SELECT CAST(length(bin(CAST(d AS BIGINT))) - 1 AS BIGINT)
+               AS degree_band,
+             d, t,
+             round(CAST(2 * t AS DOUBLE) / (d * (d - 1)), 4) AS cc
+      FROM node)
+    SELECT degree_band,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d * (d - 1)) AS BIGINT) AS wedges_x2,
+           CAST(SUM(2 * t) AS BIGINT) AS closed_x2,
+           round(CAST(SUM(CAST(cc AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_local_cc,
+           round(CAST(SUM(2 * t) AS DOUBLE) / SUM(d * (d - 1)), 4)
+             AS pooled_cc
+    FROM cc GROUP BY degree_band
+    """
+
+
+@query("graph_clustering_coefficient", oracle=_clustcoef_oracle())
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of the MinHash-LSH candidate graph,
+    rolled up by log2 degree band: cc_i = 2*t_i / (d_i*(d_i-1)) per
+    document, then per-band node count, open/closed wedge totals, the
+    mean local coefficient, and the band-pooled coefficient.  Where
+    ``graph_triangle_count`` emits raw per-node counts and
+    ``graph_assortativity`` one global mixing number, this is the
+    degree-resolved clustering profile — the readout that separates
+    "small tight duplicate cliques" (high cc at low degree) from
+    "boilerplate hairball" (high degree, low cc) before committing to a
+    cluster-level dedup strategy.
+
+    Determinism: degrees and triangle counts are exact integers; each
+    local cc is ONE double division of exact ints quantized round(4)
+    BEFORE the decimal mean (the registry's quantize-then-sum recipe);
+    the pooled cc is one division of two exact integer sums; the band is
+    bit-length arithmetic (length(bin(d))-1), no libm.  Scale shape:
+    identical to graph_triangle_count (banded equi-join edges, two
+    wedge-closing hash joins, map-side-combinable rollups) with a
+    ≤64-band final aggregate."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+
+    _, sig = minhash_signatures(spark, sf_dir)
+    left = sig.select("doc_id", "b", "band_hash")
+    edges = (
+        left.alias("x")
+        .join(left.alias("y"), ["b", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+        .localCheckpoint()  # three wedge references + two degree scans
+    )
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    tri = (
+        ab.join(bc, F.col("bc.da") == F.col("ab.db"))
+        .join(
+            ac,
+            (F.col("ac.da") == F.col("ab.da")) & (F.col("ac.db") == F.col("bc.db")),
+        )
+        .select(
+            F.col("ab.da").alias("a"), F.col("ab.db").alias("b"),
+            F.col("bc.db").alias("c"),
+        )
+    )
+    tc = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("t"))
+    )
+    deg = (
+        edges.select(F.col("da").alias("doc_id"))
+        .unionAll(edges.select(F.col("db").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    node = (
+        deg.filter(F.col("d") >= 2)
+        .join(tc, "doc_id", "left")
+        .withColumn("t", F.coalesce(F.col("t"), F.lit(0).cast("bigint")))
+    )
+    cc = node.select(
+        F.expr("cast(length(bin(cast(d as bigint))) - 1 as bigint)").alias(
+            "degree_band"
+        ),
+        "d",
+        "t",
+        F.round(
+            (2 * F.col("t")).cast("double") / (F.col("d") * (F.col("d") - 1)), 4
+        ).alias("cc"),
+    )
+    return cc.groupBy("degree_band").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("bigint").alias("wedges_x2"),
+        F.sum(2 * F.col("t")).cast("bigint").alias("closed_x2"),
+        F.round(
+            F.sum(F.col("cc").cast("decimal(14,4)")).cast("double") / F.count("*"),
+            4,
+        ).alias("avg_local_cc"),
+        F.round(
+            F.sum(2 * F.col("t")).cast("double")
+            / F.sum(F.col("d") * (F.col("d") - 1)),
+            4,
+        ).alias("pooled_cc"),
+    )

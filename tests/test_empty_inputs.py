@@ -70,6 +70,7 @@ _REPRESENTATIVES = [
     "attribution_position_decay",  # purchase-keyed windows over zero touches
     "dq_freshness_lag",         # null head anchor over zero streams
     "eval_ann_recall_ivf",      # recall join of two empty top-k frames
+    "graph_clustering_coefficient",  # d>=2 filter over zero nodes
 ]
 
 

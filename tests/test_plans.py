@@ -889,3 +889,13 @@ def test_ann_recall_probes_list_and_broadcasts_topk(spark, sf_dir):
         "BroadcastNestedLoopJoin"
     )
     assert "Scan ExistingRDD" in plan
+
+
+def test_clustering_coefficient_stays_equi_join(spark, sf_dir):
+    """graph_clustering_coefficient closes wedges by hash equi-joins
+    over the checkpointed banded edge set — never a cartesian/NL pair
+    stage — and the final rollup is a <=64-band aggregate."""
+    plan = explain(spark, sf_dir, "graph_clustering_coefficient")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan
