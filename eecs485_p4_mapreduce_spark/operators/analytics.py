@@ -2392,3 +2392,149 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_min.cast("bigint").alias("lag_minutes"),
         (lag_min >= 60).alias("stale"),
     )
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS head FROM events),
+    u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+          FROM events GROUP BY 1),
+    d AS (SELECT CAST((epoch_us(u.l) - epoch_us(u.f)) // 86400000000
+                   AS BIGINT) AS dur_days,
+                 CASE WHEN (epoch_us(mx.head) - epoch_us(u.l))
+                        // 86400000000 >= 3
+                      THEN 1 ELSE 0 END AS death
+          FROM u CROSS JOIN mx),
+    h AS (SELECT dur_days, COUNT(*) AS n_exit,
+                 CAST(SUM(death) AS BIGINT) AS n_deaths
+          FROM d GROUP BY 1),
+    r AS (SELECT dur_days, n_exit, n_deaths,
+                 CAST(SUM(n_exit) OVER (ORDER BY dur_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_at_risk
+          FROM h),
+    k AS (SELECT dur_days, n_at_risk, n_deaths,
+                 CAST(n_exit - n_deaths AS BIGINT) AS n_censored,
+                 CASE WHEN n_deaths = 0 THEN CAST(0.0 AS DOUBLE)
+                      WHEN n_deaths = n_at_risk THEN NULL
+                      ELSE round(ln(1 - CAST(n_deaths AS DOUBLE)
+                                        / n_at_risk), 4)
+                 END AS lnq,
+                 CASE WHEN n_deaths = n_at_risk THEN 1 ELSE 0 END AS ext
+          FROM r),
+    s AS (SELECT dur_days, n_at_risk, n_deaths, n_censored,
+                 CAST(SUM(CAST(lnq AS DECIMAL(20,4))) OVER (ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS cln,
+                 MAX(ext) OVER (ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS extinct
+          FROM k)
+    SELECT dur_days, n_at_risk, n_deaths, n_censored,
+           round(CAST(n_deaths AS DOUBLE) / n_at_risk, 6) AS hazard,
+           CASE WHEN extinct = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE round(exp(cln), 4) END AS survival
+    FROM s
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user event lifetimes: duration =
+    whole days between a user's first and last event, with a
+    deterministic censoring rule (last event within 3 days of the
+    corpus-head anchor = still active, the ``dq_freshness_lag``
+    replayable-anchor discipline).  Emits the full life table — at-risk
+    counts, deaths, censored exits, the discrete hazard d/r, and the
+    product-limit survival estimate — the churn readout every
+    subscription/retention analysis starts from.
+
+    Cross-engine determinism: durations and the life-table counts are
+    exact integers (epoch-micros integer div); the hazard is one IEEE
+    division of exact ints; the survival PRODUCT is rebuilt as
+    exp(Σ ln(1 − d/r)) with each ln contribution quantized round(4)
+    BEFORE the decimal cumulative sum (the registry's ln-quantization
+    recipe), and an extinction flag short-circuits S(t)=0 exactly when
+    d = r (ln(0) never evaluates).  Scale shape: one user-keyed
+    aggregate over the event scan, then every window runs on the
+    duration-day grid — calendar-bounded (~corpus span in days) at any
+    row count, the window_cumulative_users precedent."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    ).localCheckpoint()
+    # head anchor from the per-user rollup (max of maxes == corpus max):
+    # ONE scan of the event table, the dq_freshness_lag discipline
+    mx = u.agg(F.max("l").alias("head"))
+    d = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("(unix_micros(l) - unix_micros(f)) div 86400000000")
+        .cast("bigint")
+        .alias("dur_days"),
+        F.when(
+            F.expr("(unix_micros(head) - unix_micros(l)) div 86400000000")
+            >= 3,
+            1,
+        )
+        .otherwise(0)
+        .alias("death"),
+    )
+    h = d.groupBy("dur_days").agg(
+        F.count("*").alias("n_exit"),
+        F.sum("death").cast("bigint").alias("n_deaths"),
+    )
+    w_fwd = (
+        Window.orderBy("dur_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_pre = (
+        Window.orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = h.select(
+        "dur_days",
+        "n_exit",
+        "n_deaths",
+        F.sum("n_exit").over(w_fwd).cast("bigint").alias("n_at_risk"),
+    )
+    k = r.select(
+        "dur_days",
+        "n_at_risk",
+        "n_deaths",
+        (F.col("n_exit") - F.col("n_deaths")).cast("bigint").alias("n_censored"),
+        F.when(F.col("n_deaths") == 0, F.lit(0.0))
+        .when(F.col("n_deaths") == F.col("n_at_risk"), F.lit(None))
+        .otherwise(
+            F.round(
+                F.log(
+                    1 - F.col("n_deaths").cast("double") / F.col("n_at_risk")
+                ),
+                4,
+            )
+        )
+        .alias("lnq"),
+        F.when(F.col("n_deaths") == F.col("n_at_risk"), 1)
+        .otherwise(0)
+        .alias("ext"),
+    )
+    s = k.select(
+        "dur_days",
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        F.sum(F.col("lnq").cast("decimal(20,4)"))
+        .over(w_pre)
+        .cast("double")
+        .alias("cln"),
+        F.max("ext").over(w_pre).alias("extinct"),
+    )
+    return s.select(
+        "dur_days",
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        F.round(F.col("n_deaths").cast("double") / F.col("n_at_risk"), 6).alias(
+            "hazard"
+        ),
+        F.when(F.col("extinct") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("cln"), 4))
+        .alias("survival"),
+    )

@@ -71,6 +71,7 @@ _REPRESENTATIVES = [
     "dq_freshness_lag",         # null head anchor over zero streams
     "eval_ann_recall_ivf",      # recall join of two empty top-k frames
     "graph_clustering_coefficient",  # d>=2 filter over zero nodes
+    "survival_kaplan_meier",    # null head anchor, empty life table
 ]
 
 

@@ -899,3 +899,16 @@ def test_clustering_coefficient_stays_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_kaplan_meier_windows_ride_the_day_grid(spark, sf_dir):
+    """survival_kaplan_meier scans events ONCE (user rollup; head anchor
+    derives from the rollup) and every window runs above the duration-day
+    aggregate — the raw event table never enters a window."""
+    plan = explain(spark, sf_dir, "survival_kaplan_meier")
+    scans = len(re.findall(r"Scan parquet[^\n]*events", plan))
+    assert scans <= 1, scans
+    # the life-table windows sit above the dur_days HashAggregate: every
+    # windowspecdefinition orders by dur_days, never by raw ts
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("dur_days" in sp for sp in specs), specs

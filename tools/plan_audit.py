@@ -70,6 +70,7 @@ CONSTANT_WINDOW_OK = {
     "streaming_auto_watermark_tumbling": "P-row offsets frames (ranking recipes)",
     "pii_redaction_density_deciles": "P-row offsets frames (ranking recipe;"
     " _pid-scoped pinned in test_plans)",
+    "survival_kaplan_meier": "duration-day grid life table (calendar-bounded)",
 }
 
 _FACTS = [
