@@ -633,3 +633,122 @@ def session_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros("e_us").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "timeseries_cross_correlation",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb
+      FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+    b AS (SELECT min(h) AS mn, max(h) AS mx FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b),
+    s AS (SELECT epoch_us(spine.h) AS uh,
+                 COALESCE(hourly.na, 0) AS na, COALESCE(hourly.nb, 0) AS nb
+          FROM spine LEFT JOIN hourly ON hourly.h = spine.h),
+    lags AS (SELECT unnest([0, 1, 2, 3]) AS lag_hours),
+    p AS (SELECT l.lag_hours, x.na AS a, y.nb AS b2
+          FROM lags l
+          CROSS JOIN s x
+          JOIN s y ON y.uh = x.uh + l.lag_hours * 3600000000),
+    m AS (SELECT lag_hours, COUNT(*) AS n,
+                 SUM(CAST(a AS DECIMAL(38,0))) AS sa,
+                 SUM(CAST(b2 AS DECIMAL(38,0))) AS sb,
+                 SUM(CAST(a * b2 AS DECIMAL(38,0))) AS sab,
+                 SUM(CAST(a * a AS DECIMAL(38,0))) AS saa,
+                 SUM(CAST(b2 * b2 AS DECIMAL(38,0))) AS sbb
+          FROM p GROUP BY 1)
+    SELECT CAST(lag_hours AS BIGINT) AS lag_hours, CAST(n AS BIGINT) AS n_hours,
+           round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 4)
+             AS xcorr
+    FROM m
+    """,
+)
+def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly 'view' and
+    'purchase' count series at lags 0-3h: does view volume predict
+    purchase volume an hour later?  The classic marketing/ops lead
+    indicator readout, and the pairwise building block of a Granger
+    screen.
+
+    Scale shape: ONE map-side-combinable hour x (2-type conditional
+    count) aggregate touches the raw events; the zero-filled spine,
+    the 4-lag fan-out, and the shifted self-join all run on the
+    calendar-bounded hourly grid (checkpointed once — the event scan
+    never re-derives per lag).  The shift is an integer epoch-micros
+    equi-join, not a row-order window, so missing hours can't silently
+    misalign the series.
+
+    Determinism: counts are exact ints; the five cross-moments
+    accumulate in DECIMAL(38,0) (order-independent, and at 100 TB the
+    squared hourly counts overflow int64 sums); the Pearson formula is
+    spelled identically in both engines over the same pre-cast doubles
+    and quantized round(4)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("na"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("nb"),
+        )
+    )
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    s = (
+        spine.join(hourly, "h", "left")
+        .select(
+            F.unix_micros("h").alias("uh"),
+            F.coalesce("na", F.lit(0)).cast("bigint").alias("na"),
+            F.coalesce("nb", F.lit(0)).cast("bigint").alias("nb"),
+        )
+        .localCheckpoint()  # referenced twice (x and y): scan events once
+    )
+    lags = spark.range(1).select(
+        F.explode(F.expr("sequence(0, 3)")).alias("lag_hours")
+    )
+    x = s.select(F.col("uh").alias("ux"), F.col("na").alias("a"))
+    y = s.select(F.col("uh").alias("uy"), F.col("nb").alias("b2"))
+    p = (
+        F.broadcast(lags)
+        .crossJoin(x)
+        .join(y, F.col("uy") == F.col("ux") + F.col("lag_hours") * 3600000000)
+        .select("lag_hours", "a", "b2")
+    )
+    m = p.groupBy("lag_hours").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("b2").cast("decimal(38,0)")).alias("sb"),
+        F.sum((F.col("a") * F.col("b2")).cast("decimal(38,0)")).alias("sab"),
+        F.sum((F.col("a") * F.col("a")).cast("decimal(38,0)")).alias("saa"),
+        F.sum((F.col("b2") * F.col("b2")).cast("decimal(38,0)")).alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    return m.select(
+        F.col("lag_hours").cast("bigint").alias("lag_hours"),
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round(
+            (nd * sab - sa * sb)
+            / (F.sqrt(nd * saa - sa * sa) * F.sqrt(nd * sbb - sb * sb)),
+            4,
+        ).alias("xcorr"),
+    )

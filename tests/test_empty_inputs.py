@@ -72,6 +72,7 @@ _REPRESENTATIVES = [
     "eval_ann_recall_ivf",      # recall join of two empty top-k frames
     "graph_clustering_coefficient",  # d>=2 filter over zero nodes
     "survival_kaplan_meier",    # null head anchor, empty life table
+    "timeseries_cross_correlation",  # null-bounds spine, empty lag join
 ]
 
 

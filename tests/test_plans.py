@@ -912,3 +912,14 @@ def test_kaplan_meier_windows_ride_the_day_grid(spark, sf_dir):
     # windowspecdefinition orders by dur_days, never by raw ts
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all("dur_days" in sp for sp in specs), specs
+
+
+def test_cross_correlation_scans_events_once(spark, sf_dir):
+    """timeseries_cross_correlation's x/y sides and every lag reuse ONE
+    checkpointed hourly grid — the raw event scan must not re-derive per
+    self-join side, and the shift must be an equi-join (never NL)."""
+    plan = explain(spark, sf_dir, "timeseries_cross_correlation")
+    scans = len(re.findall(r"Scan parquet[^\n]*events", plan))
+    assert scans == 0, scans  # both sides read the checkpointed grid
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "CartesianProduct" not in plan
