@@ -2538,3 +2538,109 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("cln"), 4))
         .alias("survival"),
     )
+
+
+@query(
+    "stats_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY 1),
+    r AS (SELECT d, rev,
+                 ROW_NUMBER() OVER (ORDER BY rev, d) AS rk,
+                 COUNT(*) OVER () AS n_days
+          FROM daily),
+    med AS (SELECT rev AS med_rev FROM r WHERE rk = (n_days + 1) // 2),
+    f AS (SELECT r.d, CASE WHEN r.rev > med.med_rev THEN 1 ELSE 0 END AS s
+          FROM r CROSS JOIN med
+          WHERE r.rev <> med.med_rev),
+    g AS (SELECT s,
+                 CASE WHEN lag(s) OVER (ORDER BY d) IS NULL THEN 0
+                      WHEN lag(s) OVER (ORDER BY d) <> s THEN 1
+                      ELSE 0 END AS chg
+          FROM f),
+    m AS (SELECT CAST(SUM(s) AS BIGINT) AS n1,
+                 CAST(COUNT(*) - SUM(s) AS BIGINT) AS n0,
+                 CAST(1 + SUM(chg) AS BIGINT) AS runs
+          FROM g)
+    SELECT n1 AS n_above, n0 AS n_below, runs AS n_runs,
+           round(1 + 2.0 * n1 * n0 / (n1 + n0), 4) AS expected_runs,
+           CASE WHEN n1 * n0 = 0 THEN NULL
+                ELSE round((runs - (1 + 2.0 * n1 * n0 / (n1 + n0)))
+                           / sqrt((2.0 * n1 * n0
+                                   * (2.0 * n1 * n0 - n1 - n0))
+                                  / ((n1 + n0) * (n1 + n0)
+                                     * (n1 + n0 - 1.0))), 4)
+           END AS z_stat
+    FROM m
+    """,
+)
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily order-revenue
+    sequence: is above/below-median revenue serially independent, or do
+    hot and cold streaks cluster (seasonality, regime shifts, data
+    generation artifacts)?  The nonparametric sanity check run before
+    trusting i.i.d. assumptions in any downstream sampling or A/B
+    analysis — complements ``stats_autocorr_lag1`` (magnitude-based)
+    with a sign-based test that outliers can't dominate.
+
+    Determinism: daily revenue accumulates as exact DECIMAL(18,6) (the
+    functions/numeric.py discipline), the median is a rank pick with a
+    day tie-break (never an averaged float), ties WITH the median are
+    dropped (the classical treatment), and runs/n1/n0 are exact
+    integers; the z statistic is the identical double formula over
+    those ints in both engines, quantized round(4).  Scale shape: one
+    map-side-combinable day aggregate touches the orders scan; every
+    window runs on the calendar-bounded daily grid."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev"))
+    )
+    w_rank = Window.orderBy("rev", "d")
+    r = daily.select(
+        "d",
+        "rev",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count("*").over(
+            Window.partitionBy().orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_days"),
+    ).localCheckpoint()  # referenced by the median pick AND the sign pass
+    med = r.filter(
+        F.col("rk") == F.expr("(n_days + 1) div 2")
+    ).select(F.col("rev").alias("med_rev"))
+    f = (
+        r.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("med_rev"))
+        .select("d", F.when(F.col("rev") > F.col("med_rev"), 1).otherwise(0).alias("s"))
+    )
+    w_d = Window.orderBy("d")
+    g = f.select(
+        "s",
+        F.when(F.lag("s").over(w_d).isNull(), 0)
+        .when(F.lag("s").over(w_d) != F.col("s"), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    m = g.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("bigint").alias("n0"),
+        (1 + F.sum("chg")).cast("bigint").alias("runs"),
+    )
+    n1, n0, runs = F.col("n1"), F.col("n0"), F.col("runs")
+    mu = 1 + 2.0 * n1 * n0 / (n1 + n0)
+    sigma2 = (2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)) / (
+        (n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0)
+    )
+    return m.select(
+        n1.alias("n_above"),
+        n0.alias("n_below"),
+        runs.alias("n_runs"),
+        F.round(mu, 4).alias("expected_runs"),
+        F.when(n1 * n0 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round((runs - mu) / F.sqrt(sigma2), 4))
+        .alias("z_stat"),
+    )

@@ -73,6 +73,7 @@ _REPRESENTATIVES = [
     "graph_clustering_coefficient",  # d>=2 filter over zero nodes
     "survival_kaplan_meier",    # null head anchor, empty life table
     "timeseries_cross_correlation",  # null-bounds spine, empty lag join
+    "stats_runs_test",          # empty median pick, 1-row null summary
 ]
 
 

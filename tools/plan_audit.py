@@ -71,6 +71,7 @@ CONSTANT_WINDOW_OK = {
     "pii_redaction_density_deciles": "P-row offsets frames (ranking recipe;"
     " _pid-scoped pinned in test_plans)",
     "survival_kaplan_meier": "duration-day grid life table (calendar-bounded)",
+    "stats_runs_test": "daily-grid rank/lag (calendar-bounded)",
 }
 
 _FACTS = [
