@@ -1520,3 +1520,97 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sq").cast("double") / (F.count("*") * 100000000.0), 6
         ).alias("brier"),
     )
+
+
+@query(
+    "eval_confusion_nearest_centroid",
+    oracle="""
+    WITH el AS (
+      SELECT label, d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(d)),
+    cm AS (
+      SELECT label, d,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+      FROM el GROUP BY 1, 2),
+    cv AS (SELECT label AS c_label, array_agg(m ORDER BY d) AS cvec
+           FROM cm GROUP BY 1),
+    scored AS (
+      SELECT e.vec_id, e.label, cv.c_label,
+             -2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), cv.cvec)
+               + list_inner_product(cv.cvec, cv.cvec) AS dist
+      FROM embeddings e CROSS JOIN cv),
+    pred AS (
+      SELECT vec_id, label, c_label AS pred_label FROM (
+        SELECT vec_id, label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, c_label) AS rk
+        FROM scored) WHERE rk = 1),
+    conf AS (
+      SELECT label AS true_label, pred_label,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM pred GROUP BY 1, 2)
+    SELECT true_label, pred_label, n_vectors,
+           round(CAST(n_vectors AS DOUBLE)
+                 / SUM(n_vectors) OVER (PARTITION BY true_label), 6)
+             AS row_share
+    FROM conf
+    """,
+)
+def eval_confusion_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass confusion matrix of the nearest-centroid classifier
+    (Rocchio) over the embedding table: train per-label centroids with
+    the decimal-exact mean (the ``embedding_centroid_similarity``
+    recipe), assign every vector to its nearest centroid by the k-means
+    -2x·c+|c|² argmin, and report (true, predicted) counts with
+    per-true-label row shares — the eval readout that turns the
+    centroid-confusability map into realized error rates.
+
+    Determinism: centroid means are exact decimal sums / counts; the
+    argmin distance is the sequential-fold dot (bitwise equal to
+    DuckDB's list_inner_product) with a label tie-break — the
+    ``knn_ivf_trained`` assignment discipline; counts are exact ints
+    and the row share is one IEEE division quantized round(6).  Scale
+    shape: one (label, dim) map-side-combinable mean pass, then one
+    embarrassingly-parallel scan scoring each vector against the ≤|L|
+    broadcast centroids; the confusion rollup and its row-share window
+    are |L|² rows."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    el = e.select("label", F.posexplode("v").alias("d0", "x"))
+    cm = el.groupBy("label", (F.col("d0") + 1).alias("d")).agg(
+        (F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("*")).alias(
+            "m"
+        )
+    )
+    cv = cm.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s.m
+        ).alias("cvec")
+    ).select(F.col("label").alias("c_label"), "cvec")
+    dist = F.expr(
+        "-2 * aggregate(zip_with(v, cvec, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+        " + aggregate(zip_with(cvec, cvec, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "c_label")
+    pred = (
+        e.crossJoin(F.broadcast(cv))
+        .withColumn("dist", dist)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("label", F.col("c_label").alias("pred_label"))
+    )
+    conf = pred.groupBy(
+        F.col("label").alias("true_label"), "pred_label"
+    ).agg(F.count("*").cast("bigint").alias("n_vectors"))
+    w_row = Window.partitionBy("true_label")
+    return conf.select(
+        "true_label",
+        "pred_label",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double") / F.sum("n_vectors").over(w_row), 6
+        ).alias("row_share"),
+    )

@@ -74,6 +74,7 @@ _REPRESENTATIVES = [
     "survival_kaplan_meier",    # null head anchor, empty life table
     "timeseries_cross_correlation",  # null-bounds spine, empty lag join
     "stats_runs_test",          # empty median pick, 1-row null summary
+    "eval_confusion_nearest_centroid",  # zero centroids, empty argmin
 ]
 
 

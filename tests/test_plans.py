@@ -227,6 +227,8 @@ _ALLOWED_NESTED_LOOP = {
     "bitext_margin_mining",  # exhaustive pair stage over the broadcast target side (ANN-prefiltered at scale, like knn_*)
     "contamination_semantic_eval",  # benchmark-sized broadcast eval side, one dot per (vector, eval) pair
     "eval_ann_recall_ivf",  # exact-recall baseline side is the knn_cosine brute force
+    "eval_confusion_nearest_centroid",  # every vector scores the <=|L| broadcast centroids, like knn_ivf_trained
+    "timeseries_cross_correlation",  # 4-row broadcast lag fan-out over the bounded hourly grid
 }
 
 _JOIN_FAMILY = re.compile(
