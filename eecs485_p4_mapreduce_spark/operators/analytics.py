@@ -2644,3 +2644,96 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((runs - mu) / F.sqrt(sigma2), 4))
         .alias("z_stat"),
     )
+
+
+@query(
+    "assoc_basket_part_pairs",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM lp),
+    pa AS (SELECT l_partkey, COUNT(*) AS c FROM lp GROUP BY 1),
+    pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  COUNT(*) AS n_ab
+           FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    s AS (SELECT pr.part_a, pr.part_b, pr.n_ab, x.c AS n_a, y.c AS n_b,
+                 round(CAST(pr.n_ab AS DOUBLE) * n.nb / (x.c * y.c), 6)
+                   AS lift,
+                 round(CAST(pr.n_ab AS DOUBLE) / x.c, 6) AS confidence_ab
+          FROM pr JOIN pa x ON x.l_partkey = pr.part_a
+                  JOIN pa y ON y.l_partkey = pr.part_b
+          CROSS JOIN n)
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_pairs,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           lift, confidence_ab
+    FROM s ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def assoc_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic market-basket association over order baskets: top part
+    pairs by lift (with confidence) among parts co-purchased in the
+    same order — the apriori 2-itemset pass on the sales schema, next
+    to ``assoc_session_lift``'s event-stream variant (different grain:
+    baskets are bounded orders, not time-windowed sessions, and this
+    readout adds the directional confidence a recommender thresholds
+    on).
+
+    Scale shape: the pair stage self-joins on the ORDER key, so
+    fan-out is bounded by (lineitems per order choose 2) — ~21 pairs
+    per basket at TPC-H shape — never all-pairs over parts; part
+    marginals are one map-side-combinable aggregate; the min-support
+    HAVING prunes the long tail before the marginal joins; the global
+    readout is a TakeOrdered top-20.  Determinism: every count is an
+    exact integer over DISTINCT (order, part); lift and confidence are
+    single IEEE divisions of exact ints quantized round(6), ranked with
+    the (part_a, part_b) tie-break."""
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint()  # pair self-join + marginals + basket count
+    )
+    n = lp.agg(F.countDistinct("l_orderkey").alias("nb"))
+    pa = lp.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    pr = (
+        lp.alias("a")
+        .join(
+            lp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    s = (
+        pr.join(
+            pa.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            pa.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("bigint").alias("n_pairs"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_ab").cast("double") * F.col("nb")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "confidence_ab"
+            ),
+        )
+    )
+    return s.orderBy(F.desc("lift"), "part_a", "part_b").limit(20)

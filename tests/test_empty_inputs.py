@@ -75,6 +75,7 @@ _REPRESENTATIVES = [
     "timeseries_cross_correlation",  # null-bounds spine, empty lag join
     "stats_runs_test",          # empty median pick, 1-row null summary
     "eval_confusion_nearest_centroid",  # zero centroids, empty argmin
+    "assoc_basket_part_pairs",  # empty basket self-join + top-k
 ]
 
 

@@ -925,3 +925,17 @@ def test_cross_correlation_scans_events_once(spark, sf_dir):
     assert scans == 0, scans  # both sides read the checkpointed grid
     assert plan.count("Scan ExistingRDD") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_basket_pairs_take_ordered_and_order_keyed_join(spark, sf_dir):
+    """assoc_basket_part_pairs' pair stage joins on the ORDER key (fan-out
+    bounded by basket size) and the global readout is TakeOrdered — no
+    all-pairs join over parts, no full sort."""
+    plan = explain(spark, sf_dir, "assoc_basket_part_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the only NL site is the 1-row basket-count broadcast cross join
+    # (formatted explain lists each node twice)
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan.count(
+        "BroadcastNestedLoopJoin"
+    )
