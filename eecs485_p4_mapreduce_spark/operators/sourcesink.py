@@ -670,3 +670,65 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             dsum("value").alias("total_value"),
         )
     )
+
+
+@query(
+    "source_binaryfile_assets",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(strlen(text) + 1) AS BIGINT) AS total_bytes,
+           MIN(md5(text || chr(10))) AS first_digest
+    FROM documents WHERE doc_id % 10 = 0
+    GROUP BY lang
+    """,
+)
+def source_binaryfile_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-asset ingestion through Spark's ``binaryFile`` source — the
+    format a 100 TB media pipeline reads raw image/audio blobs with
+    before any decode kernel runs.  A deterministic asset tree is
+    materialized first (one .txt blob per sampled document,
+    ``maxRecordsPerFile=1``, hive-partitioned by lang), then read back
+    as (path, length, content) binary rows: the partition key is
+    recovered from the PATH (the directory-layout contract), sizes from
+    the file metadata, and the payload digest from the raw bytes.  The
+    oracle recomputes all three from the parquet documents table, so a
+    truncated write, a lost trailing newline, or a mis-parsed path
+    hash-mismatches.
+
+    Scale shape: the write is one partitioned no-shuffle pass; the read
+    lists files in parallel and packs small blobs into tasks by
+    spark.sql.files.maxPartitionBytes; nothing but the ≤|lang| aggregate
+    rows leaves the executors.  Determinism: content bytes are the
+    utf-8 text + the text-writer's newline, md5'd identically from
+    VARCHAR on the oracle side (md5(BLOB) is invalid in DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark-graft-roundtrip", "binaryfile")
+    path = os.path.join(out, "assets")
+    (
+        docs.select("lang", F.col("text").alias("value"))
+        .repartition("lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .option("maxRecordsPerFile", 1)
+        .text(path)
+    )
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+    )
+    return (
+        back.select(
+            F.regexp_extract("path", r"lang=([^/]+)", 1).alias("lang"),
+            F.col("length").cast("bigint").alias("nbytes"),
+            F.md5("content").alias("digest"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+            F.min("digest").alias("first_digest"),
+        )
+    )

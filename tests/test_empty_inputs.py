@@ -76,6 +76,7 @@ _REPRESENTATIVES = [
     "stats_runs_test",          # empty median pick, 1-row null summary
     "eval_confusion_nearest_centroid",  # zero centroids, empty argmin
     "assoc_basket_part_pairs",  # empty basket self-join + top-k
+    "source_binaryfile_assets", # zero asset files through binaryFile
 ]
 
 
