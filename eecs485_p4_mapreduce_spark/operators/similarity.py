@@ -1614,3 +1614,84 @@ def eval_confusion_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("n_vectors").cast("double") / F.sum("n_vectors").over(w_row), 6
         ).alias("row_share"),
     )
+
+
+@query(
+    "embedding_outlier_mahalanobis",
+    oracle="""
+    WITH el AS (
+      SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(d)),
+    mo AS (
+      SELECT d, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS ss
+      FROM el GROUP BY 1),
+    st AS (SELECT d, s / n AS m, (ss - s * s / n) / n AS v FROM mo),
+    arr AS (SELECT array_agg(m ORDER BY d) AS mv,
+                   array_agg(v ORDER BY d) AS vv
+            FROM st),
+    sc AS (
+      SELECT e.vec_id, e.label,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, 65), d ->
+                 (CAST(e.embedding[d] AS DOUBLE) - arr.mv[d])
+                 * (CAST(e.embedding[d] AS DOUBLE) - arr.mv[d])
+                 / arr.vv[d])),
+               (a, x) -> a + x), 4) AS mahalanobis_sq
+      FROM embeddings e CROSS JOIN arr)
+    SELECT vec_id, label, mahalanobis_sq
+    FROM sc ORDER BY mahalanobis_sq DESC, vec_id LIMIT 20
+    """,
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen: squared Mahalanobis distance
+    under a diagonal covariance (per-dimension mean/variance from the
+    ``embedding_dim_stats`` decimal-exact moment recipe), top-20 most
+    anomalous vectors — the curation pass that surfaces corrupt or
+    out-of-distribution embeddings before they poison ANN training or
+    semantic dedup.
+
+    Determinism: per-dim moments are exact decimal sums; mean and
+    variance derive from them by identically-spelled double formulas;
+    each vector's score is a d-ascending SEQUENTIAL fold of
+    (x−m)²/v terms (Spark nested zip_with aggregate == DuckDB
+    list_reduce over list_prepend, the pii-fold precedent) quantized
+    round(4) and ranked with the vec_id tie-break.  Scale shape: one
+    (d, moment) map-side-combinable pass, then an embarrassingly
+    parallel scoring scan against the broadcast 64-double stats row
+    into a TakeOrdered top-k; nothing shuffles but 20 rows."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    el = e.select(F.posexplode("v").alias("d0", "x"))
+    mo = el.groupBy((F.col("d0") + 1).alias("d")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,12)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    st = mo.select(
+        "d",
+        (F.col("s") / F.col("n")).alias("m"),
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")).alias(
+            "vr"
+        ),
+    )
+    arr = st.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s.m
+        ).alias("mv"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "vr"))), lambda s: s.vr
+        ).alias("vv"),
+    )
+    score = F.expr(
+        "round(aggregate(zip_with(zip_with(v, mv, (x, m) -> (x - m) * (x - m)),"
+        " vv, (c, s) -> c / s), cast(0.0 as double), (acc, x) -> acc + x), 4)"
+    )
+    sc = e.crossJoin(F.broadcast(arr)).select(
+        "vec_id", "label", score.alias("mahalanobis_sq")
+    )
+    return sc.orderBy(F.desc("mahalanobis_sq"), "vec_id").limit(20)

@@ -77,6 +77,7 @@ _REPRESENTATIVES = [
     "eval_confusion_nearest_centroid",  # zero centroids, empty argmin
     "assoc_basket_part_pairs",  # empty basket self-join + top-k
     "source_binaryfile_assets", # zero asset files through binaryFile
+    "embedding_outlier_mahalanobis",  # empty stats arrays, empty top-k
 ]
 
 

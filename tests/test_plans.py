@@ -939,3 +939,12 @@ def test_basket_pairs_take_ordered_and_order_keyed_join(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan.count(
         "BroadcastNestedLoopJoin"
     )
+
+
+def test_mahalanobis_is_broadcast_scan_takeordered(spark, sf_dir):
+    """embedding_outlier_mahalanobis scores every vector against ONE
+    broadcast stats row and reads out via TakeOrdered — no shuffle of
+    scored vectors, no full sort."""
+    plan = explain(spark, sf_dir, "embedding_outlier_mahalanobis")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
