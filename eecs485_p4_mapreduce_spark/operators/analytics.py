@@ -2737,3 +2737,85 @@ def assoc_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.orderBy(F.desc("lift"), "part_a", "part_b").limit(20)
+
+
+@query(
+    "interval_concurrency_daily",
+    oracle="""
+    WITH iv AS (
+      SELECT CAST(date_trunc('day', o.o_orderdate) AS TIMESTAMP) AS s,
+             CAST(date_trunc('day', MAX(l.l_shipdate)) AS TIMESTAMP) AS e
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    delta AS (
+      SELECT d, SUM(x) AS dx FROM (
+        SELECT s AS d, 1 AS x FROM iv
+        UNION ALL
+        SELECT e + INTERVAL 1 DAY AS d, -1 AS x FROM iv)
+      GROUP BY d),
+    b AS (SELECT min(d) AS mn, max(d) AS mx FROM delta),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS d FROM b),
+    run AS (
+      SELECT spine.d,
+             CAST(SUM(COALESCE(delta.dx, 0)) OVER (ORDER BY spine.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_open
+      FROM spine LEFT JOIN delta ON delta.d = spine.d)
+    SELECT CAST(date_trunc('month', d) AS TIMESTAMP) AS month,
+           CAST(MAX(n_open) AS BIGINT) AS peak_open,
+           CAST(MIN(n_open) AS BIGINT) AS min_open,
+           round(CAST(SUM(n_open) AS DOUBLE) / COUNT(*), 4) AS avg_open
+    FROM run GROUP BY 1
+    """,
+)
+def interval_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: how many orders are OPEN (placed
+    but not yet fully shipped) on each day, rolled up to a monthly
+    peak/min/mean backlog profile — the WIP/backlog curve behind
+    capacity planning, computed as the classic +1/−1 boundary-event
+    cumulative sum rather than a day x interval stabbing join (which
+    would be |days| x |orders| at 100 TB).
+
+    Scale shape: the interval endpoints come from one order-keyed
+    aggregate over the lineitem scan; boundary deltas are two
+    projections of that bounded set; the running sum and the monthly
+    rollup live entirely on the calendar-bounded day spine.
+    Determinism: everything through n_open is exact integers; the only
+    float is the monthly mean, one IEEE division of exact ints
+    quantized round(4)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("day", "o_orderdate").alias("s"),
+            F.date_trunc("day", "last_ship").alias("e"),
+        )
+    )
+    delta = (
+        iv.select(F.col("s").alias("d"), F.lit(1).alias("x"))
+        .unionAll(
+            iv.select(F.expr("e + interval 1 day").alias("d"), F.lit(-1).alias("x"))
+        )
+        .groupBy("d")
+        .agg(F.sum("x").alias("dx"))
+        .localCheckpoint()  # bounds + spine join reuse it
+    )
+    b = delta.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    spine = b.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("d")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = (
+        spine.join(delta, "d", "left")
+        .select("d", F.coalesce("dx", F.lit(0)).alias("dx"))
+        .select("d", F.sum("dx").over(w).cast("bigint").alias("n_open"))
+    )
+    return run.groupBy(F.date_trunc("month", "d").alias("month")).agg(
+        F.max("n_open").cast("bigint").alias("peak_open"),
+        F.min("n_open").cast("bigint").alias("min_open"),
+        F.round(F.sum("n_open").cast("double") / F.count("*"), 4).alias("avg_open"),
+    )

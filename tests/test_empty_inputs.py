@@ -78,6 +78,7 @@ _REPRESENTATIVES = [
     "assoc_basket_part_pairs",  # empty basket self-join + top-k
     "source_binaryfile_assets", # zero asset files through binaryFile
     "embedding_outlier_mahalanobis",  # empty stats arrays, empty top-k
+    "interval_concurrency_daily",  # null bounds, empty day spine
 ]
 
 

@@ -72,6 +72,7 @@ CONSTANT_WINDOW_OK = {
     " _pid-scoped pinned in test_plans)",
     "survival_kaplan_meier": "duration-day grid life table (calendar-bounded)",
     "stats_runs_test": "daily-grid rank/lag (calendar-bounded)",
+    "interval_concurrency_daily": "day-spine sweep cumsum (calendar-bounded)",
 }
 
 _FACTS = [
