@@ -752,3 +752,47 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("xcorr"),
     )
+
+
+@query(
+    "resample_ohlc_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           arg_min(round(value, 6),
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id)
+             AS open,
+           round(MAX(value), 6) AS high,
+           round(MIN(value), 6) AS low,
+           arg_max(round(value, 6),
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id)
+             AS close
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def resample_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars over the purchase-value
+    stream — the canonical financial/metrics downsample where open and
+    close are ORDER-dependent arg-extremes, not plain min/max.  One
+    map-side-combinable day aggregate over the scan; no window, no
+    shuffle beyond the ≤|days| groups.
+
+    Determinism: open/close use a total ordering key (ts, event_id) —
+    Spark orders by the STRUCT (no range preconditions); DuckDB's
+    arg_min/arg_max take no composite key, so the twin packs
+    epoch-micros and event_id into one HUGEINT
+    (epoch_us * 1e9 + event_id — int128, no overflow at any horizon;
+    the agg_argminmax_by packed-scalar precedent upgraded from the
+    bounded-int64 spelling).  Values quantize round(6) on output."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    key = F.struct("ts", "event_id")
+    return e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min_by(F.round("value", 6), key).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.max_by(F.round("value", 6), key).alias("close"),
+    )

@@ -79,6 +79,7 @@ _REPRESENTATIVES = [
     "source_binaryfile_assets", # zero asset files through binaryFile
     "embedding_outlier_mahalanobis",  # empty stats arrays, empty top-k
     "interval_concurrency_daily",  # null bounds, empty day spine
+    "resample_ohlc_daily",      # arg-extremes over zero rows
 ]
 
 
