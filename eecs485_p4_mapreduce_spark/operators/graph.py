@@ -625,17 +625,22 @@ def _clustcoef_oracle() -> str:
       SELECT CAST(length(bin(CAST(d AS BIGINT))) - 1 AS BIGINT)
                AS degree_band,
              d, t,
-             round(CAST(2 * t AS DOUBLE) / (d * (d - 1)), 4) AS cc
-      FROM node)
-    SELECT degree_band,
-           CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           CAST(SUM(d * (d - 1)) AS BIGINT) AS wedges_x2,
-           CAST(SUM(2 * t) AS BIGINT) AS closed_x2,
-           round(CAST(SUM(CAST(cc AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*), 4)
-             AS avg_local_cc,
-           round(CAST(SUM(2 * t) AS DOUBLE) / SUM(d * (d - 1)), 4)
-             AS pooled_cc
-    FROM cc GROUP BY degree_band
+             (2 * (2 * t) * 10000 + d * (d - 1)) // (2 * d * (d - 1)) AS cc_bp
+      FROM node),
+    g AS (
+      SELECT degree_band,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1)) AS BIGINT) AS wedges_x2,
+             CAST(SUM(2 * t) AS BIGINT) AS closed_x2,
+             CAST(SUM(cc_bp) AS HUGEINT) AS sum_bp
+      FROM cc GROUP BY degree_band)
+    SELECT degree_band, n_nodes, wedges_x2, closed_x2,
+           CAST(CAST((2 * sum_bp + n_nodes) // (2 * CAST(n_nodes AS HUGEINT))
+                AS BIGINT) AS DOUBLE) / 10000 AS avg_local_cc,
+           CAST(CAST((2 * CAST(closed_x2 AS HUGEINT) * 10000 + wedges_x2)
+                     // (2 * CAST(wedges_x2 AS HUGEINT))
+                AS BIGINT) AS DOUBLE) / 10000 AS pooled_cc
+    FROM g
     """
 
 
@@ -653,13 +658,17 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-level dedup strategy.
 
     Determinism: degrees and triangle counts are exact integers; each
-    local cc is ONE double division of exact ints quantized round(4)
-    BEFORE the decimal mean (the registry's quantize-then-sum recipe);
-    the pooled cc is one division of two exact integer sums; the band is
-    bit-length arithmetic (length(bin(d))-1), no libm.  Scale shape:
-    identical to graph_triangle_count (banded equi-join edges, two
-    wedge-closing hash joins, map-side-combinable rollups) with a
-    ≤64-band final aggregate."""
+    local cc quantizes to integer basis points by the INT64 round-half-up
+    recipe (2·num·10⁴ + den) DIV (2·den) — round(double, 4) would
+    disagree between engines exactly when a mean lands on a half
+    boundary (found at sf0.001: 0.25325 → Spark 0.2533 vs DuckDB
+    0.2532); band mean and pooled cc render the same way from exact
+    integer sums (HUGEINT on the oracle side for 100 TB headroom, the
+    t-closeness precedent), so the ONLY float op anywhere is the final
+    shared /10⁴.  Band is bit-length arithmetic (length(bin(d))-1), no
+    libm.  Scale shape: identical to graph_triangle_count (banded
+    equi-join edges, two wedge-closing hash joins, map-side-combinable
+    rollups) with a ≤64-band final aggregate."""
     from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
 
     _, sig = minhash_signatures(spark, sf_dir)
@@ -706,21 +715,33 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "d",
         "t",
-        F.round(
-            (2 * F.col("t")).cast("double") / (F.col("d") * (F.col("d") - 1)), 4
-        ).alias("cc"),
+        F.expr("(2 * (2 * t) * 10000 + d * (d - 1)) div (2 * d * (d - 1))").alias(
+            "cc_bp"
+        ),
     )
-    return cc.groupBy("degree_band").agg(
+    g = cc.groupBy("degree_band").agg(
         F.count("*").cast("bigint").alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1)).cast("bigint").alias("wedges_x2"),
         F.sum(2 * F.col("t")).cast("bigint").alias("closed_x2"),
-        F.round(
-            F.sum(F.col("cc").cast("decimal(14,4)")).cast("double") / F.count("*"),
-            4,
+        F.sum(F.col("cc_bp").cast("decimal(38,0)")).alias("sum_bp"),
+    )
+    return g.select(
+        "degree_band",
+        "n_nodes",
+        "wedges_x2",
+        "closed_x2",
+        (
+            F.expr(
+                "cast((2 * sum_bp + n_nodes) div (2 * cast(n_nodes as decimal(38,0)))"
+                " as bigint)"
+            ).cast("double")
+            / 10000
         ).alias("avg_local_cc"),
-        F.round(
-            F.sum(2 * F.col("t")).cast("double")
-            / F.sum(F.col("d") * (F.col("d") - 1)),
-            4,
+        (
+            F.expr(
+                "cast((2 * cast(closed_x2 as decimal(38,0)) * 10000 + wedges_x2)"
+                " div (2 * cast(wedges_x2 as decimal(38,0))) as bigint)"
+            ).cast("double")
+            / 10000
         ).alias("pooled_cc"),
     )

@@ -741,3 +741,80 @@ def eval_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").cast("bigint").alias("hits_at_k"),
         F.round(F.count("hit").cast("double") / _IVF_TOPK, 4).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means training diagnostics: per-cluster inertia (within-cluster SSE)
+# ---------------------------------------------------------------------------
+
+
+def _inertia_oracle() -> str:
+    return (
+        _kmeans_cte()
+        + f""",
+        cj AS (
+          SELECT a.k,
+                 round(list_inner_product(e.v, e.v)
+                       - 2 * list_inner_product(e.v, c.cv)
+                       + list_inner_product(c.cv, c.cv), 4) AS dsq
+          FROM afin a
+          JOIN e ON e.vec_id = a.vec_id
+          JOIN c{_KM_ROUNDS} c ON c.k = a.k)
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points,
+               round(CAST(SUM(CAST(dsq AS DECIMAL(20,4))) AS DOUBLE), 4)
+                 AS inertia,
+               round(CAST(SUM(CAST(dsq AS DECIMAL(20,4))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_sq_dist
+        FROM cj GROUP BY k
+        """
+    )
+
+
+@query("ml_kmeans_inertia", oracle=_inertia_oracle())
+def ml_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster inertia (within-cluster sum of squared distances) of
+    the trained IVF quantizer — the elbow-method / training-quality
+    diagnostic read after every Lloyd's run: a cluster with outsized
+    mean squared distance is under-split (an IVF list that over-scans)
+    and a near-empty one is wasted capacity.
+
+    Composes the shared ``_lloyds_assignments`` training (cached +
+    model-store persisted, so this readout costs one assignment join
+    when the quantizer is already trained) and proves the whole
+    training + distance accounting against the unrolled-CTE oracle.
+
+    Determinism: each point's squared distance is |x|² − 2x·c + |c|²
+    from the same sequential-fold dots both engines use for the argmin,
+    quantized round(4) BEFORE the per-cluster decimal sum (the ln-
+    quantization convention applied to distances); inertia and its mean
+    are then exact-decimal readouts.  Scale shape: one broadcast-
+    centroid scan, one ≤K-group aggregate."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cdf, assigned = _lloyds_assignments(
+        spark, e, cache_key=(sf_dir, load_table), sf_dir=sf_dir
+    )
+    dsq = F.expr(
+        "round(aggregate(zip_with(v, v, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+        " - 2 * aggregate(zip_with(v, cv, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+        " + aggregate(zip_with(cv, cv, (x, y) -> x * y), cast(0.0 as double),"
+        " (acc, x) -> acc + x), 4)"
+    )
+    cj = (
+        assigned.select("vec_id", "v", "k")
+        .join(F.broadcast(cdf), "k")
+        .select("k", dsq.alias("dsq"))
+    )
+    return cj.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(F.sum(F.col("dsq").cast("decimal(20,4)")).cast("double"), 4).alias(
+            "inertia"
+        ),
+        F.round(
+            F.sum(F.col("dsq").cast("decimal(20,4)")).cast("double") / F.count("*"),
+            6,
+        ).alias("mean_sq_dist"),
+    )

@@ -80,6 +80,7 @@ _REPRESENTATIVES = [
     "embedding_outlier_mahalanobis",  # empty stats arrays, empty top-k
     "interval_concurrency_daily",  # null bounds, empty day spine
     "resample_ohlc_daily",      # arg-extremes over zero rows
+    "ml_kmeans_inertia",        # empty model-store assignment join
 ]
 
 
