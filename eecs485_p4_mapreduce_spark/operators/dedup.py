@@ -124,6 +124,44 @@ def _drop_sig_view(spark: SparkSession):
 def clear_signature_cache() -> None:
     """Evict every cached signature frame (see _SIG_CACHE notes)."""
     _SIG_CACHE.clear()
+    _EDGE_CACHE.clear()
+
+
+# Session-scoped candidate-EDGE store, one layer above _SIG_CACHE: the
+# DISTINCT low-high band-collision pair set (da < db) that the whole
+# band-graph family (triangle count, k-core, link prediction,
+# assortativity, clustering coefficient, LPA via re-orientation) derives
+# identically from the signature table.  Rebuilding it was ~1.8 s per
+# graph query at sf0.1; like the signatures, production would keep this
+# as a stored edge table refreshed by ingest.  Same key discipline and
+# LRU bounds as _SIG_CACHE.
+_EDGE_CACHE = LRU()
+
+
+def lsh_candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached DISTINCT ``(da, db)`` (da < db) LSH band-collision
+    edge set over the documents corpus — bit-identical to the inline
+    self-join every band-graph query used to build, memoized behind a
+    global temp view over one localCheckpointed frame (the
+    ``minhash_signatures`` pattern, one derivation layer up)."""
+    loader = load_table  # module global: respects monkeypatched loaders
+    key = (spark.sparkContext.applicationId, sf_dir, _mtime_token(sf_dir), loader)
+    name = _EDGE_CACHE.get(key)
+    if name is None:
+        _, banded = minhash_signatures(spark, sf_dir)
+        left = banded.select("doc_id", "b", "band_hash")
+        edges = (
+            left.alias("x")
+            .join(left.alias("y"), ["b", "band_hash"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+            .distinct()
+            .localCheckpoint()
+        )
+        name = f"sg_edges_{uuid.uuid4().hex[:12]}"
+        edges.createOrReplaceGlobalTempView(name)
+        _EDGE_CACHE.put(key, name, on_evict=_drop_sig_view(spark))
+    return spark.table(f"global_temp.{name}")
 
 
 def minhash_signatures(

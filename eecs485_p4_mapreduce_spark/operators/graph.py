@@ -178,20 +178,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation so hub nodes don't own every wedge — noted here, not
     needed at candidate-graph densities, where LSH banding already
     bounds per-bucket degree."""
-    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
 
-    _, sig = minhash_signatures(spark, sf_dir)
-    left = sig.select("doc_id", "b", "band_hash")
-    edges = (
-        left.alias("x")
-        .join(left.alias("y"), ["b", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
-        )
-        .distinct()
-        .localCheckpoint()  # three self-references below; stop recompute
-    )
+    # session-cached checkpointed edge set (shared by the whole
+    # band-graph family); safe to reference three times below
+    edges = lsh_candidate_edges(spark, sf_dir)
     ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
     tri = (
         ab.join(bc, F.col("bc.da") == F.col("ab.db"))
@@ -305,19 +296,9 @@ def graph_kcore_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins convergence at test scale).  Output: surviving nodes with
     their in-core degree.
     """
-    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
 
-    _, sig = minhash_signatures(spark, sf_dir)
-    left = sig.select("doc_id", "b", "band_hash")
-    edges = (
-        left.alias("x")
-        .join(left.alias("y"), ["b", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-        .distinct()
-        .localCheckpoint()
-    )
-    surv = edges
+    surv = lsh_candidate_edges(spark, sf_dir)
     for _ in range(_KCORE_ROUNDS):
         deg = (
             surv.select(F.col("da").alias("doc_id"))
@@ -390,17 +371,14 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids; the oracle unrolls the identical rounds as CTEs.  Output:
     communities with >= 2 members.
     """
-    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
 
-    _, banded = minhash_signatures(spark, sf_dir)
-    eu = (
-        banded.select(F.col("doc_id").alias("u"), "b", "band_hash")
-        .join(banded.select(F.col("doc_id").alias("v"), "b", "band_hash"),
-              ["b", "band_hash"])
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
+    # the directed (u != v) adjacency is both orientations of the
+    # session-cached low-high edge set (identical to the old inline
+    # banded self-join with a != guard)
+    e = lsh_candidate_edges(spark, sf_dir)
+    eu = e.select(F.col("da").alias("u"), F.col("db").alias("v")).unionAll(
+        e.select(F.col("db").alias("u"), F.col("da").alias("v"))
     )
     labels = eu.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
@@ -466,18 +444,9 @@ def graph_linkpred_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFra
     LSH bucket size, the same degree cap the triangle query documents —
     at 100 TB one adds degree-ordered orientation before the wedge
     join (noted there too)."""
-    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
 
-    _, sig = minhash_signatures(spark, sf_dir)
-    left = sig.select("doc_id", "b", "band_hash")
-    edges = (
-        left.alias("x")
-        .join(left.alias("y"), ["b", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-        .distinct()
-        .localCheckpoint()  # adjacency + anti-join both read it
-    )
+    edges = lsh_candidate_edges(spark, sf_dir)
     adj = edges.select(
         F.col("da").alias("u"), F.col("db").alias("v")
     ).unionAll(edges.select(F.col("db").alias("u"), F.col("da").alias("v")))
@@ -549,18 +518,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded LSH equi-join (bounded buckets); degrees are one
     map-side-combinable aggregate; attaching endpoint degrees is two
     doc-id hash joins; everything after is a single-row reduce."""
-    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
 
-    _, sig = minhash_signatures(spark, sf_dir)
-    left = sig.select("doc_id", "b", "band_hash")
-    edges = (
-        left.alias("x")
-        .join(left.alias("y"), ["b", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-        .distinct()
-        .localCheckpoint()  # degree aggregate + two joins below reuse it
-    )
+    edges = lsh_candidate_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("da").alias("doc_id"))
         .unionAll(edges.select(F.col("db").alias("doc_id")))
@@ -669,18 +629,9 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     libm.  Scale shape: identical to graph_triangle_count (banded
     equi-join edges, two wedge-closing hash joins, map-side-combinable
     rollups) with a ≤64-band final aggregate."""
-    from eecs485_p4_mapreduce_spark.operators.dedup import minhash_signatures
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
 
-    _, sig = minhash_signatures(spark, sf_dir)
-    left = sig.select("doc_id", "b", "band_hash")
-    edges = (
-        left.alias("x")
-        .join(left.alias("y"), ["b", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-        .distinct()
-        .localCheckpoint()  # three wedge references + two degree scans
-    )
+    edges = lsh_candidate_edges(spark, sf_dir)
     ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
     tri = (
         ab.join(bc, F.col("bc.da") == F.col("ab.db"))

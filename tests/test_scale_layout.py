@@ -567,3 +567,40 @@ def test_model_store_roundtrip_and_cross_app_read(spark, tmp_path, monkeypatch):
     r2 = modelstore.load_or_train(spark, "t1", sf, schema, train)
     assert len(calls) == 1  # second served from the published model
     assert r1 == r2 == [(0, [0.5, 1e-17]), (1, [1.5, -2.25])]
+
+
+def test_edge_cache_shared_and_mtime_fresh(spark, tmp_path, monkeypatch):
+    """lsh_candidate_edges memoizes the band-graph family's shared edge
+    set behind one checkpointed global view (bounded LRU), and the mtime
+    key must miss after an in-place corpus rewrite — stale edges would
+    silently corrupt every graph query."""
+    import shutil
+
+    from eecs485_p4_mapreduce_spark.functions.memo import LRU
+    from eecs485_p4_mapreduce_spark.operators import dedup
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    d1 = tmp_path / "c1"
+    d1.mkdir()
+    shutil.copy(src, d1 / "documents.parquet")
+
+    monkeypatch.setattr(dedup, "_EDGE_CACHE", LRU(maxsize=1))
+    e1 = dedup.lsh_candidate_edges(spark, str(d1))
+    n1 = e1.count()
+    assert n1 > 0 and len(dedup._EDGE_CACHE) == 1
+    # second call: cache hit — the SAME global view name resolves
+    e2 = dedup.lsh_candidate_edges(spark, str(d1))
+    assert e2.count() == n1 and len(dedup._EDGE_CACHE) == 1
+    # low-high orientation invariant of the cached set
+    assert e1.filter(e1["da"] >= e1["db"]).count() == 0
+    # rewrite in place with half the docs; mtime key must miss
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE doc_id % 2 = 0) TO"
+        f" '{tmp_path / 'half.parquet'}' (FORMAT PARQUET)"
+    )
+    shutil.copy(tmp_path / "half.parquet", d1 / "documents.parquet")
+    e3 = dedup.lsh_candidate_edges(spark, str(d1))
+    assert e3.count() < n1
