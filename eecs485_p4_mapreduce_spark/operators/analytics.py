@@ -2819,3 +2819,145 @@ def interval_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_open").cast("bigint").alias("min_open"),
         F.round(F.sum("n_open").cast("double") / F.count("*"), 4).alias("avg_open"),
     )
+
+
+@query(
+    "dq_primary_key_uniqueness",
+    oracle="""
+    WITH u AS (
+      SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+      FROM orders
+      UNION ALL
+      SELECT 'customer', COUNT(*), COUNT(DISTINCT c_custkey) FROM customer
+      UNION ALL
+      SELECT 'part', COUNT(*), COUNT(DISTINCT p_partkey) FROM part
+      UNION ALL
+      SELECT 'supplier', COUNT(*), COUNT(DISTINCT s_suppkey) FROM supplier
+      UNION ALL
+      SELECT 'lineitem', COUNT(*),
+             COUNT(DISTINCT l_orderkey * 100 + l_linenumber) FROM lineitem
+      UNION ALL
+      SELECT 'events', COUNT(*), COUNT(DISTINCT event_id) FROM events
+      UNION ALL
+      SELECT 'documents', COUNT(*), COUNT(DISTINCT doc_id) FROM documents)
+    SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(n_rows - n_keys AS BIGINT) AS n_dup_rows,
+           n_rows = n_keys AS pk_unique
+    FROM u
+    """,
+)
+def dq_primary_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the whole star schema — the
+    first data-contract check any warehouse load runs (a duplicated key
+    silently double-counts every downstream join), next to
+    ``dq_referential_integrity``'s orphan audit.  The lineitem PK is
+    composite (orderkey, linenumber), folded to one BIGINT
+    (orderkey*100 + linenumber; linenumber is 1..7 by TPC-H contract)
+    so both engines count the identical key space.
+
+    Scale shape: seven independent map-side-combinable count-distinct
+    aggregates, each one scan of its table pruned to the key columns;
+    the readout is seven rows.  At 100 TB one swaps COUNT(DISTINCT) for
+    the HLL sketch when an approximate audit suffices — the exact form
+    here is itself one shuffle per table on the key."""
+    defs = [
+        ("orders", "orders", F.col("o_orderkey")),
+        ("customer", "customer", F.col("c_custkey")),
+        ("part", "part", F.col("p_partkey")),
+        ("supplier", "supplier", F.col("s_suppkey")),
+        (
+            "lineitem",
+            "lineitem",
+            F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+        ),
+        ("events", "events", F.col("event_id")),
+        ("documents", "documents", F.col("doc_id")),
+    ]
+    out = None
+    for label, tbl, key in defs:
+        t = load_table(spark, sf_dir, tbl)
+        branch = t.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(key).cast("bigint").alias("n_keys"),
+        ).select(F.lit(label).alias("tbl"), "n_rows", "n_keys")
+        out = branch if out is None else out.unionByName(branch)
+    return out.select(
+        "tbl",
+        "n_rows",
+        "n_keys",
+        (F.col("n_rows") - F.col("n_keys")).cast("bigint").alias("n_dup_rows"),
+        (F.col("n_rows") == F.col("n_keys")).alias("pk_unique"),
+    )
+
+
+@query(
+    "dq_order_total_reconciliation",
+    oracle="""
+    WITH rec AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                 AS DECIMAL(18,6))) AS recomputed
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderstatus,
+             ABS(rec.recomputed - CAST(o.o_totalprice AS DECIMAL(18,6)))
+               AS diff
+      FROM orders o JOIN rec ON rec.l_orderkey = o.o_orderkey)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN diff = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN diff <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_cent,
+           CAST(MAX(diff) AS DOUBLE) AS max_abs_diff
+    FROM j GROUP BY 1
+    """,
+)
+def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table arithmetic reconciliation: recompute each order's
+    total from its line items (extendedprice x (1-discount) x (1+tax))
+    and audit the drift against the stored o_totalprice, per order
+    status — the financial-consistency check that catches a load
+    pipeline applying tax twice or dropping lines, complementing
+    ``dq_referential_integrity`` (existence) and
+    ``dq_primary_key_uniqueness`` (identity) with VALUE consistency.
+
+    Determinism: each line's 3-factor product is the identical IEEE
+    expression in both engines, then cast DECIMAL(18,6) and summed
+    (scale 6, the functions/numeric.py discipline — at scale 12 the
+    double->decimal cast rounds digits past the double's own precision
+    and the engines disagree on the artifact)
+    exactly (the q1 discipline); the stored total compares as
+    DECIMAL(18,6), so every diff, threshold count, and the max are
+    exact decimal arithmetic — the one double in the output is the
+    exact decimal->double cast of the max (no rounding, no half
+    boundary).  Scale shape: one order-keyed aggregate over the
+    lineitem scan, one equi-join to orders, a ≤|status| rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rec = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(18,6)")
+        ).alias("recomputed")
+    )
+    j = o.join(rec, o["o_orderkey"] == rec["l_orderkey"]).select(
+        "o_orderstatus",
+        F.abs(
+            F.col("recomputed") - F.col("o_totalprice").cast("decimal(18,6)")
+        ).alias("diff"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("diff") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("diff") <= 0.01, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_cent"),
+        F.max("diff").cast("double").alias("max_abs_diff"),
+    )

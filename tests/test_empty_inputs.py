@@ -81,6 +81,8 @@ _REPRESENTATIVES = [
     "interval_concurrency_daily",  # null bounds, empty day spine
     "resample_ohlc_daily",      # arg-extremes over zero rows
     "ml_kmeans_inertia",        # empty model-store assignment join
+    "dq_primary_key_uniqueness",  # 7-branch union over zero rows
+    "dq_order_total_reconciliation",  # empty join, zero-row rollup
 ]
 
 
