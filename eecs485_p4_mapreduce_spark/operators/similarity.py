@@ -1695,3 +1695,118 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id", "label", score.alias("mahalanobis_sq")
     )
     return sc.orderBy(F.desc("mahalanobis_sq"), "vec_id").limit(20)
+
+
+def _brier_decomp_oracle() -> str:
+    w_list = ", ".join(str(w) for w in _INF_W)
+    return f"""
+    WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                      round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                            [{w_list}]), 6) AS logit
+               FROM embeddings),
+    p AS (SELECT y,
+                 CAST(round(10000 * (1 / (1 + exp(-logit)))) AS BIGINT)
+                   AS p_bp
+          FROM e),
+    b AS (SELECT least(p_bp // 1000, 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_k,
+                 CAST(SUM(p_bp) AS BIGINT) AS sp,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM((p_bp - 10000 * y) * (p_bp - 10000 * y)) AS BIGINT)
+                   AS ssq
+          FROM p GROUP BY 1),
+    g AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                 CAST(SUM(sy) AS BIGINT) AS sy_tot,
+                 CAST(SUM(ssq) AS BIGINT) AS ssq_tot
+          FROM b),
+    t AS (SELECT b.n_k,
+                 round(b.n_k * (CAST(b.sp AS DOUBLE) / (b.n_k * 10000.0)
+                                - CAST(b.sy AS DOUBLE) / b.n_k)
+                             * (CAST(b.sp AS DOUBLE) / (b.n_k * 10000.0)
+                                - CAST(b.sy AS DOUBLE) / b.n_k), 8) AS t_rel,
+                 round(b.n_k * (CAST(b.sy AS DOUBLE) / b.n_k
+                                - CAST(g.sy_tot AS DOUBLE) / g.n)
+                             * (CAST(b.sy AS DOUBLE) / b.n_k
+                                - CAST(g.sy_tot AS DOUBLE) / g.n), 8) AS t_res
+          FROM b CROSS JOIN g)
+    SELECT g.n,
+           round(CAST(g.sy_tot AS DOUBLE) / g.n, 6) AS base_rate,
+           round(CAST(g.ssq_tot AS DOUBLE) / (g.n * 100000000.0), 6) AS brier,
+           round(CAST((SELECT SUM(CAST(t_rel AS DECIMAL(28,8))) FROM t)
+                 AS DOUBLE) / g.n, 6) AS reliability,
+           round(CAST((SELECT SUM(CAST(t_res AS DECIMAL(28,8))) FROM t)
+                 AS DOUBLE) / g.n, 6) AS resolution,
+           round((CAST(g.sy_tot AS DOUBLE) / g.n)
+                 * (1 - CAST(g.sy_tot AS DOUBLE) / g.n), 6) AS uncertainty
+    FROM g
+    """
+
+
+@query("eval_brier_decomposition", oracle=_brier_decomp_oracle())
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the linear scorer's Brier score over the
+    ``eval_calibration_bins`` deciles: reliability (how far bin means
+    sit from bin outcomes — lower is better-calibrated), resolution
+    (how far bin outcomes spread from the base rate — higher is more
+    discriminative), and uncertainty (base-rate entropy term) — the
+    readout that says WHETHER a bad Brier score comes from
+    miscalibration or from a model that can't separate classes at all.
+
+    Determinism: everything through the bin rollup is exact integers
+    (the calibration-bins discipline); each bin's reliability and
+    resolution term is an identically-spelled double expression over
+    those ints, quantized round(8) BEFORE the ≤10-term decimal sum
+    (order-independent — bins would otherwise add in engine-dependent
+    order); the five outputs are single divisions quantized round(6).
+    Scale shape: one scan into a ≤10-group aggregate, then constant
+    rows."""
+    w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    dot = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_arr)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(F.expr(dot), 6).alias("logit"),
+    )
+    p = e.select(
+        "y",
+        F.round(10000 * (1 / (1 + F.exp(-F.col("logit")))))
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+    b = p.groupBy(
+        F.least(F.expr("p_bp div 1000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_k"),
+        F.sum("p_bp").cast("bigint").alias("sp"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            (F.col("p_bp") - 10000 * F.col("y"))
+            * (F.col("p_bp") - 10000 * F.col("y"))
+        )
+        .cast("bigint")
+        .alias("ssq"),
+    ).localCheckpoint()  # global rollup + per-bin terms both read it
+    g = b.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("sy").cast("bigint").alias("sy_tot"),
+        F.sum("ssq").cast("bigint").alias("ssq_tot"),
+    )
+    pb = F.col("sp").cast("double") / (F.col("n_k") * 10000.0)
+    yb = F.col("sy").cast("double") / F.col("n_k")
+    ybar = F.col("sy_tot").cast("double") / F.col("n")
+    t = b.crossJoin(F.broadcast(g)).select(
+        F.round(F.col("n_k") * (pb - yb) * (pb - yb), 8).alias("t_rel"),
+        F.round(F.col("n_k") * (yb - ybar) * (yb - ybar), 8).alias("t_res"),
+    )
+    sums = t.agg(
+        F.sum(F.col("t_rel").cast("decimal(28,8)")).cast("double").alias("rel_s"),
+        F.sum(F.col("t_res").cast("decimal(28,8)")).cast("double").alias("res_s"),
+    )
+    return g.crossJoin(F.broadcast(sums)).select(
+        "n",
+        F.round(ybar, 6).alias("base_rate"),
+        F.round(F.col("ssq_tot").cast("double") / (F.col("n") * 100000000.0), 6)
+        .alias("brier"),
+        F.round(F.col("rel_s") / F.col("n"), 6).alias("reliability"),
+        F.round(F.col("res_s") / F.col("n"), 6).alias("resolution"),
+        F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
+    )

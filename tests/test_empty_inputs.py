@@ -83,6 +83,7 @@ _REPRESENTATIVES = [
     "ml_kmeans_inertia",        # empty model-store assignment join
     "dq_primary_key_uniqueness",  # 7-branch union over zero rows
     "dq_order_total_reconciliation",  # empty join, zero-row rollup
+    "eval_brier_decomposition",  # empty bins, null global rollup
 ]
 
 
