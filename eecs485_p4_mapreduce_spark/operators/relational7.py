@@ -609,3 +609,51 @@ def subquery_exists_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eecs485_p4_mapreduce_spark.sources import run_sql
 
     return run_sql(spark, sf_dir, _EXISTS_PROJ)
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counting through Spark 3.5's bitmap aggregate
+    family: keys bucket by ``bitmap_bucket_number`` (32768-bit pages),
+    each (group, bucket) page ORs together map-side via
+    ``bitmap_construct_agg(bitmap_bit_position(key))``, and the group's
+    distinct count is the sum of per-page popcounts — the
+    roaring-bitmap-style exact-distinct plan that, unlike
+    COUNT(DISTINCT), partial-aggregates (pages combine associatively on
+    the map side) and composes incrementally (pages from new partitions
+    OR into stored pages, the MV-refresh pattern).  The oracle pins it
+    to plain COUNT(DISTINCT) — bit-for-bit the same answer.
+
+    Scale shape: shuffle keys are (group, bucket-number) — cardinality
+    |groups| x |key space|/32768 regardless of row count — and each
+    page is a fixed 4 KiB binary; the second rollup is |groups|-sized.
+    Determinism: popcounts are exact integers."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    pages = (
+        o.groupBy(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bkt"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(o_custkey))"
+            ).alias("page"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return pages.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(page)")).cast("bigint").alias(
+            "n_distinct_customers"
+        ),
+        F.sum("n_rows").cast("bigint").alias("n_orders"),
+    )

@@ -84,6 +84,7 @@ _REPRESENTATIVES = [
     "dq_primary_key_uniqueness",  # 7-branch union over zero rows
     "dq_order_total_reconciliation",  # empty join, zero-row rollup
     "eval_brier_decomposition",  # empty bins, null global rollup
+    "agg_bitmap_distinct",      # bitmap pages over zero rows
 ]
 
 

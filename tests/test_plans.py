@@ -948,3 +948,13 @@ def test_mahalanobis_is_broadcast_scan_takeordered(spark, sf_dir):
     plan = explain(spark, sf_dir, "embedding_outlier_mahalanobis")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
+    """agg_bitmap_distinct's page stage must partial-aggregate (two
+    HashAggregate levels around the exchange) — the whole point of the
+    bitmap plan over COUNT(DISTINCT)'s expand-based rewrite."""
+    plan = explain(spark, sf_dir, "agg_bitmap_distinct")
+    assert "bitmap_construct_agg" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+    assert "Expand" not in plan
