@@ -1473,3 +1473,55 @@ def streaming_auto_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataF
         )
     )
     return run_to_completion(agg, mode="append")
+
+
+@query(
+    "streaming_ohlc_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           arg_min(round(value, 6),
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id)
+             AS open,
+           round(MAX(value), 6) AS high,
+           round(MIN(value), 6) AS low,
+           arg_max(round(value, 6),
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id)
+             AS close
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def streaming_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars computed AS A STREAM: the ``resample_ohlc_daily``
+    arg-extreme recipe inside a watermarked tumbling window — open and
+    close are min_by/max_by over the (ts, event_id) struct total order,
+    which are associative partial aggregates, so the streaming state per
+    window is one (key, value) pair per extreme, never a buffer of
+    events.  The oracle is the batch hourly OHLC over the same rows:
+    over bounded input the streaming aggregation must equal the batch
+    one — the tumbling-window equivalence check extended from
+    count/sum to ORDER-DEPENDENT aggregates."""
+    ev = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).withWatermark("ts", "1 hour")
+    key = F.struct("ts", "event_id")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min_by(F.round("value", 6), key).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.max_by(F.round("value", 6), key).alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+    return run_to_completion(agg)
