@@ -504,3 +504,33 @@ def test_duckdb_hugeint_floor_div_is_exact(x, y):
         [str(x), str(y)],
     ).fetchone()[0]
     assert int(got) == x // y, (x, y, got, x // y)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**18),
+    st.integers(min_value=1, max_value=10**14),
+)
+def test_integer_half_up_render_is_exact(num, den):
+    """The (2*num*10^4 + den) // (2*den) half-up rendering recipe
+    (graph_clustering_coefficient, COVERAGE rule 8): pinned against
+    exact Fraction arithmetic — round-half-up of num/den at 4 decimals,
+    in HUGEINT so the doubled scaled numerator can never overflow.
+    round(double, 4) is NOT safe here: engines disagree when num/den is
+    an exact decimal half (0.25325 -> Spark 0.2533, DuckDB 0.2532 —
+    found at sf0.001)."""
+    import duckdb
+    from fractions import Fraction
+
+    got = duckdb.execute(
+        """
+        SELECT CAST((2 * CAST(? AS HUGEINT) * 10000 + CAST(? AS HUGEINT))
+                    // (2 * CAST(? AS HUGEINT)) AS VARCHAR)
+        """,
+        [str(num), str(den), str(den)],
+    ).fetchone()[0]
+    frac = Fraction(num * 10**4, den)
+    exp = frac.numerator // frac.denominator
+    if Fraction(frac - exp) >= Fraction(1, 2):
+        exp += 1
+    assert int(got) == exp, (num, den, got, exp)
