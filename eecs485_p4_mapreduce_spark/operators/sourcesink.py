@@ -10,9 +10,11 @@ parquet, so a lossy writer/reader would hash-mismatch.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -695,25 +697,40 @@ def source_binaryfile_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncated write, a lost trailing newline, or a mis-parsed path
     hash-mismatches.
 
-    Scale shape: the write is one partitioned no-shuffle pass; the read
-    lists files in parallel and packs small blobs into tasks by
-    spark.sql.files.maxPartitionBytes; nothing but the ≤|lang| aggregate
-    rows leaves the executors.  Determinism: content bytes are the
-    utf-8 text + the text-writer's newline, md5'd identically from
-    VARCHAR on the oracle side (md5(BLOB) is invalid in DuckDB)."""
+    Scale shape: the write is one partitioned no-shuffle pass AND a
+    once-per-corpus fixture — the asset tree publishes atomically into
+    an mtime-keyed directory (the modelstore discipline), because in
+    production the blobs already exist; the operator under test is the
+    binaryFile READ.  The read lists files in parallel and packs small
+    blobs into tasks by spark.sql.files.maxPartitionBytes; nothing but
+    the ≤|lang| aggregate rows leaves the executors.  Determinism:
+    content bytes are the utf-8 text + the text-writer's newline, md5'd
+    identically from VARCHAR on the oracle side (md5(BLOB) is invalid
+    in DuckDB)."""
+    from eecs485_p4_mapreduce_spark.functions.memo import mtime_token
+
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 == 0
     )
     out = os.path.join(tempfile.gettempdir(), "spark-graft-roundtrip", "binaryfile")
-    path = os.path.join(out, "assets")
-    (
-        docs.select("lang", F.col("text").alias("value"))
-        .repartition("lang")
-        .write.mode("overwrite")
-        .partitionBy("lang")
-        .option("maxRecordsPerFile", 1)
-        .text(path)
+    token = mtime_token(sf_dir, "documents")
+    path = os.path.join(
+        out, f"assets-{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}-{token}"
     )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        (
+            docs.select("lang", F.col("text").alias("value"))
+            .repartition("lang")
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .option("maxRecordsPerFile", 1)
+            .text(tmp)
+        )
+        try:
+            os.rename(tmp, path)  # atomic publish; loser cleans up
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     back = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.txt")
