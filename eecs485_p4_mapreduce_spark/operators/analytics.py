@@ -2961,3 +2961,79 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("n_within_cent"),
         F.max("diff").cast("double").alias("max_abs_diff"),
     )
+
+
+@query(
+    "stats_spearman_correlation",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS y
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT o_custkey,
+             ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rx,
+             ROW_NUMBER() OVER (ORDER BY y, o_custkey) AS ry
+      FROM cust),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0))) AS sd2
+      FROM r)
+    SELECT n AS n_customers,
+           round(1 - 6 * CAST(sd2 AS DOUBLE)
+                 / (CAST(n AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1)), 6)
+             AS spearman_rho
+    FROM m
+    """,
+)
+def stats_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's order COUNT and
+    total SPEND — the monotone-association readout that Pearson
+    (``stats_correlation``) gets wrong under skewed spend
+    distributions.  Ranks use the registry's tie-broken total order
+    (metric, custkey), making ρ = 1 − 6Σd²/(n(n²−1)) exact — the
+    documented tie-broken-Spearman variant (no midrank correction
+    needed because the ordering key is unique).
+
+    Scale shape: one customer rollup over the orders scan, then TWO
+    global ranks through functions/ranking.py's range-partition +
+    partition-offset recipe (one full-data exchange each, never an
+    unpartitioned window), a custkey equi-join of the two rank frames,
+    and a single-row moment reduce.  Determinism: counts and ranks are
+    exact ints; spend ranks order exact decimals; Σd² accumulates in
+    DECIMAL(38,0) (n³ overflows int64 past ~2M rows); ρ is one
+    identically-spelled double expression quantized round(6)."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("y"),
+        )
+        .localCheckpoint()  # both rank passes read it
+    )
+    rx = with_global_rank(cust.select("o_custkey", "x"), ["x", "o_custkey"]).select(
+        "o_custkey", F.col("_rk").alias("rx")
+    )
+    ry = with_global_rank(cust.select("o_custkey", "y"), ["y", "o_custkey"]).select(
+        "o_custkey", F.col("_rk").alias("ry")
+    )
+    m = (
+        rx.join(ry, "o_custkey")
+        .select(((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))).alias("d2"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("d2").cast("decimal(38,0)")).alias("sd2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            1 - 6 * F.col("sd2").cast("double") / (nd * (nd * nd - 1)), 6
+        ).alias("spearman_rho"),
+    )

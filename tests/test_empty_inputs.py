@@ -85,6 +85,7 @@ _REPRESENTATIVES = [
     "dq_order_total_reconciliation",  # empty join, zero-row rollup
     "eval_brier_decomposition",  # empty bins, null global rollup
     "agg_bitmap_distinct",      # bitmap pages over zero rows
+    "stats_spearman_correlation",  # ranking recipe over zero customers
 ]
 
 

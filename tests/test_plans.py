@@ -355,6 +355,7 @@ def test_no_forced_broadcast_of_per_document_side(name, spark, sf_dir):
         "skyline_orders_pareto",
         "stats_exact_median_distributed",
         "pii_redaction_density_deciles",
+        "stats_spearman_correlation",
     ],
 )
 def test_global_rank_queries_have_no_data_sized_global_window(name, spark, sf_dir):
