@@ -696,3 +696,83 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("pooled_cc"),
     )
+
+
+_CENT_TOPK = 20
+
+
+def _centrality_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
+
+    return f"""{MINHASH_BANDED_DUCK},
+    e AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    adj AS (SELECT da AS u, db AS v FROM e
+            UNION ALL SELECT db AS u, da AS v FROM e),
+    one AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n1 FROM adj GROUP BY u),
+    two_raw AS (SELECT DISTINCT a1.u AS u, a2.v AS w
+                FROM adj a1 JOIN adj a2 ON a2.u = a1.v
+                WHERE a2.v <> a1.u),
+    two AS (SELECT t.u, CAST(COUNT(*) AS BIGINT) AS n2
+            FROM two_raw t
+            LEFT JOIN adj ON adj.u = t.u AND adj.v = t.w
+            WHERE adj.u IS NULL
+            GROUP BY t.u),
+    sc AS (SELECT one.u AS doc_id, one.n1, COALESCE(two.n2, 0) AS n2,
+                  2 * one.n1 + COALESCE(two.n2, 0) AS harmonic_x2
+           FROM one LEFT JOIN two ON two.u = one.u)
+    SELECT doc_id, n1, n2, harmonic_x2
+    FROM sc ORDER BY harmonic_x2 DESC, doc_id LIMIT {_CENT_TOPK}
+    """
+
+
+@query("graph_centrality_2hop", oracle=_centrality_oracle())
+def graph_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded harmonic centrality over the candidate graph: each
+    document scored by n1 + n2/2 (direct neighbors at distance 1,
+    strict 2-hop neighbors at distance 2) — the truncated-closeness
+    readout that finds the documents sitting at the center of near-dup
+    neighborhoods (dedup them first and whole families collapse),
+    without the unbounded BFS full closeness needs.  Reported as
+    harmonic_x2 = 2·n1 + n2 so every value is an exact integer.
+
+    Scale shape: the session-cached edge set feeds one degree
+    aggregate, one wedge-closing self-join with a DISTINCT (the same
+    deg²-bounded fan-out class as graph_linkpred_common_neighbors — at
+    100 TB add degree-ordered orientation), an anti-join that removes
+    distance-1 pairs from the 2-hop set, and a TakeOrdered top-k.
+    Determinism: pure integer counts with the (score DESC, doc_id)
+    tie-break."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
+
+    edges = lsh_candidate_edges(spark, sf_dir)
+    adj = edges.select(F.col("da").alias("u"), F.col("db").alias("v")).unionAll(
+        edges.select(F.col("db").alias("u"), F.col("da").alias("v"))
+    ).localCheckpoint()  # degree + two wedge sides + anti-join reuse it
+    one = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("n1"))
+    two_raw = (
+        adj.alias("a1")
+        .join(adj.alias("a2"), F.col("a2.u") == F.col("a1.v"))
+        .filter(F.col("a2.v") != F.col("a1.u"))
+        .select(F.col("a1.u").alias("u"), F.col("a2.v").alias("w"))
+        .distinct()
+    )
+    two = (
+        two_raw.join(
+            adj.select(F.col("u").alias("ju"), F.col("v").alias("jv")),
+            (F.col("u") == F.col("ju")) & (F.col("w") == F.col("jv")),
+            "left_anti",
+        )
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("n2"))
+    )
+    sc = one.join(two, "u", "left").select(
+        F.col("u").alias("doc_id"),
+        "n1",
+        F.coalesce("n2", F.lit(0).cast("bigint")).alias("n2"),
+        (2 * F.col("n1") + F.coalesce("n2", F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias("harmonic_x2"),
+    )
+    return sc.orderBy(F.desc("harmonic_x2"), "doc_id").limit(_CENT_TOPK)

@@ -86,6 +86,7 @@ _REPRESENTATIVES = [
     "eval_brier_decomposition",  # empty bins, null global rollup
     "agg_bitmap_distinct",      # bitmap pages over zero rows
     "stats_spearman_correlation",  # ranking recipe over zero customers
+    "graph_centrality_2hop",    # wedge + anti-join over zero edges
 ]
 
 

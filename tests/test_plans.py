@@ -959,3 +959,13 @@ def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
     assert "bitmap_construct_agg" in plan
     assert plan.count("HashAggregate") >= 4  # partial+final x two levels
     assert "Expand" not in plan
+
+
+def test_centrality_2hop_stays_equi_join_take_ordered(spark, sf_dir):
+    """graph_centrality_2hop: cached-edge reads (ExistingRDD), hash
+    equi-joins for the wedge + anti-join stages, TakeOrdered readout."""
+    plan = explain(spark, sf_dir, "graph_centrality_2hop")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan
