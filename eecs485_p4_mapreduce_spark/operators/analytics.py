@@ -3037,3 +3037,74 @@ def stats_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - 6 * F.col("sd2").cast("double") / (nd * (nd * nd - 1)), 6
         ).alias("spearman_rho"),
     )
+
+
+@query(
+    "cohort_ltv_monthly",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS m,
+             CAST(o_totalprice AS DECIMAL(18,6)) AS rev
+      FROM orders),
+    first_m AS (SELECT o_custkey, MIN(m) AS cohort_m FROM om GROUP BY 1),
+    ca AS (
+      SELECT f.cohort_m, om.m - f.cohort_m AS age_months,
+             om.rev
+      FROM om JOIN first_m f ON f.o_custkey = om.o_custkey),
+    g AS (
+      SELECT cohort_m, age_months,
+             SUM(rev) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM ca GROUP BY 1, 2)
+    SELECT cohort_m, age_months, n_orders,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(SUM(revenue) OVER (PARTITION BY cohort_m ORDER BY age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_ltv
+    FROM g
+    """,
+)
+def cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: customers grouped by FIRST-order month,
+    revenue accumulated by cohort age in months — the
+    lifetime-value curve per acquisition vintage that
+    ``cohort_retention_weekly`` (headcount-based) can't show: a cohort
+    can retain poorly but monetize deeply, or vice versa.
+
+    Scale shape: one per-customer MIN pass pins each cohort, one
+    equi-join back tags every order, one (cohort, age) rollup; the
+    cumulative-LTV window partitions by cohort over the ≤ months²/2
+    triangle — output-sized, never entity-scale.  Determinism: months
+    index as exact integers (year*12+month — no date subtraction
+    semantics to disagree on); revenue accumulates as DECIMAL(18,6)
+    through BOTH the rollup and the running sum, so the doubles in the
+    output are exact decimal casts, never float sums."""
+    om = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("m"),
+        F.col("o_totalprice").cast("decimal(18,6)").alias("rev"),
+    )
+    first_m = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    ca = om.join(first_m, "o_custkey").select(
+        "cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_months"), "rev"
+    )
+    g = ca.groupBy("cohort_m", "age_months").agg(
+        F.sum("rev").alias("revenue"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "cohort_m",
+        "age_months",
+        "n_orders",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.sum("revenue").over(w).cast("double").alias("cum_ltv"),
+    )

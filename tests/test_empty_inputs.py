@@ -87,6 +87,7 @@ _REPRESENTATIVES = [
     "agg_bitmap_distinct",      # bitmap pages over zero rows
     "stats_spearman_correlation",  # ranking recipe over zero customers
     "graph_centrality_2hop",    # wedge + anti-join over zero edges
+    "cohort_ltv_monthly",       # empty triangle, zero cohorts
 ]
 
 
