@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from eecs485_p4_mapreduce_spark.functions.numeric import dsum, dsum_sql
+from eecs485_p4_mapreduce_spark.functions.numeric import davg_sql, dsum, dsum_sql
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -3107,4 +3107,57 @@ def cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.col("revenue").cast("double").alias("revenue"),
         F.sum("revenue").over(w).cast("double").alias("cum_ltv"),
+    )
+
+
+_SUPPRESS_K = 10
+
+
+@query(
+    "privacy_small_cell_suppression",
+    oracle=f"""
+    WITH cell AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             {davg_sql('c_acctbal')} AS avg_bal
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment,
+           CASE WHEN n < {_SUPPRESS_K} THEN NULL
+                ELSE CAST(n AS BIGINT) END AS n_released,
+           CASE WHEN n < {_SUPPRESS_K} THEN NULL
+                ELSE round(avg_bal, 4) END AS avg_bal,
+           n < {_SUPPRESS_K} AS suppressed
+    FROM cell
+    """,
+)
+def privacy_small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-cell suppression for a statistical release: the
+    (nation, segment) customer rollup publishes counts and mean
+    balances only for cells with n >= {_SUPPRESS_K}; smaller cells are
+    NULLed but still listed with a ``suppressed`` marker — the primary
+    suppression rule every census/health-data release applies before
+    k-anonymity-style microdata checks (``privacy_k_anonymity`` audits
+    the microdata; this gates the AGGREGATE release).  Secondary
+    (complementary) suppression against differencing attacks is the
+    documented next layer, not applied here.
+
+    Scale shape: one map-side-combinable two-key rollup; the gate is a
+    projection over the bounded cell table.  Determinism: counts are
+    exact ints, the mean is the decimal-exact davg quantized round(4),
+    and the suppression predicate is an integer compare."""
+    from eecs485_p4_mapreduce_spark.functions.numeric import davg
+
+    cell = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("n"), davg("c_acctbal").alias("avg_bal"))
+    )
+    small = F.col("n") < _SUPPRESS_K
+    return cell.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(small, F.lit(None)).otherwise(F.col("n")).cast("bigint").alias(
+            "n_released"
+        ),
+        F.when(small, F.lit(None)).otherwise(F.round("avg_bal", 4)).alias("avg_bal"),
+        small.alias("suppressed"),
     )

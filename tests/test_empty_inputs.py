@@ -88,6 +88,7 @@ _REPRESENTATIVES = [
     "stats_spearman_correlation",  # ranking recipe over zero customers
     "graph_centrality_2hop",    # wedge + anti-join over zero edges
     "cohort_ltv_monthly",       # empty triangle, zero cohorts
+    "privacy_small_cell_suppression",  # zero cells, all-suppressed path
 ]
 
 
