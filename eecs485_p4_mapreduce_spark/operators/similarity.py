@@ -1810,3 +1810,107 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("res_s") / F.col("n"), 6).alias("resolution"),
         F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
     )
+
+
+_JL_K = 16       # projected dims
+_JL_NQ = 10      # query vectors (the knn convention)
+_JL_MOD = 37     # sampled counterpart set: vec_id % 37 == 0
+
+
+@query(
+    "embedding_jl_projection_distortion",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    pr AS (
+      SELECT vec_id, v,
+             list_transform(range(0, {_JL_K}), j ->
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(0, 64), d ->
+                   v[d + 1] * (1 - 2 * (CAST(list_sum(list_transform(range(0, 8),
+                     c -> (strpos('0123456789abcdef',
+                           substring(md5(j || ':' || d), 1 + c, 1)) - 1)
+                          * CAST(pow(16, 7 - c) AS BIGINT))) AS BIGINT) % 2)))),
+                 (a, x) -> a + x) / 4.0) AS p
+      FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, p AS qp FROM pr
+          WHERE vec_id < {_JL_NQ}),
+    o AS (SELECT vec_id AS other_id, v AS ov, p AS op FROM pr
+          WHERE vec_id % {_JL_MOD} = 0 AND vec_id >= {_JL_NQ}),
+    pairs AS (
+      SELECT q.query_id, o.other_id,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(0, 64), d ->
+                 (q.qv[d + 1] - o.ov[d + 1]) * (q.qv[d + 1] - o.ov[d + 1]))),
+               (a, x) -> a + x)) AS d_orig,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(0, {_JL_K}), j ->
+                 (q.qp[j + 1] - o.op[j + 1]) * (q.qp[j + 1] - o.op[j + 1]))),
+               (a, x) -> a + x)) AS d_proj
+      FROM q CROSS JOIN o)
+    SELECT query_id, other_id,
+           round(d_orig, 4) AS d_orig, round(d_proj, 4) AS d_proj,
+           round(d_proj / d_orig, 4) AS distortion
+    FROM pairs
+    """,
+)
+def embedding_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> {_JL_K} dims,
+    Achlioptas ±1 signs derived from md5(j:d) so the 'random' matrix is
+    REPLAYABLE in both engines) with a pairwise distance-distortion
+    audit: projected vs original Euclidean distance for every
+    (query, sampled-counterpart) pair — the dimensionality-reduction
+    quality readout run before trusting a cheap projected index, next
+    to the PQ/int8/matryoshka compression family.
+
+    Determinism: signs are exact integer parities of md5; both the
+    projection fold and both distance folds run in a fixed ascending
+    order (Spark aggregate == DuckDB list_reduce over list_prepend, the
+    pii-fold precedent); sqrt outputs are transcendental (never decimal
+    halves) so round(4) is safe.  Scale shape: the projection is an
+    embarrassingly parallel scan (md5 x 64 x {_JL_K} per vector — the
+    minhash md5-floor cost class); the audit joins a broadcast 10-row
+    query side against a hash-sampled counterpart set, so pair count is
+    bounded by design, never all-pairs."""
+    from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+
+    hx = hex_int_sql("spark", "md5(concat(cast(j as string), ':', cast(d as string)))", 1)
+    proj = F.expr(
+        f"transform(sequence(0, {_JL_K - 1}), j ->"
+        f" aggregate(transform(sequence(0, 63), d ->"
+        f"   element_at(v, d + 1) * (1 - 2 * ({hx} % 2))),"
+        f"  cast(0.0 as double), (a, x) -> a + x) / 4.0)"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pr = e.select("vec_id", "v", proj.alias("p"))
+    q = F.broadcast(
+        pr.filter(F.col("vec_id") < _JL_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("p").alias("qp"),
+        )
+    )
+    o = pr.filter(
+        (F.col("vec_id") % _JL_MOD == 0) & (F.col("vec_id") >= _JL_NQ)
+    ).select(
+        F.col("vec_id").alias("other_id"),
+        F.col("v").alias("ov"),
+        F.col("p").alias("op"),
+    )
+    d_orig = F.expr(
+        "sqrt(aggregate(zip_with(qv, ov, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (a, x) -> a + x))"
+    )
+    d_proj = F.expr(
+        "sqrt(aggregate(zip_with(qp, op, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (a, x) -> a + x))"
+    )
+    return q.crossJoin(o).select(
+        "query_id",
+        "other_id",
+        F.round(d_orig, 4).alias("d_orig"),
+        F.round(d_proj, 4).alias("d_proj"),
+        F.round(d_proj / d_orig, 4).alias("distortion"),
+    )

@@ -89,6 +89,7 @@ _REPRESENTATIVES = [
     "graph_centrality_2hop",    # wedge + anti-join over zero edges
     "cohort_ltv_monthly",       # empty triangle, zero cohorts
     "privacy_small_cell_suppression",  # zero cells, all-suppressed path
+    "embedding_jl_projection_distortion",  # empty broadcast pair audit
 ]
 
 

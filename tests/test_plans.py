@@ -229,6 +229,7 @@ _ALLOWED_NESTED_LOOP = {
     "eval_ann_recall_ivf",  # exact-recall baseline side is the knn_cosine brute force
     "eval_confusion_nearest_centroid",  # every vector scores the <=|L| broadcast centroids, like knn_ivf_trained
     "timeseries_cross_correlation",  # 4-row broadcast lag fan-out over the bounded hourly grid
+    "embedding_jl_projection_distortion",  # 10-row broadcast query side x hash-sampled counterparts
 }
 
 _JOIN_FAMILY = re.compile(
