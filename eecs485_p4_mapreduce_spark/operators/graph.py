@@ -749,21 +749,27 @@ def graph_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = lsh_candidate_edges(spark, sf_dir)
     adj = edges.select(F.col("da").alias("u"), F.col("db").alias("v")).unionAll(
         edges.select(F.col("db").alias("u"), F.col("da").alias("v"))
-    ).localCheckpoint()  # degree + two wedge sides + anti-join reuse it
+    ).localCheckpoint()  # degree + both wedge sides reuse it
     one = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("n1"))
-    two_raw = (
+    # each unordered 2-path pair once (u < w) — half the distinct volume
+    # of the both-orientations form, and the orientation matches the
+    # low-high edge set so the strict-distance-2 anti-join needs no
+    # least/greatest normalization (the linkpred wedge discipline)
+    pairs2 = (
         adj.alias("a1")
         .join(adj.alias("a2"), F.col("a2.u") == F.col("a1.v"))
-        .filter(F.col("a2.v") != F.col("a1.u"))
+        .filter(F.col("a1.u") < F.col("a2.v"))
         .select(F.col("a1.u").alias("u"), F.col("a2.v").alias("w"))
         .distinct()
     )
+    strict2 = pairs2.join(
+        edges,
+        (F.col("u") == F.col("da")) & (F.col("w") == F.col("db")),
+        "left_anti",
+    )
     two = (
-        two_raw.join(
-            adj.select(F.col("u").alias("ju"), F.col("v").alias("jv")),
-            (F.col("u") == F.col("ju")) & (F.col("w") == F.col("jv")),
-            "left_anti",
-        )
+        strict2.select("u")
+        .unionAll(strict2.select(F.col("w").alias("u")))
         .groupBy("u")
         .agg(F.count("*").cast("bigint").alias("n2"))
     )
