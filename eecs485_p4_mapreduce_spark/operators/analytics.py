@@ -3161,3 +3161,69 @@ def privacy_small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFram
         F.when(small, F.lit(None)).otherwise(F.round("avg_bal", 4)).alias("avg_bal"),
         small.alias("suppressed"),
     )
+
+
+_GEN_WIDTHS = [1000, 2000, 4000, 8000]
+_GEN_K = 10
+
+
+@query(
+    "privacy_generalization_sweep",
+    oracle=f"""
+    WITH lv AS (SELECT unnest([{", ".join(map(str, _GEN_WIDTHS))}]) AS w),
+    cell AS (
+      SELECT lv.w, c_nationkey, c_mktsegment,
+             (CAST(floor(c_acctbal) AS BIGINT) + 1000) // lv.w AS band,
+             COUNT(*) AS n
+      FROM customer CROSS JOIN lv
+      GROUP BY 1, 2, 3, 4)
+    SELECT w AS band_width,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN n < {_GEN_K} THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_violating,
+           MIN(n) >= {_GEN_K} AS k_satisfied
+    FROM cell GROUP BY w
+    """,
+)
+def privacy_generalization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-level search for k-anonymity: widen the
+    account-balance band (1000 -> 8000) under the (nation, segment)
+    quasi-identifiers and report, per level, the equivalence-class
+    profile and whether k={_GEN_K} holds — the anonymization step BEFORE
+    release that ``privacy_k_anonymity`` only audits after the fact
+    (the single-dimension core of Mondrian/Datafly generalization).
+
+    Scale shape: ONE customer scan fans out x|levels| through a
+    broadcast explode (levels are a 4-row literal), then a
+    map-side-combinable (level, QI) rollup; per-level profiles are
+    rollups of the bounded cell table.  Determinism: bands are integer
+    floor-divisions of the shifted balance (nonnegative, so // == div),
+    every readout is an exact integer, and the k verdict is an integer
+    compare."""
+    lv = F.explode(
+        F.array(*[F.lit(w) for w in _GEN_WIDTHS])
+    ).alias("w")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        (F.floor("c_acctbal").cast("bigint") + 1000).alias("shifted"),
+    )
+    cell = (
+        cust.select("c_nationkey", "c_mktsegment", "shifted", lv)
+        .groupBy(
+            "w",
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("shifted div w").alias("band"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return cell.groupBy(F.col("w").alias("band_width")).agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("n").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("n") < _GEN_K, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_violating"),
+        (F.min("n") >= _GEN_K).alias("k_satisfied"),
+    )

@@ -90,6 +90,7 @@ _REPRESENTATIVES = [
     "cohort_ltv_monthly",       # empty triangle, zero cohorts
     "privacy_small_cell_suppression",  # zero cells, all-suppressed path
     "embedding_jl_projection_distortion",  # empty broadcast pair audit
+    "privacy_generalization_sweep",  # 4-level explode over zero rows
 ]
 
 
