@@ -3227,3 +3227,91 @@ def privacy_generalization_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_rows_violating"),
         (F.min("n") >= _GEN_K).alias("k_satisfied"),
     )
+
+
+@query(
+    "pattern_top_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    head3 AS (
+      SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rk
+      FROM sess QUALIFY rk <= 3),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY rk) AS path
+      FROM head3 GROUP BY 1, 2)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def pattern_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the first three event types of every
+    30-minute session, ranked by frequency — the Sankey/user-flow
+    readout behind onboarding and navigation analysis, complementing
+    the fixed-step funnels (``pattern_funnel_sessions`` asks "did the
+    user do A→B→C?"; this asks "what DO sessions open with?").
+
+    Scale shape: sessionization and the head-3 cut are user-partitioned
+    windows (key cardinality scales with users — the funnel family's
+    accepted shape); path assembly groups ≤3 rows per session; the
+    readout is a TakeOrdered top-20 over the bounded path vocabulary.
+    Determinism: session boundaries compare integer epoch-micros with
+    the (ts, event_id) total order; the path string is assembled in rk
+    order on both sides (Spark sorts the collected (rk, type) structs,
+    DuckDB's string_agg takes ORDER BY rk); ties in the readout break
+    on the path string."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.lag(F.unix_micros("ts")).over(w_u)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            lag_us.isNull() | (F.unix_micros("ts") - lag_us > 1800000000), 1
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    head3 = (
+        sess.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    paths = head3.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "event_type"))),
+                lambda s: s.event_type,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )

@@ -91,6 +91,7 @@ _REPRESENTATIVES = [
     "privacy_small_cell_suppression",  # zero cells, all-suppressed path
     "embedding_jl_projection_distortion",  # empty broadcast pair audit
     "privacy_generalization_sweep",  # 4-level explode over zero rows
+    "pattern_top_session_paths",  # empty sessionization + top-k
 ]
 
 
