@@ -45,3 +45,42 @@ def dsum_sql(expr: str) -> str:
 def davg_sql(expr: str) -> str:
     """DuckDB-side twin of :func:`davg`."""
     return f"(CAST(SUM(CAST({expr} AS DECIMAL({_PREC},{_SCALE}))) AS DOUBLE) / COUNT({expr}))"
+
+
+# ---------------------------------------------------- half-up ratios
+#
+# round(double, N) of an integer-sum ratio is NOT cross-engine safe:
+# when the true ratio is an exact decimal half (e.g. 0.25325 at N=4)
+# Spark rounds the exact binary expansion HALF_UP while DuckDB rounds
+# x*10^N computed in double — found live at sf0.001 (CLAUDE.md round-6
+# note; graph_clustering_coefficient carries the property pin).  These
+# helpers render round-half-up(num/den, N) entirely in integer
+# arithmetic — (2*num*10^N + den) DIV (2*den), then one shared /10^N —
+# identical in both engines at any operand magnitude (decimal(38,0) /
+# HUGEINT give 100 TB overflow headroom).  Contract: num >= 0, den > 0
+# (count ratios; half-up of a negative ratio would need a sign split).
+
+
+def hu_ratio(num: str, den: str, n: int) -> Column:
+    """Spark column: round-half-up of integer ratio ``num/den`` to
+    ``n`` digits, as DOUBLE.  ``num``/``den`` are SQL expression
+    strings resolvable in the frame (the dsum_sql convention)."""
+    p = 10 ** n
+    return (
+        F.expr(
+            f"cast((2 * cast({num} as decimal(38,0)) * {p}"
+            f" + cast({den} as decimal(38,0)))"
+            f" div (2 * cast({den} as decimal(38,0))) as bigint)"
+        ).cast("double")
+        / p
+    )
+
+
+def hu_ratio_sql(num: str, den: str, n: int) -> str:
+    """DuckDB twin of :func:`hu_ratio` (HUGEINT is true int128)."""
+    p = 10 ** n
+    return (
+        f"CAST(CAST((2 * CAST({num} AS HUGEINT) * {p}"
+        f" + CAST({den} AS HUGEINT))"
+        f" // (2 * CAST({den} AS HUGEINT)) AS BIGINT) AS DOUBLE) / {p}"
+    )

@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from eecs485_p4_mapreduce_spark.functions.numeric import davg_sql, dsum, dsum_sql
+from eecs485_p4_mapreduce_spark.functions.numeric import (
+    davg_sql,
+    dsum,
+    dsum_sql,
+    hu_ratio,
+)
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -2432,7 +2437,9 @@ def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS extinct
           FROM k)
     SELECT dur_days, n_at_risk, n_deaths, n_censored,
-           round(CAST(n_deaths AS DOUBLE) / n_at_risk, 6) AS hazard,
+           CAST(CAST((2 * CAST(n_deaths AS HUGEINT) * 1000000 + n_at_risk)
+                     // (2 * CAST(n_at_risk AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS hazard,
            CASE WHEN extinct = 1 THEN CAST(0.0 AS DOUBLE)
                 ELSE round(exp(cln), 4) END AS survival
     FROM s
@@ -2531,9 +2538,8 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_at_risk",
         "n_deaths",
         "n_censored",
-        F.round(F.col("n_deaths").cast("double") / F.col("n_at_risk"), 6).alias(
-            "hazard"
-        ),
+        # integer half-up recipe: d/r can land on an exact decimal half
+        hu_ratio("n_deaths", "n_at_risk", 6).alias("hazard"),
         F.when(F.col("extinct") == 1, F.lit(0.0))
         .otherwise(F.round(F.exp("cln"), 4))
         .alias("survival"),

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -576,8 +577,10 @@ _BOILER_K = 20  # boilerplate list size (global top-k 5-grams by doc freq)
     per AS (SELECT source, COUNT(*) AS n_flagged FROM fl GROUP BY source)
     SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COALESCE(MAX(per.n_flagged), 0) AS BIGINT) AS n_flagged,
-           round(CAST(COALESCE(MAX(per.n_flagged), 0) AS DOUBLE)
-                 / COUNT(*), 6) AS flagged_ratio
+           CAST(CAST((2 * CAST(COALESCE(MAX(per.n_flagged), 0) AS HUGEINT)
+                          * 1000000 + COUNT(*))
+                     // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS flagged_ratio
     FROM documents d LEFT JOIN per ON per.source = d.source
     GROUP BY d.source
     """,
@@ -633,10 +636,10 @@ def quality_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.col("n_docs").cast("bigint").alias("n_docs"),
             F.coalesce("n_flagged", F.lit(0)).cast("bigint").alias("n_flagged"),
-            F.round(
-                F.coalesce("n_flagged", F.lit(0)).cast("double") / F.col("n_docs"),
-                6,
-            ).alias("flagged_ratio"),
+            # integer half-up recipe: count ratios can land on halves
+            hu_ratio("coalesce(n_flagged, 0)", "n_docs", 6).alias(
+                "flagged_ratio"
+            ),
         )
     )
 

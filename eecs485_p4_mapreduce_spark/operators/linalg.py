@@ -31,6 +31,7 @@ from eecs485_p4_mapreduce_spark.functions import kmeansfn
 from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
 from eecs485_p4_mapreduce_spark.functions.memo import LRU, mtime_token
 from eecs485_p4_mapreduce_spark.functions.modelstore import load_or_train
+from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio, hu_ratio_sql
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -651,7 +652,7 @@ def _ann_recall_oracle() -> str:
             FROM escored) WHERE rk <= {_IVF_TOPK})
         SELECT etop.query_id,
                CAST(COUNT(it.neighbor_id) AS BIGINT) AS hits_at_k,
-               round(CAST(COUNT(it.neighbor_id) AS DOUBLE) / {_IVF_TOPK}, 4)
+               {hu_ratio_sql('COUNT(it.neighbor_id)', str(_IVF_TOPK), 4)}
                  AS recall_at_k
         FROM etop
         LEFT JOIN itop it ON it.query_id = etop.query_id
@@ -739,7 +740,8 @@ def eval_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = etop.join(F.broadcast(itop), ["query_id", "neighbor_id"], "left")
     return hits.groupBy("query_id").agg(
         F.count("hit").cast("bigint").alias("hits_at_k"),
-        F.round(F.count("hit").cast("double") / _IVF_TOPK, 4).alias("recall_at_k"),
+        # integer half-up recipe: hits/k lands on decimal halves often
+        hu_ratio("count(hit)", str(_IVF_TOPK), 4).alias("recall_at_k"),
     )
 
 

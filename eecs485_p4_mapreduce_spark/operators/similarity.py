@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -1550,9 +1551,11 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS n_vectors
       FROM pred GROUP BY 1, 2)
     SELECT true_label, pred_label, n_vectors,
-           round(CAST(n_vectors AS DOUBLE)
-                 / SUM(n_vectors) OVER (PARTITION BY true_label), 6)
-             AS row_share
+           CAST(CAST((2 * CAST(n_vectors AS HUGEINT) * 1000000
+                          + SUM(n_vectors) OVER (PARTITION BY true_label))
+                     // (2 * CAST(SUM(n_vectors) OVER (PARTITION BY true_label)
+                                  AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS row_share
     FROM conf
     """,
 )
@@ -1569,7 +1572,8 @@ def eval_confusion_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFra
     argmin distance is the sequential-fold dot (bitwise equal to
     DuckDB's list_inner_product) with a label tie-break — the
     ``knn_ivf_trained`` assignment discipline; counts are exact ints
-    and the row share is one IEEE division quantized round(6).  Scale
+    and the row share renders by the integer half-up recipe (count
+    ratios can land on exact decimal halves).  Scale
     shape: one (label, dim) map-side-combinable mean pass, then one
     embarrassingly-parallel scan scoring each vector against the ≤|L|
     broadcast centroids; the confusion rollup and its row-share window
@@ -1610,8 +1614,9 @@ def eval_confusion_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFra
         "true_label",
         "pred_label",
         "n_vectors",
-        F.round(
-            F.col("n_vectors").cast("double") / F.sum("n_vectors").over(w_row), 6
+        # integer half-up recipe: count/count shares can land on halves
+        hu_ratio(
+            "n_vectors", "sum(n_vectors) over (partition by true_label)", 6
         ).alias("row_share"),
     )
 
@@ -1850,7 +1855,8 @@ _JL_MOD = 37     # sampled counterpart set: vec_id % 37 == 0
       FROM q CROSS JOIN o)
     SELECT query_id, other_id,
            round(d_orig, 4) AS d_orig, round(d_proj, 4) AS d_proj,
-           round(d_proj / d_orig, 4) AS distortion
+           CASE WHEN d_orig = 0 THEN NULL
+                ELSE round(d_proj / d_orig, 4) END AS distortion
     FROM pairs
     """,
 )
@@ -1867,7 +1873,9 @@ def embedding_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> Data
     projection fold and both distance folds run in a fixed ascending
     order (Spark aggregate == DuckDB list_reduce over list_prepend, the
     pii-fold precedent); sqrt outputs are transcendental (never decimal
-    halves) so round(4) is safe.  Scale shape: the projection is an
+    halves) so round(4) is safe; a duplicate counterpart (d_orig = 0)
+    yields NULL distortion via an explicit CASE in both dialects —
+    engines disagree on double division by zero.  Scale shape: the projection is an
     embarrassingly parallel scan (md5 x 64 x {_JL_K} per vector — the
     minhash md5-floor cost class); the audit joins a broadcast 10-row
     query side against a hash-sampled counterpart set, so pair count is
@@ -1912,5 +1920,10 @@ def embedding_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> Data
         "other_id",
         F.round(d_orig, 4).alias("d_orig"),
         F.round(d_proj, 4).alias("d_proj"),
-        F.round(d_proj / d_orig, 4).alias("distortion"),
+        # duplicate embeddings give d_orig = 0; IEEE 0/0 vs DuckDB's
+        # division-by-zero differ by engine, so both dialects emit an
+        # explicit NULL for the degenerate pair instead of dividing
+        F.when(d_orig == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(d_proj / d_orig, 4))
+        .alias("distortion"),
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -1505,7 +1506,9 @@ def _bpe_encode_sql() -> str:
     SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(b.n0) AS BIGINT) AS tokens_before,
            CAST(SUM(a.n3) AS BIGINT) AS tokens_after,
-           round(CAST(SUM(a.n3) AS DOUBLE) / SUM(b.n0), 6) AS compression
+           CAST(CAST((2 * CAST(SUM(a.n3) AS HUGEINT) * 1000000 + SUM(b.n0))
+                     // (2 * CAST(SUM(b.n0) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS compression
     FROM before b JOIN after a ON a.doc_id = b.doc_id
     GROUP BY b.source
     """
@@ -1601,9 +1604,10 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n0").cast("bigint").alias("tokens_before"),
             F.sum("n3").cast("bigint").alias("tokens_after"),
-            F.round(
-                F.sum("n3").cast("double") / F.sum("n0"), 6
-            ).alias("compression"),
+        )
+        # integer half-up recipe: token-count ratios can land on halves
+        .withColumn(
+            "compression", hu_ratio("tokens_after", "tokens_before", 6)
         )
     )
 
@@ -1622,8 +1626,11 @@ _OOV_V = 500  # tokenizer vocabulary budget for the coverage audit
            CAST(SUM(c.cnt) AS BIGINT) AS total_tokens,
            CAST(SUM(CASE WHEN voc.tok IS NULL THEN c.cnt ELSE 0 END)
                 AS BIGINT) AS oov_tokens,
-           round(CAST(SUM(CASE WHEN voc.tok IS NULL THEN c.cnt ELSE 0 END)
-                      AS DOUBLE) / SUM(c.cnt), 6) AS oov_rate
+           CAST(CAST((2 * CAST(SUM(CASE WHEN voc.tok IS NULL THEN c.cnt
+                                        ELSE 0 END) AS HUGEINT) * 1000000
+                          + SUM(c.cnt))
+                     // (2 * CAST(SUM(c.cnt) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS oov_rate
     FROM c LEFT JOIN voc ON voc.tok = c.tok
     GROUP BY c.source
     """,
@@ -1652,11 +1659,12 @@ def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = c.join(F.broadcast(voc), "tok", "left")
     oov = F.when(F.col("in_vocab").isNull(), F.col("cnt")).otherwise(0)
-    return j.groupBy("source").agg(
+    g = j.groupBy("source").agg(
         F.sum("cnt").cast("bigint").alias("total_tokens"),
         F.sum(oov).cast("bigint").alias("oov_tokens"),
-        F.round(F.sum(oov).cast("double") / F.sum("cnt"), 6).alias("oov_rate"),
     )
+    # integer half-up recipe: count ratios can land on decimal halves
+    return g.withColumn("oov_rate", hu_ratio("oov_tokens", "total_tokens", 6))
 
 
 # LIX readability constants: "long word" threshold (>= 7 chars, the

@@ -760,12 +760,12 @@ def timeseries_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            arg_min(round(value, 6),
-                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id)
+                   CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id)
              AS open,
            round(MAX(value), 6) AS high,
            round(MIN(value), 6) AS low,
            arg_max(round(value, 6),
-                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id)
+                   CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id)
              AS close
     FROM events WHERE event_type = 'purchase'
     GROUP BY 1
@@ -781,10 +781,11 @@ def resample_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: open/close use a total ordering key (ts, event_id) —
     Spark orders by the STRUCT (no range preconditions); DuckDB's
     arg_min/arg_max take no composite key, so the twin packs
-    epoch-micros and event_id into one HUGEINT
-    (epoch_us * 1e9 + event_id — int128, no overflow at any horizon;
-    the agg_argminmax_by packed-scalar precedent upgraded from the
-    bounded-int64 spelling).  Values quantize round(6) on output."""
+    epoch-micros and event_id into one HUGEINT with a 2^63 place-value
+    multiplier (epoch_us * 2^63 + event_id — int128; strict place-value
+    ordering for ANY non-negative int64 event_id, since event_id < 2^63
+    by type.  The earlier 1e9 multiplier only matched the STRUCT order
+    while event_id < 1e9).  Values quantize round(6) on output."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )

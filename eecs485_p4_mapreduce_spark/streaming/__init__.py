@@ -1481,12 +1481,12 @@ def streaming_auto_watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataF
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            arg_min(round(value, 6),
-                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id)
+                   CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id)
              AS open,
            round(MAX(value), 6) AS high,
            round(MIN(value), 6) AS low,
            arg_max(round(value, 6),
-                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id)
+                   CAST(epoch_us(ts) AS HUGEINT) * 9223372036854775808 + event_id)
              AS close
     FROM events WHERE event_type = 'purchase'
     GROUP BY 1

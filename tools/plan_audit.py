@@ -62,6 +62,8 @@ CONSTANT_WINDOW_OK = {
     "stats_exact_median_distributed": "P-row offsets frame (ranking recipe)",
     "stats_gini_revenue": "P-row offsets frame (ranking recipe)",
     "stats_mannwhitney_en_lengths": "distinct-length histogram (output-sized)",
+    "stats_spearman_correlation": "P-row offsets frames (ranking recipe;"
+    " _pid-pinned in test_plans)",
     "stats_ks_drift_by_source": "distinct-length histogram (output-sized)",
     "window_abc_classification": "P-row offsets frame (ranking recipe)",
     "window_cumulative_users": "daily-grid cumsum (calendar-bounded)",
