@@ -125,6 +125,7 @@ def clear_signature_cache() -> None:
     """Evict every cached signature frame (see _SIG_CACHE notes)."""
     _SIG_CACHE.clear()
     _EDGE_CACHE.clear()
+    _ORIENTED_CACHE.clear()
 
 
 # Session-scoped candidate-EDGE store, one layer above _SIG_CACHE: the
@@ -161,6 +162,60 @@ def lsh_candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"sg_edges_{uuid.uuid4().hex[:12]}"
         edges.createOrReplaceGlobalTempView(name)
         _EDGE_CACHE.put(key, name, on_evict=_drop_sig_view(spark))
+    return spark.table(f"global_temp.{name}")
+
+
+# Degree-ORIENTED edge store, one layer above _EDGE_CACHE: the wedge-
+# closure family (triangle count, clustering coefficient, link
+# prediction, 2-hop centrality) re-orients every candidate edge from its
+# lower-(degree, doc_id) endpoint to the higher one before closing
+# wedges — the classic orientation that (a) lets triangle listing
+# enumerate only out-out wedges at each triangle's key-minimum vertex
+# (sum over nodes of out-degree^2, O(m^1.5) total, instead of
+# degree^2 at every vertex) and (b) splits full wedge enumeration into
+# three disjoint classes whose join volume is i^2 + i*o + o^2 per
+# middle instead of (i+o)^2.  Orientation is a pure relabeling: the
+# wedge/triangle MULTISETS are provably unchanged, so every consumer's
+# oracle stays bit-identical.  Same key discipline and LRU bounds as
+# the caches below it.
+_ORIENTED_CACHE = LRU()
+
+
+def lsh_oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached degree-oriented view of :func:`lsh_candidate_edges`:
+    columns ``lo``/``hi`` (doc ids, ``(degree, doc_id)``-ascending) and
+    ``dlo``/``dhi`` (the endpoints' exact degrees, for in-join order-key
+    comparisons).  One degree aggregate + two hash joins per corpus,
+    memoized behind a global temp view over one localCheckpointed frame."""
+    loader = load_table  # module global: respects monkeypatched loaders
+    key = (spark.sparkContext.applicationId, sf_dir, _mtime_token(sf_dir), loader)
+    name = _ORIENTED_CACHE.get(key)
+    if name is None:
+        edges = lsh_candidate_edges(spark, sf_dir)
+        deg = (
+            edges.select(F.col("da").alias("doc_id"))
+            .unionAll(edges.select(F.col("db").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("d"))
+        )
+        e2 = edges.join(
+            deg.select(F.col("doc_id").alias("da"), F.col("d").alias("d_a")), "da"
+        ).join(
+            deg.select(F.col("doc_id").alias("db"), F.col("d").alias("d_b")), "db"
+        )
+        a_first = F.struct("d_a", "da") < F.struct("d_b", "db")
+        oriented = (
+            e2.select(
+                F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("lo"),
+                F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hi"),
+                F.when(a_first, F.col("d_a")).otherwise(F.col("d_b")).alias("dlo"),
+                F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dhi"),
+            )
+            .localCheckpoint()
+        )
+        name = f"sg_oedges_{uuid.uuid4().hex[:12]}"
+        oriented.createOrReplaceGlobalTempView(name)
+        _ORIENTED_CACHE.put(key, name, on_evict=_drop_sig_view(spark))
     return spark.table(f"global_temp.{name}")
 
 

@@ -140,6 +140,89 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("event_type"), F.round("rank", 6).alias("pagerank"))
 
 
+# ------------------------------------------------ degree-oriented wedges
+#
+# The wedge-closure family (triangle count, clustering coefficient, link
+# prediction, 2-hop centrality) enumerates wedges from the degree-
+# ORIENTED edge set (dedup.lsh_oriented_edges: every edge lo -> hi by
+# the (degree, doc_id) total order) instead of the full both-directions
+# adjacency.  Orientation is a pure relabeling — the wedge and triangle
+# MULTISETS are provably identical to the unoriented enumeration, so
+# every oracle below is unchanged — but the join volume drops:
+#
+# - Full wedge enumeration splits into three disjoint classes by the
+#   middle vertex's rank in its wedge triple (out-out at the minimum,
+#   in-out between, in-in at the maximum): per middle the enumerated
+#   match volume is i^2 + i*o + o^2 instead of the unoriented (i+o)^2,
+#   and each wedge arrives exactly once (no post-join dedup filter over
+#   half the pairs).
+# - Triangle LISTING needs only the out-out class at each triangle's
+#   key-minimum vertex plus one closing-edge probe: total wedge work is
+#   sum(out-degree^2) = O(m^1.5) on any graph, instead of degree^2 at
+#   hub vertices — the classic orientation bound, and the documented
+#   100 TB move for this family (BENCHNOTES).
+
+
+def _oriented_wedges(oe: DataFrame) -> DataFrame:
+    """Every wedge {x, y}-through-some-middle exactly once, as id-
+    canonical pairs ``(u, w)`` with ``u < w`` — the same multiset the
+    both-directions ``adj JOIN adj ON a1.v = a2.u WHERE a1.u < a2.v``
+    enumeration produces, at i^2+io+o^2 join volume per middle."""
+    a, b = oe.alias("a"), oe.alias("b")
+    ka_hi = F.struct(F.col("a.dhi"), F.col("a.hi"))
+    kb_hi = F.struct(F.col("b.dhi"), F.col("b.hi"))
+    ka_lo = F.struct(F.col("a.dlo"), F.col("a.lo"))
+    kb_lo = F.struct(F.col("b.dlo"), F.col("b.lo"))
+    # middle is the wedge's key-minimum: both legs point out of it
+    oo = (
+        a.join(b, F.col("a.lo") == F.col("b.lo"))
+        .filter(ka_hi < kb_hi)
+        .select(F.col("a.hi").alias("x"), F.col("b.hi").alias("y"))
+    )
+    # middle between its endpoints: one in-leg, one out-leg (no dedup
+    # filter needed — each such wedge has exactly one generation)
+    io = a.join(b, F.col("a.hi") == F.col("b.lo")).select(
+        F.col("a.lo").alias("x"), F.col("b.hi").alias("y")
+    )
+    # middle is the key-maximum: both legs point into it
+    ii = (
+        a.join(b, F.col("a.hi") == F.col("b.hi"))
+        .filter(ka_lo < kb_lo)
+        .select(F.col("a.lo").alias("x"), F.col("b.lo").alias("y"))
+    )
+    w = oo.unionAll(io).unionAll(ii)
+    return w.select(
+        F.least("x", "y").alias("u"), F.greatest("x", "y").alias("w")
+    )
+
+
+def _oriented_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every triangle exactly once as ``(a, b, c)`` (key-ascending; the
+    same unordered-triple multiset the id-oriented e JOIN e JOIN e
+    closure lists): out-out wedges at the key-minimum vertex, closed by
+    one oriented-edge probe — sum(out-degree^2) total wedge work."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_oriented_edges
+
+    oe = lsh_oriented_edges(spark, sf_dir)
+    ab, ac, bc = oe.alias("ab"), oe.alias("ac"), oe.alias("bc")
+    return (
+        ab.join(ac, F.col("ac.lo") == F.col("ab.lo"))
+        .filter(
+            F.struct(F.col("ab.dhi"), F.col("ab.hi"))
+            < F.struct(F.col("ac.dhi"), F.col("ac.hi"))
+        )
+        .join(
+            bc,
+            (F.col("bc.lo") == F.col("ab.hi")) & (F.col("bc.hi") == F.col("ac.hi")),
+        )
+        .select(
+            F.col("ab.lo").alias("a"),
+            F.col("ab.hi").alias("b"),
+            F.col("ac.hi").alias("c"),
+        )
+    )
+
+
 def _triangle_oracle() -> str:
     from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
 
@@ -171,29 +254,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates a tight duplicate cluster from a chain of borderline
     pairs.
 
-    The classic distributed formulation: orient every edge low-id ->
-    high-id (kills 6x double counting AND caps the join fan-out by
-    out-degree), then two hash equi-joins close the wedges.  All
-    shuffles key on doc ids; at 100 TB one adds degree-ordered
-    orientation so hub nodes don't own every wedge — noted here, not
-    needed at candidate-graph densities, where LSH banding already
-    bounds per-bucket degree."""
+    The classic distributed formulation, with DEGREE-ordered
+    orientation (the `_oriented_triangles` helper): every edge points
+    low-(degree, id) -> high, wedges enumerate only at each triangle's
+    key-minimum vertex (out-out pairs), and one oriented-edge hash
+    probe closes them — sum(out-degree^2) = O(m^1.5) wedge work, so hub
+    nodes never own every wedge.  The triangle multiset is provably the
+    id-oriented closure's (orientation is a relabeling), so the oracle
+    keeps the plain e JOIN e JOIN e spelling.  All shuffles key on doc
+    ids over the session-cached checkpointed edge set."""
     from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
 
-    # session-cached checkpointed edge set (shared by the whole
-    # band-graph family); safe to reference three times below
     edges = lsh_candidate_edges(spark, sf_dir)
-    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
-    tri = (
-        ab.join(bc, F.col("bc.da") == F.col("ab.db"))
-        .join(
-            ac,
-            (F.col("ac.da") == F.col("ab.da")) & (F.col("ac.db") == F.col("bc.db")),
-        )
-        .select(
-            F.col("ab.da").alias("a"), F.col("ab.db").alias("b"), F.col("bc.db").alias("c")
-        )
-    )
+    tri = _oriented_triangles(spark, sf_dir)
     tc = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
         .groupBy("doc_id")
@@ -436,25 +509,22 @@ def graph_linkpred_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFra
     an exact-similarity verify that no single band caught); on a social
     graph it is the classic friend-of-friend recommender.
 
-    Plan: the shared session-cached signature table feeds the edge
-    self-join (same as triangle counting); wedges close with ONE
-    adjacency self-join keyed on the middle vertex; existing edges drop
-    via a hash anti-join; the readout is a TakeOrdered with full
-    (count DESC, a, c) tie-break.  Per-vertex fan-out is bounded by the
-    LSH bucket size, the same degree cap the triangle query documents —
-    at 100 TB one adds degree-ordered orientation before the wedge
-    join (noted there too)."""
-    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
+    Plan: the shared session-cached DEGREE-ORIENTED edge set feeds the
+    three-class wedge enumeration (`_oriented_wedges`: out-out / in-out
+    / in-in by the middle's rank — i^2+io+o^2 join volume per middle
+    instead of the both-directions (i+o)^2, each wedge exactly once);
+    existing edges drop via a hash anti-join; the readout is a
+    TakeOrdered with full (count DESC, a, c) tie-break.  The wedge
+    multiset is provably the unoriented enumeration's, so the oracle
+    keeps the both-directions adjacency spelling."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import (
+        lsh_candidate_edges,
+        lsh_oriented_edges,
+    )
 
     edges = lsh_candidate_edges(spark, sf_dir)
-    adj = edges.select(
-        F.col("da").alias("u"), F.col("db").alias("v")
-    ).unionAll(edges.select(F.col("db").alias("u"), F.col("da").alias("v")))
-    wedge = (
-        adj.alias("a1")
-        .join(adj.alias("a2"), F.col("a1.v") == F.col("a2.u"))
-        .filter(F.col("a1.u") < F.col("a2.v"))
-        .select(F.col("a1.u").alias("a"), F.col("a2.v").alias("c"))
+    wedge = _oriented_wedges(lsh_oriented_edges(spark, sf_dir)).select(
+        F.col("u").alias("a"), F.col("w").alias("c")
     )
     cn = wedge.groupBy("a", "c").agg(
         F.count("*").cast("bigint").alias("common_neighbors")
@@ -626,24 +696,14 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums (HUGEINT on the oracle side for 100 TB headroom, the
     t-closeness precedent), so the ONLY float op anywhere is the final
     shared /10⁴.  Band is bit-length arithmetic (length(bin(d))-1), no
-    libm.  Scale shape: identical to graph_triangle_count (banded
-    equi-join edges, two wedge-closing hash joins, map-side-combinable
-    rollups) with a ≤64-band final aggregate."""
+    libm.  Scale shape: identical to graph_triangle_count (degree-
+    oriented out-out wedge closure via `_oriented_triangles` —
+    sum(out-degree^2) wedge work, identical triangle multiset,
+    map-side-combinable rollups) with a ≤64-band final aggregate."""
     from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
 
     edges = lsh_candidate_edges(spark, sf_dir)
-    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
-    tri = (
-        ab.join(bc, F.col("bc.da") == F.col("ab.db"))
-        .join(
-            ac,
-            (F.col("ac.da") == F.col("ab.da")) & (F.col("ac.db") == F.col("bc.db")),
-        )
-        .select(
-            F.col("ab.da").alias("a"), F.col("ab.db").alias("b"),
-            F.col("bc.db").alias("c"),
-        )
-    )
+    tri = _oriented_triangles(spark, sf_dir)
     tc = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
         .groupBy("doc_id")
@@ -737,31 +797,30 @@ def graph_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     without the unbounded BFS full closeness needs.  Reported as
     harmonic_x2 = 2·n1 + n2 so every value is an exact integer.
 
-    Scale shape: the session-cached edge set feeds one degree
-    aggregate, one wedge-closing self-join with a DISTINCT (the same
-    deg²-bounded fan-out class as graph_linkpred_common_neighbors — at
-    100 TB add degree-ordered orientation), an anti-join that removes
-    distance-1 pairs from the 2-hop set, and a TakeOrdered top-k.
-    Determinism: pure integer counts with the (score DESC, doc_id)
-    tie-break."""
-    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
+    Scale shape: the session-cached DEGREE-ORIENTED edge set feeds the
+    three-class wedge enumeration (`_oriented_wedges` — i^2+io+o^2 join
+    volume per middle instead of the both-directions (i+o)^2, each
+    unordered 2-path pair derived from exactly the same wedge multiset)
+    with a DISTINCT, an anti-join that removes distance-1 pairs from
+    the 2-hop set, and a TakeOrdered top-k; n1 is the degree aggregate
+    over the undirected edge set.  Determinism: pure integer counts
+    with the (score DESC, doc_id) tie-break."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import (
+        lsh_candidate_edges,
+        lsh_oriented_edges,
+    )
 
     edges = lsh_candidate_edges(spark, sf_dir)
-    adj = edges.select(F.col("da").alias("u"), F.col("db").alias("v")).unionAll(
-        edges.select(F.col("db").alias("u"), F.col("da").alias("v"))
-    ).localCheckpoint()  # degree + both wedge sides reuse it
-    one = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("n1"))
-    # each unordered 2-path pair once (u < w) — half the distinct volume
-    # of the both-orientations form, and the orientation matches the
-    # low-high edge set so the strict-distance-2 anti-join needs no
-    # least/greatest normalization (the linkpred wedge discipline)
-    pairs2 = (
-        adj.alias("a1")
-        .join(adj.alias("a2"), F.col("a2.u") == F.col("a1.v"))
-        .filter(F.col("a1.u") < F.col("a2.v"))
-        .select(F.col("a1.u").alias("u"), F.col("a2.v").alias("w"))
-        .distinct()
+    one = (
+        edges.select(F.col("da").alias("u"))
+        .unionAll(edges.select(F.col("db").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").cast("bigint").alias("n1"))
     )
+    # id-canonical (u < w) pairs, same multiset as the adjacency
+    # self-join, so the strict-distance-2 anti-join below needs no
+    # least/greatest normalization (the linkpred wedge discipline)
+    pairs2 = _oriented_wedges(lsh_oriented_edges(spark, sf_dir)).distinct()
     strict2 = pairs2.join(
         edges,
         (F.col("u") == F.col("da")) & (F.col("w") == F.col("db")),
