@@ -56,57 +56,42 @@ def model_location(
 
 
 def _pa_schema(schema: str):
-    """DDL-ish model schema ("k bigint, cv array<double>") -> pyarrow."""
+    """DDL-ish model schema ("k bigint, pa varchar, cv array<double>")
+    -> pyarrow."""
     import pyarrow as pa
 
+    types = {
+        "bigint": pa.int64(),
+        "varchar": pa.string(),
+        "string": pa.string(),
+        "array<double>": pa.list_(pa.float64()),
+    }
     fields = []
     for part in schema.split(","):
         name, typ = part.strip().split(" ", 1)
-        fields.append(
-            pa.field(
-                name,
-                pa.int64() if typ == "bigint" else pa.list_(pa.float64()),
-            )
-        )
+        fields.append(pa.field(name, types[typ.strip()]))
     return pa.schema(fields)
 
 
-def load_or_train(
-    spark: SparkSession,
-    kind: str,
-    sf_dir: str,
-    schema: str,
-    train: Callable[[], list[tuple]],
-) -> list[tuple]:
-    """Rows of the trained model for (``kind``, corpus at ``sf_dir``):
-    read the published copy when one exists, else train, publish, and
-    return.  Rows are returned sorted so cached vs fresh is
-    deterministic for every consumer.
+def _read_rows(loc: str) -> list[tuple] | None:
+    """Published model rows at ``loc`` (sorted), or None if absent."""
+    import pyarrow.parquet as pq
 
-    The model is driver-sized (KB), so publish/read go through pyarrow
-    directly — no Spark job.  (A Spark write of a Python-local 8-row
-    frame costs ~4 s: ``coalesce(1)`` funnels every parallelize
-    partition's Python-runner round-trip through one task.  The dir is
-    still plain parquet + _SUCCESS, readable by ``spark.read.parquet``
-    on a cluster.)"""
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        return None
+    table = pq.read_table(loc)
+    rows = [
+        tuple(list(v) if isinstance(v, list) else v for v in rec.values())
+        for rec in table.to_pylist()
+    ]
+    return sorted(rows)  # an empty model is valid for an empty corpus
+
+
+def _publish_rows(loc: str, schema: str, rows: list[tuple]) -> None:
+    """Atomically publish ``rows`` as the model at ``loc``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    token = mtime_token(sf_dir, "embeddings")
-    loc = model_location(spark, kind, sf_dir, token)
-    if token is not None and os.path.exists(os.path.join(loc, "_SUCCESS")):
-        table = pq.read_table(loc)
-        rows = [
-            tuple(
-                list(v) if isinstance(v, list) else v
-                for v in rec.values()
-            )
-            for rec in table.to_pylist()
-        ]
-        return sorted(rows)  # an empty model is valid for an empty corpus
-    rows = sorted(train())
-    if token is None:
-        return rows  # unreadable corpus mtime: don't publish what we can't key
     tmp = loc + ".tmp-" + uuid.uuid4().hex[:8]
     os.makedirs(tmp, exist_ok=True)
     pa_schema = _pa_schema(schema)
@@ -125,4 +110,68 @@ def load_or_train(
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)  # lost the race; winner's
         # content is identical (deterministic training) so ours is junk
+
+
+def load_model(
+    spark: SparkSession, kind: str, sf_dir: str, table: str = "embeddings"
+) -> list[tuple] | None:
+    """Published rows of model ``kind`` for the corpus at ``sf_dir``
+    (freshness-keyed by ``table``'s mtime), or None when absent /
+    unkeyable.  The split read half of :func:`load_or_train`, for
+    consumers whose training and application happen in ONE pass (the
+    BPE merge loop) and so can't hand a standalone ``train`` thunk."""
+    token = mtime_token(sf_dir, table)
+    if token is None:
+        return None
+    return _read_rows(model_location(spark, kind, sf_dir, token))
+
+
+def store_model(
+    spark: SparkSession,
+    kind: str,
+    sf_dir: str,
+    schema: str,
+    rows: list[tuple],
+    table: str = "embeddings",
+) -> None:
+    """Publish ``rows`` as model ``kind`` (the split write half of
+    :func:`load_or_train`); no-op when the corpus mtime is unreadable
+    (nothing to key freshness on)."""
+    token = mtime_token(sf_dir, table)
+    if token is None:
+        return
+    _publish_rows(model_location(spark, kind, sf_dir, token), schema, rows)
+
+
+def load_or_train(
+    spark: SparkSession,
+    kind: str,
+    sf_dir: str,
+    schema: str,
+    train: Callable[[], list[tuple]],
+    table: str = "embeddings",
+) -> list[tuple]:
+    """Rows of the trained model for (``kind``, corpus at ``sf_dir``):
+    read the published copy when one exists, else train, publish, and
+    return.  Rows are returned sorted so cached vs fresh is
+    deterministic for every consumer.  ``table`` names the corpus table
+    whose mtime keys freshness (embeddings for the quantizers,
+    documents for the text models).
+
+    The model is driver-sized (KB), so publish/read go through pyarrow
+    directly — no Spark job.  (A Spark write of a Python-local 8-row
+    frame costs ~4 s: ``coalesce(1)`` funnels every parallelize
+    partition's Python-runner round-trip through one task.  The dir is
+    still plain parquet + _SUCCESS, readable by ``spark.read.parquet``
+    on a cluster.)"""
+    token = mtime_token(sf_dir, table)
+    loc = model_location(spark, kind, sf_dir, token)
+    if token is not None:
+        rows = _read_rows(loc)
+        if rows is not None:
+            return rows
+    rows = sorted(train())
+    if token is None:
+        return rows  # unreadable corpus mtime: don't publish what we can't key
+    _publish_rows(loc, schema, rows)
     return rows

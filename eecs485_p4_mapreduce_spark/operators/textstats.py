@@ -616,6 +616,55 @@ def token_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 3
 
 
+def _bpe_apply_pair(s: DataFrame, pa: str, pb: str, carry: tuple = ()) -> DataFrame:
+    """One greedy left-to-right, non-overlapping merge pass of the
+    CONSTANT pair (``pa``, ``pb``) over a (doc_id, pos, tok) stream —
+    the match/run-group/parity/consume window kernel shared by BPE
+    training and encoding (their proven per-round logic, factored).
+    ``carry`` lists extra columns to thread through (encode keeps
+    ``source``).  Returns the re-numbered, localCheckpointed stream."""
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = s.withColumn("nxt", F.lead("tok").over(w))
+    t2 = big.withColumn(
+        "match", (F.col("tok") == F.lit(pa)) & (F.col("nxt") == F.lit(pb))
+    )
+    g = t2.withColumn(
+        "grp",
+        F.col("pos")
+        - F.sum(F.when(F.col("match"), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wg = Window.partitionBy("doc_id", "grp")
+    mg = g.withColumn(
+        "merged",
+        F.when(
+            F.col("match")
+            & (
+                (F.col("pos") - F.min(F.when(F.col("match"), F.col("pos"))).over(wg))
+                % 2
+                == 0
+            ),
+            F.lit(True),
+        ).otherwise(F.lit(False)),
+    )
+    c = mg.withColumn(
+        "consumed", F.coalesce(F.lag("merged").over(w), F.lit(False))
+    )
+    return (
+        c.filter(~F.col("consumed"))
+        .select(
+            "doc_id",
+            *carry,
+            (F.row_number().over(w) - 1).alias("pos"),
+            F.when(F.col("merged"), F.concat("tok", F.lit(" "), "nxt"))
+            .otherwise(F.col("tok"))
+            .alias("tok"),
+        )
+        .localCheckpoint()
+    )
+
+
 def _bpe_train_sql(dialect: str) -> str:
     """Full {_BPE_ROUNDS}-round BPE training as ONE SQL text per dialect
     (recursive_cte_tree_rollup precedent: identical logic, both
@@ -694,74 +743,65 @@ def token_bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     built (hierarchical merges, the actual BPE construction; n_words in
     the output exposes the merge depth).
 
-    Pair selection stays fully in-plan (a broadcast LIMIT-1 side — no
-    driver collect), and each round's output stream is localCheckpointed
-    before the next: as one monolithic statement the round-3 scalar
-    subqueries re-executed the whole round-1/2 chain (34 s at sf0.01);
-    the pinned-round loop runs the identical logic in ~4 s.  The oracle
-    IS the monolithic statement (DuckDB materializes its CTEs), so
+    The MERGE TABLE is a trained model and gets the kmeans/PQ
+    treatment (functions/modelstore.py): on a store hit (same corpus
+    mtime, any application) the per-round pair-count aggregates are
+    skipped entirely and the stored (round, pa, pb) rows replay as
+    literal apply passes — training is deterministic, so the replayed
+    stream is bit-identical.  On a miss, each round's top pair is a
+    bounded 1-row model-state collect (the kmeans-centroid pattern),
+    applied as literals via the shared `_bpe_apply_pair` kernel and
+    published atomically at the end.  A round with NO adjacent pair is
+    a no-op — exactly the oracle's NULL scalar-subquery semantics
+    (the old broadcast-crossJoin spelling emptied the stream there).
+    Each round's output stream is localCheckpointed before the next:
+    as one monolithic statement the round-3 scalar subqueries
+    re-executed the whole round-1/2 chain (34 s at sf0.01); the
+    pinned-round loop runs the identical logic in ~4 s.  The oracle IS
+    the monolithic statement (DuckDB materializes its CTEs), so
     selection AND application are proven at every round.  Per round:
-    three doc-partitioned windows + one global pair count — two
-    shuffles, rounds sequential, exactly the Lloyd's/PageRank loop
-    shape.
-    """
-    from pyspark.sql import Window
+    three doc-partitioned windows (+ one global pair count when
+    training) — rounds sequential, exactly the Lloyd's/PageRank loop
+    shape."""
+    from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
+    from eecs485_p4_mapreduce_spark.functions.modelstore import (
+        load_model,
+        store_model,
+    )
 
+    tag = loader_tag("bpe_merges", (sf_dir, load_table))
+    merges = load_model(spark, tag, sf_dir, table="documents")
     docs = load_table(spark, sf_dir, "documents")
     s = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
     ).localCheckpoint()
     w = Window.partitionBy("doc_id").orderBy("pos")
-    for _ in range(_BPE_ROUNDS):
-        big = s.withColumn("nxt", F.lead("tok").over(w))
-        top1 = (
-            big.filter(F.col("nxt").isNotNull())
-            .groupBy("tok", "nxt")
-            .agg(F.count("*").alias("cnt"))
-            .orderBy(F.desc("cnt"), "tok", "nxt")
-            .limit(1)
-            .select(F.col("tok").alias("pa"), F.col("nxt").alias("pb"))
-        )
-        t2 = big.crossJoin(F.broadcast(top1)).withColumn(
-            "match", (F.col("tok") == F.col("pa")) & (F.col("nxt") == F.col("pb"))
-        )
-        g = t2.withColumn(
-            "grp",
-            F.col("pos")
-            - F.sum(F.when(F.col("match"), 1).otherwise(0)).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        wg = Window.partitionBy("doc_id", "grp")
-        mg = g.withColumn(
-            "merged",
-            F.when(
-                F.col("match")
-                & (
-                    (
-                        F.col("pos")
-                        - F.min(F.when(F.col("match"), F.col("pos"))).over(wg)
-                    )
-                    % 2
-                    == 0
-                ),
-                F.lit(True),
-            ).otherwise(F.lit(False)),
-        )
-        c = mg.withColumn(
-            "consumed", F.coalesce(F.lag("merged").over(w), F.lit(False))
-        )
-        s = (
-            c.filter(~F.col("consumed"))
-            .select(
-                "doc_id",
-                (F.row_number().over(w) - 1).alias("pos"),
-                F.when(F.col("merged"), F.concat("tok", F.lit(" "), "nxt"))
-                .otherwise(F.col("tok"))
-                .alias("tok"),
+    if merges is None:
+        merges = []
+        for i in range(_BPE_ROUNDS):
+            top1 = (
+                s.withColumn("nxt", F.lead("tok").over(w))
+                .filter(F.col("nxt").isNotNull())
+                .groupBy("tok", "nxt")
+                .agg(F.count("*").alias("cnt"))
+                .orderBy(F.desc("cnt"), "tok", "nxt")
+                .limit(1)
+                .collect()  # bounded model state: at most 1 (pa, pb) row
             )
-            .localCheckpoint()
+            if top1:
+                merges.append((i, top1[0]["tok"], top1[0]["nxt"]))
+                s = _bpe_apply_pair(s, top1[0]["tok"], top1[0]["nxt"])
+        store_model(
+            spark,
+            tag,
+            sf_dir,
+            "round bigint, pa varchar, pb varchar",
+            merges,
+            table="documents",
         )
+    else:
+        for _, pa, pb in merges:
+            s = _bpe_apply_pair(s, pa, pb)
     return (
         s.groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("n"))
@@ -1525,16 +1565,19 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale.  Output is the per-source tokens-before/after
     compression readout teams compare tokenizers with.
 
-    The 3-row merge table is collected to the driver and inlined as
-    literals (the kmeans-centroid bounded-model-state pattern): each
-    apply pass is then pure per-doc window machinery against constant
-    pair keys — match/run-group/parity/consume, the train query's
-    proven kernel — with NO join, subquery, or broadcast in the pass.
-    Per pass: windows over one (doc_id, pos) sort, stream
+    The 3-row frozen merge table is a trained model: persisted through
+    functions/modelstore.py (content-addressed by corpus mtime, atomic
+    publish, cross-application — the kmeans/PQ treatment), so a store
+    hit skips the pair-count training scan entirely; a miss collects
+    the bounded 3-row table and publishes it.  Each apply pass is pure
+    per-doc window machinery against constant pair keys — the shared
+    `_bpe_apply_pair` kernel (match/run-group/parity/consume) — with
+    NO join, subquery, or broadcast in the pass, and the stream
     localCheckpointed between passes so pass i+1 never replays pass i.
     The oracle replays selection AND all three applications in one
     monolithic statement."""
-    from pyspark.sql import Window
+    from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
+    from eecs485_p4_mapreduce_spark.functions.modelstore import load_or_train
 
     docs = load_table(spark, sf_dir, "documents")
     s = docs.select(
@@ -1542,60 +1585,29 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     before = s.groupBy("doc_id", "source").agg(F.count("*").alias("n0"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    merge_table = (
-        s.withColumn("nxt", F.lead("tok").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .groupBy("tok", "nxt")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.desc("cnt"), "tok", "nxt")
-        .limit(_BPE_ENC_MERGES)
-        .collect()  # bounded model state: exactly 3 (pa, pb) literals
+
+    def train() -> list[tuple]:
+        rows = (
+            s.withColumn("nxt", F.lead("tok").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .groupBy("tok", "nxt")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "tok", "nxt")
+            .limit(_BPE_ENC_MERGES)
+            .collect()  # bounded model state: exactly 3 (pa, pb) literals
+        )
+        return [(i, r["tok"], r["nxt"]) for i, r in enumerate(rows)]
+
+    merge_table = load_or_train(
+        spark,
+        loader_tag("bpe_frozen", (sf_dir, load_table)),
+        sf_dir,
+        "rank bigint, pa varchar, pb varchar",
+        train,
+        table="documents",
     )
-    for row in merge_table:
-        pa, pb = row["tok"], row["nxt"]
-        big = s.withColumn("nxt", F.lead("tok").over(w))
-        t2 = big.withColumn(
-            "match",
-            (F.col("tok") == F.lit(pa)) & (F.col("nxt") == F.lit(pb)),
-        )
-        g = t2.withColumn(
-            "grp",
-            F.col("pos")
-            - F.sum(F.when(F.col("match"), 1).otherwise(0)).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        wg = Window.partitionBy("doc_id", "grp")
-        mg = g.withColumn(
-            "merged",
-            F.when(
-                F.col("match")
-                & (
-                    (
-                        F.col("pos")
-                        - F.min(F.when(F.col("match"), F.col("pos"))).over(wg)
-                    )
-                    % 2
-                    == 0
-                ),
-                F.lit(True),
-            ).otherwise(F.lit(False)),
-        )
-        c = mg.withColumn(
-            "consumed", F.coalesce(F.lag("merged").over(w), F.lit(False))
-        )
-        s = (
-            c.filter(~F.col("consumed"))
-            .select(
-                "doc_id",
-                "source",
-                (F.row_number().over(w) - 1).alias("pos"),
-                F.when(F.col("merged"), F.concat("tok", F.lit(" "), "nxt"))
-                .otherwise(F.col("tok"))
-                .alias("tok"),
-            )
-            .localCheckpoint()
-        )
+    for _, pa, pb in merge_table:
+        s = _bpe_apply_pair(s, pa, pb, carry=("source",))
     after = s.groupBy("doc_id").agg(F.count("*").alias("n3"))
     return (
         before.join(after, "doc_id")
