@@ -143,6 +143,43 @@ def store_model(
     _publish_rows(model_location(spark, kind, sf_dir, token), schema, rows)
 
 
+def load_or_build_frame(
+    spark: SparkSession,
+    kind: str,
+    sf_dir: str,
+    table: str,
+    schema: str,
+    build: Callable[[], "object"],
+):
+    """Stored DERIVED TABLE: like :func:`load_or_train` but for
+    executor-scale frames (the LSH candidate-edge set) that a driver-
+    side pyarrow write could not hold.  The frame is written by Spark
+    as parquet into a unique temp dir under the warehouse and atomically
+    renamed into the content-addressed location; hits (any application,
+    same corpus mtime) return a plain parquet scan of the published
+    table — no re-derivation, and no checkpoint needed since the scan
+    is stable and re-readable.  ``schema`` is applied on read so an
+    empty published table (empty corpus) still has its columns.
+
+    Returns the DataFrame, or ``build()``'s result unpublished when the
+    corpus mtime is unreadable (caller keeps its own checkpoint there).
+    Derivation is deterministic as a SET; a rename race loser reads the
+    winner's copy (row order may differ between builders, but every
+    consumer is order-insensitive — aggregates and joins only)."""
+    token = mtime_token(sf_dir, table)
+    if token is None:
+        return build()
+    loc = model_location(spark, kind, sf_dir, token)
+    if not os.path.exists(os.path.join(loc, "_SUCCESS")):
+        tmp = loc + ".tmp-" + uuid.uuid4().hex[:8]
+        build().write.parquet(tmp)
+        try:
+            os.rename(tmp, loc)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return spark.read.schema(schema).parquet(loc)
+
+
 def load_or_train(
     spark: SparkSession,
     kind: str,

@@ -141,24 +141,50 @@ _EDGE_CACHE = LRU()
 
 def lsh_candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached DISTINCT ``(da, db)`` (da < db) LSH band-collision
-    edge set over the documents corpus — bit-identical to the inline
-    self-join every band-graph query used to build, memoized behind a
-    global temp view over one localCheckpointed frame (the
-    ``minhash_signatures`` pattern, one derivation layer up)."""
+    edge set over the documents corpus — bit-identical as a SET to the
+    inline self-join every band-graph query used to build, memoized
+    behind a global temp view (the ``minhash_signatures`` pattern, one
+    derivation layer up) AND persisted cross-application through the
+    model store (functions/modelstore.py): production keeps this as a
+    stored edge table refreshed by ingest, so a fresh application reads
+    the published parquet and skips the signature + band self-join
+    stages entirely.  An unkeyable corpus (unreadable mtime) falls back
+    to the in-session localCheckpoint."""
+    from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
+    from eecs485_p4_mapreduce_spark.functions.modelstore import (
+        load_or_build_frame,
+    )
+
     loader = load_table  # module global: respects monkeypatched loaders
-    key = (spark.sparkContext.applicationId, sf_dir, _mtime_token(sf_dir), loader)
+    token = _mtime_token(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, token, loader)
     name = _EDGE_CACHE.get(key)
     if name is None:
-        _, banded = minhash_signatures(spark, sf_dir)
-        left = banded.select("doc_id", "b", "band_hash")
-        edges = (
-            left.alias("x")
-            .join(left.alias("y"), ["b", "band_hash"])
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
-            .distinct()
-            .localCheckpoint()
-        )
+
+        def build() -> DataFrame:
+            _, banded = minhash_signatures(spark, sf_dir)
+            left = banded.select("doc_id", "b", "band_hash")
+            return (
+                left.alias("x")
+                .join(left.alias("y"), ["b", "band_hash"])
+                .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+                .select(
+                    F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db")
+                )
+                .distinct()
+            )
+
+        if token is not None:
+            edges = load_or_build_frame(
+                spark,
+                loader_tag("lsh_edges", (sf_dir, loader)),
+                sf_dir,
+                "documents",
+                "da bigint, db bigint",
+                build,
+            )
+        else:
+            edges = build().localCheckpoint()
         name = f"sg_edges_{uuid.uuid4().hex[:12]}"
         edges.createOrReplaceGlobalTempView(name)
         _EDGE_CACHE.put(key, name, on_evict=_drop_sig_view(spark))

@@ -370,6 +370,56 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(dedup, mode="append")
 
 
+def make_merge_upsert(tgt_base: str, state: dict):
+    """The ``foreachBatch`` MERGE ``streaming_upsert_foreachbatch`` runs
+    (factored module-level so the failure-injection test drives the real
+    merge, not a replica).  IDEMPOTENT under batch replay: the merge
+    source is DERIVED FROM ``batch_id`` — snapshot ``v{batch_id-1}`` —
+    never from mutable driver state, and the output is an overwrite of
+    ``v{batch_id}``, a deterministic function of (previous snapshot,
+    batch rows).  A batch replayed after a crash BETWEEN the sink write
+    and the checkpoint commit therefore rewrites the identical snapshot
+    instead of double-merging it into its own output — the contract
+    Delta's ``MERGE INTO`` sink gives and any hand-rolled foreachBatch
+    sink must reproduce.  ``state['dir']`` tracks the newest snapshot
+    for the caller's final read only."""
+    import os
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("total_dec"),
+            F.max("ts").alias("last_ts"),
+        )
+        prev = f"{tgt_base}/v{batch_id - 1}"
+        if batch_id > 0 and os.path.exists(f"{prev}/_SUCCESS"):
+            cur = batch_df.sparkSession.read.parquet(prev)
+            zero = F.lit(0).cast("decimal(18,6)")
+            merged = cur.alias("t").join(agg.alias("s"), "user_id", "full_outer")
+            agg = merged.select(
+                F.col("user_id"),
+                (
+                    F.coalesce(F.col("t.n_events"), F.lit(0))
+                    + F.coalesce(F.col("s.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(F.col("t.total_dec"), zero)
+                    + F.coalesce(F.col("s.total_dec"), zero)
+                )
+                .cast("decimal(18,6)")
+                .alias("total_dec"),
+                F.greatest(F.col("t.last_ts"), F.col("s.last_ts")).alias("last_ts"),
+            )
+        new_dir = f"{tgt_base}/v{batch_id}"
+        agg.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    return upsert
+
+
+
 @query(
     "streaming_upsert_foreachbatch",
     oracle=f"""
@@ -383,7 +433,10 @@ def streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame
     multiple micro-batches (the source is re-laid-out into 4 range files,
     ``maxFilesPerTrigger=1``), and each batch full-outer-merges its
     per-user aggregate into a versioned parquet snapshot -- the
-    foreachBatch half of what Delta's ``MERGE INTO`` streaming sink does.
+    foreachBatch half of what Delta's ``MERGE INTO`` streaming sink does
+    (see :func:`make_merge_upsert` for the batch-replay idempotency
+    contract, pinned live by the kill-mid-batch test in
+    tests/test_streaming_semantics.py).
 
     Cross-batch accumulation keeps the running sum as decimal(18,6) in
     the snapshot and casts to double only at the end; summing per-batch
@@ -404,36 +457,7 @@ def streaming_upsert_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame
 
     tgt_base = tempfile.mkdtemp(prefix="spark-graft-upsert-tgt-")
     state: dict[str, str] = {}
-
-    def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        agg = batch_df.groupBy("user_id").agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
-            .alias("total_dec"),
-            F.max("ts").alias("last_ts"),
-        )
-        if "dir" in state:
-            cur = batch_df.sparkSession.read.parquet(state["dir"])
-            zero = F.lit(0).cast("decimal(18,6)")
-            merged = cur.alias("t").join(agg.alias("s"), "user_id", "full_outer")
-            agg = merged.select(
-                F.col("user_id"),
-                (
-                    F.coalesce(F.col("t.n_events"), F.lit(0))
-                    + F.coalesce(F.col("s.n_events"), F.lit(0))
-                ).alias("n_events"),
-                (
-                    F.coalesce(F.col("t.total_dec"), zero)
-                    + F.coalesce(F.col("s.total_dec"), zero)
-                )
-                .cast("decimal(18,6)")
-                .alias("total_dec"),
-                F.greatest(F.col("t.last_ts"), F.col("s.last_ts")).alias("last_ts"),
-            )
-        new_dir = f"{tgt_base}/v{batch_id}"
-        agg.write.mode("overwrite").parquet(new_dir)
-        state["dir"] = new_dir
+    upsert = make_merge_upsert(tgt_base, state)
 
     ckpt = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
     q = (

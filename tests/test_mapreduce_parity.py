@@ -169,6 +169,58 @@ def test_two_jobs_fifo_isolated_outputs(spark, tmp_path):
 
 
 @needs_ref
+def test_concurrent_slow_exe_jobs_one_cluster(spark, tmp_path):
+    """Two exe-jobs CONCURRENTLY on one cluster with the reference's
+    SLOW executables (wc_map_slow.sh / wc_reduce_slow.sh sleep 3 s per
+    subprocess — the busy-worker scenario ref tests/test_manager_03.py:
+    58-104 drives through its FSM): submitted from two threads, both
+    must complete with the wordcount golden and exact part naming,
+    fully isolated.  Spark's scheduler plays the manager's task-queue
+    role (SURVEY §3.4); this pins the LIVE semantics — concurrent jobs
+    on busy executors neither interleave outputs nor starve.  Each job
+    alone carries >= 9 s of sleeps (4 map tasks x 2 files x 3 s
+    sequential per task + 3 s per reducer), so finishing both under the
+    18 s back-to-back sleep floor proves they genuinely overlapped."""
+    import threading
+    import time
+
+    exe = os.path.join(REF, "tests", "testdata", "exec")
+    correct = os.path.join(REF, "tests", "testdata", "correct")
+    outs = [str(tmp_path / f"job{i}") for i in range(2)]
+    errs: list[Exception] = []
+
+    def submit(out: str) -> None:
+        try:
+            MapReduceJob(
+                input_directory=os.path.join(REF, "tests", "testdata", "input"),
+                output_directory=out,
+                mapper_executable=os.path.join(exe, "wc_map_slow.sh"),
+                reducer_executable=os.path.join(exe, "wc_reduce_slow.sh"),
+                num_mappers=4,
+                num_reducers=2,
+            ).run(spark)
+        except Exception as e:  # noqa: BLE001 — surfaced via errs
+            errs.append(e)
+
+    t0 = time.time()
+    threads = [threading.Thread(target=submit, args=(o,)) for o in outs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    assert not errs, errs
+    with open(
+        os.path.join(correct, "word_count_correct.txt"), encoding="utf-8"
+    ) as fh:
+        golden = sorted(fh.read().splitlines())
+    for out in outs:
+        assert sorted(os.listdir(out)) == ["part-00000", "part-00001"]
+        assert sorted(_read_parts(out)) == golden
+    assert wall < 18.0, f"two slow jobs took {wall:.1f}s — ran serially?"
+
+
+@needs_ref
 def test_identity_mapper_partition_placement(spark, tmp_path):
     """cat-as-mapper repartition+sort (the reference's test_worker_11
     shape): every intermediate line lands in the md5-chosen partition."""

@@ -204,6 +204,82 @@ def test_tws_branch_runs_where_protobuf_exists(spark, sf_dir):
     assert len(rows) > 0
 
 
+def test_upsert_foreachbatch_idempotent_merge_on_replay(spark, sf_dir, tmp_path):
+    """Failure injection for the foreachBatch MERGE: the sink crashes
+    AFTER writing its snapshot but BEFORE the checkpoint commits — the
+    worst-case window, where the restarted stream REPLAYS that batch.
+    An idempotent merge (source derived from batch_id, overwrite sink —
+    make_merge_upsert's contract) must converge to the exact batch
+    answer; a merge reading mutable 'latest snapshot' state would count
+    the replayed batch twice."""
+    import os
+
+    from eecs485_p4_mapreduce_spark.functions.numeric import dsum
+    from eecs485_p4_mapreduce_spark.sources import load_table
+    from eecs485_p4_mapreduce_spark.streaming import make_merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.repartitionByRange(4, "ts").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    tgt_base = str(tmp_path / "tgt")
+    os.makedirs(tgt_base)
+    ckpt = str(tmp_path / "ckpt")
+    state: dict[str, str] = {}
+    merge = make_merge_upsert(tgt_base, state)
+
+    class Boom(RuntimeError):
+        pass
+
+    crashed = {"done": False}
+
+    def crashy(batch_df, batch_id):
+        merge(batch_df, batch_id)  # snapshot v{batch_id} IS written...
+        if batch_id == 2 and not crashed["done"]:
+            crashed["done"] = True
+            raise Boom("injected crash after sink write, before commit")
+
+    def run(fn):
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # the injected Boom fails the query
+        run(crashy)
+    assert crashed["done"] and os.path.exists(f"{tgt_base}/v2/_SUCCESS")
+    run(crashy)  # restart from the same checkpoint: batch 2 REPLAYS
+    final = spark.read.parquet(state["dir"]).select(
+        "user_id",
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+        "last_ts",
+    )
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+        for r in final.collect()
+    }
+    exp = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == exp  # replayed batch merged exactly once
+
+
 def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     """Kill-and-restart recovery: a stateful streaming aggregation that
     stops after draining half its input files and restarts from the same
