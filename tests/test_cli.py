@@ -49,6 +49,38 @@ def test_mr_submit_shutdown_stops_cluster(monkeypatch):
     assert "shutdown" in buf.getvalue()
 
 
+def test_mr_submit_status_reports_cluster(monkeypatch):
+    """--status twin of the reference's `bin/mapreduce status` (prints
+    manager/worker liveness, exit 0 iff both run): manager = the Spark
+    driver/scheduler, workers = executor slots."""
+    import eecs485_p4_mapreduce_spark as pkg
+    from tools.mr_submit import main as mr_main
+
+    class FakeSC:
+        master = "local[32]"
+        defaultParallelism = 32
+
+    class FakeSession:
+        sparkContext = FakeSC()
+
+    monkeypatch.setattr(pkg, "get_spark", lambda name: FakeSession())
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert mr_main(["--status"]) == 0
+    out = buf.getvalue()
+    assert "manager running (local[32])" in out
+    assert "workers running (32 slots)" in out
+
+    def boom(name):
+        raise RuntimeError("no cluster")
+
+    monkeypatch.setattr(pkg, "get_spark", boom)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert mr_main(["--status"]) == 1
+    assert "manager not running" in buf.getvalue()
+
+
 def test_mr_submit_requires_job_args_without_shutdown():
     from tools.mr_submit import main as mr_main
 

@@ -29,6 +29,15 @@ def main(argv: list[str] | None = None) -> int:
         " 'shutdown'}; here the cluster is the SparkSession, so the twin"
         " is spark.stop())",
     )
+    ap.add_argument(
+        "--status",
+        action="store_true",
+        help="report cluster status instead of submitting a job "
+        "(reference bin/mapreduce status: prints manager/worker liveness,"
+        " exit 0 iff both run; here manager = the Spark driver/scheduler"
+        " and workers = executor slots, so the twin reports the session's"
+        " master and parallelism)",
+    )
     ap.add_argument("--input", help="input directory of text files")
     ap.add_argument("--output", help="output directory (created)")
     ap.add_argument("--mapper", help="mapper executable")
@@ -45,6 +54,17 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         print("shutdown")
         return 0
+    if args.status:
+        try:
+            spark = get_spark("mr-submit")
+            sc = spark.sparkContext
+            print(f"manager running ({sc.master})")
+            print(f"workers running ({sc.defaultParallelism} slots)")
+            return 0
+        except Exception:  # noqa: BLE001 — liveness probe, any failure = down
+            print("manager not running")
+            print("workers not running")
+            return 1
     missing = [
         f"--{k}" for k in ("input", "output", "mapper", "reducer")
         if getattr(args, k) is None
