@@ -841,3 +841,104 @@ def graph_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("harmonic_x2"),
     )
     return sc.orderBy(F.desc("harmonic_x2"), "doc_id").limit(_CENT_TOPK)
+
+
+_CENT_CAP = 8  # hub cap: neighbors kept per vertex in the capped graph
+
+
+def _capped_adjacency(edges: DataFrame) -> DataFrame:
+    """Deterministic hub cap: each vertex's adjacency truncated to its
+    _CENT_CAP smallest-id neighbors via a u-KEYED row_number window
+    (key-partitioned per-group top-k, never a global sort).  Factored
+    pre-checkpoint so tests/plan audits can pin the window shape (the
+    `_pagerank_step` convention — the checkpoint in the query hides the
+    executed sub-plan behind an ExistingRDD scan)."""
+    adj = edges.select(F.col("da").alias("u"), F.col("db").alias("v")).unionAll(
+        edges.select(F.col("db").alias("u"), F.col("da").alias("v"))
+    )
+    wcap = Window.partitionBy("u").orderBy("v")
+    return (
+        adj.withColumn("rk", F.row_number().over(wcap))
+        .filter(F.col("rk") <= _CENT_CAP)
+        .select("u", "v")
+    )
+
+
+def _centrality_capped_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
+
+    return f"""{MINHASH_BANDED_DUCK},
+    e AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    adj AS (SELECT da AS u, db AS v FROM e
+            UNION ALL SELECT db AS u, da AS v FROM e),
+    cap AS (SELECT u, v FROM (
+              SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) AS rk
+              FROM adj) WHERE rk <= {_CENT_CAP}),
+    one AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n1 FROM cap GROUP BY u),
+    two_raw AS (SELECT DISTINCT a1.u AS u, a2.v AS w
+                FROM cap a1 JOIN cap a2 ON a2.u = a1.v
+                WHERE a2.v <> a1.u),
+    two AS (SELECT t.u, CAST(COUNT(*) AS BIGINT) AS n2
+            FROM two_raw t
+            LEFT JOIN cap ON cap.u = t.u AND cap.v = t.w
+            WHERE cap.u IS NULL
+            GROUP BY t.u),
+    sc AS (SELECT one.u AS doc_id, one.n1, COALESCE(two.n2, 0) AS n2,
+                  2 * one.n1 + COALESCE(two.n2, 0) AS harmonic_x2
+           FROM one LEFT JOIN two ON two.u = one.u)
+    SELECT doc_id, n1, n2, harmonic_x2
+    FROM sc ORDER BY harmonic_x2 DESC, doc_id LIMIT {_CENT_TOPK}
+    """
+
+
+@query("graph_centrality_2hop_capped", oracle=_centrality_capped_oracle())
+def graph_centrality_2hop_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUB-CAPPED 2-hop harmonic centrality — the other half of the
+    wedge family's documented 100 TB plan (degree-ordered orientation,
+    implemented exactly in `_oriented_wedges`, PLUS hub capping, which
+    trades exactness for a hard fan-out bound and therefore lives in
+    its own query with its own oracle rather than silently changing
+    ``graph_centrality_2hop``).  Every vertex keeps only its
+    {_CENT_CAP} smallest-id neighbors (a DETERMINISTIC cap, so the
+    DuckDB twin replays it bit-exactly); n1/n2/harmonic_x2 are then the
+    exact centralities OF THE CAPPED GRAPH.  At web-graph skew this is
+    the production knob: wedge volume per middle drops from degree² to
+    ≤ {_CENT_CAP}², so a 10⁶-degree hub costs the same as any other
+    vertex while low-degree structure (most of the graph) is untouched.
+
+    Plan: adjacency cap is one u-keyed row_number window (key-
+    partitioned, per-partition heap — never a global sort), the wedge
+    closure is one capped-adjacency self-join with a DISTINCT, then the
+    strict-distance-2 anti-join and TakeOrdered of the exact query.
+    Determinism: integer counts, (score DESC, doc_id) tie-break, and a
+    cap rule that is a pure function of the edge set."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
+
+    edges = lsh_candidate_edges(spark, sf_dir)
+    # degree, both wedge sides, and the anti-join reuse the capped set
+    cap = _capped_adjacency(edges).localCheckpoint()
+    one = cap.groupBy("u").agg(F.count("*").cast("bigint").alias("n1"))
+    pairs2 = (
+        cap.alias("a1")
+        .join(cap.alias("a2"), F.col("a2.u") == F.col("a1.v"))
+        .filter(F.col("a2.v") != F.col("a1.u"))
+        .select(F.col("a1.u").alias("u"), F.col("a2.v").alias("w"))
+        .distinct()
+    )
+    strict2 = pairs2.alias("p").join(
+        cap.alias("c"),
+        (F.col("p.u") == F.col("c.u")) & (F.col("p.w") == F.col("c.v")),
+        "left_anti",
+    )
+    two = strict2.groupBy("u").agg(F.count("*").cast("bigint").alias("n2"))
+    sc = one.join(two, "u", "left").select(
+        F.col("u").alias("doc_id"),
+        "n1",
+        F.coalesce("n2", F.lit(0).cast("bigint")).alias("n2"),
+        (2 * F.col("n1") + F.coalesce("n2", F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias("harmonic_x2"),
+    )
+    return sc.orderBy(F.desc("harmonic_x2"), "doc_id").limit(_CENT_TOPK)

@@ -970,3 +970,30 @@ def test_centrality_2hop_stays_equi_join_take_ordered(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_centrality_capped_bounds_fanout_with_keyed_window(spark, sf_dir):
+    """graph_centrality_2hop_capped: the hub cap must be a u-KEYED
+    row_number window (never an unpartitioned sort), wedges close by
+    hash equi-joins over the checkpointed capped adjacency, and the
+    readout is TakeOrdered — the plan shape that keeps a 10^6-degree
+    hub as cheap as any vertex."""
+    plan = explain(spark, sf_dir, "graph_centrality_2hop_capped")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed capped adjacency
+    # the cap window itself executes inside the checkpointed
+    # sub-derivation, so pin its shape on the pre-checkpoint template
+    # (the _pagerank_step convention)
+    from eecs485_p4_mapreduce_spark.operators import graph
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
+
+    cap_plan = (
+        graph._capped_adjacency(lsh_candidate_edges(spark, sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", cap_plan)
+    assert specs and all(re.search(r"\bu#", sp) for sp in specs), specs
