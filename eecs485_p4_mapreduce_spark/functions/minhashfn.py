@@ -108,13 +108,19 @@ MINHASH_SIG_FOLD = (
 )
 
 
-def minhash_banded(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def minhash_banded(
+    docs: DataFrame, checkpoint: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """(signatures, per-band rows) for MinHash LSH over ``docs``.
 
     Returns ``sig_df`` (doc_id, sig) localCheckpointed -- every consumer
     references it repeatedly and projection collapse would otherwise
     recompute the signature per reference -- and ``sig`` exploded to one
-    row per (doc_id, band, band_hash).
+    row per (doc_id, band, band_hash).  ``checkpoint=False`` skips the
+    materialization for the one caller that immediately persists the
+    frame to the signature store (a parquet write IS the
+    materialization; checkpointing first would compute everything
+    twice).
 
     Construction choice, measured at sf0.1: the cost is ~one md5 per
     character of text, which is inherent (md5 is the only digest Spark
@@ -162,7 +168,8 @@ def minhash_banded(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
     # Materialize signatures once; at cluster scale this is a
     # checkpoint/cached table between stages.
-    sig_df = sig_df.localCheckpoint()
+    if checkpoint:
+        sig_df = sig_df.localCheckpoint()
     return sig_df, banded_from_sig(sig_df)
 
 

@@ -257,12 +257,39 @@ def minhash_signatures(
     Spark's public cross-session sharing surface, so a consumer running
     on a conf-scoped child session (e.g. ``dedup_minhash_calibration``)
     gets a frame bound to ITS session — its conf overrides apply — while
-    still reusing the one checkpointed signature RDD."""
+    still reusing the one materialized signature table.
+
+    Like the candidate edges one layer up, the signature table itself is
+    PERSISTED cross-application through the model store: the
+    md5-per-shingle floor (~the whole dedup-family tail) is paid once
+    per corpus ever, and a fresh application reads the published parquet
+    — the 'stored, bucketed signature TABLE that ingest keeps fresh'
+    the cache notes always described, made real on disk.  An unkeyable
+    corpus (unreadable mtime) falls back to the in-session
+    localCheckpoint."""
+    from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
+    from eecs485_p4_mapreduce_spark.functions.modelstore import (
+        load_or_build_frame,
+    )
+
     loader = load_table  # module global: respects monkeypatched loaders
-    key = (spark.sparkContext.applicationId, sf_dir, _mtime_token(sf_dir), loader)
+    token = _mtime_token(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, token, loader)
     name = _SIG_CACHE.get(key)
     if name is None:
-        sig_df, _ = _minhash_banded(loader(spark, sf_dir, "documents"))
+        if token is not None:
+            sig_df = load_or_build_frame(
+                spark,
+                loader_tag("minhash_sigs", (sf_dir, loader)),
+                sf_dir,
+                "documents",
+                "doc_id bigint, sig array<bigint>",
+                lambda: _mh.minhash_banded(
+                    loader(spark, sf_dir, "documents"), checkpoint=False
+                )[0],
+            )
+        else:
+            sig_df, _ = _minhash_banded(loader(spark, sf_dir, "documents"))
         name = f"sg_sig_{uuid.uuid4().hex[:12]}"
         sig_df.createOrReplaceGlobalTempView(name)
         _SIG_CACHE.put(key, name, on_evict=_drop_sig_view(spark))
