@@ -934,7 +934,9 @@ def attribution_first_vs_last(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2),
     base AS (SELECT cohort_week, n_users AS n0 FROM tri WHERE week_offset = 0)
     SELECT t.cohort_week, t.week_offset, t.n_users,
-           round(CAST(t.n_users AS DOUBLE) / b.n0, 6) AS retention
+           CAST(CAST((2 * CAST(t.n_users AS HUGEINT) * 1000000 + b.n0)
+                     // (2 * CAST(b.n0 AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS retention
     FROM tri t JOIN base b ON b.cohort_week = t.cohort_week
     """,
 )
@@ -966,7 +968,7 @@ def cohort_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_week",
         "week_offset",
         "n_users",
-        F.round(F.col("n_users").cast("double") / F.col("n0"), 6).alias("retention"),
+        hu_ratio("n_users", "n0", 6).alias("retention"),
     )
 
 
@@ -2664,9 +2666,13 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING COUNT(*) >= 2),
     s AS (SELECT pr.part_a, pr.part_b, pr.n_ab, x.c AS n_a, y.c AS n_b,
-                 round(CAST(pr.n_ab AS DOUBLE) * n.nb / (x.c * y.c), 6)
-                   AS lift,
-                 round(CAST(pr.n_ab AS DOUBLE) / x.c, 6) AS confidence_ab
+                 CAST(CAST((2 * CAST(pr.n_ab AS HUGEINT) * n.nb * 1000000
+                            + CAST(x.c AS HUGEINT) * y.c)
+                       // (2 * CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS DOUBLE)
+               / 1000000 AS lift,
+                 CAST(CAST((2 * CAST(pr.n_ab AS HUGEINT) * 1000000 + x.c)
+                      // (2 * CAST(x.c AS HUGEINT)) AS BIGINT) AS DOUBLE)
+              / 1000000 AS confidence_ab
           FROM pr JOIN pa x ON x.l_partkey = pr.part_a
                   JOIN pa y ON y.l_partkey = pr.part_b
           CROSS JOIN n)
@@ -2732,14 +2738,14 @@ def assoc_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_ab").cast("bigint").alias("n_pairs"),
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
-            F.round(
-                F.col("n_ab").cast("double") * F.col("nb")
-                / (F.col("n_a") * F.col("n_b")),
+            # integer half-up recipe with cross-multiplied support/prior
+            # products (decimal(38,0)/HUGEINT give the product headroom)
+            hu_ratio(
+                "cast(n_ab as decimal(38,0)) * nb",
+                "cast(n_a as decimal(38,0)) * n_b",
                 6,
             ).alias("lift"),
-            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
-                "confidence_ab"
-            ),
+            hu_ratio("n_ab", "n_a", 6).alias("confidence_ab"),
         )
     )
     return s.orderBy(F.desc("lift"), "part_a", "part_b").limit(20)
@@ -2771,7 +2777,9 @@ def assoc_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('month', d) AS TIMESTAMP) AS month,
            CAST(MAX(n_open) AS BIGINT) AS peak_open,
            CAST(MIN(n_open) AS BIGINT) AS min_open,
-           round(CAST(SUM(n_open) AS DOUBLE) / COUNT(*), 4) AS avg_open
+           CAST(CAST((2 * CAST(SUM(n_open) AS HUGEINT) * 10000 + COUNT(*))
+                     // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 10000 AS avg_open
     FROM run GROUP BY 1
     """,
 )
@@ -2823,7 +2831,8 @@ def interval_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(F.date_trunc("month", "d").alias("month")).agg(
         F.max("n_open").cast("bigint").alias("peak_open"),
         F.min("n_open").cast("bigint").alias("min_open"),
-        F.round(F.sum("n_open").cast("double") / F.count("*"), 4).alias("avg_open"),
+        # integer half-up recipe: count ratios can land on decimal halves
+        hu_ratio("sum(n_open)", "count(*)", 4).alias("avg_open"),
     )
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
 from eecs485_p4_mapreduce_spark.functions.memo import LRU, mtime_token
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS
 from eecs485_p4_mapreduce_spark.plans.registry import query
@@ -1080,7 +1081,9 @@ _PF_DEN = 10
             JOIN t0 x ON x.doc_id = c.doc_a
             JOIN t0 y ON y.doc_id = c.doc_b)
     SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter, CAST(un AS BIGINT) AS un,
-           round(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+           CAST(CAST((2 * CAST(inter AS HUGEINT) * 1000000 + un)
+                     // (2 * CAST(un AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS jaccard
     FROM ver WHERE {_PF_DEN} * inter >= {_PF_NUM} * un
     """,
 )
@@ -1160,7 +1163,8 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.col("inter").cast("bigint").alias("inter"),
             F.col("un").cast("bigint").alias("un"),
-            F.round(F.col("inter").cast("double") / F.col("un"), 6).alias("jaccard"),
+            # integer half-up recipe: |A∩B|/|A∪B| can land on halves
+            hu_ratio("inter", "un", 6).alias("jaccard"),
         )
     )
 
@@ -1408,8 +1412,9 @@ def _calibration_oracle() -> str:
       JOIN shs sb ON sb.doc_id = e.doc_b)
     SELECT est_sixteenths,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           round(CAST(SUM(inter) AS DOUBLE) / SUM(un), 6)
-             AS pooled_exact_jaccard
+           CAST(CAST((2 * CAST(SUM(inter) AS HUGEINT) * 1000000 + SUM(un))
+                     // (2 * CAST(SUM(un) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS pooled_exact_jaccard
     FROM exact GROUP BY est_sixteenths
     """
 
@@ -1504,9 +1509,8 @@ def _calibration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ex.groupBy("est_sixteenths").agg(
         F.count("*").cast("bigint").alias("n_pairs"),
-        F.round(F.sum("inter").cast("double") / F.sum("un"), 6).alias(
-            "pooled_exact_jaccard"
-        ),
+        # integer half-up recipe: pooled count ratios can land on halves
+        hu_ratio("sum(inter)", "sum(un)", 6).alias("pooled_exact_jaccard"),
     )
 
 

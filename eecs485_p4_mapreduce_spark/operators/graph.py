@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -293,7 +294,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE src IS NOT NULL GROUP BY src, dst),
     rowsum AS (SELECT src, SUM(c) AS total FROM edges GROUP BY src)
     SELECT e.src, e.dst, CAST(e.c AS BIGINT) AS n,
-           round(CAST(e.c AS DOUBLE) / r.total, 6) AS p
+           CAST(CAST((2 * CAST(e.c AS HUGEINT) * 1000000 + r.total)
+                     // (2 * CAST(r.total AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS p
     FROM edges e JOIN rowsum r ON r.src = e.src
     """,
 )
@@ -302,8 +305,8 @@ def graph_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     type | current type) from per-user consecutive pairs — the
     row-stochastic matrix behind next-event prediction and the very
     edge weights ``graph_pagerank`` walks.  One lag window (user_id
-    shuffle) + two tiny aggregates; probabilities divide exact integer
-    counts once."""
+    shuffle) + two tiny aggregates; probabilities render from exact integer
+    counts by the half-up recipe."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = e.select(
@@ -315,7 +318,8 @@ def graph_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src",
         "dst",
         F.col("c").cast("bigint").alias("n"),
-        F.round(F.col("c").cast("double") / F.col("total"), 6).alias("p"),
+        # integer half-up recipe: count ratios can land on decimal halves
+        hu_ratio("c", "total", 6).alias("p"),
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
+from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -113,7 +114,9 @@ _SEQ_BUDGET = 2048  # tokens per packed training sequence
       FROM packed)
     SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(tok) AS BIGINT) AS tokens_packed,
-           round(CAST(SUM(tok) AS DOUBLE) / {_SEQ_BUDGET}, 6) AS fill_ratio
+           CAST(CAST((2 * CAST(SUM(tok) AS HUGEINT) * 1000000 + {_SEQ_BUDGET})
+                     // (2 * CAST({_SEQ_BUDGET} AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS fill_ratio
     FROM seq
     GROUP BY lang, seq_id
     """,
@@ -144,7 +147,8 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy("lang", "seq_id").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("tok").cast("bigint").alias("tokens_packed"),
-        F.round(F.sum("tok").cast("double") / _SEQ_BUDGET, 6).alias("fill_ratio"),
+        # integer half-up recipe: token-count / budget can land on halves
+        hu_ratio("sum(tok)", str(_SEQ_BUDGET), 6).alias("fill_ratio"),
     )
 
 

@@ -516,7 +516,10 @@ def _mrr_oracle() -> str:
                        ELSE ({w_list})[first_rank] END AS DOUBLE) AS rr
       FROM hit)
     SELECT query_term, first_rank, rr,
-           round((SELECT SUM(rr) / COUNT(*) FROM rr), 6) AS mrr
+           (SELECT CAST(CAST((2 * CAST(SUM(CAST(rr AS DECIMAL(18,6)))
+                                   * 1000000 AS HUGEINT) + COUNT(*))
+                        // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT)
+                     AS DOUBLE) / 1000000 FROM rr) AS mrr
     FROM rr
     """
 
@@ -532,8 +535,9 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: reciprocal ranks are Python-precomputed literals
     indexed by rank (never query-time 1/rk division); terms missing
-    from the top-10 contribute exactly 0.0; MRR is one rounded division
-    of a ≤3-term sum.  Scale shape: the corpus-scale work is the BM25
+    from the top-10 contribute exactly 0.0; MRR renders by the integer
+    half-up recipe over the exact micro-rr sum (the literals have 6
+    decimals, so the mean is an integer ratio).  Scale shape: the corpus-scale work is the BM25
     pipeline itself; the top-10 list joins back to documents on a
     10-key broadcast hash join, the 3-row term table is a broadcast
     nested loop over those 10 rows, and everything after is
@@ -563,7 +567,14 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.element_at(warr, F.col("first_rank").cast("int")))
         .alias("rr"),
     ).localCheckpoint()
+    # integer half-up: rr values are exact 6-decimal literals, so the
+    # mean is an integer ratio at micro-rr scale — round(double, 6) of
+    # the division is the cross-engine half-boundary risk class
     mrr = rr.agg(
-        F.round(F.sum("rr") / F.count("*"), 6).alias("mrr")
+        F.expr(
+            "cast(cast((2 * cast(sum(cast(rr as decimal(18,6))) * 1000000"
+            " as decimal(38,0)) + count(*)) div (2 * cast(count(*) as"
+            " decimal(38,0))) as bigint) as double) / 1000000"
+        ).alias("mrr")
     )
     return rr.crossJoin(F.broadcast(mrr))

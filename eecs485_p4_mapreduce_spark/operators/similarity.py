@@ -1464,11 +1464,16 @@ def _calib_oracle() -> str:
           FROM p)
     SELECT bin,
            CAST(COUNT(*) AS BIGINT) AS n,
-           round(CAST(SUM(p_bp) AS DOUBLE) / (COUNT(*) * 10000.0), 6)
-             AS mean_predicted,
-           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
-           round(CAST(SUM(sq) AS DOUBLE) / (COUNT(*) * 100000000.0), 6)
-             AS brier
+           CAST(CAST((2 * CAST(SUM(p_bp) AS HUGEINT) * 100 + COUNT(*))
+                     // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS mean_predicted,
+           CAST(CAST((2 * CAST(SUM(y) AS HUGEINT) * 1000000 + COUNT(*))
+                     // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS pos_rate,
+           CAST(CAST((2 * CAST(SUM(sq) AS HUGEINT) + COUNT(*) * 100)
+                     // (2 * CAST(COUNT(*) AS HUGEINT) * 100) AS BIGINT)
+                AS DOUBLE)
+             / 1000000 AS brier
     FROM b GROUP BY bin
     """
 
@@ -1511,15 +1516,27 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("p_bp") - 10000 * F.col("y"))
          * (F.col("p_bp") - 10000 * F.col("y"))).alias("sq"),
     )
+    # integer half-up recipes: every readout is a ratio of exact integer
+    # sums (p_bp/sq are basis-point ints), so round(double, 6) of the
+    # division is the cross-engine half-boundary risk class.  The scale
+    # factors fold into the recipe: mean_predicted = sum_bp/(n*10^4) at
+    # 6 digits = half-up(sum_bp*10^2 / n) / 10^6, and brier =
+    # sum_sq/(n*10^8) at 6 digits = half-up(sum_sq / (n*10^2)) / 10^6.
     return b.groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.round(
-            F.sum("p_bp").cast("double") / (F.count("*") * 10000.0), 6
-        ).alias("mean_predicted"),
-        F.round(F.sum("y").cast("double") / F.count("*"), 6).alias("pos_rate"),
-        F.round(
-            F.sum("sq").cast("double") / (F.count("*") * 100000000.0), 6
-        ).alias("brier"),
+        hu_ratio("sum(p_bp) * cast(100 as bigint)", "count(*)", 0)
+        .cast("double")
+        .alias("_mp_raw"),
+        hu_ratio("sum(y)", "count(*)", 6).alias("pos_rate"),
+        hu_ratio("sum(sq)", "count(*) * cast(100 as bigint)", 0)
+        .cast("double")
+        .alias("_br_raw"),
+    ).select(
+        "bin",
+        "n",
+        (F.col("_mp_raw") / 1000000).alias("mean_predicted"),
+        "pos_rate",
+        (F.col("_br_raw") / 1000000).alias("brier"),
     )
 
 
@@ -1736,7 +1753,9 @@ def _brier_decomp_oracle() -> str:
           FROM b CROSS JOIN g)
     SELECT g.n,
            round(CAST(g.sy_tot AS DOUBLE) / g.n, 6) AS base_rate,
-           round(CAST(g.ssq_tot AS DOUBLE) / (g.n * 100000000.0), 6) AS brier,
+           CAST(CAST((2 * CAST(g.ssq_tot AS HUGEINT) + g.n * 100)
+                     // (2 * CAST(g.n AS HUGEINT) * 100) AS BIGINT) AS DOUBLE)
+             / 1000000 AS brier,
            round(CAST((SELECT SUM(CAST(t_rel AS DECIMAL(28,8))) FROM t)
                  AS DOUBLE) / g.n, 6) AS reliability,
            round(CAST((SELECT SUM(CAST(t_res AS DECIMAL(28,8))) FROM t)
@@ -1809,8 +1828,14 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(sums)).select(
         "n",
         F.round(ybar, 6).alias("base_rate"),
-        F.round(F.col("ssq_tot").cast("double") / (F.col("n") * 100000000.0), 6)
-        .alias("brier"),
+        # integer half-up: sum_sq/(n*10^8) at 6 digits
+        (
+            F.expr(
+                "cast((2 * cast(ssq_tot as decimal(38,0)) + n * 100)"
+                " div (2 * cast(n as decimal(38,0)) * 100) as bigint)"
+            ).cast("double")
+            / 1000000
+        ).alias("brier"),
         F.round(F.col("rel_s") / F.col("n"), 6).alias("reliability"),
         F.round(F.col("res_s") / F.col("n"), 6).alias("resolution"),
         F.round(ybar * (1 - ybar), 6).alias("uncertainty"),

@@ -932,7 +932,9 @@ def quality_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM g JOIN df ON df.g3 = g.g3)
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(SUM(uniq) AS BIGINT) AS n_novel,
-           round(CAST(SUM(uniq) AS DOUBLE) / COUNT(*), 6) AS novelty_ratio
+           CAST(CAST((2 * CAST(SUM(uniq) AS HUGEINT) * 1000000 + COUNT(*))
+                     // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS novelty_ratio
     FROM marked GROUP BY lang
     """,
 )
@@ -965,13 +967,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = g.join(df, "g3").select(
         "lang", F.when(F.col("nd") == 1, 1).otherwise(0).alias("uniq")
     )
-    return marked.groupBy("lang").agg(
+    g2 = marked.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_grams"),
         F.sum("uniq").cast("bigint").alias("n_novel"),
-        F.round(F.sum("uniq").cast("double") / F.count("*"), 6).alias(
-            "novelty_ratio"
-        ),
     )
+    # integer half-up recipe: count ratios can land on decimal halves
+    return g2.withColumn("novelty_ratio", hu_ratio("n_novel", "n_grams", 6))
 
 
 @query(
@@ -1769,17 +1770,23 @@ def quality_readability_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS ws_tokens,
              SUM(re) AS re_tokens, SUM(n_chars) AS chars
       FROM d GROUP BY lang),
-    en AS (SELECT CAST(re_tokens AS DOUBLE) / ws_tokens AS f_en
+    en AS (SELECT re_tokens AS re_en, ws_tokens AS ws_en
            FROM g WHERE lang = 'en')
     SELECT g.lang,
            CAST(g.n_docs AS BIGINT) AS n_docs,
            CAST(g.ws_tokens AS BIGINT) AS ws_tokens,
            CAST(g.re_tokens AS BIGINT) AS re_tokens,
-           round(CAST(g.re_tokens AS DOUBLE) / g.ws_tokens, 6) AS fertility,
-           round(CAST(g.chars AS DOUBLE) / g.re_tokens, 6)
-             AS chars_per_token,
-           round((CAST(g.re_tokens AS DOUBLE) / g.ws_tokens) / en.f_en, 6)
-             AS fertility_vs_en
+           CAST(CAST((2 * CAST(g.re_tokens AS HUGEINT) * 1000000 + g.ws_tokens)
+                     // (2 * CAST(g.ws_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS fertility,
+           CAST(CAST((2 * CAST(g.chars AS HUGEINT) * 1000000 + g.re_tokens)
+                     // (2 * CAST(g.re_tokens AS HUGEINT)) AS BIGINT) AS DOUBLE)
+             / 1000000 AS chars_per_token,
+           CAST(CAST((2 * CAST(g.re_tokens AS HUGEINT) * en.ws_en * 1000000
+                      + CAST(g.ws_tokens AS HUGEINT) * en.re_en)
+                     // (2 * CAST(g.ws_tokens AS HUGEINT) * en.re_en)
+                  AS BIGINT) AS DOUBLE)
+             / 1000000 AS fertility_vs_en
     FROM g, en
     """,
 )
@@ -1794,8 +1801,9 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: all inputs are integer counts (whitespace tokens, regex
     lexer matches via the shared Java∩RE2 ``_TOKEN_RE``, the n_chars
-    column) summed as BIGINTs; ratios are double divisions of exact
-    integers, rounded once.  Scale shape: scan-side token counting into
+    column) summed as BIGINTs; every ratio renders by the integer
+    half-up recipe, with the relative fertility cleared of its nested
+    division by cross-multiplication.  Scale shape: scan-side token counting into
     a lang-cardinality aggregate; the 1-row 'en' baseline is broadcast
     back onto the per-lang rows (broadcast-NL on a single row, never a
     CartesianProduct)."""
@@ -1815,22 +1823,22 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("chars"),
     )
     en = g.filter(F.col("lang") == "en").select(
-        (F.col("re_tokens").cast("double") / F.col("ws_tokens")).alias("f_en")
+        F.col("re_tokens").alias("re_en"), F.col("ws_tokens").alias("ws_en")
     )
+    # integer half-up recipes; fertility_vs_en clears the nested ratio by
+    # cross-multiplication — (re/ws)/(re_en/ws_en) = (re*ws_en)/(ws*re_en)
+    # — so even the relative readout is one exact integer ratio
+    # (decimal(38,0)/HUGEINT give the product headroom)
     return g.crossJoin(F.broadcast(en)).select(
         "lang",
         "n_docs",
         "ws_tokens",
         "re_tokens",
-        F.round(
-            F.col("re_tokens").cast("double") / F.col("ws_tokens"), 6
-        ).alias("fertility"),
-        F.round(F.col("chars").cast("double") / F.col("re_tokens"), 6).alias(
-            "chars_per_token"
-        ),
-        F.round(
-            (F.col("re_tokens").cast("double") / F.col("ws_tokens"))
-            / F.col("f_en"),
+        hu_ratio("re_tokens", "ws_tokens", 6).alias("fertility"),
+        hu_ratio("chars", "re_tokens", 6).alias("chars_per_token"),
+        hu_ratio(
+            "cast(re_tokens as decimal(38,0)) * ws_en",
+            "cast(ws_tokens as decimal(38,0)) * re_en",
             6,
         ).alias("fertility_vs_en"),
     )
