@@ -492,8 +492,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-4-gram Jaccard (>= 0.02), gated on MinHash-LSH
     candidate pairs -- the 100 TB shape end to end.
 
-    Candidates come from the same banded MinHash equi-join as
-    ``dedup_minhash_lsh`` (only (band, band_hash, doc_id) rows shuffle);
+    Candidates come from the STORED candidate-edge table (the same
+    banded MinHash equi-join as ``dedup_minhash_lsh``, derived once per
+    corpus and read as parquet thereafter — lsh_candidate_edges);
     the exact verify is then a per-candidate-pair ``array_intersect``
     over the two gram arrays, so the work is O(candidates * grams/doc),
     never the global inverted-index all-pairs join the round-2 version
@@ -501,16 +502,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade-offs cancel out and the comparison is exact.
     """
     docs = load_table(spark, sf_dir, "documents")
-    _, banded = minhash_signatures(spark, sf_dir)
-    cand = (
-        banded.select(F.col("doc_id").alias("doc_a"), "b", "band_hash")
-        .join(
-            banded.select(F.col("doc_id").alias("doc_b"), "b", "band_hash"),
-            ["b", "band_hash"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # the stored candidate-edge table IS this distinct band-collision
+    # pair set (bit-identical; see lsh_candidate_edges)
+    cand = lsh_candidate_edges(spark, sf_dir).select(
+        F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
     )
     # Materialize the gram arrays: Catalyst's projection collapse would
     # otherwise inline the tokenization into every one of the ~4*|doc|
@@ -1205,14 +1200,12 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives; the hard-delete paths verify).
     """
     docs = load_table(spark, sf_dir, "documents")
-    _, banded = minhash_signatures(spark, sf_dir)
-    pairs = (
-        banded.select(F.col("doc_id").alias("a"), "b", "band_hash")
-        .join(banded.select(F.col("doc_id").alias("p"), "b", "band_hash"),
-              ["b", "band_hash"])
-        .filter(F.col("a") != F.col("p"))
-        .select("a", "p")
-        .distinct()
+    # both orientations of the stored candidate-edge table == the
+    # distinct (a != p) band-collision pair set (edges are distinct
+    # low-high pairs, so the union introduces no duplicates)
+    e = lsh_candidate_edges(spark, sf_dir)
+    pairs = e.select(F.col("da").alias("a"), F.col("db").alias("p")).unionAll(
+        e.select(F.col("db").alias("a"), F.col("da").alias("p"))
     )
     pc = pairs.groupBy("a").agg(F.count("*").cast("bigint").alias("n_partners"))
     return (
@@ -1266,12 +1259,10 @@ def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus features.  Two rows out: removed=true / removed=false.
     """
     docs = load_table(spark, sf_dir, "documents")
-    _, banded = minhash_signatures(spark, sf_dir)
+    # victims = the higher-id endpoint of any stored candidate edge
     victims = (
-        banded.select(F.col("doc_id").alias("a"), "b", "band_hash")
-        .join(banded.select("doc_id", "b", "band_hash"), ["b", "band_hash"])
-        .filter(F.col("a") < F.col("doc_id"))
-        .select("doc_id")
+        lsh_candidate_edges(spark, sf_dir)
+        .select(F.col("db").alias("doc_id"))
         .distinct()
         .withColumn("removed_flag", F.lit(True))
     )
@@ -1355,16 +1346,8 @@ def contamination_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-    _, banded = minhash_signatures(spark, sf_dir)
-    pairs = (
-        banded.select(F.col("doc_id").alias("a"), "b", "band_hash")
-        .join(
-            banded.select(F.col("doc_id").alias("p"), "b", "band_hash"),
-            ["b", "band_hash"],
-        )
-        .filter(F.col("a") < F.col("p"))
-        .select("a", F.col("p").alias("doc_b"))
-        .distinct()
+    pairs = lsh_candidate_edges(spark, sf_dir).select(
+        F.col("da").alias("a"), F.col("db").alias("doc_b")
     )
     leaks = (
         pairs.join(
@@ -1428,13 +1411,8 @@ def _calibration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sig_df, sig = minhash_signatures(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), "b", "band_hash")
-    b = sig.select(F.col("doc_id").alias("doc_b"), "b", "band_hash")
-    pairs = (
-        a.join(b, ["b", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    pairs = lsh_candidate_edges(spark, sf_dir).select(
+        F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
     )
     # Re-attach via doc_id shuffle hash joins, not a broadcast: the
     # signature table is per-document (corpus-sized at 100 TB).

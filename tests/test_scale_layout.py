@@ -569,6 +569,61 @@ def test_model_store_roundtrip_and_cross_app_read(spark, tmp_path, monkeypatch):
     assert r1 == r2 == [(0, [0.5, 1e-17]), (1, [1.5, -2.25])]
 
 
+def test_frame_store_publishes_reads_and_stays_fresh(spark, tmp_path, monkeypatch):
+    """modelstore.load_or_build_frame (the stored derived-TABLE variant):
+    first call builds and publishes parquet; second call must read the
+    published table WITHOUT invoking build; rewriting the corpus in
+    place (new mtime) must re-derive — a stale stored edge/signature
+    table would silently corrupt every consumer.  Also pins the
+    varchar/string support in the row-store schema parser and the
+    split load_model/store_model halves."""
+    import shutil as _sh
+
+    from eecs485_p4_mapreduce_spark.functions import modelstore
+
+    monkeypatch.setattr(modelstore, "warehouse_path", lambda s: str(tmp_path))
+    d1 = tmp_path / "corpus"
+    d1.mkdir()
+    _sh.copy(
+        "/root/testdata/sf0.001/documents.parquet", d1 / "documents.parquet"
+    )
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(5).selectExpr("id AS da", "id + 1 AS db")
+
+    f1 = modelstore.load_or_build_frame(
+        spark, "tedges", str(d1), "documents", "da bigint, db bigint", build
+    )
+    assert f1.count() == 5 and builds == [1]
+    f2 = modelstore.load_or_build_frame(
+        spark, "tedges", str(d1), "documents", "da bigint, db bigint", build
+    )
+    assert f2.count() == 5 and builds == [1]  # hit: no rebuild
+    assert "parquet" in f2._jdf.queryExecution().executedPlan().toString().lower()
+    # in-place rewrite -> new mtime -> rebuild
+    import time as _t
+
+    _t.sleep(0.01)
+    _sh.copy(
+        "/root/testdata/sf0.001/documents.parquet", d1 / "documents.parquet"
+    )
+    modelstore.load_or_build_frame(
+        spark, "tedges", str(d1), "documents", "da bigint, db bigint", build
+    )
+    assert builds == [1, 1]
+    # split halves + varchar columns (the BPE merge-table shape)
+    assert modelstore.load_model(spark, "tbpe", str(d1), table="documents") is None
+    rows = [(0, "a", "b"), (1, "a b", "c")]
+    modelstore.store_model(
+        spark, "tbpe", str(d1), "round bigint, pa varchar, pb varchar",
+        rows, table="documents",
+    )
+    got = modelstore.load_model(spark, "tbpe", str(d1), table="documents")
+    assert got == rows
+
+
 def test_edge_cache_shared_and_mtime_fresh(spark, tmp_path, monkeypatch):
     """lsh_candidate_edges memoizes the band-graph family's shared edge
     set behind one checkpointed global view (bounded LRU), and the mtime
