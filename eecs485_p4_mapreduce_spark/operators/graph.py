@@ -198,13 +198,20 @@ def _oriented_wedges(oe: DataFrame) -> DataFrame:
 
 
 def _oriented_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every triangle of the candidate graph exactly once (see
+    :func:`_triangles_from_oriented`)."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_oriented_edges
+
+    return _triangles_from_oriented(lsh_oriented_edges(spark, sf_dir))
+
+
+def _triangles_from_oriented(oe: DataFrame) -> DataFrame:
     """Every triangle exactly once as ``(a, b, c)`` (key-ascending; the
     same unordered-triple multiset the id-oriented e JOIN e JOIN e
     closure lists): out-out wedges at the key-minimum vertex, closed by
-    one oriented-edge probe — sum(out-degree^2) total wedge work."""
-    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_oriented_edges
-
-    oe = lsh_oriented_edges(spark, sf_dir)
+    one oriented-edge probe — sum(out-degree^2) total wedge work.
+    Split from the corpus wrapper so the property test can drive it
+    over arbitrary generated edge sets."""
     ab, ac, bc = oe.alias("ab"), oe.alias("ac"), oe.alias("bc")
     return (
         ab.join(ac, F.col("ac.lo") == F.col("ab.lo"))

@@ -534,3 +534,158 @@ def test_integer_half_up_render_is_exact(num, den):
     if Fraction(frac - exp) >= Fraction(1, 2):
         exp += 1
     assert int(got) == exp, (num, den, got, exp)
+
+
+# ---- degree-oriented wedge/triangle enumeration (operators/graph.py) ------
+
+
+def _oriented_frame(spark, pairs):
+    """Build the lsh_oriented_edges shape (lo, hi, dlo, dhi) from a raw
+    undirected pair list — the same degree-orientation derivation
+    dedup.lsh_oriented_edges runs over the stored edge table."""
+    import pyspark.sql.functions as F
+
+    edges = spark.createDataFrame(
+        sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b}),
+        "da bigint, db bigint",
+    )
+    deg = (
+        edges.select(F.col("da").alias("doc_id"))
+        .unionAll(edges.select(F.col("db").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    e2 = edges.join(
+        deg.select(F.col("doc_id").alias("da"), F.col("d").alias("d_a")), "da"
+    ).join(deg.select(F.col("doc_id").alias("db"), F.col("d").alias("d_b")), "db")
+    a_first = F.struct("d_a", "da") < F.struct("d_b", "db")
+    oe = e2.select(
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("lo"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hi"),
+        F.when(a_first, F.col("d_a")).otherwise(F.col("d_b")).alias("dlo"),
+        F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dhi"),
+    )
+    return edges, oe
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_oriented_wedges_match_unoriented_multiset(spark, pairs):
+    """THE orientation-equivalence claim the round-7 wedge rewrite rests
+    on: `_oriented_wedges` (out-out / in-out / in-in class split over
+    the degree-oriented edge set) must produce EXACTLY the wedge
+    multiset of the classic both-directions enumeration
+    (adj JOIN adj ON a1.v = a2.u WHERE a1.u < a2.v) for ANY graph —
+    duplicates of a pair mean two distinct middles and must be
+    preserved, since linkpred COUNTS wedges per pair."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from eecs485_p4_mapreduce_spark.operators.graph import _oriented_wedges
+
+    edges, oe = _oriented_frame(spark, pairs)
+    if edges.count() == 0:
+        return
+    got = Counter(
+        (r["u"], r["w"]) for r in _oriented_wedges(oe).collect()
+    )
+    adj = edges.select(F.col("da").alias("u"), F.col("db").alias("v")).unionAll(
+        edges.select(F.col("db").alias("u"), F.col("da").alias("v"))
+    )
+    want = Counter(
+        (r["u"], r["w"])
+        for r in adj.alias("a1")
+        .join(adj.alias("a2"), F.col("a1.v") == F.col("a2.u"))
+        .filter(F.col("a1.u") < F.col("a2.v"))
+        .select(F.col("a1.u").alias("u"), F.col("a2.v").alias("w"))
+        .collect()
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_oriented_triangles_match_id_oriented_listing(spark, pairs):
+    """`_triangles_from_oriented` (out-out wedges at the key-minimum
+    vertex + one closing-edge probe) must list EXACTLY the unordered
+    triangle set of the classic id-oriented e JOIN e JOIN e closure,
+    each exactly once, for ANY graph."""
+    import pyspark.sql.functions as F
+
+    from eecs485_p4_mapreduce_spark.operators.graph import (
+        _triangles_from_oriented,
+    )
+
+    edges, oe = _oriented_frame(spark, pairs)
+    if edges.count() == 0:
+        return
+    got = sorted(
+        tuple(sorted((r["a"], r["b"], r["c"])))
+        for r in _triangles_from_oriented(oe).collect()
+    )
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    want = sorted(
+        tuple(sorted((r["a"], r["b"], r["c"])))
+        for r in ab.join(bc, F.col("bc.da") == F.col("ab.db"))
+        .join(
+            ac,
+            (F.col("ac.da") == F.col("ab.da")) & (F.col("ac.db") == F.col("bc.db")),
+        )
+        .select(
+            F.col("ab.da").alias("a"),
+            F.col("ab.db").alias("b"),
+            F.col("bc.db").alias("c"),
+        )
+        .collect()
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # each triangle exactly once
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),
+            st.integers(min_value=1, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_hu_ratio_spark_matches_fraction(spark, nd):
+    """functions/numeric.py::hu_ratio (the Spark half of the integer
+    half-up recipe) against exact Fraction arithmetic: for any
+    (num >= 0, den > 0) the rendered double must be exactly
+    round-half-up(num/den, 6 digits) / 10^6 — the DuckDB half is pinned
+    by test_integer_half_up_render_is_exact."""
+    from fractions import Fraction
+
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(nd)], "i long, num long, den long"
+    )
+    got = {
+        r["i"]: r["r"]
+        for r in df.select("i", hu_ratio("num", "den", 6).alias("r")).collect()
+    }
+    for i, (n, d) in enumerate(nd):
+        frac = Fraction(n * 10**6, d)
+        exp = frac.numerator // frac.denominator
+        if frac - exp >= Fraction(1, 2):
+            exp += 1
+        assert got[i] == exp / 10**6, (n, d, got[i], exp)
