@@ -689,3 +689,39 @@ def test_hu_ratio_spark_matches_fraction(spark, nd):
         if frac - exp >= Fraction(1, 2):
             exp += 1
         assert got[i] == exp / 10**6, (n, d, got[i], exp)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4 * 10**15),   # epoch_us horizon
+            st.integers(min_value=0, max_value=2**63 - 1),    # any int64 id
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: (r[0], r[1]),  # unique (ts, id) key, as in events
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_hugeint_packed_argmin_matches_struct_order(rows):
+    """The OHLC oracles' arg-extreme packing (round-7 fix): DuckDB's
+    arg_min over ``epoch_us * 2^63 + event_id`` (HUGEINT) must pick the
+    same row as the (ts, event_id) lexicographic STRUCT order Spark's
+    min_by uses — for ANY non-negative int64 event_id, which the old
+    1e9 multiplier silently violated past event_id >= 1e9."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (e HUGEINT, i HUGEINT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", [
+        (str(e), str(i), v) for e, i, v in rows
+    ])
+    got = con.execute(
+        "SELECT arg_min(v, CAST(e AS HUGEINT) * 9223372036854775808 + i),"
+        "       arg_max(v, CAST(e AS HUGEINT) * 9223372036854775808 + i)"
+        " FROM t"
+    ).fetchone()
+    lo = min(rows, key=lambda r: (r[0], r[1]))
+    hi = max(rows, key=lambda r: (r[0], r[1]))
+    assert (got[0], got[1]) == (lo[2], hi[2]), (got, lo, hi)
