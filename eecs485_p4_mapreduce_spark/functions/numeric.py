@@ -84,3 +84,54 @@ def hu_ratio_sql(num: str, den: str, n: int) -> str:
         f" + CAST({den} AS HUGEINT))"
         f" // (2 * CAST({den} AS HUGEINT)) AS BIGINT) AS DOUBLE) / {p}"
     )
+
+
+# Signed variant, for means of QUANTIZED-VALUE decimal sums (kl_nats,
+# Theil, time-weighted averages): the numerator is a sum of terms
+# c * q where q was quantized to k decimals, carried as the exact
+# integer sum at 10^k scale, and individual terms (hence the sum) may
+# be negative.  round(double, N) is HALF_UP = half-AWAY-FROM-ZERO in
+# Spark (BigDecimal) and away-from-zero in DuckDB (std::round), so the
+# signed recipe splits the sign out and applies the positive half-up
+# recipe to |num| and |den|:
+#     sign(num/den) * ((2*|num|*10^n + |den|) div (2*|den|)).
+# Contract: num and den any sign; den = 0 renders NULL in both dialects
+# (Spark's non-ANSI decimal ``div`` by zero is NULL; the DuckDB twin
+# NULLIFs the divisor).  To render round(mean, N) of a k-quantized sum
+# S/10^k over denominator n, call with num = S (the integer-scaled sum)
+# and den = n * 10^k.
+
+
+def hu_ratio_signed(num: str, den: str, n: int) -> Column:
+    """Spark column: round-half-away-from-zero of ``num/den`` to ``n``
+    digits, as DOUBLE; ``num``/``den`` may be negative (den = 0 is
+    NULL)."""
+    p = 10 ** n
+    a = f"abs(cast({num} as decimal(38,0)))"
+    d = f"abs(cast({den} as decimal(38,0)))"
+    sgn = (
+        f"(case when (cast({num} as decimal(38,0)) < 0)"
+        f" != (cast({den} as decimal(38,0)) < 0) then -1 else 1 end)"
+    )
+    return (
+        F.expr(
+            f"cast({sgn} * cast((2 * {a} * {p} + {d})"
+            f" div (2 * {d}) as bigint) as bigint)"
+        ).cast("double")
+        / p
+    )
+
+
+def hu_ratio_signed_sql(num: str, den: str, n: int) -> str:
+    """DuckDB twin of :func:`hu_ratio_signed`."""
+    p = 10 ** n
+    a = f"abs(CAST({num} AS HUGEINT))"
+    d = f"abs(CAST({den} AS HUGEINT))"
+    sgn = (
+        f"(CASE WHEN (CAST({num} AS HUGEINT) < 0)"
+        f" != (CAST({den} AS HUGEINT) < 0) THEN -1 ELSE 1 END)"
+    )
+    return (
+        f"CAST(CAST({sgn} * CAST((2 * {a} * {p} + {d})"
+        f" // NULLIF(2 * {d}, 0) AS BIGINT) AS BIGINT) AS DOUBLE) / {p}"
+    )

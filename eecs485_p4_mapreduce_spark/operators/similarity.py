@@ -1524,11 +1524,11 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum_sq/(n*10^8) at 6 digits = half-up(sum_sq / (n*10^2)) / 10^6.
     return b.groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n"),
-        hu_ratio("sum(p_bp) * cast(100 as bigint)", "count(*)", 0)
+        hu_ratio("cast(sum(p_bp) as decimal(38,0)) * 100", "count(*)", 0)
         .cast("double")
         .alias("_mp_raw"),
         hu_ratio("sum(y)", "count(*)", 6).alias("pos_rate"),
-        hu_ratio("sum(sq)", "count(*) * cast(100 as bigint)", 0)
+        hu_ratio("sum(sq)", "cast(count(*) as decimal(38,0)) * 100", 0)
         .cast("double")
         .alias("_br_raw"),
     ).select(

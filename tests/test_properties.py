@@ -725,3 +725,118 @@ def test_hugeint_packed_argmin_matches_struct_order(rows):
     lo = min(rows, key=lambda r: (r[0], r[1]))
     hi = max(rows, key=lambda r: (r[0], r[1]))
     assert (got[0], got[1]) == (lo[2], hi[2]), (got, lo, hi)
+
+
+# ---- signed half-up ratio + 10^k-scaled-sum render (round-8 item 1) --------
+
+
+def _half_away(num, den, digits):
+    """Exact round-half-AWAY-FROM-ZERO of num/den at `digits` decimals,
+    returned as the scaled integer (the recipe's contract), via Fraction."""
+    from fractions import Fraction
+
+    frac = Fraction(num * 10**digits, den)
+    sgn = -1 if frac < 0 else 1
+    a = abs(frac)
+    q = a.numerator // a.denominator
+    if a - q >= Fraction(1, 2):
+        q += 1
+    return sgn * q
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            st.integers(min_value=-(10**9), max_value=10**9).filter(lambda d: d != 0),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_hu_ratio_signed_spark_matches_fraction(spark, nd):
+    """functions/numeric.py::hu_ratio_signed against exact Fraction
+    arithmetic: for ANY-sign num/den the rendered double must be exactly
+    round-half-away-from-zero(num/den, 6 digits) / 10^6 — the signed
+    extension of the hu_ratio pin (round(double, N) is half-away in
+    BOTH engines, so away-from-zero is the cross-engine target)."""
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio_signed
+
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d) in enumerate(nd)], "i long, num long, den long"
+    )
+    got = {
+        r["i"]: r["r"]
+        for r in df.select(
+            "i", hu_ratio_signed("num", "den", 6).alias("r")
+        ).collect()
+    }
+    for i, (n, d) in enumerate(nd):
+        assert got[i] == _half_away(n, d, 6) / 10**6, (n, d, got[i])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**12), max_value=10**12),
+            st.integers(min_value=-(10**9), max_value=10**9).filter(lambda d: d != 0),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_hu_ratio_signed_sql_matches_fraction(nd):
+    """DuckDB twin of the signed recipe (hu_ratio_signed_sql) against
+    Fraction — including negative numerators AND denominators (the
+    bitext margin's avg-sum divisor can be negative)."""
+    import duckdb
+
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio_signed_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, num BIGINT, den BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, n, d) for i, (n, d) in enumerate(nd)],
+    )
+    expr = hu_ratio_signed_sql("num", "den", 6)
+    got = dict(con.execute(f"SELECT i, {expr} FROM t").fetchall())
+    for i, (n, d) in enumerate(nd):
+        assert got[i] == _half_away(n, d, 6) / 10**6, (n, d, got[i])
+
+
+@given(
+    st.integers(min_value=0, max_value=9),              # render digits N
+    st.sampled_from([4, 6, 8, 9, 15]),                  # value quantization k
+    st.lists(
+        st.integers(min_value=-(10**10), max_value=10**10),  # 10^k-scaled values
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_scaled_sum_mean_render_is_exact(digits, k, vals):
+    """The 10^k-scaled-sum form (round-8 conversion target): rendering
+    round(mean, N) of a k-decimal-quantized value sum via the signed
+    recipe with num = S (the integer sum at 10^k scale) and
+    den = n * 10^k must equal exact Fraction round-half-away of
+    (S/10^k)/n — for any k in the repo's quantization set and any
+    render scale N.  This is the contract kl_nats / theil / twavg /
+    davg-round sites rely on after conversion."""
+    import duckdb
+
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio_signed_sql
+
+    s = sum(vals)
+    n = len(vals)
+    con = duckdb.connect()
+    # call-site convention: fold the 10^k scale INSIDE the wide cast —
+    # a bare int32 product (n * 10^k) overflows before the helper's
+    # HUGEINT cast (the eval_calibration_bins ADVICE class)
+    expr = hu_ratio_signed_sql(str(s), f"CAST({n} AS HUGEINT) * {10**k}", digits)
+    got = con.execute(f"SELECT {expr}").fetchone()[0]
+    assert got == _half_away(s, n * 10**k, digits) / 10**digits, (
+        digits, k, s, n, got,
+    )
