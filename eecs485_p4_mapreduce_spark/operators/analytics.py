@@ -23,6 +23,9 @@ from eecs485_p4_mapreduce_spark.functions.numeric import (
     dsum,
     dsum_sql,
     hu_ratio,
+    hu_ratio_signed,
+    hu_ratio_signed_sql,
+    hu_ratio_sql,
 )
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -1790,7 +1793,7 @@ def window_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_theil_within_nation",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
       SELECT o.o_custkey, c.c_nationkey,
              SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS r
@@ -1799,18 +1802,26 @@ def window_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT c_nationkey, SUM(r) AS gr, COUNT(*) AS n
           FROM rev GROUP BY c_nationkey),
     mu AS (SELECT c_nationkey, gr, n,
-                  CAST(round(CAST(gr AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS m
+                  CAST({hu_ratio_sql("gr * 1000000",
+                                     "CAST(n AS HUGEINT) * 1000000", 6)}
+                       AS DECIMAL(18,6)) AS m
            FROM g),
     contrib AS (
       SELECT rev.c_nationkey,
-             CAST(round((CAST(rev.r AS DOUBLE) / CAST(mu.m AS DOUBLE))
-                        * round(ln(CAST(rev.r AS DOUBLE)
-                                   / CAST(mu.m AS DOUBLE)), 4), 4)
+             CAST({hu_ratio_signed_sql(
+                 "CAST(rev.r * 1000000 AS HUGEINT)"
+                 " * CAST(CAST(round(ln(CAST(rev.r AS DOUBLE)"
+                 " / CAST(mu.m AS DOUBLE)), 4) AS DECIMAL(18,4))"
+                 " * 10000 AS BIGINT)",
+                 "CAST(CAST(mu.m AS DECIMAL(38,6)) * 1000000 AS HUGEINT)"
+                 " * 10000", 4)}
                   AS DECIMAL(18,4)) AS x
       FROM rev JOIN mu ON mu.c_nationkey = rev.c_nationkey)
     SELECT c.c_nationkey,
            CAST(mu.n AS BIGINT) AS n_customers,
-           round(CAST(SUM(c.x) AS DOUBLE) / mu.n, 6) AS theil_within
+           {hu_ratio_signed_sql("SUM(c.x) * 10000",
+                                "CAST(mu.n AS HUGEINT) * 10000", 6)}
+             AS theil_within
     FROM contrib c JOIN mu ON mu.c_nationkey = c.c_nationkey
     GROUP BY c.c_nationkey, mu.n
     """,
@@ -1824,11 +1835,16 @@ def stats_theil_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     machines.  Read with stats_gini_revenue: same concentration story,
     but this one shards.
 
-    Each term (x/mu)ln(x/mu) quantizes its log factor to 4 places and
-    the whole contribution to 4 more before the decimal-exact sum --
-    the surprisal-family guard -- with exact-decimal group means
-    underneath.  Shape: one custkey aggregate, one nation aggregate,
-    one broadcast-able mean join back.
+    Each term (x/mu)ln(x/mu) quantizes its log factor to 4 places; the
+    term itself and the final mean then render via the integer half-up
+    recipe -- the term is the exact rational (r_i * L) / (m_i * 10^4)
+    over 10^6-scaled revenue/mean and the 10^4-scaled log, and the mean
+    of the 10^4-scaled term sum divides by n * 10^4 -- so no
+    round(double, N) of a decimal ratio survives anywhere (the
+    cross-engine half-boundary class).  The group mean itself is the
+    unsigned recipe over the 10^6-scaled revenue sum.  Shape: one
+    custkey aggregate, one nation aggregate, one broadcast-able mean
+    join back.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -1842,12 +1858,20 @@ def stats_theil_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = g.withColumn(
         "m",
-        F.round(F.col("gr").cast("double") / F.col("n"), 6).cast("decimal(18,6)"),
+        hu_ratio("gr * 1000000", "cast(n as decimal(38,0)) * 1000000", 6)
+        .cast("decimal(18,6)"),
     )
-    ratio = F.col("r").cast("double") / F.col("m").cast("double")
+    lnq4 = (
+        "cast(cast(round(ln(cast(r as double) / cast(m as double)), 4)"
+        " as decimal(18,4)) * 10000 as bigint)"
+    )
     contrib = rev.join(F.broadcast(mu), "c_nationkey").select(
         "c_nationkey",
-        F.round(ratio * F.round(F.log(ratio), 4), 4)
+        hu_ratio_signed(
+            f"cast(r * 1000000 as decimal(38,0)) * {lnq4}",
+            "cast(m * 1000000 as decimal(38,0)) * 10000",
+            4,
+        )
         .cast("decimal(18,4)")
         .alias("x"),
     )
@@ -1858,9 +1882,9 @@ def stats_theil_within_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_nationkey",
             F.col("n").cast("bigint").alias("n_customers"),
-            F.round(F.col("sx").cast("double") / F.col("n"), 6).alias(
-                "theil_within"
-            ),
+            hu_ratio_signed(
+                "sx * 10000", "cast(n as decimal(38,0)) * 10000", 6
+            ).alias("theil_within"),
         )
     )
 
@@ -2160,9 +2184,16 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSI_LN_DUCK = (
+    "CAST(CAST(round(ln((CAST(COALESCE(cell.c, 0) + 1 AS DOUBLE)"
+    " * (g.n_g + g.nb)) / (CAST(g.cg + 1 AS DOUBLE)"
+    " * (g.n_s + g.nb))), 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+)
+
+
 @query(
     "stats_psi_drift_by_source",
-    oracle="""
+    oracle=f"""
     WITH b AS (SELECT source,
                       CAST(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT)
                         AS bucket
@@ -2175,18 +2206,17 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM ns CROSS JOIN gb CROSS JOIN ng),
     t AS (
       SELECT g.source, g.n_s,
-             CAST(round(
-               (CAST(COALESCE(cell.c, 0) + 1 AS DOUBLE) / (g.n_s + g.nb)
-                - CAST(g.cg + 1 AS DOUBLE) / (g.n_g + g.nb))
-               * round(ln(
-                   (CAST(COALESCE(cell.c, 0) + 1 AS DOUBLE) * (g.n_g + g.nb))
-                   / (CAST(g.cg + 1 AS DOUBLE) * (g.n_s + g.nb))), 4),
-               6) AS DECIMAL(18,6)) AS contrib
+             CAST({hu_ratio_signed_sql(
+                 "(CAST(COALESCE(cell.c, 0) + 1 AS HUGEINT) * (g.n_g + g.nb)"
+                 " - CAST(g.cg + 1 AS HUGEINT) * (g.n_s + g.nb))"
+                 " * " + _PSI_LN_DUCK,
+                 "CAST(g.n_s + g.nb AS HUGEINT) * (g.n_g + g.nb) * 10000",
+                 6)} AS DECIMAL(18,6)) AS contrib
       FROM grid g LEFT JOIN cell
         ON cell.source = g.source AND cell.bucket = g.bucket)
     SELECT source, CAST(n_s AS BIGINT) AS n_docs,
-           round(CAST(SUM(contrib) AS DOUBLE), 6) AS psi,
-           round(CAST(SUM(contrib) AS DOUBLE), 6) >= 0.25 AS drifted
+           CAST(SUM(contrib) AS DOUBLE) AS psi,
+           SUM(contrib) * 4 >= 1 AS drifted
     FROM t GROUP BY source, n_s
     """,
 )
@@ -2197,11 +2227,12 @@ def stats_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     single worst CDF gap, PSI integrates mass reallocation across all
     bins (the score monitoring dashboards threshold at 0.1/0.25).
 
-    Determinism: bins are integer bit-lengths; Laplace-smoothed
-    probabilities (c+1)/(n+B) are single IEEE divisions of exact ints;
-    the ln factor is quantized round(4) BEFORE the product (the
-    surprisal convention), each bin's contribution is rounded to 6 and
-    cast DECIMAL before the order-independent sum.  Scale shape: one
+    Determinism: bins are integer bit-lengths; the ln factor is
+    quantized round(4) (the surprisal convention); each bin's
+    contribution is the EXACT integer rational of the Laplace
+    probability difference times the scaled log, rendered by the signed
+    half-up recipe and cast DECIMAL before the order-independent sum —
+    no round(double, N) of a ratio anywhere.  Scale shape: one
     map-side-combinable (source, bucket) aggregate is the only
     corpus-scale pass; bins and marginals are rollups of it; the grid
     is (sources × ~30 buckets), output-sized."""
@@ -2222,28 +2253,39 @@ def stats_psi_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ng))
         .join(F.broadcast(cell), ["source", "bucket"], "left")
     )
-    cs = F.coalesce(F.col("c"), F.lit(0)) + 1
-    p_s = cs.cast("double") / (F.col("n_s") + F.col("nb"))
-    p_g = (F.col("cg") + 1).cast("double") / (F.col("n_g") + F.col("nb"))
-    lnf = F.round(
-        F.log(
-            (cs.cast("double") * (F.col("n_g") + F.col("nb")))
-            / ((F.col("cg") + 1).cast("double") * (F.col("n_s") + F.col("nb")))
-        ),
-        4,
+    # contrib is the EXACT rational (p_s - p_g) * lnf over Laplace
+    # probabilities: num = (c+1)(n_g+nb) - (cg+1)(n_s+nb) and
+    # den = (n_s+nb)(n_g+nb), times the 10^4-scaled quantized log —
+    # rendered by the signed integer half-up recipe instead of
+    # round(double, 6) (the cross-engine half-boundary class).  The
+    # psi readout is then an exact-6-decimal sum: cast to double with
+    # no re-round (a value with <= 6 fractional digits is never at a
+    # 6-decimal boundary), and the drift flag is the cross-multiplied
+    # decimal compare s * 4 >= 1 (0.25 threshold), never a float one.
+    lnf4 = (
+        "cast(cast(round(ln((cast(coalesce(c, 0) + 1 as double) * (n_g + nb))"
+        " / (cast(cg + 1 as double) * (n_s + nb))), 4)"
+        " as decimal(18,4)) * 10000 as bigint)"
     )
     t = grid.select(
         "source",
         "n_s",
-        F.round((p_s - p_g) * lnf, 6).cast("decimal(18,6)").alias("contrib"),
+        hu_ratio_signed(
+            "(cast(coalesce(c, 0) + 1 as decimal(38,0)) * (n_g + nb)"
+            " - cast(cg + 1 as decimal(38,0)) * (n_s + nb))"
+            f" * {lnf4}",
+            "cast(n_s + nb as decimal(38,0)) * (n_g + nb) * 10000",
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("contrib"),
     )
     g = t.groupBy("source", "n_s").agg(F.sum("contrib").alias("s"))
-    psi = F.round(F.col("s").cast("double"), 6)
     return g.select(
         "source",
         F.col("n_s").cast("bigint").alias("n_docs"),
-        psi.alias("psi"),
-        (psi >= 0.25).alias("drifted"),
+        F.col("s").cast("double").alias("psi"),
+        (F.col("s") * 4 >= 1).alias("drifted"),
     )
 
 
@@ -2274,15 +2316,20 @@ _ATTR_MAX_TOUCHES = 16
       FROM capped),
     credit AS (
       SELECT (date_part('dow', ts) + 1) AS dow,
-             CAST(round(value / n, 6) AS DECIMAL(18,6)) AS lin,
-             CAST(round(value * ((1::BIGINT << (n - k0))
-                                 / CAST((1::BIGINT << n) - 1 AS DOUBLE)), 6)
+             CAST({hu_ratio_signed_sql(
+                 "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)",
+                 "CAST(n AS HUGEINT) * 1000000", 6)}
+                  AS DECIMAL(18,6)) AS lin,
+             CAST({hu_ratio_signed_sql(
+                 "CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+                 " AS HUGEINT) * (1::BIGINT << (n - k0))",
+                 "CAST((1::BIGINT << n) - 1 AS HUGEINT) * 1000000", 6)}
                   AS DECIMAL(18,6)) AS dec_c
       FROM sized)
     SELECT CAST(dow AS BIGINT) AS dow,
            CAST(COUNT(*) AS BIGINT) AS n_touches,
-           round(CAST(SUM(lin) AS DOUBLE), 6) AS credit_linear,
-           round(CAST(SUM(dec_c) AS DOUBLE), 6) AS credit_decay
+           CAST(SUM(lin) AS DOUBLE) AS credit_linear,
+           CAST(SUM(dec_c) AS DOUBLE) AS credit_decay
     FROM credit GROUP BY dow
     """,
 )
@@ -2297,8 +2344,9 @@ def attribution_position_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: decay shares are EXACT dyadic rationals 2^(n-k)/(2^n−1)
     built with integer shifts (the path-length cap of 16 keeps them in
-    int64; no float pow), each per-touch credit is one IEEE multiply
-    rounded to 6 and cast DECIMAL before the order-independent sum.
+    int64; no float pow), each per-touch credit renders the exact
+    integer rational via the signed half-up recipe and casts DECIMAL
+    before the order-independent sum — no round(double, N) anywhere.
     Scale shape: the purchase×click fan-out is bounded by the lookback
     window and the 16-touch cap; both windows partition on purchase id
     (bounded groups); the readout is a 7-group aggregate."""
@@ -2330,23 +2378,32 @@ def attribution_position_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = capped.withColumn(
         "n", F.count("*").over(Window.partitionBy("pid"))
     )
-    decay_share = F.expr(
-        "shiftleft(cast(1 as bigint), cast(n - k0 as int))"
-        " / cast(shiftleft(cast(1 as bigint), cast(n as int)) - 1 as double)"
-    )
+    # per-touch credits are EXACT integer rationals over the 10^6-scaled
+    # decimal value (v_i/n and v_i*2^(n-k)/((2^n-1)*10^6)), rendered by
+    # the signed half-up recipe instead of round(double, 6); the final
+    # rollup sums exact 6-decimal credits, so the double cast needs no
+    # re-round (a <= 6-fractional-digit value is never at a 6-decimal
+    # boundary)
+    v6i = "cast(cast(value as decimal(18,6)) * 1000000 as bigint)"
     credit = sized.select(
         F.dayofweek("ts").alias("dow"),
-        F.round(F.col("value") / F.col("n"), 6)
+        hu_ratio_signed(v6i, "cast(n as decimal(38,0)) * 1000000", 6)
         .cast("decimal(18,6)")
         .alias("lin"),
-        F.round(F.col("value") * decay_share, 6)
+        hu_ratio_signed(
+            f"cast({v6i} as decimal(38,0))"
+            " * shiftleft(cast(1 as bigint), cast(n - k0 as int))",
+            "cast(shiftleft(cast(1 as bigint), cast(n as int)) - 1"
+            " as decimal(38,0)) * 1000000",
+            6,
+        )
         .cast("decimal(18,6)")
         .alias("dec_c"),
     )
     return credit.groupBy("dow").agg(
         F.count("*").cast("bigint").alias("n_touches"),
-        F.round(F.sum("lin").cast("double"), 6).alias("credit_linear"),
-        F.round(F.sum("dec_c").cast("double"), 6).alias("credit_decay"),
+        F.sum("lin").cast("double").alias("credit_linear"),
+        F.sum("dec_c").cast("double").alias("credit_decay"),
     ).select(
         F.col("dow").cast("bigint").alias("dow"),
         "n_touches",
@@ -3133,13 +3190,15 @@ _SUPPRESS_K = 10
     oracle=f"""
     WITH cell AS (
       SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
-             {davg_sql('c_acctbal')} AS avg_bal
+             SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS sbal
       FROM customer GROUP BY 1, 2)
     SELECT c_nationkey, c_mktsegment,
            CASE WHEN n < {_SUPPRESS_K} THEN NULL
                 ELSE CAST(n AS BIGINT) END AS n_released,
            CASE WHEN n < {_SUPPRESS_K} THEN NULL
-                ELSE round(avg_bal, 4) END AS avg_bal,
+                ELSE {hu_ratio_signed_sql("sbal * 1000000",
+                                          "CAST(n AS HUGEINT) * 1000000", 4)}
+           END AS avg_bal,
            n < {_SUPPRESS_K} AS suppressed
     FROM cell
     """,
@@ -3157,14 +3216,18 @@ def privacy_small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale shape: one map-side-combinable two-key rollup; the gate is a
     projection over the bounded cell table.  Determinism: counts are
-    exact ints, the mean is the decimal-exact davg quantized round(4),
-    and the suppression predicate is an integer compare."""
-    from eecs485_p4_mapreduce_spark.functions.numeric import davg
-
+    exact ints, the released mean renders via the signed integer
+    half-up recipe over the 10^6-scaled exact decimal balance sum
+    (round(double, 4) of a decimal-sum ratio is the cross-engine
+    half-boundary class), and the suppression predicate is an integer
+    compare."""
     cell = (
         load_table(spark, sf_dir, "customer")
         .groupBy("c_nationkey", "c_mktsegment")
-        .agg(F.count("*").alias("n"), davg("c_acctbal").alias("avg_bal"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).alias("sbal"),
+        )
     )
     small = F.col("n") < _SUPPRESS_K
     return cell.select(
@@ -3173,7 +3236,13 @@ def privacy_small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFram
         F.when(small, F.lit(None)).otherwise(F.col("n")).cast("bigint").alias(
             "n_released"
         ),
-        F.when(small, F.lit(None)).otherwise(F.round("avg_bal", 4)).alias("avg_bal"),
+        F.when(small, F.lit(None))
+        .otherwise(
+            hu_ratio_signed(
+                "sbal * 1000000", "cast(n as decimal(38,0)) * 1000000", 4
+            )
+        )
+        .alias("avg_bal"),
         small.alias("suppressed"),
     )
 

@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
-from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+from eecs485_p4_mapreduce_spark.functions.numeric import (
+    hu_ratio,
+    hu_ratio_signed,
+    hu_ratio_signed_sql,
+)
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -499,7 +503,8 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cc ON cc.w = cs.w
       CROSS JOIN nc)
     SELECT c.source, ns.n AS n_tokens,
-           round(CAST(SUM(c.x) AS DOUBLE) / ns.n, 6) AS kl_nats
+           {hu_ratio_signed_sql("SUM(c.x) * 10000",
+                                "CAST(ns.n AS HUGEINT) * 10000", 6)} AS kl_nats
     FROM contrib c JOIN ns ON ns.source = c.source
     GROUP BY c.source, ns.n
     """,
@@ -516,8 +521,11 @@ def corpus_kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     own support (every ratio is of observed counts, so no smoothing
     term and no log of zero).  Cross-engine discipline: the log ratio
     quantizes to 4 places, multiplies the INTEGER count exactly in
-    decimal, and one double division per source happens at the end --
-    the surprisal-family guard applied to a two-distribution statistic.
+    decimal, and the final mean renders via the SIGNED integer half-up
+    recipe over the 10^4-scaled exact sum (quantization can push a
+    near-zero KL fractionally negative, and round(double, 6) of a
+    decimal-sum ratio is the cross-engine half-boundary class) -- the
+    surprisal-family guard applied to a two-distribution statistic.
     Shape: two word-keyed aggregates (source-conditional and global)
     joined on the word key, everything else output-sized.
     """
@@ -552,7 +560,9 @@ def corpus_kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         .select(
             "source",
             F.col("n").alias("n_tokens"),
-            F.round(F.col("sx").cast("double") / F.col("n"), 6).alias("kl_nats"),
+            hu_ratio_signed(
+                "sx * 10000", "cast(n as decimal(38,0)) * 10000", 6
+            ).alias("kl_nats"),
         )
     )
 
