@@ -1241,7 +1241,7 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_words) AS BIGINT) AS total_tokens,
            CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
-           round(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 4) AS avg_words
+           CAST(CAST((2 * CAST(SUM(n_words) AS HUGEINT) * 10000 + CAST(COUNT(*) AS HUGEINT)) // (2 * CAST(COUNT(*) AS HUGEINT)) AS BIGINT) AS DOUBLE) / 10000 AS avg_words
     FROM feat GROUP BY removed
     """.replace("{DT}", "list_filter(string_split_regex(lower(d.text), '\\s+'), t -> t <> '')"),
 )
@@ -1253,8 +1253,10 @@ def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     templates with high-quality prose attract near-dup clusters and the
     greedy rule may drop the wrong side).
 
-    Integer feature totals (words, stopwords) with one final rounded
-    division, so the comparison is bitwise; the only non-output-sized
+    Integer feature totals (words, stopwords) with the final mean
+    rendered by the integer half-up recipe (a pure count ratio --
+    round(double, 4) is the cross-engine half-boundary class), so the
+    comparison is bitwise; the only non-output-sized
     stages are the shared banded signature join and one scan of the
     corpus features.  Two rows out: removed=true / removed=false.
     """
@@ -1284,9 +1286,7 @@ def dedup_quality_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_words").cast("bigint").alias("total_tokens"),
         F.sum("n_stop").cast("bigint").alias("total_stopwords"),
-        F.round(
-            F.sum("n_words").cast("double") / F.count("*"), 4
-        ).alias("avg_words"),
+        hu_ratio("sum(n_words)", "count(*)", 4).alias("avg_words"),
     )
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.skew import salted_agg_count
+from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio, hu_ratio_sql
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -178,11 +179,12 @@ def param_sql_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "transpose_orders_matrix",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT o_orderstatus,
              CAST(COUNT(*) AS DOUBLE) AS n_orders,
-             round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2)
+             {hu_ratio_sql("SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000",
+                           "CAST(1000000 AS HUGEINT)", 2)}
                AS revenue
       FROM orders GROUP BY o_orderstatus)
     SELECT 'n_orders' AS key,
@@ -210,8 +212,13 @@ def transpose_orders_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy("o_orderstatus").agg(
         F.count("*").cast("double").alias("n_orders"),
-        F.round(
-            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double"), 2
+        # round(decimal-sum, 2) is the cross-engine half-boundary class
+        # (a 6-decimal sum CAN sit exactly on a 2-decimal half): render
+        # via the integer half-up recipe over the 10^6-scaled sum
+        hu_ratio(
+            "sum(cast(o_totalprice as decimal(18,6))) * 1000000",
+            "cast(1000000 as decimal(38,0))",
+            2,
         ).alias("revenue"),
     )
     return m.transpose()

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio, hu_ratio_sql
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -415,8 +415,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(-log2(CAST(c2.c12 AS DOUBLE) / c1.c1), 4) AS surprisal
       FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1))
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_surprisal
+           {hu_ratio_sql("SUM(CAST(surprisal AS DECIMAL(18,6))) * 1000000",
+                         "COUNT(*) * CAST(1000000 AS HUGEINT)", 6)}
+             AS avg_surprisal
     FROM scored GROUP BY doc_id
     """,
 )
@@ -429,8 +430,10 @@ def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts c(w1) over the whole corpus (two aggregates), then each
     document's bigrams join their probabilities and average.  Per-bigram
     surprisal is rounded to 4 places BEFORE the decimal-exact sum
-    (functions/numeric.py rationale) so the doc average is bitwise
-    stable across engines and partial-agg orders.  At 100 TB the count
+    (functions/numeric.py rationale), and the doc average renders via
+    the integer half-up recipe over the 10^6-scaled sum (never
+    round(double, 6) of a decimal ratio), so it is bitwise stable
+    across engines and partial-agg orders.  At 100 TB the count
     tables are the model: store them bucketed by key and this is two
     scan-aggregates plus two equi-joins, with frequency floors to cap
     vocab (not needed at test scale).
@@ -473,9 +476,9 @@ def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_bigrams"),
-        F.round(
-            F.sum(F.col("surprisal").cast("decimal(18,6)")).cast("double")
-            / F.count("*"),
+        hu_ratio(
+            "sum(cast(surprisal as decimal(18,6))) * 1000000",
+            "count(*) * cast(1000000 as decimal(38,0))",
             6,
         ).alias("avg_surprisal"),
     )
@@ -829,7 +832,7 @@ def token_bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cnt)
     SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) AS BIGINT) AS n_distinct,
-           round(CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE), 6) AS entropy
+           CAST(SUM(CAST(h AS DECIMAL(18,6))) AS DOUBLE) AS entropy
     FROM contrib GROUP BY doc_id
     """,
 )
@@ -858,9 +861,10 @@ def quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("doc_id").agg(
         F.max("n").cast("bigint").alias("n_tokens"),
         F.count("*").cast("bigint").alias("n_distinct"),
-        F.round(
-            F.sum(F.col("h").cast("decimal(18,6)")).cast("double"), 6
-        ).alias("entropy"),
+        # the 4-decimal-quantized contributions sum exactly in decimal;
+        # a <= 4-fractional-digit value is never at a 6-decimal half, so
+        # the double cast needs no re-round
+        F.sum(F.col("h").cast("decimal(18,6)")).cast("double").alias("entropy"),
     )
 
 
@@ -875,8 +879,9 @@ def quality_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(len(g3)) AS BIGINT) AS total_3grams,
            CAST(SUM(len(list_distinct(g3))) AS BIGINT) AS distinct_3grams,
-           round(1.0 - CAST(SUM(len(list_distinct(g3))) AS DOUBLE)
-                 / SUM(len(g3)), 6) AS repeated_ratio
+           {hu_ratio_sql(
+               "SUM(len(g3)) - SUM(len(list_distinct(g3)))",
+               "SUM(len(g3))", 6)} AS repeated_ratio
     FROM g GROUP BY lang
     """,
 )
@@ -885,9 +890,9 @@ def quality_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram granularity, complementing ``quality_repetition``'s top-token
     share): fraction of each document's 3-grams that are internal
     repeats, rolled up per language from integer totals.  Pure
-    scan-side array expressions + a 5-group aggregate; the ratio is
-    computed once from exact integer sums, so round(6) is the only
-    float step.
+    scan-side array expressions + a 5-group aggregate; the ratio
+    renders the exact integer rational (total - distinct)/total via
+    the half-up recipe, so no float step remains.
 
     Note the DuckDB range bound: ``range(1, greatest(len-1, 1))`` stops
     at len-2 (exclusive), matching Spark's inclusive
@@ -909,10 +914,9 @@ def quality_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.size("g3")).cast("bigint").alias("total_3grams"),
         F.sum(F.size(F.array_distinct("g3"))).cast("bigint").alias("distinct_3grams"),
-        F.round(
-            1.0
-            - F.sum(F.size(F.array_distinct("g3"))).cast("double")
-            / F.sum(F.size("g3")),
+        hu_ratio(
+            "sum(size(g3)) - sum(size(array_distinct(g3)))",
+            "sum(size(g3))",
             6,
         ).alias("repeated_ratio"),
     )
@@ -1287,8 +1291,9 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)),
     per_doc AS (
       SELECT doc_id,
-             round(CAST(SUM(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
-                   / COUNT(*), 6) AS avg_surprisal
+             {hu_ratio_sql("SUM(CAST(surprisal AS DECIMAL(18,6))) * 1000000",
+                           "COUNT(*) * CAST(1000000 AS HUGEINT)", 6)}
+               AS avg_surprisal
       FROM scored GROUP BY doc_id),
     bucketed AS (
       SELECT doc_id, avg_surprisal,
@@ -1297,8 +1302,9 @@ def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                        ELSE 'tail' END AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           round(CAST(SUM(CAST(avg_surprisal AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_surprisal,
+           {hu_ratio_sql("SUM(CAST(avg_surprisal AS DECIMAL(18,6))) * 1000000",
+                         "COUNT(*) * CAST(1000000 AS HUGEINT)", 6)}
+             AS mean_surprisal,
            MIN(avg_surprisal) AS min_surprisal,
            MAX(avg_surprisal) AS max_surprisal
     FROM bucketed GROUP BY bucket
@@ -1351,9 +1357,9 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("surprisal").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
+            hu_ratio(
+                "sum(cast(surprisal as decimal(18,6))) * 1000000",
+                "count(*) * cast(1000000 as decimal(38,0))",
                 6,
             ).alias("avg_surprisal")
         )
@@ -1376,9 +1382,9 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.round(
-                F.sum(F.col("avg_surprisal").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
+            hu_ratio(
+                "sum(cast(avg_surprisal as decimal(18,6))) * 1000000",
+                "count(*) * cast(1000000 as decimal(38,0))",
                 6,
             ).alias("mean_surprisal"),
             F.min("avg_surprisal").alias("min_surprisal"),
@@ -1703,8 +1709,10 @@ _SENT_RE = "[.!?]+"
            CAST(SUM(words) AS BIGINT) AS words,
            CAST(SUM(sentences) AS BIGINT) AS sentences,
            CAST(SUM(long_words) AS BIGINT) AS long_words,
-           round(CAST(SUM(words) AS DOUBLE) / SUM(sentences)
-                 + 100.0 * SUM(long_words) / SUM(words), 6) AS lix
+           {hu_ratio_sql(
+               "CAST(SUM(words) AS HUGEINT) * SUM(words)"
+               " + 100 * CAST(SUM(long_words) AS HUGEINT) * SUM(sentences)",
+               "CAST(SUM(sentences) AS HUGEINT) * SUM(words)", 6)} AS lix
     FROM d GROUP BY source
     """,
 )
@@ -1720,7 +1728,9 @@ def quality_readability_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: words/sentences/long-words are integer counts
     (whitespace tokens; sentence-delimiter runs via the shared Java∩RE2
     regex subset, per-doc floored at 1; token length >= 7), summed as
-    BIGINTs; LIX is computed once from the summed integers and rounded.
+    BIGINTs; LIX renders the exact rational (W^2 + 100*L*S)/(S*W) via
+    the integer half-up recipe (never round(double, 6) of an integer
+    ratio).
     Scale shape: pure scan-side projection (regexp_extract_all + two
     size(filter()) passes inside whole-stage codegen) into a
     source-cardinality hash aggregate — no joins, no windows, one
@@ -1749,9 +1759,13 @@ def quality_readability_lix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words",
         "sentences",
         "long_words",
-        F.round(
-            F.col("words").cast("double") / F.col("sentences")
-            + F.lit(100.0) * F.col("long_words") / F.col("words"),
+        # LIX = W/S + 100*L/W is the exact integer rational
+        # (W^2 + 100*L*S) / (S*W): render via the half-up recipe, never
+        # round(double, 6) of an integer ratio
+        hu_ratio(
+            "cast(words as decimal(38,0)) * words"
+            " + 100 * cast(long_words as decimal(38,0)) * sentences",
+            "cast(sentences as decimal(38,0)) * words",
             6,
         ).alias("lix"),
     )

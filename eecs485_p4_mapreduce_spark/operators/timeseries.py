@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from eecs485_p4_mapreduce_spark.functions.numeric import davg, davg_sql
+from eecs485_p4_mapreduce_spark.functions.numeric import (
+    davg,
+    davg_sql,
+    hu_ratio,
+    hu_ratio_sql,
+)
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -386,7 +391,7 @@ def stats_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_chi_square_independence",
-    oracle="""
+    oracle=f"""
     WITH obs AS (
       SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
              COUNT(*) AS o
@@ -395,12 +400,15 @@ def stats_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY dow),
     n AS (SELECT SUM(o) AS n FROM obs),
     cells AS (
-      SELECT obs.event_type, obs.dow, obs.o,
-             CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
+      SELECT obs.event_type, obs.dow,
+             CAST({hu_ratio_sql(
+                 "(CAST(obs.o AS HUGEINT) * n.n - CAST(rt.r AS HUGEINT) * ct.c)"
+                 " * (CAST(obs.o AS HUGEINT) * n.n - CAST(rt.r AS HUGEINT) * ct.c)",
+                 "CAST(n.n AS HUGEINT) * rt.r * ct.c", 6)}
+                  AS DECIMAL(24,9)) AS contrib
       FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-           round(CAST(SUM(CAST(round((o - e) * (o - e) / e, 6)
-                 AS DECIMAL(24,9))) AS DOUBLE), 6) AS chi_square
+           CAST(SUM(contrib) AS DOUBLE) AS chi_square
     FROM cells
     """,
 )
@@ -408,10 +416,15 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     """Chi-square independence audit of event_type vs day-of-week — the
     profiling check for 'is this categorical feature correlated with
     time' before trusting a split or a drift monitor.  Observed and
-    marginal counts are exact integers; each cell's (o-e)^2/e is a
-    deterministic double (integer arithmetic + one correctly-rounded
-    division), quantized at 1e-6 and decimal-summed so the statistic is
-    order-independent.  Contingency cells, not events, cross the wire."""
+    marginal counts are exact integers; each cell's (o-e)^2/e is the
+    EXACT integer rational (o*n - r*c)^2 / (n*r*c), rendered at 1e-6 by
+    the integer half-up recipe (never round(double, 6) -- the
+    cross-engine half-boundary class) and decimal-summed so the
+    statistic is order-independent; the 6-decimal sum casts straight to
+    double with no re-round.  int128/decimal(38,0) headroom bounds the
+    exact form at ~1e8 events ((o*n)^2 <= 1e38); beyond that, shard the
+    contingency or fall back to the two-pass double form.  Contingency
+    cells, not events, cross the wire."""
     e = load_table(spark, sf_dir, "events")
     obs = e.groupBy(
         "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
@@ -423,16 +436,14 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         obs.join(F.broadcast(rt), "event_type")
         .join(F.broadcast(ct), "dow")
         .crossJoin(F.broadcast(n))
-        .withColumn("e", F.col("r").cast("double") * F.col("c") / F.col("n"))
     )
-    contrib = F.round(
-        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 6
+    d = "(cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)"
+    contrib = hu_ratio(
+        f"{d} * {d}", "cast(n as decimal(38,0)) * r * c", 6
     )
     return cells.agg(
         F.count("*").cast("bigint").alias("n_cells"),
-        F.round(
-            F.sum(contrib.cast("decimal(24,9)")).cast("double"), 6
-        ).alias("chi_square"),
+        F.sum(contrib.cast("decimal(24,9)")).cast("double").alias("chi_square"),
     )
 
 

@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from eecs485_p4_mapreduce_spark.functions.numeric import (
+    hu_ratio_signed,
+    hu_ratio_signed_sql,
+)
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -660,7 +664,7 @@ def streaming_late_drop_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_time_weighted_avg",
-    oracle="""
+    oracle=f"""
     WITH seg AS (
       SELECT event_type, value,
              epoch_us(lead(ts) OVER (PARTITION BY event_type
@@ -669,12 +673,15 @@ def streaming_late_drop_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     m AS (
       SELECT event_type,
-             SUM(CAST(round(value, 6) AS DECIMAL(18,6)) * dur_us) AS wsum,
+             SUM(CAST(CAST(round(value, 6) AS DECIMAL(18,6)) * 1000000
+                      AS HUGEINT) * dur_us) AS wsum_i,
              CAST(SUM(dur_us) AS BIGINT) AS tot_us
       FROM seg WHERE dur_us IS NOT NULL
       GROUP BY event_type)
     SELECT event_type, tot_us,
-           round(CAST(wsum AS DOUBLE) / tot_us, 6) AS twavg
+           {hu_ratio_signed_sql("wsum_i",
+                                "CAST(tot_us AS HUGEINT) * 1000000", 6)}
+             AS twavg
     FROM m
     """,
 )
@@ -687,10 +694,12 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One lead() window per type for segment durations (the same keyed
     shuffle the sessionizers use), then integer-microsecond weights
-    times decimal-quantized values accumulate exactly -- the weighted
-    sum is a DECIMAL * BIGINT product, order-independent, with the one
-    double division at the end.  The final open-ended segment has no
-    duration and is excluded on both engines.
+    times 10^6-scaled integer values accumulate exactly in
+    decimal(38,0)/HUGEINT, and the TWAP renders via the signed integer
+    half-up recipe over (weighted sum, total_us * 10^6) -- never
+    round(double, N) of a decimal ratio (the cross-engine half-boundary
+    class).  The final open-ended segment has no duration and is
+    excluded on both engines.
     """
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -705,14 +714,19 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dur_us").isNotNull())
     m = seg.groupBy("event_type").agg(
         F.sum(
-            F.round("value", 6).cast("decimal(18,6)") * F.col("dur_us")
-        ).alias("wsum"),
+            F.expr(
+                "cast(cast(cast(round(value, 6) as decimal(18,6)) * 1000000"
+                " as bigint) as decimal(38,0)) * dur_us"
+            )
+        ).alias("wsum_i"),
         F.sum("dur_us").cast("bigint").alias("tot_us"),
     )
     return m.select(
         "event_type",
         "tot_us",
-        F.round(F.col("wsum").cast("double") / F.col("tot_us"), 6).alias("twavg"),
+        hu_ratio_signed(
+            "wsum_i", "cast(tot_us as decimal(38,0)) * 1000000", 6
+        ).alias("twavg"),
     )
 
 
@@ -784,7 +798,7 @@ def resample_peak_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "timeseries_seasonal_residual",
-    oracle="""
+    oracle=f"""
     WITH b AS (
       SELECT event_type, EXTRACT(HOUR FROM ts) AS hod,
              CAST(round(value, 6) AS DECIMAL(18,6)) AS v
@@ -794,7 +808,9 @@ def resample_peak_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY event_type, hod),
     m AS (
       SELECT event_type, hod, sv, n,
-             CAST(round(CAST(sv AS DOUBLE) / n, 6) AS DECIMAL(18,6)) AS mu
+             CAST({hu_ratio_signed_sql("sv * 1000000",
+                                       "CAST(n AS HUGEINT) * 1000000", 6)}
+                  AS DECIMAL(18,6)) AS mu
       FROM base),
     dev AS (
       SELECT b.event_type, b.hod, abs(b.v - m.mu) AS d, m.n, m.mu
@@ -822,7 +838,10 @@ def timeseries_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The threshold is a cross-multiplied decimal compare (dev * n >
     3 * sum_dev): the quantized cell mean makes every deviation an
-    exact decimal, so no float inequality ever decides membership.
+    exact decimal, so no float inequality ever decides membership; the
+    cell mean itself renders via the signed integer half-up recipe over
+    the 10^6-scaled value sum (never round(double, 6) of a decimal
+    ratio).
     Two passes over events (baseline, then deviations) joined on the
     output-sized (type, hour) grid.
     """
@@ -837,7 +856,9 @@ def timeseries_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = base.withColumn(
         "mu",
-        F.round(F.col("sv").cast("double") / F.col("n"), 6).cast("decimal(18,6)"),
+        hu_ratio_signed(
+            "sv * 1000000", "cast(n as decimal(38,0)) * 1000000", 6
+        ).cast("decimal(18,6)"),
     )
     dev = b.join(F.broadcast(m), ["event_type", "hod"]).select(
         "event_type", "hod", F.abs(F.col("v") - F.col("mu")).alias("d"), "n", "mu"
