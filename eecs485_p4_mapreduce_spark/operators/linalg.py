@@ -31,7 +31,12 @@ from eecs485_p4_mapreduce_spark.functions import kmeansfn
 from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
 from eecs485_p4_mapreduce_spark.functions.memo import LRU, mtime_token
 from eecs485_p4_mapreduce_spark.functions.modelstore import load_or_train
-from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio, hu_ratio_sql
+from eecs485_p4_mapreduce_spark.functions.numeric import (
+    hu_ratio,
+    hu_ratio_signed,
+    hu_ratio_signed_sql,
+    hu_ratio_sql,
+)
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -547,8 +552,9 @@ def _logreg_oracle() -> str:
            FROM z, unnest(range(1, 65)) AS t(d)),
     n AS (SELECT COUNT(*) AS n FROM e)
     SELECT el.d,
-           round(CAST(SUM(CAST(el.err * el.x AS DECIMAL(30,15))) AS DOUBLE)
-                 / n.n, 6) AS grad
+           {hu_ratio_signed_sql(
+               "SUM(CAST(el.err * el.x AS DECIMAL(30,15))) * 1000000000000000",
+               "CAST(n.n AS HUGEINT) * 1000000000000000", 6)} AS grad
     FROM el, n GROUP BY el.d, n.n
     """
 
@@ -596,14 +602,16 @@ def ml_logreg_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     el = z.select(
         (F.col("p") - F.col("y")).alias("err"), F.posexplode("v").alias("d0", "x")
     )
+    # the gradient component renders via the signed half-up recipe over
+    # the 10^15-scaled exact sum (never round(double, 6) of a decimal
+    # ratio); the k=15 scale bounds the int128-exact form at ~1e8 rows
+    # (|sum| * 10^30 <= 1e38) — shard or drop to k=9 beyond that
     return (
         el.groupBy((F.col("d0") + 1).alias("d"))
         .agg(
-            F.round(
-                F.sum((F.col("err") * F.col("x")).cast("decimal(30,15)")).cast(
-                    "double"
-                )
-                / n,
+            hu_ratio_signed(
+                "sum(cast(err * x as decimal(30,15))) * 1000000000000000",
+                f"cast({n} as decimal(38,0)) * 1000000000000000",
                 6,
             ).alias("grad")
         )
@@ -763,10 +771,10 @@ def _inertia_oracle() -> str:
           JOIN e ON e.vec_id = a.vec_id
           JOIN c{_KM_ROUNDS} c ON c.k = a.k)
         SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points,
-               round(CAST(SUM(CAST(dsq AS DECIMAL(20,4))) AS DOUBLE), 4)
-                 AS inertia,
-               round(CAST(SUM(CAST(dsq AS DECIMAL(20,4))) AS DOUBLE)
-                     / COUNT(*), 6) AS mean_sq_dist
+               CAST(SUM(CAST(dsq AS DECIMAL(20,4))) AS DOUBLE) AS inertia,
+               {hu_ratio_sql(
+                   "SUM(CAST(dsq AS DECIMAL(20,4))) * 10000",
+                   "COUNT(*) * CAST(10000 AS HUGEINT)", 6)} AS mean_sq_dist
         FROM cj GROUP BY k
         """
     )
@@ -788,8 +796,10 @@ def ml_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each point's squared distance is |x|² − 2x·c + |c|²
     from the same sequential-fold dots both engines use for the argmin,
     quantized round(4) BEFORE the per-cluster decimal sum (the ln-
-    quantization convention applied to distances); inertia and its mean
-    are then exact-decimal readouts.  Scale shape: one broadcast-
+    quantization convention applied to distances); inertia casts the
+    exact 4-decimal sum straight to double, and the mean renders via
+    the half-up recipe over the 10^4-scaled sum (never round(double, 6)
+    of a decimal ratio).  Scale shape: one broadcast-
     centroid scan, one ≤K-group aggregate."""
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -812,11 +822,14 @@ def ml_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cj.groupBy("k").agg(
         F.count("*").cast("bigint").alias("n_points"),
-        F.round(F.sum(F.col("dsq").cast("decimal(20,4)")).cast("double"), 4).alias(
+        # exact 4-decimal sum: no re-round needed on the double cast (a
+        # <= 4-fractional-digit value is never at a 4-decimal half)
+        F.sum(F.col("dsq").cast("decimal(20,4)")).cast("double").alias(
             "inertia"
         ),
-        F.round(
-            F.sum(F.col("dsq").cast("decimal(20,4)")).cast("double") / F.count("*"),
+        hu_ratio(
+            "sum(cast(dsq as decimal(20,4))) * 10000",
+            "count(*) * cast(10000 as decimal(38,0))",
             6,
         ).alias("mean_sq_dist"),
     )

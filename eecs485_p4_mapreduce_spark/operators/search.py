@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
+from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio, hu_ratio_sql
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -88,8 +89,8 @@ def search_phrase_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT tf.doc_id,
              COUNT(*) AS n_terms_matched,
-             round(CAST(SUM(CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4)
-                   AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+             CAST(SUM(CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS score
       FROM tf JOIN df USING (term) CROSS JOIN n
       GROUP BY tf.doc_id),
     ranked AS (
@@ -131,9 +132,10 @@ def search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_terms_matched"),
-            F.round(
-                F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double"), 6
-            ).alias("score"),
+            # exact 4-decimal contribution sum: the double cast needs
+            # no re-round (never at a 6-decimal half)
+            F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double")
+            .alias("score"),
         )
     )
     # global top-k via TakeOrdered (per-partition top-k + driver merge;
@@ -169,12 +171,12 @@ _BM25_B = 0.75
     scored AS (
       SELECT tf.doc_id,
              COUNT(*) AS n_terms_matched,
-             round(CAST(SUM(CAST(round(
+             CAST(SUM(CAST(round(
                ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
                * (tf.tf * ({_BM25_K1} + 1.0))
                / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
                   + {_BM25_B} * dl.dl / stats.avgdl)), 4)
-               AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+               AS DECIMAL(18,6))) AS DOUBLE) AS score
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
       GROUP BY tf.doc_id),
     ranked AS (
@@ -222,9 +224,10 @@ def search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_terms_matched"),
-            F.round(
-                F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double"), 6
-            ).alias("score"),
+            # exact 4-decimal contribution sum: the double cast needs
+            # no re-round (never at a 6-decimal half)
+            F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double")
+            .alias("score"),
         )
     )
     # global top-k via TakeOrdered (per-partition top-k + driver merge;
@@ -409,9 +412,9 @@ def _ndcg_oracle() -> str:
                AS idcg
              FROM ideal)
     SELECT CAST({_NDCG_K} AS BIGINT) AS k,
-           round(CAST(dcg.dcg AS DOUBLE), 6) AS dcg_at_k,
-           round(CAST(idcg.idcg AS DOUBLE), 6) AS idcg_at_k,
-           round(CAST(dcg.dcg AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6)
+           CAST(dcg.dcg AS DOUBLE) AS dcg_at_k,
+           CAST(idcg.idcg AS DOUBLE) AS idcg_at_k,
+           {hu_ratio_sql("dcg.dcg * 1000000", "idcg.idcg * 1000000", 6)}
              AS ndcg_at_k
     FROM dcg, idcg
     """
@@ -477,11 +480,12 @@ def search_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcg.crossJoin(F.broadcast(idcg))  # two 1-row sides: broadcast-NL, never CartesianProduct
         .select(
             F.lit(_NDCG_K).cast("bigint").alias("k"),
-            F.round(F.col("dcg").cast("double"), 6).alias("dcg_at_k"),
-            F.round(F.col("idcg").cast("double"), 6).alias("idcg_at_k"),
-            F.round(
-                F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
-            ).alias("ndcg_at_k"),
+            # dcg/idcg are exact 6-decimal sums (integer gain x 6-dec
+            # weight literals): double casts need no re-round, and the
+            # ratio renders via the half-up recipe over 10^6-scaled ints
+            F.col("dcg").cast("double").alias("dcg_at_k"),
+            F.col("idcg").cast("double").alias("idcg_at_k"),
+            hu_ratio("dcg * 1000000", "idcg * 1000000", 6).alias("ndcg_at_k"),
         )
     )
 

@@ -22,7 +22,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+from eecs485_p4_mapreduce_spark.functions.numeric import (
+    hu_ratio,
+    hu_ratio_signed,
+    hu_ratio_signed_sql,
+    hu_ratio_sql,
+)
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -894,18 +899,24 @@ def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_dim_stats",
-    oracle="""
+    oracle=f"""
     WITH el AS (
       SELECT d, CAST(embedding[d] AS DOUBLE) AS x
-      FROM embeddings, unnest(range(1, 65)) AS t(d))
-    SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
-           round(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
-             AS mean,
-           round(CAST(SUM(CAST(x * x AS DECIMAL(28,15))) AS DOUBLE) / COUNT(*)
-                 - (CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*))
-                   * (CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)), 6)
-             AS var_pop
-    FROM el GROUP BY d
+      FROM embeddings, unnest(range(1, 65)) AS t(d)),
+    g AS (
+      SELECT d, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(18,9))) AS sx,
+             SUM(CAST(x * x AS DECIMAL(28,15))) AS sxx
+      FROM el GROUP BY d)
+    SELECT d, CAST(n AS BIGINT) AS n,
+           {hu_ratio_signed_sql("CAST(sx * 1000000000 AS HUGEINT)",
+                                "CAST(n AS HUGEINT) * 1000000000", 6)} AS mean,
+           {hu_ratio_signed_sql(
+               "CAST(n AS HUGEINT) * CAST(sxx * 1000000000000000 AS HUGEINT)"
+               " * 1000 - CAST(sx * 1000000000 AS HUGEINT)"
+               " * CAST(sx * 1000000000 AS HUGEINT)",
+               "CAST(n AS HUGEINT) * n * 1000000000000000000", 6)} AS var_pop
+    FROM g
     """,
 )
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,17 +931,29 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = e.groupBy((F.col("d0") + 1).alias("d")).agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("x").cast("decimal(18,9)")).cast("double").alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(28,15)"))
-        .cast("double")
-        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(18,9)")).alias("sxd"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,15)")).alias("sxxd"),
     )
-    mean = F.col("sx") / F.col("n")
+    # mean and population variance are exact rationals of the 10^9- and
+    # 10^15-scaled integer sums: var = (n*sxx_i*10^3 - sx_i^2)/(n^2*10^18)
+    # — rendered by the signed half-up recipe, never round(double, 6).
+    # decimal(38,0)/int128 headroom bounds the exact form at
+    # |sum x| * 10^9 <= ~3e18 per dimension (~1e9 rows of unit-scale
+    # values); beyond that, shard or switch to the mean-shifted two-pass.
+    sx_i = "cast(sxd * 1000000000 as decimal(38,0))"
     return g.select(
         "d",
         "n",
-        F.round(mean, 6).alias("mean"),
-        F.round(F.col("sxx") / F.col("n") - mean * mean, 6).alias("var_pop"),
+        hu_ratio_signed(
+            "sxd * 1000000000", "cast(n as decimal(38,0)) * 1000000000", 6
+        ).alias("mean"),
+        hu_ratio_signed(
+            "cast(n as decimal(38,0))"
+            " * cast(sxxd * 1000000000000000 as decimal(38,0)) * 1000"
+            f" - {sx_i} * {sx_i}",
+            "cast(n as decimal(38,0)) * n * 1000000000000000000",
+            6,
+        ).alias("var_pop"),
     )
 
 
@@ -953,8 +976,7 @@ _INF_W = [-0.021426, -0.238382, -0.084529, -0.079714, -0.407197, 0.061007, 0.033
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_positive,
-           round(CAST(SUM(CAST(logit AS DECIMAL(18,6))) AS DOUBLE), 6)
-             AS total_logit
+           CAST(SUM(CAST(logit AS DECIMAL(18,6))) AS DOUBLE) AS total_logit
     FROM scored GROUP BY label
     """,
 )
@@ -997,9 +1019,11 @@ def inference_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("logit") > 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_positive"),
-        F.round(
-            F.sum(F.col("logit").cast("decimal(18,6)")).cast("double"), 6
-        ).alias("total_logit"),
+        # exact 6-decimal sum: the double cast needs no re-round (a
+        # <= 6-fractional-digit value is never at a 6-decimal half)
+        F.sum(F.col("logit").cast("decimal(18,6)")).cast("double").alias(
+            "total_logit"
+        ),
     )
 
 
@@ -1332,17 +1356,24 @@ _BTX_K = 4  # margin denominator: avg cosine of each side's top-k neighbors
     rx AS (SELECT *, row_number() OVER
              (PARTITION BY x_id ORDER BY cos_r DESC, y_id) AS rk FROM p),
     ax AS (SELECT x_id,
-                  round(CAST(SUM(CAST(cos_r AS DECIMAL(18,6))) AS DOUBLE)
-                        / {_BTX_K}, 6) AS avg_x
+                  {hu_ratio_signed_sql(
+                      "SUM(CAST(cos_r AS DECIMAL(18,6))) * 1000000",
+                      f"{_BTX_K} * CAST(1000000 AS HUGEINT)", 6)} AS avg_x
            FROM rx WHERE rk <= {_BTX_K} GROUP BY x_id),
     ry AS (SELECT *, row_number() OVER
              (PARTITION BY y_id ORDER BY cos_r DESC, x_id) AS rk FROM p),
     ay AS (SELECT y_id,
-                  round(CAST(SUM(CAST(cos_r AS DECIMAL(18,6))) AS DOUBLE)
-                        / {_BTX_K}, 6) AS avg_y
+                  {hu_ratio_signed_sql(
+                      "SUM(CAST(cos_r AS DECIMAL(18,6))) * 1000000",
+                      f"{_BTX_K} * CAST(1000000 AS HUGEINT)", 6)} AS avg_y
            FROM ry WHERE rk <= {_BTX_K} GROUP BY y_id),
     m AS (SELECT p.x_id, p.y_id, p.cos_r,
-                 round(2 * p.cos_r / (ax.avg_x + ay.avg_y), 6) AS margin
+                 {hu_ratio_signed_sql(
+                     "2 * CAST(CAST(p.cos_r AS DECIMAL(18,6)) * 1000000"
+                     " AS BIGINT)",
+                     "CAST(CAST(ax.avg_x AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+                     " + CAST(CAST(ay.avg_y AS DECIMAL(18,6)) * 1000000"
+                     " AS BIGINT)", 6)} AS margin
           FROM p JOIN ax ON ax.x_id = p.x_id
                  JOIN ay ON ay.y_id = p.y_id),
     bx AS (SELECT *, row_number() OVER
@@ -1364,9 +1395,12 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for the two languages.
 
     Determinism: pair cosines are rounded to 6 places BEFORE any
-    ranking or averaging; neighborhood averages sum decimals of the
-    rounded values (partial-agg order can't move an ulp); every window
-    tie-breaks on the vector id (the ranking convention).  Scale shape:
+    ranking or averaging; neighborhood averages and the margin render
+    via the signed integer half-up recipe over 10^6-scaled exact
+    decimals (never round(double, 6) of a decimal ratio — margin is
+    rank-determining, so a cross-engine half disagreement would flip
+    mutual-best pairs); every window tie-breaks on the vector id (the
+    ranking convention).  Scale shape:
     norms are precomputed per side so the pair stage does ONE dot
     product per pair; the top-k windows partition by vector id (never
     global); at 100 TB the exhaustive pair stage is replaced by the
@@ -1401,9 +1435,9 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BTX_K)
         .groupBy("x_id")
         .agg(
-            F.round(
-                F.sum(F.col("cos_r").cast("decimal(18,6)")).cast("double")
-                / _BTX_K,
+            hu_ratio_signed(
+                "sum(cast(cos_r as decimal(18,6))) * 1000000",
+                f"{_BTX_K} * cast(1000000 as decimal(38,0))",
                 6,
             ).alias("avg_x")
         )
@@ -1413,9 +1447,9 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _BTX_K)
         .groupBy("y_id")
         .agg(
-            F.round(
-                F.sum(F.col("cos_r").cast("decimal(18,6)")).cast("double")
-                / _BTX_K,
+            hu_ratio_signed(
+                "sum(cast(cos_r as decimal(18,6))) * 1000000",
+                f"{_BTX_K} * cast(1000000 as decimal(38,0))",
                 6,
             ).alias("avg_y")
         )
@@ -1427,8 +1461,17 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x_id",
             "y_id",
             "cos_r",
-            F.round(
-                2 * F.col("cos_r") / (F.col("avg_x") + F.col("avg_y")), 6
+            # margin = 2c/(ax+ay) over exact 6-decimal values is the
+            # integer rational 2*c_i/(ax_i + ay_i): signed half-up
+            # recipe (the divisor CAN be negative or zero for adversarial
+            # neighborhoods — the generalized recipe sign-splits both
+            # operands and renders NULL on a zero divisor in both
+            # dialects), never round(double, 6)
+            hu_ratio_signed(
+                "2 * cast(cast(cos_r as decimal(18,6)) * 1000000 as bigint)",
+                "cast(cast(avg_x as decimal(18,6)) * 1000000 as bigint)"
+                " + cast(cast(avg_y as decimal(18,6)) * 1000000 as bigint)",
+                6,
             ).alias("margin"),
         )
     )
@@ -1742,26 +1785,30 @@ def _brier_decomp_oracle() -> str:
                  CAST(SUM(ssq) AS BIGINT) AS ssq_tot
           FROM b),
     t AS (SELECT b.n_k,
-                 round(b.n_k * (CAST(b.sp AS DOUBLE) / (b.n_k * 10000.0)
-                                - CAST(b.sy AS DOUBLE) / b.n_k)
-                             * (CAST(b.sp AS DOUBLE) / (b.n_k * 10000.0)
-                                - CAST(b.sy AS DOUBLE) / b.n_k), 8) AS t_rel,
-                 round(b.n_k * (CAST(b.sy AS DOUBLE) / b.n_k
-                                - CAST(g.sy_tot AS DOUBLE) / g.n)
-                             * (CAST(b.sy AS DOUBLE) / b.n_k
-                                - CAST(g.sy_tot AS DOUBLE) / g.n), 8) AS t_res
+                 CAST({hu_ratio_sql(
+                     "(CAST(b.sp AS HUGEINT) - 10000 * b.sy)"
+                     " * (CAST(b.sp AS HUGEINT) - 10000 * b.sy)",
+                     "CAST(b.n_k AS HUGEINT) * 100000000", 8)}
+                      AS DECIMAL(28,8)) AS t_rel,
+                 CAST({hu_ratio_sql(
+                     "(CAST(b.sy AS HUGEINT) * g.n"
+                     " - CAST(b.n_k AS HUGEINT) * g.sy_tot)"
+                     " * (CAST(b.sy AS HUGEINT) * g.n"
+                     " - CAST(b.n_k AS HUGEINT) * g.sy_tot)",
+                     "CAST(b.n_k AS HUGEINT) * g.n * g.n", 8)}
+                      AS DECIMAL(28,8)) AS t_res
           FROM b CROSS JOIN g)
     SELECT g.n,
-           round(CAST(g.sy_tot AS DOUBLE) / g.n, 6) AS base_rate,
+           {hu_ratio_sql("g.sy_tot", "g.n", 6)} AS base_rate,
            CAST(CAST((2 * CAST(g.ssq_tot AS HUGEINT) + g.n * 100)
                      // (2 * CAST(g.n AS HUGEINT) * 100) AS BIGINT) AS DOUBLE)
              / 1000000 AS brier,
-           round(CAST((SELECT SUM(CAST(t_rel AS DECIMAL(28,8))) FROM t)
-                 AS DOUBLE) / g.n, 6) AS reliability,
-           round(CAST((SELECT SUM(CAST(t_res AS DECIMAL(28,8))) FROM t)
-                 AS DOUBLE) / g.n, 6) AS resolution,
-           round((CAST(g.sy_tot AS DOUBLE) / g.n)
-                 * (1 - CAST(g.sy_tot AS DOUBLE) / g.n), 6) AS uncertainty
+           {hu_ratio_sql("(SELECT SUM(t_rel) FROM t) * 100000000",
+                         "CAST(g.n AS HUGEINT) * 100000000", 6)} AS reliability,
+           {hu_ratio_sql("(SELECT SUM(t_res) FROM t) * 100000000",
+                         "CAST(g.n AS HUGEINT) * 100000000", 6)} AS resolution,
+           {hu_ratio_sql("CAST(g.sy_tot AS HUGEINT) * (g.n - g.sy_tot)",
+                         "CAST(g.n AS HUGEINT) * g.n", 6)} AS uncertainty
     FROM g
     """
 
@@ -1778,10 +1825,11 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: everything through the bin rollup is exact integers
     (the calibration-bins discipline); each bin's reliability and
-    resolution term is an identically-spelled double expression over
-    those ints, quantized round(8) BEFORE the ≤10-term decimal sum
-    (order-independent — bins would otherwise add in engine-dependent
-    order); the five outputs are single divisions quantized round(6).
+    resolution term is the EXACT integer rational over those ints
+    rendered at 1e-8 by the half-up recipe BEFORE the ≤10-term decimal
+    sum (order-independent — bins would otherwise add in
+    engine-dependent order); the five outputs are integer-ratio recipes
+    too, so no round(double, N) of a ratio survives.
     Scale shape: one scan into a ≤10-group aggregate, then constant
     rows."""
     w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
@@ -1814,20 +1862,31 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sy").cast("bigint").alias("sy_tot"),
         F.sum("ssq").cast("bigint").alias("ssq_tot"),
     )
-    pb = F.col("sp").cast("double") / (F.col("n_k") * 10000.0)
-    yb = F.col("sy").cast("double") / F.col("n_k")
-    ybar = F.col("sy_tot").cast("double") / F.col("n")
+    # each bin's reliability/resolution term is the EXACT integer
+    # rational ((sp - 10^4 sy)^2 / (n_k 10^8) and
+    # (sy n - n_k sy_tot)^2 / (n_k n^2)) rendered at 1e-8 by the half-up
+    # recipe; base rate, their means, and the uncertainty p(1-p) are
+    # integer-ratio recipes too — no round(double, N) anywhere.
+    # int128/decimal(38,0) headroom bounds the exact per-bin squares at
+    # ~1e10 rows per bin ((10^4 n_k)^2 * 2 * 10^8 <= 1e38); beyond that,
+    # shard the bins.
+    drel = "(cast(sp as decimal(38,0)) - 10000 * sy)"
+    dres = "(cast(sy as decimal(38,0)) * n - cast(n_k as decimal(38,0)) * sy_tot)"
     t = b.crossJoin(F.broadcast(g)).select(
-        F.round(F.col("n_k") * (pb - yb) * (pb - yb), 8).alias("t_rel"),
-        F.round(F.col("n_k") * (yb - ybar) * (yb - ybar), 8).alias("t_res"),
+        hu_ratio(
+            f"{drel} * {drel}", "cast(n_k as decimal(38,0)) * 100000000", 8
+        ).cast("decimal(28,8)").alias("t_rel"),
+        hu_ratio(
+            f"{dres} * {dres}", "cast(n_k as decimal(38,0)) * n * n", 8
+        ).cast("decimal(28,8)").alias("t_res"),
     )
     sums = t.agg(
-        F.sum(F.col("t_rel").cast("decimal(28,8)")).cast("double").alias("rel_s"),
-        F.sum(F.col("t_res").cast("decimal(28,8)")).cast("double").alias("res_s"),
+        F.sum("t_rel").alias("rel_s"),
+        F.sum("t_res").alias("res_s"),
     )
     return g.crossJoin(F.broadcast(sums)).select(
         "n",
-        F.round(ybar, 6).alias("base_rate"),
+        hu_ratio("sy_tot", "n", 6).alias("base_rate"),
         # integer half-up: sum_sq/(n*10^8) at 6 digits
         (
             F.expr(
@@ -1836,9 +1895,17 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
             / 1000000
         ).alias("brier"),
-        F.round(F.col("rel_s") / F.col("n"), 6).alias("reliability"),
-        F.round(F.col("res_s") / F.col("n"), 6).alias("resolution"),
-        F.round(ybar * (1 - ybar), 6).alias("uncertainty"),
+        hu_ratio(
+            "rel_s * 100000000", "cast(n as decimal(38,0)) * 100000000", 6
+        ).alias("reliability"),
+        hu_ratio(
+            "res_s * 100000000", "cast(n as decimal(38,0)) * 100000000", 6
+        ).alias("resolution"),
+        hu_ratio(
+            "cast(sy_tot as decimal(38,0)) * (n - sy_tot)",
+            "cast(n as decimal(38,0)) * n",
+            6,
+        ).alias("uncertainty"),
     )
 
 
