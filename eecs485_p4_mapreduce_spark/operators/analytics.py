@@ -441,20 +441,26 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_correlation",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sxd,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS syd,
+             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,12))) AS sxyd,
              CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
              CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,12))) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
-           round((n * sxy - sx * sy)
-                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+           {hu_ratio_signed_sql(
+               "CAST(n AS HUGEINT) * CAST(sxyd * 1000000000000 AS HUGEINT)"
+               " - CAST(sxd * 1000000 AS HUGEINT)"
+               " * CAST(syd * 1000000 AS HUGEINT)",
+               "CAST(n AS HUGEINT) * (n - 1) * 1000000000000", 6)}
+             AS covar_samp,
+           round((n * CAST(sxyd AS DOUBLE) - CAST(sxd AS DOUBLE) * CAST(syd AS DOUBLE))
+                 / (sqrt(n * sxx - CAST(sxd AS DOUBLE) * CAST(sxd AS DOUBLE))
+                    * sqrt(n * syy - CAST(syd AS DOUBLE) * CAST(syd AS DOUBLE))), 6) AS corr
     FROM s
     """,
 )
@@ -471,24 +477,37 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     prod = lambda a, b: (F.col(a) * F.col(b)).cast("decimal(28,12)")  # noqa: E731
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum(dec6("l_quantity")).cast("double").alias("sx"),
-        F.sum(dec6("l_extendedprice")).cast("double").alias("sy"),
-        F.sum(prod("l_quantity", "l_extendedprice")).cast("double").alias("sxy"),
+        F.sum(dec6("l_quantity")).alias("sxd"),
+        F.sum(dec6("l_extendedprice")).alias("syd"),
+        F.sum(prod("l_quantity", "l_extendedprice")).alias("sxyd"),
         F.sum(prod("l_quantity", "l_quantity")).cast("double").alias("sxx"),
         F.sum(prod("l_extendedprice", "l_extendedprice")).cast("double").alias("syy"),
     )
     n = F.col("n")
+    sx = F.col("sxd").cast("double")
+    sy = F.col("syd").cast("double")
+    sxy = F.col("sxyd").cast("double")
+    # covar_samp = (n*sxy_i - sx_i*sy_i)/(n(n-1)*10^12) is the exact
+    # rational over the 10^12/10^6-scaled decimal sums: signed half-up
+    # recipe (int128-exact to ~1e10 rows per group); corr divides by a
+    # product of sqrts — sqrt outputs are never decimal halves
+    # (CLAUDE.md rule), so round(identical-double, 6) stays safe there
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n"),
-        F.round(
-            (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1), 6
+        hu_ratio_signed(
+            "cast(n as decimal(38,0))"
+            " * cast(sxyd * 1000000000000 as decimal(38,0))"
+            " - cast(sxd * 1000000 as decimal(38,0))"
+            " * cast(syd * 1000000 as decimal(38,0))",
+            "cast(n as decimal(38,0)) * (n - 1) * 1000000000000",
+            6,
         ).alias("covar_samp"),
         F.round(
-            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            (n * sxy - sx * sy)
             / (
-                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+                F.sqrt(n * F.col("sxx") - sx * sx)
+                * F.sqrt(n * F.col("syy") - sy * sy)
             ),
             6,
         ).alias("corr"),
@@ -977,7 +996,7 @@ def cohort_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "assoc_session_lift",
-    oracle="""
+    oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
@@ -1000,7 +1019,8 @@ def cohort_retention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND a.event_type < b.event_type
       GROUP BY a.event_type, b.event_type)
     SELECT p.ta, p.tb, CAST(p.cab AS BIGINT) AS n_both,
-           round(CAST(p.cab AS DOUBLE) * n.n_sessions / (sa.c * sb.c), 6) AS lift
+           {hu_ratio_sql("CAST(p.cab AS HUGEINT) * n.n_sessions",
+                         "CAST(sa.c AS HUGEINT) * sb.c", 6)} AS lift
     FROM pairs p
     JOIN single sa ON sa.event_type = p.ta
     JOIN single sb ON sb.event_type = p.tb
@@ -1014,7 +1034,8 @@ def assoc_session_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared 30-minute sessionization; the pair join runs on the
     DISTINCT (session, type) table (at most |types| rows per session,
     so the self-join is bounded by 5 x 5 per basket regardless of event
-    volume).  Lift divides exact integer counts once, rounded."""
+    volume).  Lift renders the exact integer ratio cab*N/(ca*cb) via the
+    half-up recipe (never round(double, 6) of an integer ratio)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -1063,8 +1084,9 @@ def assoc_session_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ta",
             "tb",
             F.col("cab").cast("bigint").alias("n_both"),
-            F.round(
-                F.col("cab").cast("double") * n_sessions / (F.col("ca") * F.col("cb")),
+            hu_ratio(
+                f"cast(cab as decimal(38,0)) * {n_sessions}",
+                "cast(ca as decimal(38,0)) * cb",
                 6,
             ).alias("lift"),
         )
@@ -1580,7 +1602,7 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_gini_revenue",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
       SELECT o_custkey,
              SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS r
@@ -1595,9 +1617,10 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ranked)
     SELECT CAST(n AS BIGINT) AS n_customers,
            CAST(tot AS DOUBLE) AS total_revenue,
-           round(2.0 * CAST(wsum AS DOUBLE)
-                   / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
-                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+           {hu_ratio_signed_sql(
+               "2 * CAST(wsum * 1000000 AS HUGEINT)"
+               " - (n + 1) * CAST(tot * 1000000 AS HUGEINT)",
+               "CAST(n AS HUGEINT) * CAST(tot * 1000000 AS HUGEINT)", 6)}
              AS gini
     FROM m
     """,
@@ -1612,8 +1635,10 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-arithmetic spelling of G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n
     over ascending-ranked x: per-customer revenue is an exact decimal
     sum, the rank orders by (decimal revenue, custkey) so ties are
-    impossible, and i*x_i accumulates in decimal -- the only doubles
-    are the final three-term expression, identical on both engines.
+    impossible, and i*x_i accumulates in decimal -- the readout
+    renders the exact rational (2*W_i - (n+1)*T_i)/(n*T_i) over the
+    10^6-scaled integer sums via the signed half-up recipe -- no
+    round(double, N) of a decimal ratio anywhere.
     The rank is the range-partitioned partition-offset global rank
     (functions/ranking.py) — no single-task window at any customer
     count; the only global frame left is the P-row offsets table.
@@ -1633,12 +1658,16 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("i") * F.col("r")).alias("wsum"),
     )
     n_d = F.col("n").cast("double")
+    # gini = 2W/(nT) - (n+1)/n is the exact rational
+    # (2*W_i - (n+1)*T_i) / (n*T_i) over the 10^6-scaled integer sums:
+    # signed half-up recipe, never round(double, 6) of a decimal ratio
     return m.select(
         F.col("n").cast("bigint").alias("n_customers"),
         F.col("tot").cast("double").alias("total_revenue"),
-        F.round(
-            2.0 * F.col("wsum").cast("double") / (n_d * F.col("tot").cast("double"))
-            - (n_d + 1.0) / n_d,
+        hu_ratio_signed(
+            "2 * cast(wsum * 1000000 as decimal(38,0))"
+            " - (n + 1) * cast(tot * 1000000 as decimal(38,0))",
+            "cast(n as decimal(38,0)) * cast(tot * 1000000 as decimal(38,0))",
             6,
         ).alias("gini"),
     )
@@ -1974,7 +2003,7 @@ def privacy_rtbf_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_welch_ttest",
-    oracle="""
+    oracle=f"""
     WITH g AS (
       SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS grp,
              CAST(COUNT(*) AS BIGINT) AS n,
@@ -1990,7 +2019,7 @@ def privacy_rtbf_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN grp = 'other' THEN ss END) AS ss2
       FROM g),
     d AS (
-      SELECT n1, n2,
+      SELECT n1, n2, s1, s2,
              CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
              (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)
                AS v1,
@@ -1998,7 +2027,9 @@ def privacy_rtbf_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS v2
       FROM w)
     SELECT n1 AS n_en, n2 AS n_other,
-           round(m1 - m2, 4) AS mean_diff,
+           {hu_ratio_signed_sql(
+               "CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1",
+               "CAST(n1 AS HUGEINT) * n2", 4)} AS mean_diff,
            round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
            round(pow(v1 / n1 + v2 / n2, 2)
                  / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
@@ -2053,7 +2084,15 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         F.col("n1").alias("n_en"),
         F.col("n2").alias("n_other"),
-        F.round(m1 - m2, 4).alias("mean_diff"),
+        # mean_diff = s1/n1 - s2/n2 is the exact integer rational
+        # (s1*n2 - s2*n1)/(n1*n2): signed half-up recipe; the
+        # sqrt-based t statistic and df stay round(identical-double)
+        # (sqrt outputs are never decimal halves, CLAUDE.md rule)
+        hu_ratio_signed(
+            "cast(s1 as decimal(38,0)) * n2 - cast(s2 as decimal(38,0)) * n1",
+            "cast(n1 as decimal(38,0)) * n2",
+            4,
+        ).alias("mean_diff"),
         F.round((m1 - m2) / F.sqrt(se2), 4).alias("t_stat"),
         F.round(
             F.pow(se2, 2)
@@ -3037,7 +3076,7 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "stats_spearman_correlation",
-    oracle="""
+    oracle=f"""
     WITH cust AS (
       SELECT o_custkey,
              CAST(COUNT(*) AS BIGINT) AS x,
@@ -3053,9 +3092,9 @@ def dq_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
              SUM(CAST((rx - ry) * (rx - ry) AS DECIMAL(38,0))) AS sd2
       FROM r)
     SELECT n AS n_customers,
-           round(1 - 6 * CAST(sd2 AS DOUBLE)
-                 / (CAST(n AS DOUBLE)
-                    * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1)), 6)
+           {hu_ratio_signed_sql(
+               "CAST(n AS HUGEINT) * n * n - n - 6 * sd2",
+               "CAST(n AS HUGEINT) * n * n - n", 6)}
              AS spearman_rho
     FROM m
     """,
@@ -3102,11 +3141,15 @@ def stats_spearman_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("d2").cast("decimal(38,0)")).alias("sd2"),
         )
     )
-    nd = F.col("n").cast("double")
+    # rho = 1 - 6S/(n(n^2-1)) is the exact integer rational
+    # (n(n^2-1) - 6S)/(n(n^2-1)): signed half-up recipe (n^3 holds in
+    # decimal(38,0)/int128 to ~2e12 customers; shard beyond)
     return m.select(
         F.col("n").alias("n_customers"),
-        F.round(
-            1 - 6 * F.col("sd2").cast("double") / (nd * (nd * nd - 1)), 6
+        hu_ratio_signed(
+            "cast(n as decimal(38,0)) * n * n - n - 6 * sd2",
+            "cast(n as decimal(38,0)) * n * n - n",
+            6,
         ).alias("spearman_rho"),
     )
 

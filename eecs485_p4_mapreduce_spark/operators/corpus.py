@@ -397,8 +397,12 @@ _ZY_SPARK = "cast(round(ln(cast(c as double)), 4) as decimal(18,4))"
                  SUM(x * y) AS sxy, SUM(x * x) AS sxx
           FROM xy GROUP BY lang)
     SELECT lang, CAST(np AS BIGINT) AS n_terms,
-           round(CAST(np * sxy - sx * sy AS DOUBLE)
-                 / CAST(np * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+           {hu_ratio_signed_sql(
+               "CAST(np AS HUGEINT) * CAST(sxy * 100000000 AS HUGEINT)"
+               " - CAST(sx * 10000 AS HUGEINT) * CAST(sy * 10000 AS HUGEINT)",
+               "CAST(np AS HUGEINT) * CAST(sxx * 100000000 AS HUGEINT)"
+               " - CAST(sx * 10000 AS HUGEINT) * CAST(sx * 10000 AS HUGEINT)",
+               4)} AS zipf_slope
     FROM m
     """,
 )
@@ -435,13 +439,22 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    ) / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # the OLS slope is the exact rational
+    # (np*sxy_i - sx_i*sy_i)/(np*sxx_i - sx_i^2) over the 10^8/10^4-
+    # scaled quantized-log sums: signed half-up recipe, never
+    # round(double, 4) of a decimal ratio
     return m.select(
         "lang",
         F.col("np").cast("bigint").alias("n_terms"),
-        F.round(slope, 4).alias("zipf_slope"),
+        hu_ratio_signed(
+            "cast(np as decimal(38,0)) * cast(sxy * 100000000 as decimal(38,0))"
+            " - cast(sx * 10000 as decimal(38,0))"
+            " * cast(sy * 10000 as decimal(38,0))",
+            "cast(np as decimal(38,0)) * cast(sxx * 100000000 as decimal(38,0))"
+            " - cast(sx * 10000 as decimal(38,0))"
+            " * cast(sx * 10000 as decimal(38,0))",
+            4,
+        ).alias("zipf_slope"),
     )
 
 
@@ -806,9 +819,14 @@ def quality_url_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM pts)
     SELECT pts.decile, CAST(pts.n_docs AS BIGINT) AS n_docs,
            CAST(pts.vocab AS BIGINT) AS vocab,
-           round(CAST(m.np * m.sxy - m.sx * m.sy AS DOUBLE)
-                 / CAST(m.np * m.sxx - m.sx * m.sx AS DOUBLE), 4)
-             AS heaps_beta
+           {hu_ratio_signed_sql(
+               "CAST(m.np AS HUGEINT) * CAST(m.sxy * 100000000 AS HUGEINT)"
+               " - CAST(m.sx * 10000 AS HUGEINT)"
+               " * CAST(m.sy * 10000 AS HUGEINT)",
+               "CAST(m.np AS HUGEINT) * CAST(m.sxx * 100000000 AS HUGEINT)"
+               " - CAST(m.sx * 10000 AS HUGEINT)"
+               " * CAST(m.sx * 10000 AS HUGEINT)",
+               4)} AS heaps_beta
     FROM pts, m
     """,
 )
@@ -880,12 +898,18 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    beta = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    ) / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # same signed half-up OLS-slope recipe as corpus_zipf_slope
     return pts.crossJoin(F.broadcast(m)).select(
         "decile",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("vocab").cast("bigint").alias("vocab"),
-        F.round(beta, 4).alias("heaps_beta"),
+        hu_ratio_signed(
+            "cast(np as decimal(38,0)) * cast(sxy * 100000000 as decimal(38,0))"
+            " - cast(sx * 10000 as decimal(38,0))"
+            " * cast(sy * 10000 as decimal(38,0))",
+            "cast(np as decimal(38,0)) * cast(sxx * 100000000 as decimal(38,0))"
+            " - cast(sx * 10000 as decimal(38,0))"
+            " * cast(sx * 10000 as decimal(38,0))",
+            4,
+        ).alias("heaps_beta"),
     )

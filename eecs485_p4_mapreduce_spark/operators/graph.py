@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+from eecs485_p4_mapreduce_spark.functions.numeric import (
+    hu_ratio,
+    hu_ratio_signed,
+    hu_ratio_signed_sql,
+)
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -575,8 +579,11 @@ def _assortativity_oracle() -> str:
                  CAST(SUM(j * j + k * k) AS BIGINT) AS s2
           FROM ed)
     SELECT m AS m_edges, s_jk, s1 AS sum_deg, s2 AS sum_deg_sq,
-           round(CAST(4 * m * s_jk - s1 * s1 AS DOUBLE)
-                 / (2 * m * s2 - s1 * s1), 6) AS assortativity
+           {hu_ratio_signed_sql(
+               "4 * CAST(m AS HUGEINT) * s_jk"
+               " - CAST(s1 AS HUGEINT) * s1",
+               "2 * CAST(m AS HUGEINT) * s2"
+               " - CAST(s1 AS HUGEINT) * s1", 6)} AS assortativity
     FROM s
     """
 
@@ -592,10 +599,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster, disassortative hubs need the span-rewrite treatment.
 
     Determinism: degrees are exact integer counts; the three edge-sum
-    moments (Σjk, Σ(j+k), Σ(j²+k²)) accumulate as BIGINTs, and r is
-    ONE double division of integer combinations (4M·Σjk − S1²) /
-    (2M·ΣS2 − S1²) — the 2M-edge-end Pearson formula cleared of
-    fractions, so no float ever sums.  Scale shape: the edge set is the
+    moments (Σjk, Σ(j+k), Σ(j²+k²)) accumulate as BIGINTs, and r renders
+    the integer combination (4M·Σjk − S1²) / (2M·ΣS2 − S1²) — the
+    2M-edge-end Pearson formula cleared of fractions — via the signed
+    half-up recipe, so no float enters at all.  Scale shape: the edge set is the
     banded LSH equi-join (bounded buckets); degrees are one
     map-side-combinable aggregate; attaching endpoint degrees is two
     doc-id hash joins; everything after is a single-row reduce."""
@@ -632,11 +639,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_jk",
         F.col("s1").alias("sum_deg"),
         F.col("s2").alias("sum_deg_sq"),
-        F.round(
-            (4 * F.col("m") * F.col("s_jk") - F.col("s1") * F.col("s1")).cast(
-                "double"
-            )
-            / (2 * F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")),
+        # Newman's r cleared of fractions is a pure integer ratio:
+        # signed half-up recipe (a degree-regular graph has a zero
+        # denominator -> NULL in both dialects), never round(double, 6)
+        hu_ratio_signed(
+            "4 * cast(m as decimal(38,0)) * s_jk"
+            " - cast(s1 as decimal(38,0)) * s1",
+            "2 * cast(m as decimal(38,0)) * s2"
+            " - cast(s1 as decimal(38,0)) * s1",
             6,
         ).alias("assortativity"),
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from eecs485_p4_mapreduce_spark.functions.numeric import dsum, dsum_sql
+from eecs485_p4_mapreduce_spark.functions.numeric import dsum, dsum_sql, hu_ratio_signed, hu_ratio_signed_sql
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -303,16 +303,22 @@ def cond_agg_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_moments",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(value * value AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+             SUM(CAST(value AS DECIMAL(18,6))) AS sxd,
+             SUM(CAST(value * value AS DECIMAL(28,12))) AS sxxd
       FROM events GROUP BY event_type)
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           round(sxx / n - (sx / n) * (sx / n), 6) AS var_pop,
-           round(sqrt(sxx / n - (sx / n) * (sx / n)), 6) AS stddev_pop
+           {hu_ratio_signed_sql(
+               "CAST(n AS HUGEINT) * CAST(sxxd * 1000000000000 AS HUGEINT)"
+               " - CAST(sxd * 1000000 AS HUGEINT)"
+               " * CAST(sxd * 1000000 AS HUGEINT)",
+               "CAST(n AS HUGEINT) * n * 1000000000000", 6)} AS var_pop,
+           round(sqrt(CAST(sxxd AS DOUBLE) / n
+                      - (CAST(sxd AS DOUBLE) / n) * (CAST(sxd AS DOUBLE) / n)),
+                 6) AS stddev_pop
     FROM s
     """,
 )
@@ -327,17 +333,28 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     s = e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
-        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)"))
-        .cast("double")
-        .alias("sxx"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sxd"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)")).alias(
+            "sxxd"
+        ),
     )
-    mean = F.col("sx") / F.col("n")
-    var = F.col("sxx") / F.col("n") - mean * mean
+    # var_pop = (n*sxx_i - sx_i^2)/(n^2*10^12) is the exact rational
+    # over the 10^12/10^6-scaled decimal sums: signed half-up recipe;
+    # stddev keeps round(sqrt(identical double), 6) — sqrt outputs are
+    # never decimal halves (CLAUDE.md rule)
+    mean = F.col("sxd").cast("double") / F.col("n")
+    var = F.col("sxxd").cast("double") / F.col("n") - mean * mean
     return s.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        F.round(var, 6).alias("var_pop"),
+        hu_ratio_signed(
+            "cast(n as decimal(38,0))"
+            " * cast(sxxd * 1000000000000 as decimal(38,0))"
+            " - cast(sxd * 1000000 as decimal(38,0))"
+            " * cast(sxd * 1000000 as decimal(38,0))",
+            "cast(n as decimal(38,0)) * n * 1000000000000",
+            6,
+        ).alias("var_pop"),
         F.round(F.sqrt(var), 6).alias("stddev_pop"),
     )
 
