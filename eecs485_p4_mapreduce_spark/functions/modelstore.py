@@ -176,7 +176,18 @@ def load_or_build_frame(
         try:
             os.rename(tmp, loc)
         except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                # true publish race: the winner's copy is complete —
+                # drop ours and read theirs below
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                # NOT a race (EACCES/EXDEV/missing parent): the rename
+                # failed with no winner published.  Don't discard the
+                # expensive Spark build and then die on a missing-path
+                # read — serve this application from the tmp dir (a
+                # complete parquet table with its own _SUCCESS).  The
+                # next application retries the publish.
+                return spark.read.schema(schema).parquet(tmp)
     return spark.read.schema(schema).parquet(loc)
 
 

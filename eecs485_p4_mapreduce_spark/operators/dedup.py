@@ -208,38 +208,72 @@ def lsh_candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORIENTED_CACHE = LRU()
 
 
+def orient_edges(edges: DataFrame) -> DataFrame:
+    """Degree-orient an undirected candidate edge set (columns
+    ``da``/``db``, da < db, distinct): relabel each edge from its
+    lower-``(degree, doc_id)`` endpoint ``lo`` to the higher ``hi``,
+    carrying both exact degrees (``dlo``/``dhi``) for in-join order-key
+    comparisons.  Pure relabeling — the wedge/triangle multisets are
+    unchanged (property-pinned against the unoriented enumeration AND
+    against the test replica of this derivation in
+    tests/test_properties.py), so every consumer's oracle keeps the
+    unoriented spelling.  One degree aggregate + two hash joins."""
+    deg = (
+        edges.select(F.col("da").alias("doc_id"))
+        .unionAll(edges.select(F.col("db").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    e2 = edges.join(
+        deg.select(F.col("doc_id").alias("da"), F.col("d").alias("d_a")), "da"
+    ).join(
+        deg.select(F.col("doc_id").alias("db"), F.col("d").alias("d_b")), "db"
+    )
+    a_first = F.struct("d_a", "da") < F.struct("d_b", "db")
+    return e2.select(
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("lo"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hi"),
+        F.when(a_first, F.col("d_a")).otherwise(F.col("d_b")).alias("dlo"),
+        F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dhi"),
+    )
+
+
 def lsh_oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-cached degree-oriented view of :func:`lsh_candidate_edges`:
-    columns ``lo``/``hi`` (doc ids, ``(degree, doc_id)``-ascending) and
-    ``dlo``/``dhi`` (the endpoints' exact degrees, for in-join order-key
-    comparisons).  One degree aggregate + two hash joins per corpus,
-    memoized behind a global temp view over one localCheckpointed frame."""
+    """Session-cached degree-oriented view of :func:`lsh_candidate_edges`
+    (see :func:`orient_edges` for the relabeling contract), persisted
+    CROSS-APPLICATION like the candidate edges themselves: the oriented
+    table is a corpus-derived frame, so it publishes through the model
+    store (content-addressed parquet, atomic rename, mtime-keyed) and a
+    fresh application reads the published parquet — skipping the degree
+    aggregate AND the two orientation joins, which at 100 TB are a real
+    shuffle over the full edge table.  On a store hit the candidate-edge
+    derivation underneath is never invoked either.  An unkeyable corpus
+    falls back to the in-session localCheckpoint."""
+    from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
+    from eecs485_p4_mapreduce_spark.functions.modelstore import (
+        load_or_build_frame,
+    )
+
     loader = load_table  # module global: respects monkeypatched loaders
-    key = (spark.sparkContext.applicationId, sf_dir, _mtime_token(sf_dir), loader)
+    token = _mtime_token(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, token, loader)
     name = _ORIENTED_CACHE.get(key)
     if name is None:
-        edges = lsh_candidate_edges(spark, sf_dir)
-        deg = (
-            edges.select(F.col("da").alias("doc_id"))
-            .unionAll(edges.select(F.col("db").alias("doc_id")))
-            .groupBy("doc_id")
-            .agg(F.count("*").cast("bigint").alias("d"))
-        )
-        e2 = edges.join(
-            deg.select(F.col("doc_id").alias("da"), F.col("d").alias("d_a")), "da"
-        ).join(
-            deg.select(F.col("doc_id").alias("db"), F.col("d").alias("d_b")), "db"
-        )
-        a_first = F.struct("d_a", "da") < F.struct("d_b", "db")
-        oriented = (
-            e2.select(
-                F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("lo"),
-                F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hi"),
-                F.when(a_first, F.col("d_a")).otherwise(F.col("d_b")).alias("dlo"),
-                F.when(a_first, F.col("d_b")).otherwise(F.col("d_a")).alias("dhi"),
+
+        def build() -> DataFrame:
+            return orient_edges(lsh_candidate_edges(spark, sf_dir))
+
+        if token is not None:
+            oriented = load_or_build_frame(
+                spark,
+                loader_tag("lsh_oedges", (sf_dir, loader)),
+                sf_dir,
+                "documents",
+                "lo bigint, hi bigint, dlo bigint, dhi bigint",
+                build,
             )
-            .localCheckpoint()
-        )
+        else:
+            oriented = build().localCheckpoint()
         name = f"sg_oedges_{uuid.uuid4().hex[:12]}"
         oriented.createOrReplaceGlobalTempView(name)
         _ORIENTED_CACHE.put(key, name, on_evict=_drop_sig_view(spark))

@@ -840,3 +840,30 @@ def test_scaled_sum_mean_render_is_exact(digits, k, vals):
     assert got == _half_away(s, n * 10**k, digits) / 10**digits, (
         digits, k, s, n, got,
     )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_production_orient_edges_matches_replica(spark, pairs):
+    """dedup.orient_edges — the PRODUCTION derivation lsh_oriented_edges
+    persists — against the test replica (_oriented_frame) over injected
+    edge tables, including degree ties and would-be duplicate edges: a
+    future refactor of the production path can no longer silently
+    diverge from the helper the orientation-equivalence proofs pin."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import orient_edges
+
+    uniq = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not uniq:
+        return
+    edges, replica = _oriented_frame(spark, pairs)
+    got = sorted(
+        tuple(r) for r in orient_edges(edges).collect()
+    )
+    exp = sorted(tuple(r) for r in replica.collect())
+    assert got == exp, (pairs, got, exp)
