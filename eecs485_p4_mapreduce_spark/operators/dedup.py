@@ -1451,56 +1451,105 @@ def _calibration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Re-attach via doc_id shuffle hash joins, not a broadcast: the
     # signature table is per-document (corpus-sized at 100 TB).
     sigs = sig_df
-    est = (
-        pairs.join(
-            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
-            "doc_a",
-        )
-        .join(
-            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(f"cast(({_EST_SPARK}) * {_K} as bigint)").alias(
-                "est_sixteenths"
-            ),
-        )
-        # Deterministic 1-in-4 pair sample (first md5 hex digit < 4):
-        # a calibration curve is a statistical audit, and the exact
-        # verify is the expensive stage -- the same md5-bucket sampling
-        # discipline as the samplers, mirrored in the oracle so both
-        # engines audit the identical pair set.
-        .filter(
-            F.expr(
-                "conv(substring(md5(concat(cast(doc_a as string), '-',"
-                " cast(doc_b as string))), 1, 1), 16, 10) < 4"
+
+    def build_est() -> DataFrame:
+        return (
+            pairs.join(
+                sigs.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                sigs.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                F.expr(f"cast(({_EST_SPARK}) * {_K} as bigint)").alias(
+                    "est_sixteenths"
+                ),
+            )
+            # Deterministic 1-in-4 pair sample (first md5 hex digit < 4):
+            # a calibration curve is a statistical audit, and the exact
+            # verify is the expensive stage -- the same md5-bucket
+            # sampling discipline as the samplers, mirrored in the
+            # oracle so both engines audit the identical pair set.
+            .filter(
+                F.expr(
+                    "conv(substring(md5(concat(cast(doc_a as string), '-',"
+                    " cast(doc_b as string))), 1, 1), 16, 10) < 4"
+                )
             )
         )
+
+    from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
+    from eecs485_p4_mapreduce_spark.functions.modelstore import (
+        load_or_build_frame,
+    )
+
+    # The sampled estimate table and the sampled-shingle table are both
+    # corpus-derived frames (stored edges x stored signatures under a
+    # deterministic sample rule), so they persist cross-application
+    # through the model store like the layers below them: a warm
+    # application's calibration is two parquet scans + two joins + one
+    # 7-row aggregate — no signature re-attach, no shingle rebuild, no
+    # in-session checkpoint replay.
+    if _mtime_token(sf_dir) is not None:
+        est = load_or_build_frame(
+            spark,
+            loader_tag("calib_est", (sf_dir, load_table)),
+            sf_dir,
+            "documents",
+            "doc_a bigint, doc_b bigint, est_sixteenths bigint",
+            build_est,
+        )
+    else:
         # referenced three times below (candidate-id set + both joins);
         # materialize so the band join does not replay per reference
-        .localCheckpoint()
-    )
+        est = build_est().localCheckpoint()
     # Shingle ONLY the documents that appear in a sampled pair: the
     # semi-join filters (doc_id, text) rows BEFORE the shingle arrays are
     # built, so verify cost follows the candidate set, not the corpus —
     # the shape that matters when the corpus is 100 TB and the sampled
-    # verify set is not.
-    cand_ids = (
-        est.select(F.col("doc_a").alias("doc_id"))
-        .union(est.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sh_base = docs.join(cand_ids, "doc_id", "left_semi").select("doc_id", "text")
-    # same single-split right-sizing as minhashfn.minhash_banded: a
-    # compact parquet delivers one scan partition, which would build
-    # every shingle array on one core; no-op when the scan already has
-    # enough splits (always, at real scale)
-    target = spark.sparkContext.defaultParallelism
-    if sh_base.rdd.getNumPartitions() < target:
-        sh_base = sh_base.repartition(target, "doc_id")
-    sh = sh_base.select("doc_id", shingles("text", _SHINGLE).alias("sh"))
+    # verify set is not.  The sampled-shingle table is itself a
+    # corpus-derived frame (the sample rule is deterministic), so it
+    # persists cross-application through the model store like the
+    # signature and edge tables one layer below: a later application's
+    # exact verify is two joins against published parquet, no shingle
+    # rebuild.
+    def build_sh() -> DataFrame:
+        cand_ids = (
+            est.select(F.col("doc_a").alias("doc_id"))
+            .union(est.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        sh_base = docs.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id", "text"
+        )
+        # same single-split right-sizing as minhashfn.minhash_banded: a
+        # compact parquet delivers one scan partition, which would build
+        # every shingle array on one core; no-op when the scan already
+        # has enough splits (always, at real scale)
+        target = spark.sparkContext.defaultParallelism
+        if sh_base.rdd.getNumPartitions() < target:
+            sh_base = sh_base.repartition(target, "doc_id")
+        return sh_base.select("doc_id", shingles("text", _SHINGLE).alias("sh"))
+
+    if _mtime_token(sf_dir) is not None:
+        sh = load_or_build_frame(
+            spark,
+            loader_tag("calib_shingles", (sf_dir, load_table)),
+            sf_dir,
+            "documents",
+            "doc_id bigint, sh array<string>",
+            build_sh,
+        )
+    else:
+        sh = build_sh()
     ex = (
         est.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
