@@ -382,7 +382,17 @@ def make_merge_upsert(tgt_base: str, state: dict):
     instead of double-merging it into its own output — the contract
     Delta's ``MERGE INTO`` sink gives and any hand-rolled foreachBatch
     sink must reproduce.  ``state['dir']`` tracks the newest snapshot
-    for the caller's final read only."""
+    for the caller's final read only.
+
+    PORTABILITY NOTE: the previous-snapshot probe is a driver-local
+    ``os.path.exists`` — correct for this query's local-FS tempdir
+    target, WRONG verbatim for HDFS/S3 sink paths.  Copying this
+    template to a distributed filesystem means replacing the probe with
+    the Hadoop FileSystem API
+    (``jvm.org.apache.hadoop.fs.Path(prev)`` via
+    ``FileSystem.get(...).exists``) or a try-read of ``v{batch_id-1}``;
+    the batch-id-derived source and overwrite sink — the idempotency
+    contract — carry over unchanged."""
     import os
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:

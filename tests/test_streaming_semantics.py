@@ -339,3 +339,96 @@ def test_streaming_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
              for r in ev.groupBy("event_type").count().collect()}
     got = {r["event_type"]: r["count"] for r in t2.collect()}
     assert got == batch
+
+
+def test_upsert_foreachbatch_restart_across_conf_change(spark, sf_dir, tmp_path):
+    """Operational restart case the replay test doesn't cover: the
+    stream drains part of its input, stops cleanly, ops changes
+    spark.sql.shuffle.partitions (the conf every batch's per-user
+    aggregate shuffles with), and the stream RESTARTS from the same
+    checkpoint on a session carrying the new conf.  The file-source
+    offset log must resume exactly after the already-processed files,
+    batch ids must continue (so the merge keeps reading v{id-1}), and
+    the final snapshot must equal the batch answer — proving the sink
+    contract is partition-count-independent across a restart."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    from eecs485_p4_mapreduce_spark.functions.numeric import dsum
+    from eecs485_p4_mapreduce_spark.sources import load_table
+    from eecs485_p4_mapreduce_spark.streaming import make_merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tmp_path / "stage"
+    ev.repartitionByRange(4, "ts").write.parquet(str(stage))
+    parts = sorted(p for p in Path(stage).iterdir() if p.suffix == ".parquet")
+    assert len(parts) == 4
+    schema = spark.read.parquet(str(stage)).schema
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    tgt_base = str(tmp_path / "tgt")
+    os.makedirs(tgt_base)
+    ckpt = str(tmp_path / "ckpt")
+    state: dict[str, str] = {}
+    merge = make_merge_upsert(tgt_base, state)
+
+    def run(sess):
+        q = (
+            sess.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: two input files on a 4-partition session
+    for p in parts[:2]:
+        shutil.copy(p, src / p.name)
+    s1 = spark.newSession()
+    s1.conf.set("spark.sql.shuffle.partitions", "4")
+    run(s1)
+    assert os.path.exists(f"{tgt_base}/v1/_SUCCESS")  # two batches ran
+    n_after_phase1 = spark.read.parquet(state["dir"]).count()
+
+    # phase 2: remaining files land; restart from the SAME checkpoint on
+    # a session with a DIFFERENT shuffle-partition conf
+    for p in parts[2:]:
+        shutil.copy(p, src / p.name)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "13")
+    run(s2)
+
+    # batch ids continued: exactly 4 snapshots, none skipped or replayed
+    vs = sorted(
+        int(d[1:]) for d in os.listdir(tgt_base) if d.startswith("v")
+    )
+    assert vs == [0, 1, 2, 3], vs
+    assert state["dir"].endswith("v3")
+
+    final = spark.read.parquet(state["dir"]).select(
+        "user_id",
+        "n_events",
+        F.col("total_dec").cast("double").alias("total_value"),
+        "last_ts",
+    )
+    got = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+        for r in final.collect()
+    }
+    exp = {
+        (r["user_id"], r["n_events"], r["total_value"], r["last_ts"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert got == exp
+    assert len(got) >= n_after_phase1 > 0

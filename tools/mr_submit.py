@@ -18,6 +18,30 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _active_cluster() -> tuple[str, int] | None:
+    """(master, slots) of an ALREADY-RUNNING local cluster, else None.
+
+    The reference's `bin/mapreduce status` (bin/mapreduce:41-60) OBSERVES
+    pre-existing manager/worker processes and exits 1 when none run; the
+    twin therefore probes for an existing SparkSession/SparkContext and
+    never creates one — previously the probe called get_spark(), which
+    would START a cluster just to report it running, making exit 1
+    unreachable."""
+    try:
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        sc = spark.sparkContext if spark is not None else (
+            SparkContext._active_spark_context
+        )
+        if sc is None:
+            return None
+        return sc.master, sc.defaultParallelism
+    except Exception:  # noqa: BLE001 — liveness probe, any failure = down
+        return None
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -55,16 +79,15 @@ def main(argv: list[str] | None = None) -> int:
         print("shutdown")
         return 0
     if args.status:
-        try:
-            spark = get_spark("mr-submit")
-            sc = spark.sparkContext
-            print(f"manager running ({sc.master})")
-            print(f"workers running ({sc.defaultParallelism} slots)")
-            return 0
-        except Exception:  # noqa: BLE001 — liveness probe, any failure = down
+        live = _active_cluster()
+        if live is None:
             print("manager not running")
             print("workers not running")
             return 1
+        master, slots = live
+        print(f"manager running ({master})")
+        print(f"workers running ({slots} slots)")
+        return 0
     missing = [
         f"--{k}" for k in ("input", "output", "mapper", "reducer")
         if getattr(args, k) is None
