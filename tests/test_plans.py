@@ -897,12 +897,17 @@ def test_ann_recall_probes_list_and_broadcasts_topk(spark, sf_dir):
 
 def test_clustering_coefficient_stays_equi_join(spark, sf_dir):
     """graph_clustering_coefficient closes wedges by hash equi-joins
-    over the checkpointed banded edge set — never a cartesian/NL pair
-    stage — and the final rollup is a <=64-band aggregate."""
+    over the stored oriented edge set — never a cartesian/NL pair
+    stage — and the final rollup is a <=64-band aggregate.  The edge
+    source is the model-store parquet when the corpus is mtime-keyable
+    (round 8: the oriented table persists cross-application) or the
+    in-session checkpoint (ExistingRDD) on the unkeyable fallback."""
     plan = explain(spark, sf_dir, "graph_clustering_coefficient")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Scan ExistingRDD" in plan
+    assert (
+        "sg_model_lsh_oedges" in plan or "Scan ExistingRDD" in plan
+    ), plan[:800]
 
 
 def test_kaplan_meier_windows_ride_the_day_grid(spark, sf_dir):
@@ -963,13 +968,16 @@ def test_bitmap_distinct_partial_aggregates(spark, sf_dir):
 
 
 def test_centrality_2hop_stays_equi_join_take_ordered(spark, sf_dir):
-    """graph_centrality_2hop: cached-edge reads (ExistingRDD), hash
-    equi-joins for the wedge + anti-join stages, TakeOrdered readout."""
+    """graph_centrality_2hop: stored-edge reads (model-store parquet, or
+    ExistingRDD on the unkeyable fallback), hash equi-joins for the
+    wedge + anti-join stages, TakeOrdered readout."""
     plan = explain(spark, sf_dir, "graph_centrality_2hop")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
-    assert "Scan ExistingRDD" in plan
+    assert (
+        "sg_model_lsh_oedges" in plan or "Scan ExistingRDD" in plan
+    ), plan[:800]
 
 
 def test_centrality_capped_bounds_fanout_with_keyed_window(spark, sf_dir):
