@@ -5,7 +5,7 @@ SQL through DuckDB, then compares row count, column names, and values
 (order-insensitive, driver-strict type-tagged render -- see tools/canon.py;
 a tolerance fallback is reported for diagnosis only).  Usage:
 
-    python tools/oracle_check.py [--vanilla] [sf_dir] [query ...]
+    python tools/oracle_check.py [--vanilla] [--chunk N] [sf_dir] [query ...]
 
 A full-registry run (no query filter) additionally writes
 ``CORRECTNESS_LOCAL.json`` at the repo root (``CORRECTNESS_LOCAL_<sf>.json``
@@ -18,6 +18,15 @@ per-query artifact (rows/schema/hash match + row counts + error), with a
 NONE of the engine's session confs -- the driver's exact environment --
 so any query that silently depends on get_spark's configuration fails
 here first.
+
+``--chunk N`` (full-registry runs) executes the sweep as subprocess
+batches of N queries, each in a FRESH JVM, and merges the partial
+results into the one artifact.  Needed for vanilla sweeps at sf0.1+:
+a vanilla session runs the default 1g driver heap, and ~300 queries of
+accumulated localCheckpoint blocks (the memo-cache design) plus one
+heavy wedge enumeration OOM a single JVM even though every query
+passes in isolation -- chunking bounds the accumulation while every
+query still runs on a vanilla session.
 """
 
 from __future__ import annotations
@@ -40,11 +49,73 @@ from tools.canon import canon as _canon  # noqa: E402
 from tools.canon import close as _close  # noqa: E402
 
 
+def _run_chunked(vanilla: bool, sf_dir: str, chunk: int) -> int:
+    """Parent mode for --chunk: sweep the full registry in fresh-JVM
+    subprocess batches, merge the partial JSONs, write the artifact."""
+    import tempfile
+
+    names = list(REGISTRY)
+    results: dict[str, dict] = {}
+    failures = 0
+    for i in range(0, len(names), chunk):
+        batch = names[i:i + chunk]
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+            part = f.name
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        if vanilla:
+            cmd.append("--vanilla")
+        cmd += ["--partial", part, sf_dir, *batch]
+        rc = subprocess.run(cmd).returncode
+        with open(part) as f:
+            results.update(json.load(f))
+        os.unlink(part)
+        if rc:
+            failures += sum(
+                1 for n in batch
+                if results.get(n, {}).get("err") is not None
+            )
+    print(f"\n{len(names) - failures}/{len(names)} passed (chunked x{chunk})")
+    head = subprocess.run(
+        ["git", "-C", REPO, "rev-parse", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    results["_meta"] = {
+        "head": head,
+        "sf_dir": sf_dir,
+        "vanilla": vanilla,
+        "chunked": chunk,
+        "when": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "passed": len(names) - failures,
+        "total": len(names),
+    }
+    base = os.path.basename(os.path.normpath(sf_dir))
+    suffix = "" if base == "sf0.01" else f"_{base}"
+    out = os.path.join(REPO, f"CORRECTNESS_LOCAL{suffix}.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"wrote {out}")
+    return 1 if failures else 0
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
+    argv = sys.argv[1:]
+    vanilla = "--vanilla" in argv
+    argv = [a for a in argv if a != "--vanilla"]
+    chunk = None
+    partial = None
+    if "--chunk" in argv:
+        i = argv.index("--chunk")
+        chunk = int(argv[i + 1])
+        del argv[i:i + 2]
+    if "--partial" in argv:
+        i = argv.index("--partial")
+        partial = argv[i + 1]
+        del argv[i:i + 2]
+    args = argv
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     names = [a for a in args if not os.path.isdir(a)] or list(REGISTRY)
+    if chunk and set(names) == set(REGISTRY):
+        return _run_chunked(vanilla, sf_dir, chunk)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -129,6 +200,9 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(s_canon)} rows [{time.time()-t0:.1f}s]")
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if partial is not None:
+        with open(partial, "w") as f:
+            json.dump(results, f)
     if set(names) == set(REGISTRY):
         head = subprocess.run(
             ["git", "-C", REPO, "rev-parse", "HEAD"],
