@@ -825,12 +825,29 @@ def graph_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a DISTINCT, an anti-join that removes distance-1 pairs from
     the 2-hop set, and a TakeOrdered top-k; n1 is the degree aggregate
     over the undirected edge set.  Determinism: pure integer counts
-    with the (score DESC, doc_id) tie-break."""
+    with the (score DESC, doc_id) tie-break.
+
+    Execution-conf scope: the wedge-multiset DISTINCT is the largest
+    intermediate in the whole registry, and AQE's byte-sized coalescing
+    collapses it to a handful of fat tasks — on a small-heap vanilla
+    session (the driver's 1g default) the concurrent wide aggregates
+    OOM, while the same work across the full shuffle width spills and
+    completes.  The enumeration therefore runs with post-shuffle
+    coalescing disabled on a CHILD session (``conf_scoped_session`` —
+    the dedup_minhash_calibration pattern, there for CPU width, here
+    for peak memory); at real scale the stage carries enough bytes to
+    keep its width and the override is a no-op."""
+    from eecs485_p4_mapreduce_spark.functions.confscope import (
+        conf_scoped_session,
+    )
     from eecs485_p4_mapreduce_spark.operators.dedup import (
         lsh_candidate_edges,
         lsh_oriented_edges,
     )
 
+    spark = conf_scoped_session(
+        spark, {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
+    )
     edges = lsh_candidate_edges(spark, sf_dir)
     one = (
         edges.select(F.col("da").alias("u"))
