@@ -99,7 +99,11 @@ def hu_ratio_sql(num: str, den: str, n: int) -> str:
 # (Spark's non-ANSI decimal ``div`` by zero is NULL; the DuckDB twin
 # NULLIFs the divisor).  To render round(mean, N) of a k-quantized sum
 # S/10^k over denominator n, call with num = S (the integer-scaled sum)
-# and den = n * 10^k.
+# and den = n * 10^k.  Render note: the final step is
+# cast(scaled_int as double) / 10^N in BOTH dialects — bitwise
+# identical cross-engine at any magnitude, but past 2^53 the scaled
+# integer is no longer a double and the quotient is two-step-rounded;
+# real call sites render ratios/means that fit comfortably.
 
 
 def hu_ratio_signed(num: str, den: str, n: int) -> Column:

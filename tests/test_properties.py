@@ -773,7 +773,13 @@ def test_hu_ratio_signed_spark_matches_fraction(spark, nd):
         ).collect()
     }
     for i, (n, d) in enumerate(nd):
-        assert got[i] == _half_away(n, d, 6) / 10**6, (n, d, got[i])
+        # the render is cast(scaled_int as double) / 10^6 — model BOTH
+        # rounding steps (float() then divide): beyond 2^53 the scaled
+        # integer is no longer a double, and the two-step render differs
+        # from Python's one-step rational division in the last bit.
+        # Cross-engine this is still exact: Spark and DuckDB perform the
+        # identical IEEE cast-then-divide.
+        assert got[i] == float(_half_away(n, d, 6)) / 10**6, (n, d, got[i])
 
 
 @given(
@@ -804,7 +810,8 @@ def test_hu_ratio_signed_sql_matches_fraction(nd):
     expr = hu_ratio_signed_sql("num", "den", 6)
     got = dict(con.execute(f"SELECT i, {expr} FROM t").fetchall())
     for i, (n, d) in enumerate(nd):
-        assert got[i] == _half_away(n, d, 6) / 10**6, (n, d, got[i])
+        # two-step render semantics (see the Spark twin's comment)
+        assert got[i] == float(_half_away(n, d, 6)) / 10**6, (n, d, got[i])
 
 
 @given(
@@ -837,7 +844,8 @@ def test_scaled_sum_mean_render_is_exact(digits, k, vals):
     # HUGEINT cast (the eval_calibration_bins ADVICE class)
     expr = hu_ratio_signed_sql(str(s), f"CAST({n} AS HUGEINT) * {10**k}", digits)
     got = con.execute(f"SELECT {expr}").fetchone()[0]
-    assert got == _half_away(s, n * 10**k, digits) / 10**digits, (
+    # two-step render semantics (see test_hu_ratio_signed_spark's comment)
+    assert got == float(_half_away(s, n * 10**k, digits)) / 10**digits, (
         digits, k, s, n, got,
     )
 
