@@ -2085,9 +2085,17 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_en"),
         F.col("n2").alias("n_other"),
         # mean_diff = s1/n1 - s2/n2 is the exact integer rational
-        # (s1*n2 - s2*n1)/(n1*n2): signed half-up recipe; the
-        # sqrt-based t statistic and df stay round(identical-double)
-        # (sqrt outputs are never decimal halves, CLAUDE.md rule)
+        # (s1*n2 - s2*n1)/(n1*n2): signed half-up recipe.  t_stat keeps
+        # round(identical-double, 4) — it divides by a sqrt, and sqrt
+        # outputs are never decimal halves (CLAUDE.md rule).  df_welch
+        # also stays a double render, with a DIFFERENT justification:
+        # its exact-integer form ((A1*B2+A2*B1)^2 (n1-1)(n2-1) over
+        # A^2 B^2 sums) needs ~10^52 headroom — past int128 at any
+        # realistic scale — so the recipe cannot express it; both
+        # engines compute the identical IEEE expression, and divergence
+        # would need that double within one ulp of a 1e-4 half of the
+        # true rational (documented accepted risk, the only such site
+        # left in the registry).
         hu_ratio_signed(
             "cast(s1 as decimal(38,0)) * n2 - cast(s2 as decimal(38,0)) * n1",
             "cast(n1 as decimal(38,0)) * n2",
