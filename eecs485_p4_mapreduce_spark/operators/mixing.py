@@ -376,3 +376,113 @@ def mix_epoch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_EPOCHS = (0, 1)  # epochs materialized by the shuffle audit
+
+
+@query(
+    "mix_epoch_shuffle",
+    oracle=f"""
+    WITH ep AS (SELECT unnest([{', '.join(str(e) for e in _EPOCHS)}]) AS epoch),
+    keyed AS (
+      SELECT ep.epoch, d.doc_id,
+             md5(concat('ep', CAST(ep.epoch AS VARCHAR), ':',
+                        CAST(d.doc_id AS VARCHAR))) AS k
+      FROM documents d CROSS JOIN ep),
+    ranked AS (
+      SELECT epoch, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos
+      FROM keyed),
+    disp AS (
+      SELECT CAST(SUM(CAST(abs(a.pos - b.pos) AS HUGEINT)) AS BIGINT)
+               AS total_displacement
+      FROM ranked a JOIN ranked b ON b.doc_id = a.doc_id
+      WHERE a.epoch = 0 AND b.epoch = 1)
+    SELECT CAST(r.epoch AS BIGINT) AS epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN r.pos = 1 THEN r.doc_id END) AS BIGINT)
+             AS head_doc_id,
+           CAST(SUM(CAST(r.pos AS HUGEINT) * r.doc_id) AS BIGINT)
+             AS perm_checksum,
+           disp.total_displacement
+    FROM ranked r CROSS JOIN disp
+    GROUP BY r.epoch, disp.total_displacement
+    """,
+)
+def mix_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle — the data-loader step
+    every LLM training run repeats: each epoch orders the corpus by a
+    fresh pseudo-random permutation (key = md5('ep<epoch>:<doc_id>')),
+    so batches are decorrelated across epochs while any worker, any
+    retry, and any engine reproduce the identical stream.  The audit
+    reports, per epoch, the stream head, an order-sensitive permutation
+    checksum (sum of position x doc_id — two streams agree iff their
+    checksums do, up to collision), and the total positional
+    displacement between epochs 0 and 1 (a near-zero displacement means
+    the 'shuffle' is not actually reshuffling).
+
+    Scale shape: the per-epoch positions come from the grouped
+    range-partition + partition-offset global rank
+    (functions/ranking.py, partition_cols=['epoch'] — few/huge groups,
+    the rfm discipline): NO unpartitioned window at any corpus size,
+    and the displacement join is doc_id-keyed.  Determinism: md5 keys
+    with a doc_id tie-break; all outputs are exact integers (the
+    checksum accumulates in decimal(38,0)/HUGEINT — int64-safe in the
+    BIGINT output to ~3e9 docs x 1e9 ids; widen the output type past
+    that)."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in _EPOCHS])).alias("epoch"),
+    ).withColumn(
+        "k",
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+    )
+    ranked = with_global_rank(
+        keyed, ["k", "doc_id"], partition_cols=["epoch"]
+    ).select("epoch", "doc_id", F.col("_rk").alias("pos"))
+    disp = (
+        ranked.filter(F.col("epoch") == 0)
+        .select("doc_id", F.col("pos").alias("p0"))
+        .join(
+            ranked.filter(F.col("epoch") == 1).select(
+                "doc_id", F.col("pos").alias("p1")
+            ),
+            "doc_id",
+        )
+        .agg(
+            F.expr(
+                "cast(sum(abs(cast(p0 as decimal(38,0)) - p1)) as bigint)"
+            ).alias("total_displacement")
+        )
+    )
+    return (
+        ranked.groupBy("epoch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("head_doc_id"),
+            F.expr(
+                "cast(sum(cast(pos as decimal(38,0)) * doc_id) as bigint)"
+            ).alias("perm_checksum"),
+        )
+        .crossJoin(F.broadcast(disp))
+        .select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            "n_docs",
+            "head_doc_id",
+            "perm_checksum",
+            "total_displacement",
+        )
+    )
