@@ -9,6 +9,8 @@ property that makes a 100 TB pipeline resumable and auditable.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -485,4 +487,82 @@ def mix_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perm_checksum",
             "total_displacement",
         )
+    )
+
+
+
+# Integer interleave strides: the i-th document of language s goes at
+# virtual time i * (K / w_s) with K = lcm of the percent weights, so the
+# merged order realizes the _MIX shares exactly without a single float
+# (the "smooth weighted round-robin" / interleave_datasets recipe).
+_IL_PARTS = {k: int(round(v * 100)) for k, v in _MIX.items()}
+_IL_K = math.lcm(*_IL_PARTS.values())
+_IL_STRIDE = {k: _IL_K // w for k, w in _IL_PARTS.items()}
+_IL_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _IL_STRIDE.items()
+)
+
+
+@query(
+    "mix_interleave_deterministic",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(concat('il:', CAST(doc_id AS VARCHAR))), doc_id)
+               AS i
+      FROM documents),
+    vt AS (SELECT lang, doc_id, i,
+                  i * (CASE lang {_IL_CASE} ELSE {_IL_K} END) AS t
+           FROM ranked),
+    pos AS (SELECT lang, i,
+                   ROW_NUMBER() OVER (ORDER BY t, lang, i) AS p
+            FROM vt)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(p) AS BIGINT) AS first_pos,
+           CAST(SUM(CAST(p AS HUGEINT) * i) AS BIGINT) AS order_checksum
+    FROM pos GROUP BY lang
+    """,
+)
+def mix_interleave_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleaving — the
+    ``interleave_datasets`` step that turns per-source streams into ONE
+    training stream realizing the mix shares locally (every window of
+    the merged stream carries ~the target proportions), not just in
+    expectation: the i-th document of source s is placed at integer
+    virtual time i * (K / w_s) (K = lcm of the percent weights), and
+    the merged order is the sort by (t, lang, i) — the exact
+    rational-merge spelling of smooth weighted round-robin, zero
+    floats.  Within each source, documents stream in md5 order (the
+    epoch-shuffle key discipline), so the interleave composes with
+    per-epoch reshuffling.
+
+    The audit reports per source its stream size, first merged slot,
+    and an order-sensitive checksum of its slot assignment.  Scale
+    shape: BOTH ranks are the range-partition + partition-offset global
+    rank (within-source via partition_cols=['lang'] — few/huge groups;
+    then the merged order, ungrouped) — no unpartitioned window at any
+    corpus size; everything after is a 5-group aggregate."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    keyed = docs.withColumn(
+        "hk",
+        F.md5(F.concat(F.lit("il:"), F.col("doc_id").cast("string"))),
+    )
+    ranked = with_global_rank(
+        keyed, ["hk", "doc_id"], partition_cols=["lang"]
+    ).select("lang", "doc_id", F.col("_rk").alias("i"))
+    vt = ranked.withColumn(
+        "t", F.expr(f"i * (CASE lang {_IL_CASE} ELSE {_IL_K} END)")
+    )
+    pos = with_global_rank(vt, ["t", "lang", "i"]).select(
+        "lang", "i", F.col("_rk").alias("p")
+    )
+    return pos.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("p").cast("bigint").alias("first_pos"),
+        F.expr("cast(sum(cast(p as decimal(38,0)) * i) as bigint)").alias(
+            "order_checksum"
+        ),
     )

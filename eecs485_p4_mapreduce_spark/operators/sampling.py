@@ -230,3 +230,75 @@ def sample_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+
+_RES_K = 64  # fixed reservoir size (and the KMV sketch's k)
+
+
+def _bottomk_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+
+    h8 = hex_int_sql("duckdb", "hk", 1)
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, md5(concat('rk:', CAST(doc_id AS VARCHAR))) AS hk
+      FROM documents),
+    bot AS (
+      SELECT doc_id, hk, ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rk
+      FROM keyed ORDER BY hk, doc_id LIMIT {_RES_K}),
+    thr AS (
+      SELECT CAST(({_RES_K} - 1) * 4294967296 // ({h8}) AS BIGINT)
+               AS est_distinct
+      FROM bot WHERE rk = {_RES_K})
+    SELECT CAST(bot.rk AS BIGINT) AS rk, bot.doc_id, thr.est_distinct
+    FROM bot CROSS JOIN thr
+    """
+
+
+@query("sample_reservoir_bottomk", oracle=_bottomk_oracle())
+def sample_reservoir_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic reservoir: the k documents with the
+    SMALLEST md5('rk:'||doc_id) keys — the bottom-k / KMV sketch, which
+    gives (a) a uniform k-sample that is identical on every engine,
+    worker, and retry (rand()-reservoirs are none of those), (b) a
+    mergeable sample (union two corpora's bottom-k sets and re-take the
+    bottom k), and (c) a distinct-count estimate for free: with U_(k)
+    the k-th smallest hash as a fraction of the hash space,
+    est = (k-1)/U_(k) — rendered as the exact integer division
+    (k-1)*2^32 div h_k over the 8-hex-char key prefix, identical in
+    both engines.
+
+    Scale shape: the bottom-k is TakeOrdered (per-partition top-k +
+    driver merge — never a global sort), the rank window runs over the
+    <= k-row result, and the 1-row threshold broadcasts back.  The
+    sample rows themselves are the output, as a real sampler's would
+    be."""
+    from pyspark.sql import Window
+
+    from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("rk:"), F.col("doc_id").cast("string"))).alias(
+            "hk"
+        ),
+    )
+    bot = (
+        keyed.orderBy("hk", "doc_id")
+        .limit(_RES_K)
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy("hk", "doc_id"))
+        )
+    )
+    h8 = hex_int_sql("spark", "hk", 1)
+    thr = bot.filter(F.col("rk") == _RES_K).select(
+        F.expr(
+            f"cast(({_RES_K} - 1) * cast(4294967296 as bigint)"
+            f" div ({h8}) as bigint)"
+        ).alias("est_distinct")
+    )
+    return bot.crossJoin(F.broadcast(thr)).select(
+        F.col("rk").cast("bigint").alias("rk"), "doc_id", "est_distinct"
+    )

@@ -351,6 +351,7 @@ def test_no_forced_broadcast_of_per_document_side(name, spark, sf_dir):
         "stats_gini_revenue",
         "mix_quality_weighted",
         "mix_epoch_shuffle",
+        "mix_interleave_deterministic",
         "quality_perplexity_buckets",
         "funnel_time_to_convert",
         "ids_contiguous_assign",
