@@ -2001,6 +2001,23 @@ def privacy_rtbf_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c_subj.unionByName(c_o).unionByName(c_l).unionByName(c_e)
 
 
+# Welch df recipe pieces (round-9; property-pinned by
+# tests/test_properties.py::test_welch_df_recipe_matches_fraction).
+# A_i = half-up((n*ss - s^2) * 10^7 / (n^2 * (n-1))), the 10^7-quantized
+# a_i = v_i/n_i moment, exact in decimal(38,0)/HUGEINT.
+_WELCH_AQ = (
+    "cast((2 * (cast({n} as decimal(38,0)) * {ss}"
+    " - cast({s} as decimal(38,0)) * {s}) * 10000000"
+    " + cast({n} as decimal(38,0)) * {n} * ({n} - 1))"
+    " div (2 * (cast({n} as decimal(38,0)) * {n} * ({n} - 1)))"
+    " as decimal(38,0))"
+)
+_WELCH_DF_NUM = "(a1q + a2q) * (a1q + a2q) * (n1 - 1) * (n2 - 1)"
+# NULLIF: both groups constant => A1 = A2 = 0 => df undefined; render
+# NULL instead of an ANSI divide-by-zero (both dialects agree).
+_WELCH_DF_DEN = "nullif(a1q * a1q * (n2 - 1) + a2q * a2q * (n1 - 1), 0)"
+
+
 @query(
     "stats_welch_ttest",
     oracle=f"""
@@ -2025,16 +2042,29 @@ def privacy_rtbf_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS v1,
              (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1)
                AS v2
+      FROM w),
+    q AS (
+      SELECT n1, n2,
+             (2 * (CAST(n1 AS HUGEINT) * ss1 - CAST(s1 AS HUGEINT) * s1)
+                * 10000000
+              + CAST(n1 AS HUGEINT) * n1 * (n1 - 1))
+             // (2 * (CAST(n1 AS HUGEINT) * n1 * (n1 - 1))) AS a1q,
+             (2 * (CAST(n2 AS HUGEINT) * ss2 - CAST(s2 AS HUGEINT) * s2)
+                * 10000000
+              + CAST(n2 AS HUGEINT) * n2 * (n2 - 1))
+             // (2 * (CAST(n2 AS HUGEINT) * n2 * (n2 - 1))) AS a2q
       FROM w)
-    SELECT n1 AS n_en, n2 AS n_other,
+    SELECT d.n1 AS n_en, d.n2 AS n_other,
            {hu_ratio_signed_sql(
-               "CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1",
-               "CAST(n1 AS HUGEINT) * n2", 4)} AS mean_diff,
-           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
-           round(pow(v1 / n1 + v2 / n2, 2)
-                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)),
-                 4) AS df_welch
-    FROM d
+               "CAST(d.s1 AS HUGEINT) * d.n2 - CAST(d.s2 AS HUGEINT) * d.n1",
+               "CAST(d.n1 AS HUGEINT) * d.n2", 4)} AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / d.n1 + v2 / d.n2), 4) AS t_stat,
+           {hu_ratio_sql(
+               "(q.a1q + q.a2q) * (q.a1q + q.a2q) * (q.n1 - 1) * (q.n2 - 1)",
+               "NULLIF(q.a1q * q.a1q * (q.n2 - 1)"
+               " + q.a2q * q.a2q * (q.n1 - 1), 0)",
+               4)} AS df_welch
+    FROM d, q
     """,
 )
 def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2043,11 +2073,12 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     A/B readout wants both: U is rank-robust, t gives the magnitude and
     the Welch-Satterthwaite df for the CI).
 
-    Everything upstream of the final division is EXACT int64 (n, sum,
+    Everything upstream of the final divisions is EXACT int64 (n, sum,
     sum-of-squares per group — one map-side-combinable aggregate over
-    the scan); means/variances derive from those integers identically
-    in both engines and the three reported doubles are quantized
-    round(4), so a last-ulp libm disagreement cannot move the output.
+    the scan).  mean_diff and df_welch render through the integer
+    half-up recipes (df via 10^7-quantized a_i = v_i/n_i moments — see
+    the inline derivation); t_stat is the one round(double, 4) left and
+    it divides by a sqrt, whose output is never a decimal half.
     One exchange of two rows at any corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
     g = (
@@ -2081,35 +2112,46 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
     ) / (F.col("n2") - 1)
     se2 = v1 / F.col("n1") + v2 / F.col("n2")
-    return w.select(
+    # df_welch recipe (round-9, retires the registry's last
+    # round(double, 4) of a non-transcendental rational): df depends on
+    # the moments ONLY through a_i = v_i/n_i = N_i/M_i where
+    # N_i = n_i*ss_i - s_i^2 >= 0 (Cauchy-Schwarz) and
+    # M_i = n_i^2*(n_i-1) are exact integers.  Quantize each a_i
+    # half-up at 10^7 (A_i, the PSI/KL per-term pattern); then
+    #   df = (A1+A2)^2 (n1-1)(n2-1)
+    #        / (A1^2 (n2-1) + A2^2 (n1-1))
+    # is EXACT in the quantized moments (the 10^14 scales cancel) and
+    # renders via the plain hu recipe.  Headroom (documented domain
+    # bound, the variance-family convention): the final render needs
+    # (a1+a2)*sqrt(n1*n2) <= 9.2e9.  Balanced groups: a_i = v_i/n_i, so
+    # the n's cancel and the bound is v1+v2 <= 9.2e9 at ANY corpus
+    # size — n_chars variance is <= ~2.5e7 even for 10k-char docs,
+    # ~300x margin.  Group-size skew spends that margin as
+    # v*sqrt(n_big/n_small): safe to a ~1e5x imbalance at max variance.
+    # The quantize step itself needs n_i^2*var <= 8.5e30 (~1e11 rows at
+    # var ~ 1e8).  At 10^7 quantization the rendered value is unchanged
+    # vs the old double path at all three test SFs (verified), and the
+    # df(t-CI) consumer is insensitive to the ~1e-7-relative
+    # quantization by construction.
+    wq = w.select(
+        "*",
+        F.expr(_WELCH_AQ.format(n="n1", s="s1", ss="ss1")).alias("a1q"),
+        F.expr(_WELCH_AQ.format(n="n2", s="s2", ss="ss2")).alias("a2q"),
+    )
+    return wq.select(
         F.col("n1").alias("n_en"),
         F.col("n2").alias("n_other"),
         # mean_diff = s1/n1 - s2/n2 is the exact integer rational
         # (s1*n2 - s2*n1)/(n1*n2): signed half-up recipe.  t_stat keeps
         # round(identical-double, 4) — it divides by a sqrt, and sqrt
-        # outputs are never decimal halves (CLAUDE.md rule).  df_welch
-        # also stays a double render, with a DIFFERENT justification:
-        # its exact-integer form ((A1*B2+A2*B1)^2 (n1-1)(n2-1) over
-        # A^2 B^2 sums) needs ~10^52 headroom — past int128 at any
-        # realistic scale — so the recipe cannot express it; both
-        # engines compute the identical IEEE expression, and divergence
-        # would need that double within one ulp of a 1e-4 half of the
-        # true rational (documented accepted risk, the only such site
-        # left in the registry).
+        # outputs are never decimal halves (CLAUDE.md rule).
         hu_ratio_signed(
             "cast(s1 as decimal(38,0)) * n2 - cast(s2 as decimal(38,0)) * n1",
             "cast(n1 as decimal(38,0)) * n2",
             4,
         ).alias("mean_diff"),
         F.round((m1 - m2) / F.sqrt(se2), 4).alias("t_stat"),
-        F.round(
-            F.pow(se2, 2)
-            / (
-                F.pow(v1 / F.col("n1"), 2) / (F.col("n1") - 1)
-                + F.pow(v2 / F.col("n2"), 2) / (F.col("n2") - 1)
-            ),
-            4,
-        ).alias("df_welch"),
+        hu_ratio(_WELCH_DF_NUM, _WELCH_DF_DEN, 4).alias("df_welch"),
     )
 
 

@@ -850,6 +850,84 @@ def test_scaled_sum_mean_render_is_exact(digits, k, vals):
     )
 
 
+def _welch_df_expected(n1, vals1, n2, vals2):
+    """Exact-integer model of the production df_welch recipe: half-up
+    quantize a_i = (n*ss - s^2) / (n^2 (n-1)) at 10^7, then
+    half-up((A1+A2)^2 (n1-1)(n2-1) / (A1^2 (n2-1) + A2^2 (n1-1)), 4)."""
+    from fractions import Fraction
+
+    def aq(vals):
+        n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
+        num, den = n * ss - s * s, n * n * (n - 1)
+        return (2 * num * 10**7 + den) // (2 * den)
+
+    a1, a2 = aq(vals1), aq(vals2)
+    num = (a1 + a2) ** 2 * (n1 - 1) * (n2 - 1)
+    den = a1 * a1 * (n2 - 1) + a2 * a2 * (n1 - 1)
+    if den == 0:
+        return None, None, a1, a2
+    got_scaled = (2 * num * 10**4 + den) // (2 * den)
+    # the true (unquantized) df, for the closeness bound
+    fa1 = Fraction(n1 * sum(v * v for v in vals1) - sum(vals1) ** 2,
+                   n1 * n1 * (n1 - 1))
+    fa2 = Fraction(n2 * sum(v * v for v in vals2) - sum(vals2) ** 2,
+                   n2 * n2 * (n2 - 1))
+    fden = fa1 * fa1 / (n1 - 1) + fa2 * fa2 / (n2 - 1)
+    true_df = float((fa1 + fa2) ** 2 / fden) if fden else None
+    return float(got_scaled) / 10**4, true_df, a1, a2
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=20000), min_size=2, max_size=25),
+    st.lists(st.integers(min_value=0, max_value=20000), min_size=2, max_size=25),
+)
+@settings(max_examples=10, deadline=None)
+def test_welch_df_recipe_matches_fraction(spark, vals1, vals2):
+    """stats_welch_ttest's df_welch recipe (the round-9 retirement of
+    the registry's last round(double, N) of a non-transcendental
+    rational): the PRODUCTION expression strings (_WELCH_AQ /
+    _WELCH_DF_NUM / _WELCH_DF_DEN through hu_ratio) over injected
+    moments must equal the exact integer model, within the query's
+    documented value domain (character/token counts; the recipe's
+    stated bound is (a1+a2)*sqrt(n1*n2) <= 9.2e9, and 20000-char docs
+    at n = 2 sit ~2x inside it).  Also pins quantization fidelity: the
+    render sits within the derived tolerance of the true rational."""
+    from pyspark.sql import functions as F
+
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+    from eecs485_p4_mapreduce_spark.operators.analytics import (
+        _WELCH_AQ,
+        _WELCH_DF_DEN,
+        _WELCH_DF_NUM,
+    )
+
+    n1, n2 = len(vals1), len(vals2)
+    row = (
+        n1, sum(vals1), sum(v * v for v in vals1),
+        n2, sum(vals2), sum(v * v for v in vals2),
+    )
+    w = spark.createDataFrame(
+        [row], "n1 long, s1 long, ss1 long, n2 long, s2 long, ss2 long"
+    )
+    got = (
+        w.select(
+            "*",
+            F.expr(_WELCH_AQ.format(n="n1", s="s1", ss="ss1")).alias("a1q"),
+            F.expr(_WELCH_AQ.format(n="n2", s="s2", ss="ss2")).alias("a2q"),
+        )
+        .select(hu_ratio(_WELCH_DF_NUM, _WELCH_DF_DEN, 4).alias("df"))
+        .collect()[0]["df"]
+    )
+    exp, true_df, a1, a2 = _welch_df_expected(n1, vals1, n2, vals2)
+    assert got == exp, (vals1, vals2, got, exp)
+    if true_df is not None and a1 > 0 and a2 > 0:
+        # |d ln df| <= 4 * (rel err a1 + rel err a2); half-up error on
+        # A_i is <= 0.5, so rel err <= 0.5/A_i.  1.5x safety margin,
+        # 2e-4 floor for the final render's own half-up step.
+        tol = max(2e-4, true_df * 6 * (0.5 / a1 + 0.5 / a2))
+        assert abs(got - true_df) <= tol, (got, true_df, tol, vals1, vals2)
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 11), st.integers(0, 11)),
