@@ -359,6 +359,101 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def twopass_var(e: DataFrame) -> DataFrame:
+    """Production body of stats_var_twopass over any
+    (event_type, value) frame — factored so the overflow-boundary test
+    drives the EXACT production derivation on a synthetic frame whose
+    single-pass form wraps decimal(38,0)."""
+    x = e.select(
+        "event_type",
+        F.expr(
+            "cast(cast(value as decimal(18,6)) * 1000000 as decimal(38,0))"
+        ).alias("x6"),
+    )
+    centers = (
+        x.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("x6").alias("sx6"))
+        # Spark decimal `div` truncates toward zero — matches the
+        # oracle's sign-split HUGEINT floor spelling
+        .select("event_type", "n", F.expr("sx6 div n").alias("m6"))
+    )
+    p2 = (
+        x.join(F.broadcast(centers), "event_type")
+        .groupBy("event_type", "n", "m6")
+        .agg(
+            F.sum(F.expr("x6 - m6")).alias("sd6"),
+            F.sum(F.expr("(x6 - m6) * (x6 - m6)")).alias("sdd12"),
+        )
+    )
+    return p2.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("m6").cast("double") / 1000000).alias("center"),
+        hu_ratio_signed(
+            "cast(n as decimal(38,0)) * sdd12 - sd6 * sd6",
+            "cast(n as decimal(38,0)) * n * 1000000000000",
+            6,
+        ).alias("var_pop"),
+    )
+
+
+@query(
+    "stats_var_twopass",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS x6
+      FROM events),
+    c AS (
+      SELECT event_type, COUNT(*) AS n, SUM(x6) AS sx6
+      FROM x GROUP BY 1),
+    m AS (  -- truncate-toward-zero center (Spark decimal `div`
+            -- truncates; HUGEINT // floors, so split the sign)
+      SELECT event_type, n,
+             CASE WHEN sx6 < 0 THEN -(abs(sx6) // CAST(n AS HUGEINT))
+                  ELSE sx6 // CAST(n AS HUGEINT) END AS m6
+      FROM c),
+    p2 AS (
+      SELECT x.event_type, m.n, m.m6,
+             SUM(x.x6 - m.m6) AS sd6,
+             SUM((x.x6 - m.m6) * (x.x6 - m.m6)) AS sdd12
+      FROM x JOIN m ON x.event_type = m.event_type
+      GROUP BY 1, 2, 3)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(m6 AS DOUBLE) / 1000000 AS center,
+           {hu_ratio_signed_sql(
+               "CAST(n AS HUGEINT) * sdd12 - sd6 * sd6",
+               "CAST(n AS HUGEINT) * n * 1000000000000", 6)} AS var_pop
+    FROM p2
+    """,
+)
+def stats_var_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass (center-then-square) population variance — the
+    PRODUCTION overflow fallback for the squared-sum rational family
+    (stats_moments, chi-square, Brier) whose single-pass
+    ``n*sxx - sx^2`` form carries ~1e8–1e10-row int128 headroom when
+    values sit far from zero.
+
+    Pass 1 computes the per-group integer-quantized center
+    ``m6 = trunc(sum(x6)/n)`` at 10^6 scale; pass 2 re-scans, centers
+    every value on m6, and sums the SMALL deviations d = x6 - m6 and
+    d^2 exactly.  Shift invariance makes the result ALGEBRAICALLY
+    IDENTICAL to the single-pass rational —
+    ``n*sum(d^2) - sum(d)^2 == n*sum(x^2) - sum(x)^2`` for any integer
+    shift — so var_pop here hash-matches stats_moments' while the
+    int128 requirement drops from n^2*mean^2*10^12 to
+    n^2*spread^2*10^12: for a value column with mean ~1e9 and spread
+    ~1e3 that is 1e12x more headroom (the boundary where the
+    single-pass form wraps at ~500 rows is pinned by
+    tests/test_properties.py::test_twopass_variance_survives_singlepass_overflow).
+    Cost: one extra scan + a broadcast join of the tiny center dim —
+    the classic accuracy/throughput trade at 100 TB, chosen here as
+    the documented fallback rather than the default because the
+    events/lineitem value domains sit near zero.
+    """
+    return twopass_var(load_table(spark, sf_dir, "events"))
+
+
 @query(
     "date_arithmetic",
     oracle="""

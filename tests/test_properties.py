@@ -928,6 +928,57 @@ def test_welch_df_recipe_matches_fraction(spark, vals1, vals2):
         assert abs(got - true_df) <= tol, (got, true_df, tol, vals1, vals2)
 
 
+def test_twopass_variance_survives_singlepass_overflow(spark):
+    """stats_var_twopass's production body (relational2.twopass_var) at
+    the documented int128 boundary: 20k rows of ~9e8-magnitude values
+    put the single-pass rational's n*sum(x6^2) term at ~3e38 — past
+    decimal(38,0) — while the two-pass center-then-square derivation
+    stays ~1e15 and returns the EXACT population variance (checked
+    against Fraction arithmetic, including the 1e-6 half-away render).
+    This pins the 'shard or two-pass beyond ~1e8-1e10 rows' escape
+    hatch the squared-sum family's docstrings promise."""
+    from fractions import Fraction
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from eecs485_p4_mapreduce_spark.operators.relational2 import twopass_var
+
+    n = 20000
+    # exact-in-decimal(18,6) doubles: 9e8 + quarter-unit jitter
+    vals = [900000000.0 + (i % 7) * 0.25 for i in range(n)]
+    x6 = [int(Fraction(str(v)) * 10**6) for v in vals]
+    # the boundary is real: the single-pass intermediate wraps int128
+    assert n * sum(v * v for v in x6) > 10**38
+    e = spark.createDataFrame(
+        [("x", v) for v in vals], "event_type string, value double"
+    )
+    # 1) the single-pass stats_moments rational overflows loudly (ANSI)
+    single = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sxd"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,12)")).alias("sxxd"),
+    )
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        single.select(
+            F.expr(
+                "cast(n as decimal(38,0))"
+                " * cast(sxxd * 1000000000000 as decimal(38,0))"
+                " - cast(sxd * 1000000 as decimal(38,0))"
+                " * cast(sxd * 1000000 as decimal(38,0))"
+            ).alias("numer")
+        ).collect()
+    # 2) the two-pass production path is exact
+    row = twopass_var(e).collect()[0]
+    s, ss = sum(x6), sum(v * v for v in x6)
+    true_var = Fraction(len(x6) * ss - s * s, len(x6) ** 2 * 10**12)
+    assert row["var_pop"] == float(_half_away(
+        true_var.numerator, true_var.denominator, 6)) / 10**6
+    assert row["n"] == n
+    # the center is the truncated mean at 1e-6
+    assert row["center"] == float(s // n) / 10**6
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 11), st.integers(0, 11)),
