@@ -201,6 +201,34 @@ def _oriented_wedges(oe: DataFrame) -> DataFrame:
     )
 
 
+def _oriented_wedge_pairs_distinct(oe: DataFrame) -> DataFrame:
+    """DISTINCT id-canonical wedge endpoint pairs, deduped across an
+    EXPLICIT-width exchange (round-9): the wedge multiset is the
+    registry's largest intermediate, and on a small-heap vanilla
+    session AQE's byte-sized post-shuffle coalescing folds its
+    `.distinct()` into a handful of tasks whose in-memory hash maps
+    (~50 bytes/entry vs 16 compressed shuffle bytes/row) blow a 1g
+    heap.  A user-specified ``repartition(n, u, w)`` pins the reduce
+    width — AQE never coalesces user-requested partitioning — and
+    ``dropDuplicates`` then dedups IN PLACE (the hash partitioning
+    already satisfies the aggregate's clustering, so no second
+    exchange).  Width follows the functions/ranking.py convention
+    (defaultParallelism-derived, 4x for the hash-map expansion ratio);
+    replaces round 8's coalescing-disable conf scope with a plan-level
+    shape that needs no session conf at all.  Trade: the raw multiset
+    crosses the wire un-combined (no map-side partial dedup) — ~2x
+    rows for this graph, bounded by the orientation's i^2+io+o^2
+    wedge volume, and immune to the coalesce-then-OOM failure mode at
+    ANY heap size."""
+    spark = oe.sparkSession
+    n = 4 * spark.sparkContext.defaultParallelism
+    return (
+        _oriented_wedges(oe)
+        .repartition(n, "u", "w")
+        .dropDuplicates()
+    )
+
+
 def _oriented_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every triangle of the candidate graph exactly once (see
     :func:`_triangles_from_oriented`)."""
@@ -827,27 +855,19 @@ def graph_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the undirected edge set.  Determinism: pure integer counts
     with the (score DESC, doc_id) tie-break.
 
-    Execution-conf scope: the wedge-multiset DISTINCT is the largest
-    intermediate in the whole registry, and AQE's byte-sized coalescing
-    collapses it to a handful of fat tasks — on a small-heap vanilla
-    session (the driver's 1g default) the concurrent wide aggregates
-    OOM, while the same work across the full shuffle width spills and
-    completes.  The enumeration therefore runs with post-shuffle
-    coalescing disabled on a CHILD session (``conf_scoped_session`` —
-    the dedup_minhash_calibration pattern, there for CPU width, here
-    for peak memory); at real scale the stage carries enough bytes to
-    keep its width and the override is a no-op."""
-    from eecs485_p4_mapreduce_spark.functions.confscope import (
-        conf_scoped_session,
-    )
+    Memory shape (round-9): the wedge-multiset DISTINCT is the largest
+    intermediate in the whole registry; deduping each wedge class
+    BEFORE the union (`_oriented_wedge_pairs_distinct`) keeps every
+    hash aggregate small enough for AQE's coalesced task widths even
+    on a 1g-heap vanilla session — replacing round 8's
+    coalescing-disable conf scope with a plan that is also strictly
+    less shuffle volume at scale (per-class dedup is partial
+    aggregation for DISTINCT)."""
     from eecs485_p4_mapreduce_spark.operators.dedup import (
         lsh_candidate_edges,
         lsh_oriented_edges,
     )
 
-    spark = conf_scoped_session(
-        spark, {"spark.sql.adaptive.coalescePartitions.enabled": "false"}
-    )
     edges = lsh_candidate_edges(spark, sf_dir)
     one = (
         edges.select(F.col("da").alias("u"))
@@ -855,10 +875,10 @@ def graph_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u")
         .agg(F.count("*").cast("bigint").alias("n1"))
     )
-    # id-canonical (u < w) pairs, same multiset as the adjacency
-    # self-join, so the strict-distance-2 anti-join below needs no
+    # id-canonical (u < w) pairs, same SET as the adjacency self-join's
+    # distinct, so the strict-distance-2 anti-join below needs no
     # least/greatest normalization (the linkpred wedge discipline)
-    pairs2 = _oriented_wedges(lsh_oriented_edges(spark, sf_dir)).distinct()
+    pairs2 = _oriented_wedge_pairs_distinct(lsh_oriented_edges(spark, sf_dir))
     strict2 = pairs2.join(
         edges,
         (F.col("u") == F.col("da")) & (F.col("w") == F.col("db")),
