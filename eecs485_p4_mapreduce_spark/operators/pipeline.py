@@ -33,7 +33,10 @@ from eecs485_p4_mapreduce_spark.functions.minhashfn import (
 from eecs485_p4_mapreduce_spark.operators.mixing import (
     _BUCKETS,
     _HEX3,
+    _IL_CASE,
+    _IL_K,
     _MIX_CASE,
+    _SEQ_BUDGET,
 )
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -329,4 +332,157 @@ def pipeline_rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
             F.sum("l1").cast("bigint").alias("total_l1"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data loader: mix -> epoch shuffle -> interleave -> pack, composed
+# ---------------------------------------------------------------------------
+
+_PACK_EPOCH = 0  # the epoch this audit materializes (key = 'ep0:<doc_id>')
+
+
+@query(
+    "pipeline_epoch_pack_end_to_end",
+    oracle=f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS n_total FROM documents),
+    rates AS (
+      SELECT lang,
+             CAST(floor(least(1.0,
+               (CASE lang {_MIX_CASE} ELSE 0.0 END) * tot.n_total / n_lang)
+               * {_BUCKETS}) AS BIGINT) AS thresh
+      FROM counts, tot),
+    kept AS (
+      SELECT d.doc_id, d.lang, len({DUCK_TOKENS}) AS tok
+      FROM documents d JOIN rates r ON r.lang = d.lang
+      WHERE {_HEX3['duckdb']} < r.thresh),
+    ranked AS (
+      SELECT lang, doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(concat('ep{_PACK_EPOCH}:',
+                                   CAST(doc_id AS VARCHAR))), doc_id) AS i
+      FROM kept),
+    vt AS (
+      SELECT lang, doc_id, tok, i,
+             i * (CASE lang {_IL_CASE} ELSE {_IL_K} END) AS t
+      FROM ranked),
+    pos AS (
+      SELECT lang, tok, i,
+             ROW_NUMBER() OVER (ORDER BY t, lang, i) AS p,
+             SUM(tok) OVER (ORDER BY t, lang, i
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM vt),
+    seq AS (
+      SELECT lang, tok, i, p,
+             CAST(floor((cum - tok) / {_SEQ_BUDGET}.0) AS BIGINT) AS seq_id
+      FROM pos),
+    g AS (
+      SELECT CAST(SUM(tok) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs_global
+      FROM seq)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS tokens,
+           CAST(MIN(p) AS BIGINT) AS first_pos,
+           CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(SUM(CAST(p AS HUGEINT) * i) AS BIGINT) AS slot_checksum,
+           CAST(SUM(CAST(seq_id AS HUGEINT) * tok) AS BIGINT)
+             AS pack_checksum,
+           g.total_tokens, g.n_seqs_global
+    FROM seq CROSS JOIN g
+    GROUP BY lang, g.total_tokens, g.n_seqs_global
+    """,
+)
+def pipeline_epoch_pack_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data LOADER composed as one job (round-9 VERDICT
+    item 4): weighted mix sampling -> epoch-{_PACK_EPOCH} deterministic
+    shuffle -> integer weighted interleave -> greedy sequence packing —
+    the four stages mixing.py proves separately, chained so the audit
+    pins their COMPOSITION: stage ordering (shuffle key feeds the
+    interleave's within-source order; the interleave's merged order is
+    the packer's stream) and token conservation (every row carries
+    total_tokens = the packed sum, which a pytest cross-checks against
+    the kept-set sum).
+
+    Per source: docs kept, tokens contributed, first merged slot, the
+    number of distinct training sequences its docs START in, an
+    order-sensitive slot checksum (sum p*i over its docs), and a
+    pack checksum (sum seq_id*tok — moves if ANY upstream stage
+    reorders or resizes anything).  Global columns (broadcast 1-row):
+    total tokens and total sequences.
+
+    Scale shape: the mix gate is a 5-row broadcast + scan filter; both
+    ranks are the range-partition + partition-offset global rank
+    (within-source grouped, then the merged order with sum_col='tok'
+    for the EXACT global prefix sum — no unpartitioned window or
+    running-sum anywhere); packing is arithmetic on (_rk, _cum);
+    readout is a 5-group aggregate.  Determinism: md5 order keys with
+    id tie-breaks, integer virtual-time strides, integer division —
+    identical stream on every engine, run, and retry."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    total = docs.agg(F.count("*").alias("n_total"))
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "thresh",
+            F.expr(
+                f"cast(floor(least(1.0, (CASE lang {_MIX_CASE} ELSE 0.0 END)"
+                f" * n_total / n_lang) * {_BUCKETS}) as bigint)"
+            ),
+        )
+        .select("lang", "thresh")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(F.expr(_HEX3["spark"]) < F.col("thresh"))
+        .select("doc_id", "lang", F.size(tokens("text")).alias("tok"))
+    )
+    keyed = kept.withColumn(
+        "k",
+        F.md5(
+            F.concat(
+                F.lit(f"ep{_PACK_EPOCH}:"), F.col("doc_id").cast("string")
+            )
+        ),
+    )
+    ranked = with_global_rank(
+        keyed, ["k", "doc_id"], partition_cols=["lang"]
+    ).select("lang", "doc_id", "tok", F.col("_rk").alias("i"))
+    vt = ranked.withColumn(
+        "t", F.expr(f"i * (CASE lang {_IL_CASE} ELSE {_IL_K} END)")
+    )
+    merged = with_global_rank(vt, ["t", "lang", "i"], sum_col="tok").select(
+        "lang",
+        "tok",
+        "i",
+        F.col("_rk").alias("p"),
+        F.col("_cum").alias("cum"),
+    )
+    seq = merged.withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("tok")) / _SEQ_BUDGET).cast("bigint"),
+    )
+    g = seq.agg(
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.countDistinct("seq_id").cast("bigint").alias("n_seqs_global"),
+    )
+    return (
+        seq.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("tokens"),
+            F.min("p").cast("bigint").alias("first_pos"),
+            F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
+            F.expr(
+                "cast(sum(cast(p as decimal(38,0)) * i) as bigint)"
+            ).alias("slot_checksum"),
+            F.expr(
+                "cast(sum(cast(seq_id as decimal(38,0)) * tok) as bigint)"
+            ).alias("pack_checksum"),
+        )
+        .crossJoin(F.broadcast(g))
     )

@@ -1032,3 +1032,56 @@ def test_url_filter_shapes_map_to_rules(spark, monkeypatch):
     r = corpus.quality_url_filters(spark, "unused").collect()[0]
     assert (r["n_urls"], r["n_fail_depth"], r["n_fail_params"],
             r["n_fail_blocklist"], r["n_pass"]) == (4, 1, 1, 1, 1)
+
+
+def test_epoch_pack_pipeline_conserves_tokens_and_mix(spark, sf_dir):
+    """pipeline_epoch_pack_end_to_end's composition contracts beyond the
+    oracle hash: (1) token conservation — the packer's global
+    total_tokens equals the kept-set token sum computed independently
+    from the raw table; (2) the per-source doc counts equal
+    mix_sources_weighted's n_sampled (stage 1 composes unchanged);
+    (3) merged slots are a permutation: per-lang first_pos >= 1 and
+    sum(n_docs) equals the max slot count implied by the totals."""
+    from pyspark.sql import functions as F
+
+    import eecs485_p4_mapreduce_spark.plans  # noqa: F401 (registry first:
+    # a direct mixing import would hit the plans-package init cycle)
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+    from eecs485_p4_mapreduce_spark.operators.mixing import (
+        _BUCKETS,
+        _HEX3,
+        _MIX_CASE,
+        mix_sources_weighted,
+    )
+    from eecs485_p4_mapreduce_spark.operators.pipeline import (
+        pipeline_epoch_pack_end_to_end,
+    )
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    out = {r["lang"]: r for r in pipeline_epoch_pack_end_to_end(spark, sf_dir).collect()}
+    mix = {r["lang"]: r for r in mix_sources_weighted(spark, sf_dir).collect()}
+    assert set(out) == set(mix)
+    for lang, r in out.items():
+        assert r["n_docs"] == mix[lang]["n_sampled"], lang
+        assert r["first_pos"] >= 1
+
+    # independent kept-set token sum straight off the raw table
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    total = docs.agg(F.count("*").alias("n_total"))
+    rates = counts.crossJoin(F.broadcast(total)).withColumn(
+        "thresh",
+        F.expr(
+            f"cast(floor(least(1.0, (CASE lang {_MIX_CASE} ELSE 0.0 END)"
+            f" * n_total / n_lang) * {_BUCKETS}) as bigint)"
+        ),
+    )
+    kept_tok = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(F.expr(_HEX3["spark"]) < F.col("thresh"))
+        .agg(F.sum(F.size(tokens("text"))).alias("s"))
+        .collect()[0]["s"]
+    )
+    totals = {r["total_tokens"] for r in out.values()}
+    assert totals == {kept_tok}
+    assert sum(r["tokens"] for r in out.values()) == kept_tok
