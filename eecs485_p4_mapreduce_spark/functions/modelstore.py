@@ -186,7 +186,13 @@ def load_or_build_frame(
                 # expensive Spark build and then die on a missing-path
                 # read — serve this application from the tmp dir (a
                 # complete parquet table with its own _SUCCESS).  The
-                # next application retries the publish.
+                # next application retries the publish; reap OUR tmp at
+                # interpreter exit (the checkpoint-reaper convention) so
+                # a persistently failing rename doesn't accumulate
+                # sg_model_*.tmp-* orphans under the warehouse forever.
+                import atexit
+
+                atexit.register(shutil.rmtree, tmp, ignore_errors=True)
                 return spark.read.schema(schema).parquet(tmp)
     return spark.read.schema(schema).parquet(loc)
 

@@ -74,23 +74,37 @@ def test_mr_submit_status_reports_cluster(monkeypatch):
 
 
 def test_mr_submit_status_probe_never_creates_a_session(monkeypatch):
-    """The liveness probe itself: get_spark must NOT be called by
-    --status (the old probe started a cluster just to report it
-    running)."""
+    """The liveness probe itself: --status must OBSERVE, never create.
+    Pinned directly (round-9 ADVICE): besides get_spark, ANY
+    getOrCreate on the Builder is trapped — a regression that routes
+    _active_cluster through getOrCreate (which would start a cluster
+    whenever the suite's shared session is down, making exit 1
+    unreachable) now fails regardless of the shared fixture's state —
+    and the active session must be the identical object before and
+    after the probe."""
+    from pyspark.sql import SparkSession
+
     import eecs485_p4_mapreduce_spark as pkg
     from tools.mr_submit import main as mr_main
 
-    def boom(name):
+    def boom(*a, **k):
         raise AssertionError("--status must not create a session")
 
     monkeypatch.setattr(pkg, "get_spark", boom)
+    monkeypatch.setattr(SparkSession.Builder, "getOrCreate", boom)
+    before = SparkSession.getActiveSession()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         rc = mr_main(["--status"])
+    assert SparkSession.getActiveSession() is before
     # rc reflects whether the TEST process already has a live session
     # (the suite's shared fixture may be up); either way the probe
     # observed rather than created
     assert rc in (0, 1)
+    from pyspark import SparkContext
+
+    live = before is not None or SparkContext._active_spark_context is not None
+    assert rc == (0 if live else 1)
 
 
 def test_mr_submit_requires_job_args_without_shutdown():

@@ -624,6 +624,47 @@ def test_frame_store_publishes_reads_and_stays_fresh(spark, tmp_path, monkeypatc
     assert got == rows
 
 
+def test_frame_store_rename_failure_serves_tmp_and_reaps_it(
+    spark, tmp_path, monkeypatch
+):
+    """load_or_build_frame's non-race rename-failure fallback (round-9
+    ADVICE): when the publish rename fails with NO winner present, the
+    build is served from the tmp dir AND the tmp dir is registered for
+    atexit cleanup — a persistently failing rename (EACCES on the
+    warehouse) must not accumulate sg_model_*.tmp-* orphans forever."""
+    import atexit
+    import os
+    import shutil as _sh
+
+    from eecs485_p4_mapreduce_spark.functions import modelstore
+
+    monkeypatch.setattr(modelstore, "warehouse_path", lambda s: str(tmp_path))
+    d1 = tmp_path / "corpus"
+    d1.mkdir()
+    _sh.copy(
+        "/root/testdata/sf0.001/documents.parquet", d1 / "documents.parquet"
+    )
+
+    def no_rename(src, dst):
+        raise OSError(13, "Permission denied", src)
+
+    monkeypatch.setattr(os, "rename", no_rename)
+    reaped: list[tuple] = []
+    monkeypatch.setattr(
+        atexit, "register", lambda fn, *a, **k: reaped.append((fn, a, k))
+    )
+    f = modelstore.load_or_build_frame(
+        spark, "tfail", str(d1), "documents", "da bigint, db bigint",
+        lambda: spark.range(3).selectExpr("id AS da", "id + 1 AS db"),
+    )
+    assert f.count() == 3  # served from the tmp dir, not discarded
+    assert len(reaped) == 1
+    fn, args, kwargs = reaped[0]
+    assert fn is _sh.rmtree and ".tmp-" in args[0]
+    assert kwargs.get("ignore_errors") is True
+    assert os.path.exists(os.path.join(args[0], "_SUCCESS"))
+
+
 def test_edge_cache_shared_and_mtime_fresh(spark, tmp_path, monkeypatch):
     """lsh_candidate_edges memoizes the band-graph family's shared edge
     set behind one checkpointed global view (bounded LRU), and the mtime

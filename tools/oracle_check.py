@@ -66,9 +66,21 @@ def _run_chunked(vanilla: bool, sf_dir: str, chunk: int) -> int:
             cmd.append("--vanilla")
         cmd += ["--partial", part, sf_dir, *batch]
         rc = subprocess.run(cmd).returncode
-        with open(part) as f:
-            results.update(json.load(f))
-        os.unlink(part)
+        # a child that is OOM-killed or crashes before its end-of-run
+        # dump leaves an empty/partial file — the exact scenario --chunk
+        # exists for.  Record the batch as failed and keep sweeping
+        # instead of aborting the parent and losing the merged results.
+        try:
+            with open(part) as f:
+                results.update(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            for n in batch:
+                results.setdefault(n, {"err": "batch crashed before dump"})
+            rc = rc or 1
+        try:
+            os.unlink(part)
+        except OSError:
+            pass
         if rc:
             failures += sum(
                 1 for n in batch
