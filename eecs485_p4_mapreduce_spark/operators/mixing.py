@@ -15,7 +15,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
-from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+from eecs485_p4_mapreduce_spark.functions.numeric import (
+    hu_ratio,
+    hu_ratio_signed,
+    hu_ratio_signed_sql,
+)
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
 
@@ -26,14 +30,23 @@ _MIX = {"en": 0.4, "de": 0.2, "es": 0.15, "fr": 0.15, "zh": 0.1}
 # 3 hex chars of md5(doc_id) = 4096 deterministic buckets per document.
 _BUCKETS = 4096
 
-_HEX3 = {
-    "spark": "cast(conv(substring(md5(cast(doc_id as string)), 1, 3), 16, 10) as bigint)",
-    "duckdb": (
-        "CAST(list_sum(list_transform(range(0, 3), c -> (strpos('0123456789abcdef',"
-        " substring(md5(CAST(doc_id AS VARCHAR)), 1 + c, 1)) - 1)"
-        " * CAST(pow(16, 2 - c) AS BIGINT))) AS BIGINT)"
-    ),
-}
+def _hex3(spark_src: str, duck_src: str) -> dict[str, str]:
+    """First 3 hex chars of md5(<src>) as an integer in [0, 4096) —
+    the deterministic bucketing primitive, per dialect."""
+    return {
+        "spark": (
+            f"cast(conv(substring(md5({spark_src}), 1, 3), 16, 10) as bigint)"
+        ),
+        "duckdb": (
+            "CAST(list_sum(list_transform(range(0, 3),"
+            " c -> (strpos('0123456789abcdef',"
+            f" substring(md5({duck_src}), 1 + c, 1)) - 1)"
+            " * CAST(pow(16, 2 - c) AS BIGINT))) AS BIGINT)"
+        ),
+    }
+
+
+_HEX3 = _hex3("cast(doc_id as string)", "CAST(doc_id AS VARCHAR)")
 
 _MIX_CASE = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in _MIX.items())
 
@@ -565,4 +578,117 @@ def mix_interleave_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(sum(cast(p as decimal(38,0)) * i) as bigint)").alias(
             "order_checksum"
         ),
+    )
+
+
+# DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — public method): score
+# every document by the log-likelihood ratio of a TARGET domain's
+# hashed-feature unigram model vs the general SOURCE pool's, select the
+# docs whose evidence favors the target.  Target here = the 'en' slice,
+# source pool = everything else; features = md5-hashed token buckets
+# (fixed B-row model at any corpus size — the reason DSIR hashes).
+_DSIR_B = 4096
+_DSIR_WHEX = _hex3("w", "w")  # md5 over the token itself
+
+
+@query(
+    "mix_dsir_importance_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_DSIR_WHEX['duckdb']} AS b
+      FROM (SELECT doc_id, lang, unnest({DUCK_TOKENS}) AS w FROM documents)),
+    ct AS (SELECT b, COUNT(*) AS c FROM tok WHERE lang = 'en' GROUP BY b),
+    cs AS (SELECT b, COUNT(*) AS c FROM tok WHERE lang <> 'en' GROUP BY b),
+    nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM ct),
+    ns AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM cs),
+    lr AS (
+      SELECT COALESCE(ct.b, cs.b) AS b,
+             CAST(round(ln(
+               (CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) * (ns.n + {_DSIR_B}))
+               / (CAST(COALESCE(cs.c, 0) + 1 AS DOUBLE) * (nt.n + {_DSIR_B}))
+             ), 4) AS DECIMAL(18,4)) AS llr
+      FROM ct FULL OUTER JOIN cs ON cs.b = ct.b
+      CROSS JOIN nt CROSS JOIN ns),
+    per_doc AS (
+      SELECT tok.doc_id, tok.lang,
+             COUNT(*) AS n_tok, SUM(lr.llr) AS s
+      FROM tok JOIN lr ON lr.b = tok.b
+      GROUP BY tok.doc_id, tok.lang)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(COALESCE(SUM(CASE WHEN s > 0 THEN n_tok END), 0) AS BIGINT)
+             AS sel_tokens,
+           {hu_ratio_signed_sql("SUM(s) * 10000",
+                                "CAST(COUNT(*) AS HUGEINT) * 10000",
+                                6)} AS mean_llr
+    FROM per_doc GROUP BY lang
+    """,
+)
+def mix_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection: per-document log-likelihood
+    ratio of target-domain ('en') vs source-pool hashed-unigram models,
+    Laplace-smoothed over {_DSIR_B} md5 buckets; a document is SELECTED
+    when its token evidence favors the target (sum llr > 0).  The
+    readout per language: docs, selected docs, selected token mass, and
+    the mean ratio at 6 digits — the curation report a domain-matching
+    data-selection run produces.
+
+    Cross-engine discipline (the kl_nats recipe): each bucket's
+    log-ratio is ln() of an IDENTICALLY-computed double (integer counts
+    cast to double, same expression shape both dialects), quantized
+    round(4) BEFORE the exact decimal per-document sums; selection
+    compares the exact decimal to 0; the mean renders via the signed
+    integer half-up recipe.  Scale shape: hashing caps the feature
+    model at {_DSIR_B} rows regardless of corpus size (the reason DSIR
+    hashes) — two bucket-keyed aggregates build it, a broadcast join
+    scores token occurrences scan-side, and the per-doc sum is a
+    map-side-combinable doc_id aggregate; nothing grows with the
+    vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens("text")).alias("w"),
+    ).select("doc_id", "lang", F.expr(_DSIR_WHEX["spark"]).alias("b"))
+    ct = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("tc")
+    )
+    cs = tok.filter(F.col("lang") != "en").groupBy("b").agg(
+        F.count("*").alias("sc")
+    )
+    nt = ct.agg(F.coalesce(F.sum("tc"), F.lit(0)).cast("bigint").alias("n_t"))
+    ns = cs.agg(F.coalesce(F.sum("sc"), F.lit(0)).cast("bigint").alias("n_s"))
+    lr = (
+        ct.join(cs, "b", "full_outer")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "b",
+            F.expr(
+                f"cast(round(ln("
+                f" (cast(coalesce(tc, 0) + 1 as double) * (n_s + {_DSIR_B}))"
+                f" / (cast(coalesce(sc, 0) + 1 as double) * (n_t + {_DSIR_B}))"
+                f"), 4) as decimal(18,4))"
+            ).alias("llr"),
+        )
+    )
+    per_doc = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tok"), F.sum("llr").alias("s"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_selected"),
+        F.coalesce(F.sum(F.when(F.col("s") > 0, F.col("n_tok"))), F.lit(0))
+        .cast("bigint")
+        .alias("sel_tokens"),
+        hu_ratio_signed(
+            "sum(s) * 10000", "cast(count(*) as decimal(38,0)) * 10000", 6
+        ).alias("mean_llr"),
     )

@@ -52,6 +52,8 @@ CONSTANT_WINDOW_OK = {
     "ids_contiguous_assign": "P-row offsets frame (ranking recipe)",
     "mix_epoch_token_budget": "remainder-rank over one row per source",
     "mix_quality_weighted": "P-row offsets frame (ranking recipe)",
+    "pipeline_epoch_pack_end_to_end": "P-row offsets frames (ranking"
+    " recipe: grouped within-source rank, then the merged rank+prefix-sum)",
     "quality_perplexity_buckets": "P-row offsets frame (ranking recipe)",
     "search_tfidf_rank": "rank over the <=10-row TakeOrdered result",
     "sample_reservoir_bottomk": "rank over the <=64-row TakeOrdered result",
