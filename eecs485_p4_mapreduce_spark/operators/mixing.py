@@ -692,3 +692,73 @@ def mix_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(s) * 10000", "cast(count(*) as decimal(38,0)) * 10000", 6
         ).alias("mean_llr"),
     )
+
+
+_CURR_STAGES = 4  # curriculum stages, cut at equal token-mass quartiles
+
+
+@query(
+    "curriculum_length_schedule",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM d),
+    c AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (ORDER BY n_chars, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d),
+    st AS (
+      SELECT lang, n_chars,
+             least({_CURR_STAGES - 1},
+                   CAST((CAST(cum - n_chars AS HUGEINT) * {_CURR_STAGES})
+                        // CAST(tot.total AS HUGEINT) AS BIGINT)) AS stage
+      FROM c CROSS JOIN tot)
+    SELECT CAST(stage AS BIGINT) AS stage, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM st GROUP BY stage, lang
+    """,
+)
+def curriculum_length_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule audit: order the corpus easy-to-hard (short
+    documents first — the classic length curriculum), cut the ordered
+    stream into {_CURR_STAGES} stages at equal TOKEN-MASS boundaries
+    (stage = floor(start_offset * {_CURR_STAGES} / total), the
+    pack_sequences_greedy binning applied at schedule granularity), and
+    report each stage's per-language composition with its length range
+    — the readout that tells a training run what distribution shift
+    each curriculum phase will see.
+
+    Scale shape: the ordered prefix sum is with_global_rank's
+    sum_col='n_chars' (range-partition + partition-offset — no
+    unpartitioned running sum at any corpus size); staging is integer
+    arithmetic on (_cum, _tot); the readout is a
+    {_CURR_STAGES}x|langs| aggregate.  Deterministic: integer mass,
+    (n_chars, doc_id) total order, integer division in both dialects
+    (nonnegative operands, so HUGEINT floor == Spark div truncate)."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = with_global_rank(
+        docs.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("nc")),
+        [F.col("nc").asc(), F.col("doc_id").asc()],
+        sum_col="nc",
+    )
+    st = c.select(
+        "lang",
+        "nc",
+        F.least(
+            F.lit(_CURR_STAGES - 1),
+            F.expr(f"((_cum - nc) * {_CURR_STAGES}) div _tot"),
+        )
+        .cast("bigint")
+        .alias("stage"),
+    )
+    return st.groupBy("stage", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nc").cast("bigint").alias("chars"),
+        F.min("nc").cast("bigint").alias("min_chars"),
+        F.max("nc").cast("bigint").alias("max_chars"),
+    )

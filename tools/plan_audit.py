@@ -51,6 +51,7 @@ CONSTANT_WINDOW_OK = {
     "funnel_time_to_convert": "P-row offsets frame (ranking recipe)",
     "ids_contiguous_assign": "P-row offsets frame (ranking recipe)",
     "mix_epoch_token_budget": "remainder-rank over one row per source",
+    "curriculum_length_schedule": "P-row offsets frame (ranking recipe)",
     "mix_quality_weighted": "P-row offsets frame (ranking recipe)",
     "pipeline_epoch_pack_end_to_end": "P-row offsets frames (ranking"
     " recipe: grouped within-source rank, then the merged rank+prefix-sum)",
