@@ -612,6 +612,38 @@ def test_oriented_wedges_match_unoriented_multiset(spark, pairs):
 
 @given(
     st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_wedge_pairs_distinct_matches_multiset_distinct(spark, pairs):
+    """graph_centrality_2hop's round-9 dedup path
+    (`_oriented_wedge_pairs_distinct`: explicit-width repartition +
+    in-place dropDuplicates) must produce EXACTLY the set
+    `_oriented_wedges(oe).distinct()` would — the plan changed for the
+    1g-heap coalescing OOM, the result set must not."""
+    from eecs485_p4_mapreduce_spark.operators.graph import (
+        _oriented_wedge_pairs_distinct,
+        _oriented_wedges,
+    )
+
+    edges, oe = _oriented_frame(spark, pairs)
+    if edges.count() == 0:
+        return
+    got = {
+        (r["u"], r["w"])
+        for r in _oriented_wedge_pairs_distinct(oe).collect()
+    }
+    want = {
+        (r["u"], r["w"]) for r in _oriented_wedges(oe).distinct().collect()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(
         st.tuples(st.integers(0, 9), st.integers(0, 9)),
         min_size=1,
         max_size=30,
