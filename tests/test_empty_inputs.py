@@ -92,6 +92,13 @@ _REPRESENTATIVES = [
     "embedding_jl_projection_distortion",  # empty broadcast pair audit
     "privacy_generalization_sweep",  # 4-level explode over zero rows
     "pattern_top_session_paths",  # empty sessionization + top-k
+    # round-9 additions
+    "stats_var_twopass",        # empty center table + second pass
+    "stats_welch_ttest",        # NULL moments through the quantized recipe
+    "mix_dsir_importance_select",  # empty feature model, full-outer lr
+    "curriculum_length_schedule",  # rank+prefix-sum staging over zero docs
+    "pipeline_epoch_pack_end_to_end",  # two empty global ranks composed
+    "token_bpe_train_8merges",  # zero training rounds find no pair
 ]
 
 
