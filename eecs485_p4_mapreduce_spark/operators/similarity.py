@@ -939,7 +939,8 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — rendered by the signed half-up recipe, never round(double, 6).
     # decimal(38,0)/int128 headroom bounds the exact form at
     # |sum x| * 10^9 <= ~3e18 per dimension (~1e9 rows of unit-scale
-    # values); beyond that, shard or switch to the mean-shifted two-pass.
+    # values); beyond that, shard or switch to the mean-shifted two-pass
+    # (the production spelling exists: relational2.twopass_var).
     sx_i = "cast(sxd * 1000000000 as decimal(38,0))"
     return g.select(
         "d",
@@ -1869,7 +1870,8 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-ratio recipes too — no round(double, N) anywhere.
     # int128/decimal(38,0) headroom bounds the exact per-bin squares at
     # ~1e10 rows per bin ((10^4 n_k)^2 * 2 * 10^8 <= 1e38); beyond that,
-    # shard the bins.
+    # shard the bins (the center-then-square escape hatch is
+    # relational2.twopass_var, boundary-pinned in tests).
     drel = "(cast(sp as decimal(38,0)) - 10000 * sy)"
     dres = "(cast(sy as decimal(38,0)) * n - cast(n_k as decimal(38,0)) * sy_tot)"
     t = b.crossJoin(F.broadcast(g)).select(

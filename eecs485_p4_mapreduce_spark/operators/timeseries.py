@@ -423,7 +423,8 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     statistic is order-independent; the 6-decimal sum casts straight to
     double with no re-round.  int128/decimal(38,0) headroom bounds the
     exact form at ~1e8 events ((o*n)^2 <= 1e38); beyond that, shard the
-    contingency or fall back to the two-pass double form.  Contingency
+    contingency or center-then-square (the production two-pass spelling
+    is relational2.twopass_var, boundary-pinned in tests).  Contingency
     cells, not events, cross the wire."""
     e = load_table(spark, sf_dir, "events")
     obs = e.groupBy(
