@@ -833,3 +833,140 @@ def ml_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_sq_dist"),
     )
+
+
+# ------------------------------------------------- k-center coreset
+
+_KC_K = 8        # number of centers (picks)
+_KC_SCALE = 1000  # fixed quantization grid: qv[i] = floor(v[i] * 1000)
+
+_KC_QV_DUCK = (
+    f"list_transform(range(1, {_D} + 1), i ->"
+    f" CAST(floor(CAST(v[i] AS DOUBLE) * {_KC_SCALE}) AS BIGINT))"
+)
+
+
+def _kc_dist_duck(a: str, b: str) -> str:
+    """DuckDB squared L2 between two quantized BIGINT lists (exact)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, {_D} + 1), i ->"
+        f" ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _kcenter_oracle() -> str:
+    """Unroll the greedy farthest-point loop into chained MATERIALIZED
+    CTEs (c1/m1 .. cK/mK) — each m_r is referenced by both c_{r+1} and
+    m_{r+1}, so materialization is load-bearing (the BPE-oracle
+    CTE-inlining lesson, CLAUDE.md round 9)."""
+    parts = [
+        f"""
+        qe AS MATERIALIZED (
+          SELECT vec_id, {_KC_QV_DUCK} AS qv
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings)),
+        c1 AS MATERIALIZED (
+          SELECT vec_id, qv FROM qe ORDER BY vec_id LIMIT 1),
+        m1 AS MATERIALIZED (
+          SELECT qe.vec_id, qe.qv,
+                 {_kc_dist_duck('qe.qv', 'c1.qv')} AS mind
+          FROM qe CROSS JOIN c1)
+        """
+    ]
+    for r in range(2, _KC_K + 1):
+        parts.append(
+            f"""
+        c{r} AS MATERIALIZED (
+          SELECT vec_id, qv, mind FROM m{r - 1}
+          ORDER BY mind DESC, vec_id LIMIT 1),
+        m{r} AS MATERIALIZED (
+          SELECT m.vec_id, m.qv,
+                 LEAST(m.mind, {_kc_dist_duck('m.qv', 'c.qv')}) AS mind
+          FROM m{r - 1} m CROSS JOIN c{r} c)
+            """
+        )
+    picks = " UNION ALL ".join(
+        ["SELECT CAST(1 AS BIGINT) AS pick, vec_id,"
+         " CAST(0 AS BIGINT) AS maximin FROM c1"]
+        + [
+            f"SELECT CAST({r} AS BIGINT), vec_id, CAST(mind AS BIGINT)"
+            f" FROM c{r}"
+            for r in range(2, _KC_K + 1)
+        ]
+    )
+    return (
+        "WITH " + ",".join(parts) + f""",
+        picks AS ({picks}),
+        rad AS (SELECT CAST(MAX(mind) AS BIGINT) AS coverage_radius
+                FROM m{_KC_K})
+        SELECT picks.pick, picks.vec_id, picks.maximin, rad.coverage_radius
+        FROM picks CROSS JOIN rad
+        """
+    )
+
+
+@query("embedding_coreset_kcenter", oracle=_kcenter_oracle())
+def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point (Gonzalez) k-center coreset over the
+    embedding table: start from the smallest vec_id, then {_KC_K}-1
+    times pick the point with the LARGEST min-distance to the chosen
+    set (ties to the smallest vec_id) — the classic 2-approximation to
+    the optimal k-center cover, i.e. diversity-based training-data
+    selection (pick the most "unlike anything already kept" examples).
+    Output: pick order, chosen vec_id, the maximin distance that got it
+    chosen, and the final coverage radius (how far the farthest corpus
+    point sits from the selected coreset).
+
+    Cross-engine exactness: embeddings are quantized onto a fixed
+    integer grid qv[i] = floor(v[i] * 1000) — floor of a correctly-
+    rounded double product is bit-deterministic in both engines (no
+    round() half hazard) — and every distance is an exact BIGINT
+    squared-L2 (|qv| <= ~1000 here; the int64 bound is
+    d * (2*max|qv|)^2 < 2^63, i.e. max|v| ~ 3e8 at d=64 — any real
+    normalized embedding).  Selection order compares (integer, vec_id),
+    never a float.
+
+    Scale shape: each of the k rounds is ONE scan — per-row distance to
+    the newly chosen center (a broadcast 64-int literal), a least()
+    fold into the running min-distance column, and a TakeOrdered(1)
+    argmax (per-partition top-1 + driver merge, no global sort).  The
+    frame is localCheckpoint'd per round (the BPE-loop discipline) so
+    round r+1 rescans materialized state instead of replaying r rounds
+    of lineage; only k 1-row argmax results ever reach the driver.
+    k*n distance evaluations total — the Gonzalez bound."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x ->"
+            f" cast(floor(cast(x as double) * {_KC_SCALE}) as bigint))"
+        ).alias("qv"),
+    )
+
+    first = e.orderBy("vec_id").limit(1).collect()
+    schema = (
+        "pick bigint, vec_id bigint, maximin bigint, coverage_radius bigint"
+    )
+    if not first:
+        return spark.createDataFrame([], schema)
+
+    def dist_to(center_qv: list[int]) -> F.Column:
+        lit = "array(" + ",".join(f"{int(x)}L" for x in center_qv) + ")"
+        return F.expr(
+            f"aggregate(zip_with(qv, {lit}, (x, y) -> (x - y) * (x - y)),"
+            f" cast(0 as bigint), (acc, x) -> acc + x)"
+        )
+
+    picks = [(1, int(first[0]["vec_id"]), 0)]
+    cur = e.withColumn("mind", dist_to(first[0]["qv"])).localCheckpoint()
+    for r in range(2, _KC_K + 1):
+        top = cur.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
+        picks.append((r, int(top["vec_id"]), int(top["mind"])))
+        cur = cur.withColumn(
+            "mind", F.least("mind", dist_to(top["qv"]))
+        ).localCheckpoint()
+
+    rad = cur.agg(F.max("mind").cast("bigint").alias("coverage_radius"))
+    pdf = spark.createDataFrame(
+        picks, "pick bigint, vec_id bigint, maximin bigint"
+    )
+    return pdf.crossJoin(F.broadcast(rad))

@@ -302,3 +302,116 @@ def sample_reservoir_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bot.crossJoin(F.broadcast(thr)).select(
         F.col("rk").cast("bigint").alias("rk"), "doc_id", "est_distinct"
     )
+
+
+_PPS_K = 32  # fixed sample size for the priority (PPSWOR) sample
+
+
+def _ppswor_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+
+    h8 = hex_int_sql("duckdb", "hk", 1)
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(concat('pri:', CAST(doc_id AS VARCHAR))) AS hk
+      FROM documents),
+    pri AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST(n_chars AS HUGEINT) * 4294967296
+                  // (({h8}) + 1) AS BIGINT) AS priority
+      FROM keyed),
+    top AS (
+      SELECT doc_id, n_chars, priority,
+             ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
+      FROM pri ORDER BY priority DESC, doc_id LIMIT {_PPS_K + 1}),
+    tau AS (SELECT priority AS tau FROM top WHERE rk = {_PPS_K + 1}),
+    samp AS (
+      SELECT top.rk, top.doc_id, top.n_chars AS w_chars, top.priority,
+             GREATEST(top.n_chars, tau.tau) AS ht_weight
+      FROM top CROSS JOIN tau WHERE top.rk <= {_PPS_K}),
+    est AS (SELECT SUM(ht_weight) AS est_total_chars FROM samp),
+    tot AS (SELECT SUM(n_chars) AS total_chars FROM documents)
+    SELECT CAST(samp.rk AS BIGINT) AS rk, samp.doc_id, samp.w_chars,
+           samp.priority, CAST(samp.ht_weight AS BIGINT) AS ht_weight,
+           CAST(est.est_total_chars AS BIGINT) AS est_total_chars,
+           CAST(tot.total_chars AS BIGINT) AS total_chars
+    FROM samp CROSS JOIN est CROSS JOIN tot
+    """
+
+
+@query("sample_ppswor_priority", oracle=_ppswor_oracle())
+def sample_ppswor_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield-Lund-Thorup): each document draws u = (h+1)/2^32 from
+    md5('pri:'||doc_id) and gets priority q = w/u, realized as the exact
+    integer w * 2^32 div (h+1); the k largest priorities are the sample
+    and tau (the (k+1)-th priority) yields the Horvitz-Thompson
+    per-item estimate max(w, tau), whose sample sum estimates the
+    corpus total.  This is the missing sibling of
+    ``sample_weighted_bernoulli`` (with replacement, independent coin
+    per row) and ``sample_reservoir_bottomk`` (uniform): token-weighted
+    corpus subsampling where big documents must not be double-drawn.
+
+    Everything is integer: the priority is computed with int128
+    headroom (decimal(38,0) div / HUGEINT //, the exact-floor pair per
+    CLAUDE.md) and rendered as BIGINT — exact while w < 2^31, i.e. any
+    per-document char count that fits a real corpus.  Determinism:
+    md5-derived u is identical on every engine/worker/retry, ORDER BY
+    is (exact integer, doc_id) — never a float key.
+
+    Scale shape: top-(k+1) is TakeOrdered (per-partition heap + driver
+    merge, no global sort); the rank window runs over the <= k+1-row
+    result; tau and the two 1-row totals broadcast back.  Priority
+    samples are mergeable like bottom-k: union two corpora's top-k and
+    re-take the top k (same merge story as the KMV reservoir)."""
+    from pyspark.sql import Window
+
+    from eecs485_p4_mapreduce_spark.functions.hashfn import hex_int_sql
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("pri:"), F.col("doc_id").cast("string"))).alias(
+            "hk"
+        ),
+    )
+    h8 = hex_int_sql("spark", "hk", 1)
+    pri = keyed.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"cast(cast(n_chars as decimal(38,0)) * 4294967296"
+            f" div (cast(({h8}) as decimal(38,0)) + 1) as bigint)"
+        ).alias("priority"),
+    )
+    top = (
+        pri.orderBy(F.desc("priority"), "doc_id")
+        .limit(_PPS_K + 1)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("priority"), "doc_id")),
+        )
+    )
+    tau = top.filter(F.col("rk") == _PPS_K + 1).select(
+        F.col("priority").alias("tau")
+    )
+    samp = (
+        top.filter(F.col("rk") <= _PPS_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            F.col("n_chars").alias("w_chars"),
+            "priority",
+            F.greatest("n_chars", F.col("tau")).cast("bigint").alias(
+                "ht_weight"
+            ),
+        )
+    )
+    est = samp.agg(
+        F.sum("ht_weight").cast("bigint").alias("est_total_chars")
+    )
+    tot = docs.agg(F.sum("n_chars").cast("bigint").alias("total_chars"))
+    return samp.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(tot))

@@ -809,3 +809,143 @@ def resample_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("low"),
         F.max_by(F.round("value", 6), key).alias("close"),
     )
+
+
+# ------------------------------------------- linear interpolation
+
+_LERP_STEP = 300  # 5-minute grid (gaps exist at every shipped SF)
+
+_LERP_NUM = "pv * (nt - pt) + (nx - pv) * (bucket_s - pt)"
+_LERP_DEN = "(nt - pt)"
+
+
+def _lerp_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.numeric import (
+        hu_ratio_signed_sql,
+    )
+
+    lerp = hu_ratio_signed_sql(_LERP_NUM, _LERP_DEN, 4)
+    return f"""
+    WITH known AS (
+      SELECT (epoch_us(ts) // 1000000 // {_LERP_STEP}) * {_LERP_STEP}
+               AS bucket_s,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    b AS (SELECT min(bucket_s) AS mn, max(bucket_s) AS mx FROM known),
+    spine AS (
+      SELECT unnest(generate_series(mn, mx, {_LERP_STEP})) AS bucket_s
+      FROM b),
+    grid AS (
+      SELECT bucket_s, event_type
+      FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM known)),
+    j AS (
+      SELECT g.bucket_s, g.event_type, k.n
+      FROM grid g LEFT JOIN known k USING (bucket_s, event_type)),
+    w AS (
+      SELECT bucket_s, event_type, n,
+        last_value(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN n IS NOT NULL THEN bucket_s END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(CASE WHEN n IS NOT NULL THEN n END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_s
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx,
+        first_value(CASE WHEN n IS NOT NULL THEN bucket_s END IGNORE NULLS)
+          OVER (PARTITION BY event_type ORDER BY bucket_s
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j)
+    SELECT bucket_s, event_type, (n IS NULL) AS is_gap,
+           CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                WHEN pv IS NULL OR nx IS NULL THEN NULL
+                ELSE {lerp} END AS n_lin
+    FROM w
+    """
+
+
+@query("resample_interpolate_linear", oracle=_lerp_oracle())
+def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION (the other half of the
+    hypertable-rollup story next to ``resample_gapfill_1h``'s locf):
+    resample events to a 5-minute per-type grid, and for every empty
+    bucket strictly between two observed buckets render
+    v0 + (v1 - v0) * (t - t0) / (t1 - t0) from the nearest observed
+    neighbors.  Buckets before the first / after the last observation
+    stay NULL (extrapolation would be invention).
+
+    Cross-engine exactness: anchors are integer counts and integer
+    epoch-second buckets, so the interpolated value is an exact
+    rational — rendered with the signed integer half-up recipe
+    (functions/numeric.py), never round(double, N) of a ratio.  The
+    division is reached ONLY on gap rows with both anchors (lazy CASE
+    in both engines), where t1 > t > t0 guarantees den > 0 — no ANSI
+    divide-by-zero path exists.
+
+    Scale shape: one map-side-combinable hash agg touches the raw
+    events; everything after runs on the calendar-bounded spine
+    (range/5min x |event types| rows, independent of input size) — the
+    same output-proportional adjudication as resample_gapfill_1h.  The
+    anchor windows partition by series; for multi-year ranges,
+    range-partition time and carry edge anchors across chunks with one
+    tiny extra pass."""
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio_signed
+
+    e = load_table(spark, sf_dir, "events")
+    known = (
+        e.select(
+            F.expr(
+                f"unix_micros(ts) div 1000000 div {_LERP_STEP}"
+                f" * {_LERP_STEP}"
+            ).alias("bucket_s"),
+            "event_type",
+        )
+        .groupBy("bucket_s", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = known.agg(
+        F.min("bucket_s").alias("mn"), F.max("bucket_s").alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.lit(_LERP_STEP).cast("bigint"))
+        ).alias("bucket_s")
+    )
+    grid = spine.crossJoin(known.select("event_type").distinct())
+    j = grid.join(known, ["bucket_s", "event_type"], "left")
+
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_n = F.when(F.col("n").isNotNull(), F.col("n"))
+    known_t = F.when(F.col("n").isNotNull(), F.col("bucket_s"))
+    w = j.select(
+        "bucket_s",
+        "event_type",
+        "n",
+        F.last(known_n, ignorenulls=True).over(back).alias("pv"),
+        F.last(known_t, ignorenulls=True).over(back).alias("pt"),
+        F.first(known_n, ignorenulls=True).over(fwd).alias("nx"),
+        F.first(known_t, ignorenulls=True).over(fwd).alias("nt"),
+    )
+    n_lin = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(
+            F.col("pv").isNull() | F.col("nx").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(hu_ratio_signed(_LERP_NUM, _LERP_DEN, 4))
+    )
+    return w.select(
+        "bucket_s",
+        "event_type",
+        F.col("n").isNull().alias("is_gap"),
+        n_lin.alias("n_lin"),
+    )

@@ -99,6 +99,10 @@ _REPRESENTATIVES = [
     "curriculum_length_schedule",  # rank+prefix-sum staging over zero docs
     "pipeline_epoch_pack_end_to_end",  # two empty global ranks composed
     "token_bpe_train_8merges",  # zero training rounds find no pair
+    # round-9 session additions
+    "sample_ppswor_priority",   # empty top-k, empty tau broadcast
+    "embedding_coreset_kcenter",  # empty first-pick collect -> empty frame
+    "resample_interpolate_linear",  # null bounds -> empty spine
 ]
 
 

@@ -1007,3 +1007,24 @@ def test_centrality_capped_bounds_fanout_with_keyed_window(spark, sf_dir):
     )
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", cap_plan)
     assert specs and all(re.search(r"\bu#", sp) for sp in specs), specs
+
+
+def test_ppswor_topk_is_take_ordered_no_global_sort(spark, sf_dir):
+    """sample_ppswor_priority's top-(k+1) must lower to TakeOrdered
+    (per-partition heap + driver merge); an Exchange rangepartitioning
+    in the plan means a 100 TB global sort crept in for a 33-row
+    result.  The rank window then runs over that <= k+1-row frame."""
+    plan = explain(spark, sf_dir, "sample_ppswor_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_interpolate_windows_are_series_partitioned(spark, sf_dir):
+    """resample_interpolate_linear's anchor windows must partition by
+    the series key (event_type) over the calendar-bounded spine — an
+    unpartitioned windowspec would funnel the grid through one task."""
+    plan = explain(spark, sf_dir, "resample_interpolate_linear")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the anchor windows in the plan"
+    for s in specs:
+        assert re.search(r"\bevent_type#", s), f"unpartitioned window: {s}"

@@ -58,6 +58,7 @@ CONSTANT_WINDOW_OK = {
     "quality_perplexity_buckets": "P-row offsets frame (ranking recipe)",
     "search_tfidf_rank": "rank over the <=10-row TakeOrdered result",
     "sample_reservoir_bottomk": "rank over the <=64-row TakeOrdered result",
+    "sample_ppswor_priority": "rank over the <=33-row TakeOrdered result",
     "search_bm25_rank": "rank over the <=10-row TakeOrdered result",
     "search_rrf_fusion": "rank over the fused <=20-row top-k lists",
     "search_ndcg_eval": "rank over the <=10-row ideal list + the BM25"
