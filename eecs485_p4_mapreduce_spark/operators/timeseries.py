@@ -914,6 +914,12 @@ def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spine.crossJoin(known.select("event_type").distinct())
     j = grid.join(known, ["bucket_s", "event_type"], "left")
 
+    # Both anchor scans are CUMULATIVE (unboundedPreceding..current)
+    # frames — Spark evaluates those incrementally (O(n) per series),
+    # whereas a (current..unboundedFollowing) frame re-aggregates the
+    # tail per row (O(n^2): measured 9 s vs 0.3 s on the sf0.1 spine).
+    # "Next anchor" is therefore spelled as a DESC-ordered running
+    # last-non-null — identical values, linear evaluation.
     back = (
         Window.partitionBy("event_type")
         .orderBy("bucket_s")
@@ -921,8 +927,8 @@ def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fwd = (
         Window.partitionBy("event_type")
-        .orderBy("bucket_s")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket_s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     known_n = F.when(F.col("n").isNotNull(), F.col("n"))
     known_t = F.when(F.col("n").isNotNull(), F.col("bucket_s"))
@@ -932,8 +938,8 @@ def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.last(known_n, ignorenulls=True).over(back).alias("pv"),
         F.last(known_t, ignorenulls=True).over(back).alias("pt"),
-        F.first(known_n, ignorenulls=True).over(fwd).alias("nx"),
-        F.first(known_t, ignorenulls=True).over(fwd).alias("nt"),
+        F.last(known_n, ignorenulls=True).over(fwd).alias("nx"),
+        F.last(known_t, ignorenulls=True).over(fwd).alias("nt"),
     )
     n_lin = (
         F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
