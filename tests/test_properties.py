@@ -1036,3 +1036,53 @@ def test_production_orient_edges_matches_replica(spark, pairs):
     )
     exp = sorted(tuple(r) for r in replica.collect())
     assert got == exp, (pairs, got, exp)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),      # user id
+            st.booleans(),          # is_click
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_desc_cumulative_next_anchor_matches_suffix_frame(spark, rows):
+    """Property: the as-of family's forward pass — a DESC-ordered
+    running last-non-null over (unboundedPreceding, -1) — equals the
+    naive (1, unboundedFollowing) first-non-null for ANY event
+    interleaving, as long as the sort key is total (unique ts per
+    (user, is_click) here, like production's microsecond timestamps /
+    deduped clicks).  Spark re-aggregates suffix frames per row
+    (O(n^2) per partition, measured 43 s vs 0.35 s at 50k rows), so
+    the production queries use the cumulative spelling; this pins that
+    the rewrite is a pure evaluation-strategy change."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    data = [
+        (u, i, int(c), 1000 + i)  # ts = row index: unique total order
+        for i, (u, c) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "u int, ts int, is_click int, src int")
+    val = F.when(F.col("is_click") == 1, F.col("src"))
+    naive = (
+        Window.partitionBy("u")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prod = (
+        Window.partitionBy("u")
+        .orderBy(F.col("ts").desc(), F.col("is_click").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.select(
+        "u",
+        "ts",
+        F.first(val, ignorenulls=True).over(naive).alias("want"),
+        F.last(val, ignorenulls=True).over(prod).alias("got"),
+    ).collect()
+    for r in out:
+        assert r["want"] == r["got"], r
