@@ -1901,3 +1901,153 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fertility_vs_en"),
     )
+
+
+# --------------------------------------------- Kneser-Ney smoothing
+
+# absolute discount D = 3/4, folded into integer arithmetic: with every
+# scored bigram OBSERVED (we score the training corpus itself),
+#   P_KN(w2|w1) = (c12 - 3/4)/c1 + (3/4) * n1fw(w1)/c1 * n1bw(w2)/T
+#              = [ (4*c12 - 3) * T + 3 * n1fw * n1bw ] / [ 4 * c1 * T ]
+# where T = distinct bigram types, n1fw(w1) = |{w2 : c(w1,w2)>0}|,
+# n1bw(w2) = |{w1 : c(w1,w2)>0}| (the continuation count that makes KN
+# KN).  num/den are exact integers carried in DECIMAL(38,0)/HUGEINT
+# (int64 would overflow near c12*T ~ (corpus bigrams)^2 at real scale);
+# the ONE double step is log2(num/den) — both casts and the division
+# are correctly rounded IEEE ops, identical in both engines at any
+# magnitude — quantized round(4) before the decimal-exact mean
+# (the quality_bigram_surprisal rationale).
+_KN_NUM_SPARK = (
+    "cast(4 * c12 - 3 as decimal(38,0)) * cast(ntypes as decimal(38,0))"
+    " + cast(3 * n1fw as decimal(38,0)) * cast(n1bw as decimal(38,0))"
+)
+_KN_DEN_SPARK = "cast(4 * c1 as decimal(38,0)) * cast(ntypes as decimal(38,0))"
+_KN_NUM_DUCK = (
+    "CAST(4 * c12 - 3 AS HUGEINT) * CAST(ntypes AS HUGEINT)"
+    " + CAST(3 * n1fw AS HUGEINT) * CAST(n1bw AS HUGEINT)"
+)
+_KN_DEN_DUCK = "CAST(4 * c1 AS HUGEINT) * CAST(ntypes AS HUGEINT)"
+
+
+@query(
+    "quality_kneser_ney_bigram",
+    oracle=f"""
+    WITH tk AS (SELECT source, {DUCK_TOKENS} AS toks FROM documents),
+    bg AS (SELECT source,
+                  unnest(list_transform(range(1, len(toks)), i ->
+                    list_extract(toks, i))) AS w1,
+                  unnest(list_transform(range(1, len(toks)), i ->
+                    list_extract(toks, i + 1))) AS w2
+           FROM tk),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    fw AS (SELECT w1, COUNT(*) AS n1fw FROM c2 GROUP BY 1),
+    bw AS (SELECT w2, COUNT(*) AS n1bw FROM c2 GROUP BY 1),
+    t AS (SELECT COUNT(*) AS ntypes FROM c2),
+    scored AS (
+      SELECT bg.source,
+             c2.c12,
+             round(-log2(CAST(({_KN_NUM_DUCK}) AS DOUBLE)
+                         / CAST(({_KN_DEN_DUCK}) AS DOUBLE)), 4) AS kn,
+             round(-log2(CAST(c2.c12 AS DOUBLE) / c1.c1), 4) AS mle
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+              JOIN fw USING (w1) JOIN bw USING (w2) CROSS JOIN t)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           {hu_ratio_sql("SUM(CAST(kn AS DECIMAL(18,6))) * 1000000",
+                         "COUNT(*) * CAST(1000000 AS HUGEINT)", 6)}
+             AS avg_kn_surprisal,
+           {hu_ratio_sql("SUM(CAST(mle AS DECIMAL(18,6))) * 1000000",
+                         "COUNT(*) * CAST(1000000 AS HUGEINT)", 6)}
+             AS avg_mle_surprisal
+    FROM scored GROUP BY source
+    """,
+)
+def quality_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram surprisal per source, next to the
+    MLE baseline — THE standard n-gram smoothing (Kneser & Ney 1995):
+    the discount D = 3/4 shaves mass off every observed bigram and
+    redistributes it by CONTINUATION counts (how many distinct left
+    contexts a word follows), so "san francisco" stops inflating
+    P(francisco | anything).  The per-source KN-vs-MLE gap plus the
+    singleton share is the smoothing-sensitivity readout: sources
+    whose bigram mass is singletons shift most under KN and their MLE
+    fluency scores are the least trustworthy.
+
+    Exactness: P_KN is ONE exact integer rational (discount 3/4 folded
+    into 4x-scaled counts, module-level derivation), carried in
+    DECIMAL(38,0)/HUGEINT, with a single correctly-rounded
+    log2(num/den) double step quantized round(4) before the
+    decimal-exact mean via the half-up recipe — the
+    quality_bigram_surprisal discipline with the continuation-count
+    model on top.
+
+    Scale shape: the corpus-sized bigram stream is reduced ONCE to
+    (source, w1, w2, cnt) by a map-side-combinable aggregate; every
+    model table (c12, c1, and the two continuation rollups of c12) is
+    vocabulary-sized and they join each other — never the stream —
+    before ONE (w1, w2) equi-join attaches per-type scores, weighted
+    back by cnt (decimal addition is exact, so the weighted type sum
+    equals the oracle's per-occurrence sum bit for bit).  At 100 TB
+    store the model bucketed by key and apply frequency floors to cap
+    vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", tokens("text").alias("toks"))
+    bg = tk.select(
+        "source",
+        F.posexplode(
+            F.expr(
+                # slice-of-sequence, NOT sequence(1, size-1): empty for
+                # 0/1-token docs (quality_bigram_surprisal precedent)
+                "transform(slice(sequence(0, size(toks)), 2,"
+                " greatest(size(toks) - 1, 0)), i ->"
+                " named_struct('w1', element_at(toks, i),"
+                " 'w2', element_at(toks, i + 1)))"
+            )
+        ).alias("pos", "s"),
+    ).select("source", F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    sbg = bg.groupBy("source", "w1", "w2").agg(F.count("*").alias("cnt"))
+    c2 = sbg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1fw")
+    )
+    bw = c2.groupBy("w2").agg(F.count("*").alias("n1bw"))
+    t = c2.agg(F.count("*").alias("ntypes"))
+    model = (
+        c2.join(c1, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                -F.log2(
+                    F.expr(f"cast(({_KN_NUM_SPARK}) as double)")
+                    / F.expr(f"cast(({_KN_DEN_SPARK}) as double)")
+                ),
+                4,
+            ).alias("kn"),
+            F.round(
+                -F.log2(F.col("c12").cast("double") / F.col("c1")), 4
+            ).alias("mle"),
+        )
+    )
+    scored = sbg.join(model, ["w1", "w2"])
+    return scored.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("c12") == 1, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_singletons"),
+        hu_ratio(
+            "sum(cnt * cast(kn as decimal(18,6))) * 1000000",
+            "sum(cnt) * cast(1000000 as decimal(38,0))",
+            6,
+        ).alias("avg_kn_surprisal"),
+        hu_ratio(
+            "sum(cnt * cast(mle as decimal(18,6))) * 1000000",
+            "sum(cnt) * cast(1000000 as decimal(38,0))",
+            6,
+        ).alias("avg_mle_surprisal"),
+    )

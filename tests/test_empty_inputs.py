@@ -103,6 +103,7 @@ _REPRESENTATIVES = [
     "sample_ppswor_priority",   # empty top-k, empty tau broadcast
     "embedding_coreset_kcenter",  # empty first-pick collect -> empty frame
     "resample_interpolate_linear",  # null bounds -> empty spine
+    "quality_kneser_ney_bigram",  # empty model tables, 1-row ntypes
 ]
 
 
