@@ -1028,3 +1028,26 @@ def test_interpolate_windows_are_series_partitioned(spark, sf_dir):
     assert specs, "expected the anchor windows in the plan"
     for s in specs:
         assert re.search(r"\bevent_type#", s), f"unpartitioned window: {s}"
+
+
+_SUFFIX_FRAME = re.compile(
+    r"specifiedwindowframe\(RowFrame, (?!unboundedpreceding)"
+    r"[^,]+, unboundedfollowing"
+)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["join_asof_forward", "join_asof_nearest", "resample_interpolate_linear"],
+)
+def test_no_quadratic_suffix_frames(name, spark, sf_dir):
+    """Spark re-aggregates (x, unboundedFollowing) frames from scratch
+    per row — O(n^2) per partition key (43 s vs 0.35 s measured on one
+    50k-row partition).  These queries carry data-sized per-entity
+    partitions, so their forward scans must stay spelled as
+    desc-ordered CUMULATIVE frames; tools/plan_audit.py flags any
+    regression registry-wide (SUFFIX_FRAME_OK is the constant-size
+    allowlist)."""
+    plan = explain(spark, sf_dir, name)
+    m = _SUFFIX_FRAME.search(plan)
+    assert not m, f"{name} regressed to a quadratic suffix frame: {m.group()}"

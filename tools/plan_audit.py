@@ -167,6 +167,31 @@ def _window_partition_risk(plan: str) -> tuple[int, int]:
     return n, unpart
 
 
+# Suffix frames — lower bound NOT unboundedpreceding, upper bound
+# unboundedfollowing — are re-aggregated from scratch for EVERY row by
+# Spark's window exec: O(n^2) per partition key (measured 43 s vs
+# 0.35 s on one 50k-row partition, the round-9 as-of lesson).  Respell
+# as a DESC-ordered cumulative frame (running last-non-null) unless the
+# frame is provably constant-size and adjudicated here.
+SUFFIX_FRAME_OK = {
+    "survival_kaplan_meier": "suffix cumsum over the <=31-row"
+    " duration-day life table (calendar-bounded)",
+}
+
+
+def _suffix_frames(plan: str) -> int:
+    n = 0
+    for args in _balanced_args(plan, "specifiedwindowframe"):
+        parts = _split_top_level(args)
+        if (
+            len(parts) == 3
+            and parts[2].startswith("unboundedfollowing")
+            and not parts[1].startswith("unboundedpreceding")
+        ):
+            n += 1
+    return n
+
+
 class _CapturedStream(Exception):
     def __init__(self, df):
         super().__init__("captured")
@@ -268,6 +293,16 @@ def main() -> None:
             else:
                 tag = ""
             print(f"- window specs: {n_specs}, unpartitioned: {n_unpart}{tag}")
+        n_suffix = _suffix_frames(plan)
+        if n_suffix:
+            if name in SUFFIX_FRAME_OK:
+                stag = f" — adjudicated constant-size: {SUFFIX_FRAME_OK[name]}"
+            else:
+                stag = (
+                    " — QUADRATIC: Spark re-aggregates suffix frames per"
+                    " row; respell as a desc-ordered cumulative frame"
+                )
+            print(f"- suffix frames: {n_suffix}{stag}")
         print(f"- whole-stage codegen spans: {codegen}")
         print()
 
