@@ -1000,3 +1000,157 @@ def graph_centrality_2hop_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("harmonic_x2"),
     )
     return sc.orderBy(F.desc("harmonic_x2"), "doc_id").limit(_CENT_TOPK)
+
+
+# --------------------------------------------------- HITS (bipartite)
+
+_HITS_ITERS = 3
+_HITS_SCALE = 1_000_000_000  # integer score grid: each side sums to ~1e9
+_HITS_TOPK = 10
+
+
+def _hits_oracle() -> str:
+    """Unroll the alternating hub/authority updates into chained
+    MATERIALIZED CTEs (each round's frame is referenced twice — the
+    BPE-oracle CTE-inlining lesson)."""
+    s = _HITS_SCALE
+    parts = [
+        f"""
+        e AS MATERIALIZED (
+          SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        h0 AS MATERIALIZED (
+          SELECT c, CAST({s} AS BIGINT) AS h FROM (SELECT DISTINCT c FROM e))
+        """
+    ]
+    for k in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f"""
+        ar{k} AS MATERIALIZED (
+          SELECT e.p, SUM(CAST(h.h AS HUGEINT)) AS raw
+          FROM e JOIN h{k - 1} h USING (c) GROUP BY e.p),
+        a{k} AS MATERIALIZED (
+          SELECT p, CAST(CAST(raw AS HUGEINT) * {s}
+                         // (SELECT SUM(raw) FROM ar{k}) AS BIGINT) AS a
+          FROM ar{k}),
+        hr{k} AS MATERIALIZED (
+          SELECT e.c, SUM(CAST(a.a AS HUGEINT)) AS raw
+          FROM e JOIN a{k} a USING (p) GROUP BY e.c),
+        h{k} AS MATERIALIZED (
+          SELECT c, CAST(CAST(raw AS HUGEINT) * {s}
+                         // (SELECT SUM(raw) FROM hr{k}) AS BIGINT) AS h
+          FROM hr{k})
+            """
+        )
+    n = _HITS_ITERS
+    return (
+        "WITH " + ",".join(parts) + f""",
+        atop AS (
+          SELECT 'authority' AS side, p AS node_id, a AS score,
+                 ROW_NUMBER() OVER (ORDER BY a DESC, p) AS rk
+          FROM a{n} ORDER BY a DESC, p LIMIT {_HITS_TOPK}),
+        htop AS (
+          SELECT 'hub' AS side, c AS node_id, h AS score,
+                 ROW_NUMBER() OVER (ORDER BY h DESC, c) AS rk
+          FROM h{n} ORDER BY h DESC, c LIMIT {_HITS_TOPK})
+        SELECT side, node_id, score, rk FROM atop
+        UNION ALL SELECT side, node_id, score, rk FROM htop
+        """
+    )
+
+
+@query("graph_hits_bipartite", oracle=_hits_oracle())
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) over the customer-part purchase bipartite graph:
+    hub customers spread mass to the parts they buy, authority parts
+    reflect it back — {_HITS_ITERS} alternating rounds from a uniform
+    hub vector, top-{_HITS_TOPK} per side.  The bipartite companion of
+    ``graph_pagerank`` (directed transitions) and the wedge family
+    (undirected near-dup graph); on commerce data it surfaces the
+    catalog's gravity centers and the basket-spanning buyers.
+
+    Exactness: scores live on an INTEGER grid — each half-round L1-
+    normalizes to ~{_HITS_SCALE} via floor division (decimal(38,0)
+    ``div`` / HUGEINT ``//``, the exact-floor pair), so every score is
+    an exact int64 in both engines and the ranking never orders floats.
+    The per-round total is always > 0 on a non-empty edge set (the
+    uniform init gives some contributing node a positive score, and
+    every node has an edge by construction), so the ANSI division
+    path is never reached with a zero divisor.
+
+    Scale shape: per round, TWO edge-keyed equi-joins + two map-side-
+    combinable aggregates + two 1-row totals broadcast back — the
+    alternating sparse mat-vec, node-sized state localCheckpoint'd per
+    round (the pagerank/kcore loop discipline).  Raw inflows are
+    summed in decimal(38,0): raw <= |edges| * {_HITS_SCALE}, so int64
+    would cap the graph at ~9e9 edges; decimal carries 100 TB.
+    The readouts are two TakeOrdered({_HITS_TOPK}) heads with rank
+    windows over <= {_HITS_TOPK}-row results."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = e.select("c").distinct().withColumn(
+        "h", F.lit(_HITS_SCALE).cast("bigint")
+    )
+
+    def _normalize(raw_df, key: str, out: str):
+        tot = raw_df.agg(F.sum("raw").alias("tot"))
+        return raw_df.crossJoin(F.broadcast(tot)).select(
+            key,
+            F.expr(
+                f"cast(cast(raw as decimal(38,0)) * {_HITS_SCALE}"
+                f" div cast(tot as decimal(38,0)) as bigint)"
+            ).alias(out),
+        )
+
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            e.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum(F.col("h").cast("decimal(38,0)")).alias("raw"))
+        )
+        a = _normalize(ar, "p", "a").localCheckpoint()
+        hr = (
+            e.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum(F.col("a").cast("decimal(38,0)")).alias("raw"))
+        )
+        h = _normalize(hr, "c", "h").localCheckpoint()
+
+    from pyspark.sql import Window
+
+    atop = (
+        a.orderBy(F.desc("a"), "p")
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("p").alias("node_id"),
+            F.col("a").alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("a"), "p"))
+            .cast("bigint")
+            .alias("rk"),
+        )
+    )
+    htop = (
+        h.orderBy(F.desc("h"), "c")
+        .limit(_HITS_TOPK)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("node_id"),
+            F.col("h").alias("score"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("h"), "c"))
+            .cast("bigint")
+            .alias("rk"),
+        )
+    )
+    return atop.unionByName(htop)

@@ -104,6 +104,7 @@ _REPRESENTATIVES = [
     "embedding_coreset_kcenter",  # empty first-pick collect -> empty frame
     "resample_interpolate_linear",  # null bounds -> empty spine
     "quality_kneser_ney_bigram",  # empty model tables, 1-row ntypes
+    "graph_hits_bipartite",     # empty edges through 3 normalize rounds
 ]
 
 

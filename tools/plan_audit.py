@@ -53,12 +53,15 @@ CONSTANT_WINDOW_OK = {
     "mix_epoch_token_budget": "remainder-rank over one row per source",
     "curriculum_length_schedule": "P-row offsets frame (ranking recipe)",
     "mix_quality_weighted": "P-row offsets frame (ranking recipe)",
+    "mix_interleave_deterministic": "P-row offsets frame (ranking recipe;"
+    " _pid-scoped, verified)",
     "pipeline_epoch_pack_end_to_end": "P-row offsets frames (ranking"
     " recipe: grouped within-source rank, then the merged rank+prefix-sum)",
     "quality_perplexity_buckets": "P-row offsets frame (ranking recipe)",
     "search_tfidf_rank": "rank over the <=10-row TakeOrdered result",
     "sample_reservoir_bottomk": "rank over the <=64-row TakeOrdered result",
     "sample_ppswor_priority": "rank over the <=33-row TakeOrdered result",
+    "graph_hits_bipartite": "ranks over two <=10-row TakeOrdered heads",
     "search_bm25_rank": "rank over the <=10-row TakeOrdered result",
     "search_rrf_fusion": "rank over the fused <=20-row top-k lists",
     "search_ndcg_eval": "rank over the <=10-row ideal list + the BM25"
