@@ -531,3 +531,59 @@ def test_stateful_restart_across_changelog_checkpointing_flip(spark, sf_dir, tmp
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_dropduplicates_within_watermark_state_expiry(spark):
+    """dropDuplicatesWithinWatermark — the BOUNDED-state dedup (state
+    per key expires once the watermark passes event_time + delay),
+    i.e. the production alternative to streaming_dedup_keys' exact
+    forever-dedup.  Two sequential availableNow runs share a
+    checkpoint: run 1 emits first occurrences of u1 (10:00) and u2
+    (12:30) and advances the watermark to 11:30, which EVICTS u1's
+    state (10:00 + 1h < 11:30) but keeps u2's (12:30 + 1h).  Run 2
+    then re-emits u1 (12:00 — state gone, duplicate beyond the
+    declared window) and drops u2's 12:45 duplicate (state alive)."""
+    import time
+
+    d = os.path.join(tempfile.mkdtemp(prefix="sg-ddww-"), "events")
+    ckpt = tempfile.mkdtemp(prefix="sg-ckpt-")
+    sink = tempfile.mkdtemp(prefix="sg-sink-")
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, value double"
+            )
+            .parquet(d)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id"])
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).collect()
+
+    now = time.time()
+    _write_batch(
+        spark, d, "b1.parquet",
+        [(1, t(10, 0), 1, 1.0), (2, t(12, 30), 2, 1.0)],
+        now - 200,
+    )
+    out1 = run_once()
+    assert {r["event_id"] for r in out1} == {1, 2}
+    _write_batch(
+        spark, d, "b2.parquet",
+        [(3, t(12, 0), 1, 1.0), (4, t(12, 45), 2, 1.0)],
+        now - 100,
+    )
+    out2 = run_once()
+    ids = sorted(r["event_id"] for r in out2)
+    # u1 re-emitted after expiry (id 3); u2's in-window duplicate dropped
+    assert ids == [1, 2, 3], ids
