@@ -701,9 +701,14 @@ def test_oriented_triangles_match_id_oriented_listing(spark, pairs):
 def test_hu_ratio_spark_matches_fraction(spark, nd):
     """functions/numeric.py::hu_ratio (the Spark half of the integer
     half-up recipe) against exact Fraction arithmetic: for any
-    (num >= 0, den > 0) the rendered double must be exactly
-    round-half-up(num/den, 6 digits) / 10^6 — the DuckDB half is pinned
-    by test_integer_half_up_render_is_exact."""
+    (num >= 0, den > 0) the rendered double must be exactly the
+    two-step render float(round-half-up(num/den, 6 digits)) / 10^6 —
+    the DuckDB half is pinned by test_integer_half_up_render_is_exact.
+    (Two-step, as in the signed twins: past 2^53 the scaled integer is
+    no longer a double, so cast-then-divide differs from Python's
+    one-step rational division in the last bit — hypothesis found the
+    live example (153957089443, 7) this round.  Cross-engine still
+    exact: both engines perform the identical IEEE cast-then-divide.)"""
     from fractions import Fraction
 
     from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
@@ -720,7 +725,7 @@ def test_hu_ratio_spark_matches_fraction(spark, nd):
         exp = frac.numerator // frac.denominator
         if frac - exp >= Fraction(1, 2):
             exp += 1
-        assert got[i] == exp / 10**6, (n, d, got[i], exp)
+        assert got[i] == float(exp) / 10**6, (n, d, got[i], exp)
 
 
 @given(
