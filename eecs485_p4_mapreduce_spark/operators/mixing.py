@@ -762,3 +762,92 @@ def curriculum_length_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nc").cast("bigint").alias("min_chars"),
         F.max("nc").cast("bigint").alias("max_chars"),
     )
+
+
+# ---------------------------------------------- training-shard balance
+
+_SHARD_N = 16  # data-parallel shard count
+
+
+def _shard_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio_sql
+
+    spread = hu_ratio_sql(
+        f"(mx - mn) * {_SHARD_N} * 10000", "tot", 0
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({DUCK_TOKENS}) AS BIGINT) AS tok
+      FROM documents),
+    rk AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (ORDER BY tok DESC, doc_id) AS rk
+      FROM d),
+    sh AS (
+      SELECT CAST((rk - 1) % {_SHARD_N} AS BIGINT) AS shard,
+             COUNT(*) AS n_docs, SUM(tok) AS tokens
+      FROM rk GROUP BY 1),
+    g AS (
+      SELECT MIN(tokens) AS mn, MAX(tokens) AS mx, SUM(tokens) AS tot
+      FROM sh)
+    SELECT sh.shard, CAST(sh.n_docs AS BIGINT) AS n_docs,
+           CAST(sh.tokens AS BIGINT) AS shard_tokens,
+           CAST(g.mn AS BIGINT) AS min_tokens,
+           CAST(g.mx AS BIGINT) AS max_tokens,
+           CAST({spread} AS BIGINT) AS spread_bp
+    FROM sh CROSS JOIN g
+    """
+
+
+@query("mix_shard_balance_rr", oracle=_shard_oracle())
+def mix_shard_balance_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced assignment of documents to {_SHARD_N} training
+    shards — the data-parallel sharding step after mix/pack: rank
+    documents by token count DESC and deal them round-robin (the
+    classic sorted round-robin load balancer: each shard receives one
+    document per size class, so shard token masses track each other to
+    within one document).  The readout is per-shard docs + token mass
+    and the global spread — (max - min) relative to the mean shard, in
+    basis points via the integer half-up recipe — the number a
+    training job reads to predict step-time skew across data-parallel
+    workers.
+
+    Scale shape: the rank is the range-partition global-rank recipe
+    (never an unpartitioned window over the corpus); the shard key is
+    pure arithmetic on the rank; the rollup is {_SHARD_N} groups with
+    map-side combine, and the 1-row min/max/total broadcasts back.
+    Assignment is deterministic (token count, doc_id tie-break), so
+    every engine, run, and retry deals identical shards."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("tok")
+    )
+    ranked = with_global_rank(docs, [F.col("tok").desc(), "doc_id"])
+    sh = (
+        ranked.withColumn(
+            "shard", ((F.col("_rk") - 1) % _SHARD_N).cast("bigint")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("tok").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("shard_tokens"),
+        )
+    )
+    g = sh.agg(
+        F.min("shard_tokens").alias("mn"),
+        F.max("shard_tokens").alias("mx"),
+        F.sum(F.col("shard_tokens").cast("decimal(38,0)")).alias("tot"),
+    )
+    return sh.crossJoin(F.broadcast(g)).select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.col("mn").cast("bigint").alias("min_tokens"),
+        F.col("mx").cast("bigint").alias("max_tokens"),
+        hu_ratio(f"(mx - mn) * {_SHARD_N} * 10000", "tot", 0)
+        .cast("bigint")
+        .alias("spread_bp"),
+    )

@@ -2051,3 +2051,65 @@ def quality_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_mle_surprisal"),
     )
+
+
+# ------------------------------------------- vocab coverage curve
+
+_VCC_KS = (1, 2, 4, 8, 16)  # power-of-two checkpoints + the full-vocab row
+
+
+@query(
+    "corpus_vocab_coverage_curve",
+    oracle=f"""
+    WITH tk AS (SELECT unnest({DUCK_TOKENS}) AS w FROM documents),
+    ty AS (SELECT w, COUNT(*) AS c FROM tk GROUP BY w),
+    rk AS (
+      SELECT w, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk,
+             SUM(c) OVER (ORDER BY c DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER () AS tot,
+             COUNT(*) OVER () AS nty
+      FROM ty)
+    SELECT CAST(rk AS BIGINT) AS k,
+           CAST(cum AS BIGINT) AS covered_tokens,
+           CAST(tot AS BIGINT) AS total_tokens,
+           {hu_ratio_sql("cum", "tot", 6)} AS coverage
+    FROM rk WHERE rk IN {_VCC_KS} OR rk = nty
+    """,
+)
+def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design readout: what
+    fraction of all token OCCURRENCES the top-k types cover, at
+    power-of-two k plus the full-vocab row.  The elbow of this curve is
+    where a vocab budget stops paying (the Zipf head carries most of
+    the mass); a flat curve flags templated/low-diversity sources
+    before a tokenizer is trained on them.
+
+    The type table is vocabulary-sized, but its ranked prefix sum must
+    not funnel 100 TB of vocab through one task: rank AND running sum
+    both come from the range-partition global-rank recipe
+    (``with_global_rank(sum_col=...)`` — the ``_cum``/``_tot`` exact
+    decimal prefix sum), so the curve read-off is a filter on ``_rk``.
+    Coverage renders via the integer half-up recipe, never
+    round(double, N) of a count ratio."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    ty = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    )
+    ranked = with_global_rank(
+        ty, [F.col("c").desc(), "w"], sum_col="c"
+    )
+    ks = ", ".join(str(k) for k in _VCC_KS)
+    return ranked.filter(
+        F.expr(f"_rk IN ({ks})") | (F.col("_rk") == F.col("_n"))
+    ).select(
+        F.col("_rk").cast("bigint").alias("k"),
+        F.col("_cum").cast("bigint").alias("covered_tokens"),
+        F.col("_tot").cast("bigint").alias("total_tokens"),
+        hu_ratio("_cum", "_tot", 6).alias("coverage"),
+    )

@@ -105,6 +105,8 @@ _REPRESENTATIVES = [
     "resample_interpolate_linear",  # null bounds -> empty spine
     "quality_kneser_ney_bigram",  # empty model tables, 1-row ntypes
     "graph_hits_bipartite",     # empty edges through 3 normalize rounds
+    "corpus_vocab_coverage_curve",  # empty type table through the rank
+    "mix_shard_balance_rr",     # zero docs, empty 16-shard rollup
 ]
 
 

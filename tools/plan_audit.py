@@ -53,6 +53,9 @@ CONSTANT_WINDOW_OK = {
     "mix_epoch_token_budget": "remainder-rank over one row per source",
     "curriculum_length_schedule": "P-row offsets frame (ranking recipe)",
     "mix_quality_weighted": "P-row offsets frame (ranking recipe)",
+    "mix_shard_balance_rr": "P-row offsets frame (ranking recipe)",
+    "corpus_vocab_coverage_curve": "P-row offsets frames (ranking recipe,"
+    " sum_col prefix sum)",
     "mix_interleave_deterministic": "P-row offsets frame (ranking recipe;"
     " _pid-scoped, verified)",
     "pipeline_epoch_pack_end_to_end": "P-row offsets frames (ranking"
