@@ -1085,17 +1085,45 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed in decimal(38,0): raw <= |edges| * {_HITS_SCALE}, so int64
     would cap the graph at ~9e9 edges; decimal carries 100 TB.
     The readouts are two TakeOrdered({_HITS_TOPK}) heads with rank
-    windows over <= {_HITS_TOPK}-row results."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    windows over <= {_HITS_TOPK}-row results.
+
+    The distinct (customer, part) edge set is a corpus-derived frame —
+    it persists cross-application via ``load_or_build_frame`` (the
+    band-graph-stack discipline), keyed on the lineitem mtime (orders
+    shares the same generation), so a warm application's 6 edge scans
+    read published parquet instead of re-deriving the 600k-row
+    distinct."""
+    from eecs485_p4_mapreduce_spark.functions.memo import mtime_token
+    from eecs485_p4_mapreduce_spark.functions.modelstore import (
+        load_or_build_frame,
     )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    e = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint()
-    )
+
+    def _build_edges() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+            )
+            .distinct()
+        )
+
+    if mtime_token(sf_dir, "lineitem") is not None:
+        e = load_or_build_frame(
+            spark,
+            "hits_cp_edges",
+            sf_dir,
+            "lineitem",
+            "c bigint, p bigint",
+            _build_edges,
+        )
+    else:
+        e = _build_edges().localCheckpoint()
     h = e.select("c").distinct().withColumn(
         "h", F.lit(_HITS_SCALE).cast("bigint")
     )
