@@ -150,6 +150,7 @@ def load_or_build_frame(
     table: str,
     schema: str,
     build: Callable[[], "object"],
+    extra_tables: tuple = (),
 ):
     """Stored DERIVED TABLE: like :func:`load_or_train` but for
     executor-scale frames (the LSH candidate-edge set) that a driver-
@@ -165,8 +166,22 @@ def load_or_build_frame(
     corpus mtime is unreadable (caller keeps its own checkpoint there).
     Derivation is deterministic as a SET; a rename race loser reads the
     winner's copy (row order may differ between builders, but every
-    consumer is order-insensitive — aggregates and joins only)."""
+    consumer is order-insensitive — aggregates and joins only).
+
+    ``extra_tables``: additional source tables the derivation reads —
+    their mtime tokens are folded into the key (md5 of the ordered
+    token list, 60-bit) so regenerating ANY input misses instead of
+    serving a stale frame.  Single-table callers keep the raw token
+    (published locations stay valid)."""
     token = mtime_token(sf_dir, table)
+    for extra in extra_tables:
+        et = mtime_token(sf_dir, extra)
+        if token is None or et is None:
+            token = None
+            break
+        token = int(
+            hashlib.md5(f"{token}:{et}".encode()).hexdigest()[:15], 16
+        )
     if token is None:
         return build()
     loc = model_location(spark, kind, sf_dir, token)

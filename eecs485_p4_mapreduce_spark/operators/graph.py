@@ -1089,10 +1089,11 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The distinct (customer, part) edge set is a corpus-derived frame —
     it persists cross-application via ``load_or_build_frame`` (the
-    band-graph-stack discipline), keyed on the lineitem mtime (orders
-    shares the same generation), so a warm application's 6 edge scans
-    read published parquet instead of re-deriving the 600k-row
-    distinct."""
+    band-graph-stack discipline), keyed on BOTH source tables' mtime
+    tokens (lineitem + orders via ``extra_tables`` — regenerating
+    either one misses instead of serving a stale edge set), so a warm
+    application's 6 edge scans read published parquet instead of
+    re-deriving the 600k-row distinct."""
     from eecs485_p4_mapreduce_spark.functions.memo import mtime_token
     from eecs485_p4_mapreduce_spark.functions.modelstore import (
         load_or_build_frame,
@@ -1113,7 +1114,10 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    if mtime_token(sf_dir, "lineitem") is not None:
+    if (
+        mtime_token(sf_dir, "lineitem") is not None
+        and mtime_token(sf_dir, "orders") is not None
+    ):
         e = load_or_build_frame(
             spark,
             "hits_cp_edges",
@@ -1121,6 +1125,7 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lineitem",
             "c bigint, p bigint",
             _build_edges,
+            extra_tables=("orders",),
         )
     else:
         e = _build_edges().localCheckpoint()

@@ -847,7 +847,16 @@ def mix_shard_balance_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_tokens",
         F.col("mn").cast("bigint").alias("min_tokens"),
         F.col("mx").cast("bigint").alias("max_tokens"),
-        hu_ratio(f"(mx - mn) * {_SHARD_N} * 10000", "tot", 0)
+        # scale factor folded INSIDE the decimal cast (round-8
+        # convention): mx/mn are bigint, so (mx-mn)*160000 would
+        # multiply in int64 BEFORE hu_ratio's decimal(38,0) cast and
+        # throw under ANSI past ~5.8e13 spread; the DuckDB twin is
+        # already HUGEINT (SUM returns int128 there).
+        hu_ratio(
+            f"(cast(mx as decimal(38,0)) - mn) * {_SHARD_N * 10000}",
+            "tot",
+            0,
+        )
         .cast("bigint")
         .alias("spread_bp"),
     )

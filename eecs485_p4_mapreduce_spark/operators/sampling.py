@@ -325,7 +325,9 @@ def _ppswor_oracle() -> str:
       SELECT doc_id, n_chars, priority,
              ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
       FROM pri ORDER BY priority DESC, doc_id LIMIT {_PPS_K + 1}),
-    tau AS (SELECT priority AS tau FROM top WHERE rk = {_PPS_K + 1}),
+    tau AS (SELECT COALESCE(MAX(CASE WHEN rk = {_PPS_K + 1}
+                                     THEN priority END), 0) AS tau
+            FROM top),
     samp AS (
       SELECT top.rk, top.doc_id, top.n_chars AS w_chars, top.priority,
              GREATEST(top.n_chars, tau.tau) AS ht_weight
@@ -394,8 +396,19 @@ def sample_ppswor_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(F.desc("priority"), "doc_id")),
         )
     )
-    tau = top.filter(F.col("rk") == _PPS_K + 1).select(
-        F.col("priority").alias("tau")
+    # tau as a 1-row AGGREGATE (never an empty filter result): when the
+    # corpus has <= k documents the (k+1)-th priority does not exist and
+    # a bare filter would annihilate the whole sample through the cross
+    # join.  COALESCE(tau, 0) makes the <= k case return the corpus
+    # itself with ht_weight = n_chars (max(w, 0) = w), the correct
+    # Horvitz-Thompson degenerate sample, in both dialects.
+    tau = top.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("rk") == _PPS_K + 1, F.col("priority"))
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("tau")
     )
     samp = (
         top.filter(F.col("rk") <= _PPS_K)

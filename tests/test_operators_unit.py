@@ -1085,3 +1085,129 @@ def test_epoch_pack_pipeline_conserves_tokens_and_mix(spark, sf_dir):
     totals = {r["total_tokens"] for r in out.values()}
     assert totals == {kept_tok}
     assert sum(r["tokens"] for r in out.values()) == kept_tok
+
+
+def test_ppswor_small_corpus_returns_whole_corpus(spark, tmp_path):
+    """Round-10 ADVICE: a priority sample of a corpus with <= k
+    documents must be the corpus itself with ht_weight = n_chars
+    (tau falls back to 0 via the 1-row COALESCE aggregate), never
+    zero rows — the old bare (k+1)-th-priority filter produced an
+    empty tau frame whose cross join annihilated the sample."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    spec = REGISTRY["sample_ppswor_priority"]
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": ["a", "bb", "ccc", "dddd", "eeeee"],
+            "lang": ["en"] * 5,
+            "source": ["web"] * 5,
+            "n_chars": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    rows = spec.fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 5
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == {1, 2, 3, 4, 5}
+    for r in rows:
+        assert r["ht_weight"] == r["w_chars"]  # max(w, tau=0) = w
+        assert r["est_total_chars"] == 15 == r["total_chars"]
+    # the DuckDB twin renders the identical degenerate sample
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    drows = con.sql(spec.oracle).fetchall()
+    assert len(drows) == 5
+
+
+def test_asof_forward_same_ts_click_ties_deterministic(spark, tmp_path):
+    """Round-10 ADVICE: two same-user clicks at an IDENTICAL timestamp
+    must resolve to MIN(event_id) — the DESC-cumulative rewrite is
+    frame-equivalent only when (ts, is_click) is total per user, so
+    clicks are deduped to min event_id per (user_id, ts) before the
+    union (the join_asof_nearest discipline)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    fwd = REGISTRY["join_asof_forward"].fn
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = _dt.datetime(2024, 1, 1, 12, 5, 0)
+    ev = pa.table(
+        {
+            "event_id": pa.array([10, 99, 42, 7], pa.int64()),
+            "ts": pa.array([t0, t1, t1, t0], pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": ["purchase", "click", "click", "purchase"],
+            "value": pa.array([5.0, 0.0, 0.0, 3.0], pa.float64()),
+            "props": ["{}"] * 4,
+        }
+    )
+    pq.write_table(ev, tmp_path / "events.parquet")
+    rows = {
+        r["purchase_id"]: r
+        for r in fwd(spark, str(tmp_path)).collect()
+    }
+    assert rows[10]["next_click_id"] == 42  # min(99, 42) at identical ts
+    assert rows[7]["next_click_id"] is None  # user 2 never clicks
+
+
+def test_frame_store_extra_tables_fold_into_key(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE: a derived frame reading TWO source tables must
+    miss the cache when EITHER is regenerated — graph_hits_bipartite's
+    edge set keys on lineitem + orders via ``extra_tables``.  Also pins
+    that single-table callers keep the raw mtime token (their published
+    locations stay valid across this change)."""
+    import shutil as _sh
+    import time as _t
+
+    from eecs485_p4_mapreduce_spark.functions import modelstore
+
+    monkeypatch.setattr(modelstore, "warehouse_path", lambda s: str(tmp_path))
+    d1 = tmp_path / "corpus"
+    d1.mkdir()
+    for t in ("lineitem", "orders"):
+        _sh.copy(
+            f"/root/testdata/sf0.001/{t}.parquet", d1 / f"{t}.parquet"
+        )
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(4).selectExpr("id AS c", "id + 1 AS p")
+
+    def go():
+        return modelstore.load_or_build_frame(
+            spark, "tmulti", str(d1), "lineitem", "c bigint, p bigint",
+            build, extra_tables=("orders",),
+        )
+
+    assert go().count() == 4 and builds == [1]
+    assert go().count() == 4 and builds == [1]  # hit
+    # regenerate ONLY orders (lineitem untouched) -> must rebuild
+    _t.sleep(0.01)
+    _sh.copy("/root/testdata/sf0.001/orders.parquet", d1 / "orders.parquet")
+    assert go().count() == 4 and builds == [1, 1]
+    # single-table key is the raw token: location matches mtime_token
+    from eecs485_p4_mapreduce_spark.functions.memo import mtime_token
+
+    modelstore.load_or_build_frame(
+        spark, "tsingle", str(d1), "lineitem", "c bigint, p bigint", build
+    )
+    tok = mtime_token(str(d1), "lineitem")
+    loc = modelstore.model_location(spark, "tsingle", str(d1), tok)
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(loc, "_SUCCESS"))
