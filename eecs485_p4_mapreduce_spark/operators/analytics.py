@@ -439,6 +439,19 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# stats_correlation's covariance rational, factored to module constants
+# so the int128 boundary pin (tests/test_headroom_bounds.py) drives the
+# PRODUCTION strings.  sxd/syd are decimal(18,6) sums, sxyd the
+# decimal(28,12) cross-moment sum, n the group count.
+_CORR_COV_NUM = (
+    "cast(n as decimal(38,0))"
+    " * cast(sxyd * 1000000000000 as decimal(38,0))"
+    " - cast(sxd * 1000000 as decimal(38,0))"
+    " * cast(syd * 1000000 as decimal(38,0))"
+)
+_CORR_COV_DEN = "cast(n as decimal(38,0)) * (n - 1) * 1000000000000"
+
+
 @query(
     "stats_correlation",
     oracle=f"""
@@ -489,18 +502,29 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxyd").cast("double")
     # covar_samp = (n*sxy_i - sx_i*sy_i)/(n(n-1)*10^12) is the exact
     # rational over the 10^12/10^6-scaled decimal sums: signed half-up
-    # recipe (int128-exact to ~1e10 rows per group); corr divides by a
-    # product of sqrts — sqrt outputs are never decimal halves
-    # (CLAUDE.md rule), so round(identical-double, 6) stays safe there
+    # recipe; corr divides by a product of sqrts — sqrt outputs are
+    # never decimal halves (CLAUDE.md rule), so
+    # round(identical-double, 6) stays safe there.
+    # DECISION RULE (int128 headroom, MEASURED in
+    # tests/test_headroom_bounds.py): the render's 2*|num|*10^6 factor
+    # binds the exact form at num = n^2 * E[xy] * 10^12 <= 5e31 —
+    # ~2e7 rows PER GROUP at TPC-H magnitudes (E[xy] ~ 9e5), far below
+    # the declared 100 TB scale — and wraps LOUDLY
+    # (NUMERIC_VALUE_OUT_OF_RANGE).  Beyond that, in order:
+    # (a) center-then-square — the covariance analog of
+    # relational2.twopass_var (pass 1 truncated integer means mx6/my6,
+    # pass 2 sums dx, dy, dx*dy; shift invariance makes
+    # n*sum(dx*dy) - sum(dx)*sum(dy) ALGEBRAICALLY IDENTICAL) — buys
+    # mean^2/cov, ~25x here; (b) the DECLARED quantization drop
+    # (inputs at 10^2, 4-digit render) for the remaining orders of
+    # magnitude, identical in both engines.  Sharding merges moment
+    # partials fine but does not relax the render.
     return s.select(
         "l_returnflag",
         n.cast("bigint").alias("n"),
         hu_ratio_signed(
-            "cast(n as decimal(38,0))"
-            " * cast(sxyd * 1000000000000 as decimal(38,0))"
-            " - cast(sxd * 1000000 as decimal(38,0))"
-            " * cast(syd * 1000000 as decimal(38,0))",
-            "cast(n as decimal(38,0)) * (n - 1) * 1000000000000",
+            _CORR_COV_NUM,
+            _CORR_COV_DEN,
             6,
         ).alias("covar_samp"),
         F.round(

@@ -537,6 +537,16 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ml_logreg_gradient_step's gradient numerator, factored to a module
+# constant so the headroom boundary pin drives the PRODUCTION string
+# (tests/test_headroom_bounds.py): per-term 10^15 pre-scale into
+# decimal(38,0), then the full-width integer sum.
+_LOGREG_GRAD_NUM = (
+    "sum(cast(cast(err * x as decimal(30,15))"
+    " * 1000000000000000 as decimal(38,0)))"
+)
+
+
 def _logreg_oracle() -> str:
     from eecs485_p4_mapreduce_spark.operators.similarity import _INF_W
 
@@ -604,13 +614,24 @@ def ml_logreg_gradient_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the gradient component renders via the signed half-up recipe over
     # the 10^15-scaled exact sum (never round(double, 6) of a decimal
-    # ratio); the k=15 scale bounds the int128-exact form at ~1e8 rows
-    # (|sum| * 10^30 <= 1e38) — shard or drop to k=9 beyond that
+    # ratio).  DECISION RULE (measured, pinned in
+    # tests/test_headroom_bounds.py): each term is PRE-scaled to an
+    # integer decimal(38,0) BEFORE the sum — exact-identical
+    # term-by-term (10^15 * a 15-fraction-digit decimal is lossless,
+    # equivalence property-pinned vs the sum-then-scale spelling) — so
+    # the only remaining cap is hu_ratio_signed's internal
+    # 2 * |num| * 10^6 <= 1e38, i.e. ~5e16 rows of |err * x| <= 1:
+    # clear of the declared 100 TB scale.  (The sum-then-scale
+    # spelling's decimal(38,15) sum capped the integer part at 10^23 —
+    # also ~1e23 rows of unit terms, NOT the ~1e8 a previous comment
+    # claimed; the respell removes the narrower intermediate anyway.)
+    # The oracle keeps sum-then-scale: DuckDB's HUGEINT-backed
+    # DECIMAL(38,15) carries the same integers at both SFs.
     return (
         el.groupBy((F.col("d0") + 1).alias("d"))
         .agg(
             hu_ratio_signed(
-                "sum(cast(err * x as decimal(30,15))) * 1000000000000000",
+                _LOGREG_GRAD_NUM,
                 f"cast({n} as decimal(38,0)) * 1000000000000000",
                 6,
             ).alias("grad")

@@ -897,6 +897,20 @@ def embedding_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# embedding_dim_stats' single-pass variance rational, factored to
+# module constants so the int128 boundary pin
+# (tests/test_headroom_bounds.py) drives the PRODUCTION expression
+# strings (the _WELCH_AQ discipline).  sxd/sxxd are the decimal(18,9)
+# and decimal(28,15) moment sums; n the group count.
+_DIMSTAT_SX = "cast(sxd * 1000000000 as decimal(38,0))"
+_DIMSTAT_VAR_NUM = (
+    "cast(n as decimal(38,0))"
+    " * cast(sxxd * 1000000000000000 as decimal(38,0)) * 1000"
+    f" - {_DIMSTAT_SX} * {_DIMSTAT_SX}"
+)
+_DIMSTAT_VAR_DEN = "cast(n as decimal(38,0)) * n * 1000000000000000000"
+
+
 @query(
     "embedding_dim_stats",
     oracle=f"""
@@ -937,11 +951,18 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean and population variance are exact rationals of the 10^9- and
     # 10^15-scaled integer sums: var = (n*sxx_i*10^3 - sx_i^2)/(n^2*10^18)
     # — rendered by the signed half-up recipe, never round(double, 6).
-    # decimal(38,0)/int128 headroom bounds the exact form at
-    # |sum x| * 10^9 <= ~3e18 per dimension (~1e9 rows of unit-scale
-    # values); beyond that, shard or switch to the mean-shifted two-pass
-    # (the production spelling exists: relational2.twopass_var).
-    sx_i = "cast(sxd * 1000000000 as decimal(38,0))"
+    # DECISION RULE (int128 headroom, MEASURED in
+    # tests/test_headroom_bounds.py): the render's 2*|num|*10^6 factor
+    # is the binding constraint — num ~ n^2 * E[x^2] * 10^18 must stay
+    # <= 5e31, i.e. n <= ~7e6/sqrt(E[x^2]) rows per dimension (~5e7 for
+    # unit-norm 64-dim embeddings where E[x^2] ~ 1/64).  The wrap is
+    # LOUD (NUMERIC_VALUE_OUT_OF_RANGE), never a wrong number.  Beyond
+    # that: (a) DECLARED quantization drop — inputs at 10^4 and a
+    # 4-digit render put the bound past 1e12 rows, identical in both
+    # engines; (b) the mean-shifted two-pass
+    # (relational2.twopass_var, boundary-pinned) when the mean
+    # dominates the spread.  Sharding alone does NOT relax the render —
+    # merged moment partials still feed the same rational.
     return g.select(
         "d",
         "n",
@@ -949,11 +970,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sxd * 1000000000", "cast(n as decimal(38,0)) * 1000000000", 6
         ).alias("mean"),
         hu_ratio_signed(
-            "cast(n as decimal(38,0))"
-            " * cast(sxxd * 1000000000000000 as decimal(38,0)) * 1000"
-            f" - {sx_i} * {sx_i}",
-            "cast(n as decimal(38,0)) * n * 1000000000000000000",
-            6,
+            _DIMSTAT_VAR_NUM, _DIMSTAT_VAR_DEN, 6
         ).alias("var_pop"),
     )
 
@@ -1763,6 +1780,15 @@ def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame
     return sc.orderBy(F.desc("mahalanobis_sq"), "vec_id").limit(20)
 
 
+# eval_brier_decomposition's per-bin deviation rationals, factored to
+# module constants so the int128 boundary pin drives the PRODUCTION
+# strings (tests/test_headroom_bounds.py).
+_BRIER_DREL = "(cast(sp as decimal(38,0)) - 10000 * sy)"
+_BRIER_DRES = (
+    "(cast(sy as decimal(38,0)) * n - cast(n_k as decimal(38,0)) * sy_tot)"
+)
+
+
 def _brier_decomp_oracle() -> str:
     w_list = ", ".join(str(w) for w in _INF_W)
     return f"""
@@ -1849,37 +1875,51 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.expr("p_bp div 1000"), F.lit(9)).alias("bin")
     ).agg(
         F.count("*").cast("bigint").alias("n_k"),
+        # sp <= 10^4 * n_k and sy <= n_k stay comfortably inside bigint
+        # past 1e11 rows; ssq's per-row square is <= 10^8, so a BIGINT
+        # sum would wrap (loudly, ANSI) at ~9e10 rows — below the
+        # declared 100 TB scale — hence the decimal(38,0) sum
+        # (hash-identical below the old bound, ~1e30-row headroom).
         F.sum("p_bp").cast("bigint").alias("sp"),
         F.sum("y").cast("bigint").alias("sy"),
         F.sum(
-            (F.col("p_bp") - 10000 * F.col("y"))
-            * (F.col("p_bp") - 10000 * F.col("y"))
-        )
-        .cast("bigint")
-        .alias("ssq"),
+            (
+                (F.col("p_bp") - 10000 * F.col("y"))
+                * (F.col("p_bp") - 10000 * F.col("y"))
+            ).cast("decimal(38,0)")
+        ).alias("ssq"),
     ).localCheckpoint()  # global rollup + per-bin terms both read it
     g = b.agg(
         F.sum("n_k").cast("bigint").alias("n"),
         F.sum("sy").cast("bigint").alias("sy_tot"),
-        F.sum("ssq").cast("bigint").alias("ssq_tot"),
+        F.sum("ssq").cast("decimal(38,0)").alias("ssq_tot"),
     )
     # each bin's reliability/resolution term is the EXACT integer
     # rational ((sp - 10^4 sy)^2 / (n_k 10^8) and
     # (sy n - n_k sy_tot)^2 / (n_k n^2)) rendered at 1e-8 by the half-up
     # recipe; base rate, their means, and the uncertainty p(1-p) are
     # integer-ratio recipes too — no round(double, N) anywhere.
-    # int128/decimal(38,0) headroom bounds the exact per-bin squares at
-    # ~1e10 rows per bin ((10^4 n_k)^2 * 2 * 10^8 <= 1e38); beyond that,
-    # shard the bins (the center-then-square escape hatch is
-    # relational2.twopass_var, boundary-pinned in tests).
-    drel = "(cast(sp as decimal(38,0)) - 10000 * sy)"
-    dres = "(cast(sy as decimal(38,0)) * n - cast(n_k as decimal(38,0)) * sy_tot)"
+    # DECISION RULE (int128 headroom, MEASURED in
+    # tests/test_headroom_bounds.py): the render's 2*dev^2*10^8 factor
+    # binds each term at |dev| <= ~2.2e14.  Reliability's
+    # drel <= 10^4 * n_k -> ~2e10 rows per bin; RESOLUTION's
+    # dres ~ n_k * n * (calibration gap) binds first — ~1e8 total rows
+    # at a 20% gap with balanced deciles — and wraps LOUDLY
+    # (NUMERIC_VALUE_OUT_OF_RANGE).  Beyond that, the DECLARED
+    # quantization drop: render the resolution term at 4 digits from
+    # 10^4-prescaled bin rates (identical in both engines, bound past
+    # 1e12 rows).  Sharding merges the integer bin partials fine but
+    # does not relax the render.
     t = b.crossJoin(F.broadcast(g)).select(
         hu_ratio(
-            f"{drel} * {drel}", "cast(n_k as decimal(38,0)) * 100000000", 8
+            f"{_BRIER_DREL} * {_BRIER_DREL}",
+            "cast(n_k as decimal(38,0)) * 100000000",
+            8,
         ).cast("decimal(28,8)").alias("t_rel"),
         hu_ratio(
-            f"{dres} * {dres}", "cast(n_k as decimal(38,0)) * n * n", 8
+            f"{_BRIER_DRES} * {_BRIER_DRES}",
+            "cast(n_k as decimal(38,0)) * n * n",
+            8,
         ).cast("decimal(28,8)").alias("t_res"),
     )
     sums = t.agg(

@@ -389,6 +389,15 @@ def stats_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# stats_chi_square_independence's per-cell rational, factored to module
+# constants so the int128 boundary pin (tests/test_headroom_bounds.py)
+# drives the PRODUCTION strings.  o = observed cell count, r/c the
+# marginals, n the grand total.
+_CHI_D = "(cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)"
+_CHI_NUM = f"{_CHI_D} * {_CHI_D}"
+_CHI_DEN = "cast(n as decimal(38,0)) * r * c"
+
+
 @query(
     "stats_chi_square_independence",
     oracle=f"""
@@ -421,11 +430,21 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     the integer half-up recipe (never round(double, 6) -- the
     cross-engine half-boundary class) and decimal-summed so the
     statistic is order-independent; the 6-decimal sum casts straight to
-    double with no re-round.  int128/decimal(38,0) headroom bounds the
-    exact form at ~1e8 events ((o*n)^2 <= 1e38); beyond that, shard the
-    contingency or center-then-square (the production two-pass spelling
-    is relational2.twopass_var, boundary-pinned in tests).  Contingency
-    cells, not events, cross the wire."""
+    double with no re-round.
+
+    DECISION RULE (int128 headroom, MEASURED in
+    tests/test_headroom_bounds.py): the render's 2*d^2*10^6 factor
+    binds the exact form at |d| = |o*n - r*c| <= ~7e15; d grows like
+    n^2 * (independence deviation), so percent-level deviations bind
+    at ~8e8 events — below the declared 100 TB scale — and the wrap is
+    LOUD (NUMERIC_VALUE_OUT_OF_RANGE), never a wrong number.  Beyond
+    that, rescale the integer rational BEFORE squaring: both engines'
+    exact integer div by a shared 10^k so |d|/10^k < ~7e15 — a
+    declared, engine-identical quantization whose error is bounded by
+    the div remainder.  Sharding merges the integer contingency
+    partials fine (counts are mergeable; the rational is evaluated
+    once on the merged <= 7x5-cell table) but does not relax the
+    render.  Contingency cells, not events, cross the wire."""
     e = load_table(spark, sf_dir, "events")
     obs = e.groupBy(
         "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
@@ -438,10 +457,7 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(ct), "dow")
         .crossJoin(F.broadcast(n))
     )
-    d = "(cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)"
-    contrib = hu_ratio(
-        f"{d} * {d}", "cast(n as decimal(38,0)) * r * c", 6
-    )
+    contrib = hu_ratio(_CHI_NUM, _CHI_DEN, 6)
     return cells.agg(
         F.count("*").cast("bigint").alias("n_cells"),
         F.sum(contrib.cast("decimal(24,9)")).cast("double").alias("chi_square"),
