@@ -37,12 +37,29 @@ def memo_slots(default: int = 4) -> int:
         return default
 
 
+# Every LRU instance registers here so sweep tools can release ALL
+# memoized derived state between queries (tools/oracle_check.py's
+# per-query block release) — eviction callbacks drop the global temp
+# views / unpersist, making the checkpointed blocks collectible.
+_ALL_CACHES: "list[LRU]" = []
+
+
+def clear_all_caches() -> None:
+    """Evict every entry of every registered LRU (running eviction
+    callbacks).  Safe at any point between queries: the next access
+    misses and rebuilds — for the band-graph stack that is a parquet
+    re-read of the published derived frame, not a recompute."""
+    for c in _ALL_CACHES:
+        c.clear()
+
+
 class LRU:
     """Insertion/access-ordered bounded cache with eviction callbacks."""
 
     def __init__(self, maxsize: int | None = None) -> None:
         self.maxsize = maxsize if maxsize is not None else memo_slots()
         self._d: "OrderedDict[Any, tuple[Any, Callable | None]]" = OrderedDict()
+        _ALL_CACHES.append(self)
 
     def get(self, key: Any) -> Any:
         hit = self._d.get(key)

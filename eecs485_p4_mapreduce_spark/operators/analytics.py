@@ -2660,9 +2660,18 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_exit"),
         F.sum("death").cast("bigint").alias("n_deaths"),
     )
-    w_fwd = (
-        Window.orderBy("dur_days")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # n_at_risk = suffix sum of exits — spelled as a DESC-ordered
+    # CUMULATIVE frame, never (currentRow, unboundedFollowing): Spark
+    # re-aggregates suffix frames from scratch per row (O(n^2) per
+    # partition, the round-9 as-of lesson), while cumulative frames
+    # evaluate incrementally.  dur_days is unique here (groupBy output),
+    # so the DESC prefix sum is exactly the ASC suffix sum — the grid is
+    # calendar-bounded either way, but the registry-wide plan audit is
+    # now zero-exception (no SUFFIX_FRAME_OK allowlist).  The oracle
+    # keeps the suffix spelling (identical by the same uniqueness).
+    w_desc = (
+        Window.orderBy(F.col("dur_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_pre = (
         Window.orderBy("dur_days")
@@ -2672,7 +2681,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dur_days",
         "n_exit",
         "n_deaths",
-        F.sum("n_exit").over(w_fwd).cast("bigint").alias("n_at_risk"),
+        F.sum("n_exit").over(w_desc).cast("bigint").alias("n_at_risk"),
     )
     k = r.select(
         "dur_days",

@@ -486,3 +486,241 @@ def pipeline_epoch_pack_end_to_end(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .crossJoin(F.broadcast(g))
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination-guarded mix construction (round-10 VERDICT item 4):
+# decontaminate -> DSIR-select -> temperature-mix, composed as ONE job
+# with one unrolled oracle.  Each stage reuses the exact spelling its
+# standalone operator proved (contamination_benchmark_ngrams' broadcast
+# bench-gram probe, mix_dsir_importance_select's hashed-bucket llr
+# model, mix_temperature_sampling's integer hash acceptance).
+# ---------------------------------------------------------------------------
+
+
+def _decontam_mix_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.dedup import (
+        _BENCH_IDS,
+        _GRAMS_DUCK,
+        _NGRAM,
+    )
+    from eecs485_p4_mapreduce_spark.operators.mixing import (
+        _DSIR_B,
+        _DSIR_WHEX,
+        _HEX3,
+        _TEMP_CASE,
+    )
+
+    return f"""
+    WITH {_GRAMS_DUCK},
+    bench AS (
+      SELECT doc_id AS bench_id, list_slice({DUCK_TOKENS}, 5, 20) AS tk
+      FROM documents WHERE doc_id IN {_BENCH_IDS}),
+    bg AS (
+      SELECT DISTINCT
+             md5(array_to_string(list_slice(tk, i, i + {_NGRAM - 1}), ' ')) AS h
+      FROM bench, unnest(range(1, greatest(len(tk) - {_NGRAM - 2}, 1))) AS t(i)),
+    victims AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (h)),
+    clean AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.text FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM victims)),
+    tok AS MATERIALIZED (
+      SELECT doc_id, lang, {_DSIR_WHEX['duckdb']} AS b
+      FROM (SELECT doc_id, lang, unnest({DUCK_TOKENS}) AS w FROM clean)),
+    ct AS (SELECT b, COUNT(*) AS c FROM tok WHERE lang = 'en' GROUP BY b),
+    cs AS (SELECT b, COUNT(*) AS c FROM tok WHERE lang <> 'en' GROUP BY b),
+    nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM ct),
+    ns AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n FROM cs),
+    lr AS (
+      SELECT COALESCE(ct.b, cs.b) AS b,
+             CAST(round(ln(
+               (CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE) * (ns.n + {_DSIR_B}))
+               / (CAST(COALESCE(cs.c, 0) + 1 AS DOUBLE) * (nt.n + {_DSIR_B}))
+             ), 4) AS DECIMAL(18,4)) AS llr
+      FROM ct FULL OUTER JOIN cs ON cs.b = ct.b
+      CROSS JOIN nt CROSS JOIN ns),
+    per_doc AS (
+      SELECT tok.doc_id, tok.lang, COUNT(*) AS n_tok, SUM(lr.llr) AS s
+      FROM tok JOIN lr ON lr.b = tok.b
+      GROUP BY tok.doc_id, tok.lang),
+    sel AS MATERIALIZED (
+      SELECT doc_id, lang, n_tok FROM per_doc WHERE s > 0),
+    counts AS (SELECT lang, COUNT(*) AS n_sel FROM sel GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_tot FROM sel),
+    rates AS (
+      SELECT lang,
+             CAST(floor(least(1.0,
+               (CASE lang {_TEMP_CASE} ELSE 0.0 END) * tot.n_tot / n_sel)
+               * {_BUCKETS}) AS BIGINT) AS thresh
+      FROM counts, tot),
+    kept AS (
+      SELECT s.lang, s.n_tok
+      FROM sel s JOIN rates r ON r.lang = s.lang
+      WHERE {_HEX3['duckdb']} < r.thresh),
+    raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY 1),
+    cl AS (SELECT lang, COUNT(*) AS n_clean FROM clean GROUP BY 1),
+    sc AS (SELECT lang, COUNT(*) AS n_selected, SUM(n_tok) AS sel_tokens
+           FROM sel GROUP BY 1),
+    mc AS (SELECT lang, COUNT(*) AS n_mixed, SUM(n_tok) AS mix_tokens
+           FROM kept GROUP BY 1)
+    SELECT raw.lang, CAST(raw.n_raw AS BIGINT) AS n_raw,
+           CAST(COALESCE(cl.n_clean, 0) AS BIGINT) AS n_clean,
+           CAST(COALESCE(sc.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(sc.sel_tokens, 0) AS BIGINT) AS sel_tokens,
+           CAST(COALESCE(r.thresh, 0) AS BIGINT) AS mix_thresh,
+           CAST(COALESCE(mc.n_mixed, 0) AS BIGINT) AS n_mixed,
+           CAST(COALESCE(mc.mix_tokens, 0) AS BIGINT) AS mix_tokens
+    FROM raw
+    LEFT JOIN cl USING (lang)
+    LEFT JOIN sc USING (lang)
+    LEFT JOIN rates r USING (lang)
+    LEFT JOIN mc USING (lang)
+    """
+
+
+@query("pipeline_decontam_mix_select", oracle=_decontam_mix_oracle())
+def pipeline_decontam_mix_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-guarded mix construction, composed end-to-end:
+
+      decontaminate (drop any document sharing an 8-token window with
+      the eval set) -> DSIR importance-select over the CLEAN pool
+      (hashed-bucket llr model rebuilt on survivors — pipeline order
+      matters: a leaked benchmark doc must not shape the selection
+      model) -> temperature-mix the SELECTED set (integer md5-bucket
+      acceptance toward rescaled language shares).
+
+    The per-language readout is the funnel every curation run reports:
+    raw -> clean -> selected (with token mass) -> mixed (with token
+    mass and the acceptance threshold).  All outputs are exact
+    integers; the one float step (ln of identically-computed doubles)
+    is quantized round(4) before the exact decimal per-doc sums (the
+    kl_nats recipe), and the selection compares the decimal to 0.
+
+    Scale shape: bench grams BROADCAST (eval sets are benchmark-sized);
+    the victim id set broadcasts into a scan-side anti-join, so corpus
+    text never shuffles; the DSIR model is a {4096}-row broadcast
+    scoring token occurrences scan-side into one doc-keyed aggregate;
+    the mix thresholds are a 5-row broadcast.  The selected id set
+    (ints only) is localCheckpointed — the funnel's three downstream
+    readers never recompute the scoring join (the
+    pipeline_curation_end_to_end survivor-set discipline).
+    Monotonicity (mixed <= selected <= clean <= raw, per language) is
+    pinned in tests/test_operators_unit.py."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import (
+        _BENCH_IDS,
+        _NGRAM,
+        _token_windows,
+    )
+    from eecs485_p4_mapreduce_spark.operators.mixing import (
+        _DSIR_B,
+        _DSIR_WHEX,
+        _HEX3,
+        _TEMP_CASE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    bench = docs.filter(F.col("doc_id").isin(*_BENCH_IDS)).select(
+        F.slice(tokens("text"), 5, 16).alias("tk")
+    )
+    bg = bench.select(
+        F.explode(
+            F.expr(
+                f"transform(slice(sequence(0, size(tk)), 2,"
+                f" greatest(size(tk) - {_NGRAM - 1}, 0)), i ->"
+                f" md5(array_join(slice(tk, i, {_NGRAM}), ' ')))"
+            )
+        ).alias("h")
+    ).distinct()
+    victims = (
+        _token_windows(spark, sf_dir)
+        .join(F.broadcast(bg), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = docs.join(F.broadcast(victims), "doc_id", "left_anti")
+    tok = clean.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    ).select("doc_id", "lang", F.expr(_DSIR_WHEX["spark"]).alias("b"))
+    ct = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("tc")
+    )
+    cs = tok.filter(F.col("lang") != "en").groupBy("b").agg(
+        F.count("*").alias("sc")
+    )
+    nt = ct.agg(F.coalesce(F.sum("tc"), F.lit(0)).cast("bigint").alias("n_t"))
+    ns = cs.agg(F.coalesce(F.sum("sc"), F.lit(0)).cast("bigint").alias("n_s"))
+    lr = (
+        ct.join(cs, "b", "full_outer")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "b",
+            F.expr(
+                f"cast(round(ln("
+                f" (cast(coalesce(tc, 0) + 1 as double) * (n_s + {_DSIR_B}))"
+                f" / (cast(coalesce(sc, 0) + 1 as double) * (n_t + {_DSIR_B}))"
+                f"), 4) as decimal(18,4))"
+            ).alias("llr"),
+        )
+    )
+    per_doc = (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tok"), F.sum("llr").alias("s"))
+    )
+    sel = (
+        per_doc.filter(F.col("s") > 0)
+        .select("doc_id", "lang", "n_tok")
+        .localCheckpoint()
+    )
+    counts = sel.groupBy("lang").agg(F.count("*").alias("n_sel"))
+    tot = sel.agg(F.count("*").alias("n_tot"))
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.expr(
+                f"cast(floor(least(1.0, (CASE lang {_TEMP_CASE} ELSE 0.0 END)"
+                f" * n_tot / n_sel) * {_BUCKETS}) as bigint)"
+            ).alias("thresh"),
+        )
+    )
+    kept = sel.join(F.broadcast(rates), "lang").filter(
+        F.expr(_HEX3["spark"]) < F.col("thresh")
+    )
+    raw = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_raw"))
+    cl = clean.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_clean")
+    )
+    sc2 = sel.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.sum("n_tok").cast("bigint").alias("sel_tokens"),
+    )
+    mc = kept.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_mixed"),
+        F.sum("n_tok").cast("bigint").alias("mix_tokens"),
+    )
+    return (
+        raw.join(F.broadcast(cl), "lang", "left")
+        .join(F.broadcast(sc2), "lang", "left")
+        .join(F.broadcast(rates), "lang", "left")
+        .join(F.broadcast(mc), "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_clean", F.lit(0)).cast("bigint").alias("n_clean"),
+            F.coalesce("n_selected", F.lit(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.coalesce("sel_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("sel_tokens"),
+            F.coalesce("thresh", F.lit(0)).cast("bigint").alias("mix_thresh"),
+            F.coalesce("n_mixed", F.lit(0)).cast("bigint").alias("n_mixed"),
+            F.coalesce("mix_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("mix_tokens"),
+        )
+    )

@@ -1211,3 +1211,64 @@ def test_frame_store_extra_tables_fold_into_key(spark, tmp_path, monkeypatch):
     import os as _os
 
     assert _os.path.exists(_os.path.join(loc, "_SUCCESS"))
+
+
+def test_decontam_mix_funnel_is_monotone_and_conserves(spark, sf_dir):
+    """pipeline_decontam_mix_select's funnel must be monotone per
+    language (mixed <= selected <= clean <= raw) with mix_tokens <=
+    sel_tokens, and the clean count must equal an independent
+    raw-minus-victims recount through the standalone contamination
+    query's victim set."""
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+    from eecs485_p4_mapreduce_spark.sources import load_table
+
+    rows = {
+        r["lang"]: r
+        for r in REGISTRY["pipeline_decontam_mix_select"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert rows
+    for lang, r in rows.items():
+        assert (
+            r["n_mixed"] <= r["n_selected"] <= r["n_clean"] <= r["n_raw"]
+        ), (lang, r)
+        assert r["mix_tokens"] <= r["sel_tokens"], (lang, r)
+    # independent recount of the decontamination stage
+    from pyspark.sql import functions as F
+
+    from eecs485_p4_mapreduce_spark.operators.dedup import (
+        _BENCH_IDS,
+        _NGRAM,
+        _token_windows,
+    )
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id").isin(*_BENCH_IDS)).select(
+        F.slice(tokens("text"), 5, 16).alias("tk")
+    )
+    bg = bench.select(
+        F.explode(
+            F.expr(
+                f"transform(slice(sequence(0, size(tk)), 2,"
+                f" greatest(size(tk) - {_NGRAM - 1}, 0)), i ->"
+                f" md5(array_join(slice(tk, i, {_NGRAM}), ' ')))"
+            )
+        ).alias("h")
+    ).distinct()
+    victims = (
+        _token_windows(spark, sf_dir)
+        .join(F.broadcast(bg), "h")
+        .select("doc_id", )
+        .distinct()
+    )
+    nv = {
+        r["lang"]: r["nv"]
+        for r in docs.join(victims, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("nv"))
+        .collect()
+    }
+    for lang, r in rows.items():
+        assert r["n_clean"] == r["n_raw"] - nv.get(lang, 0), (lang, r, nv)

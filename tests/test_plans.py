@@ -1038,16 +1038,20 @@ _SUFFIX_FRAME = re.compile(
 
 @pytest.mark.parametrize(
     "name",
-    ["join_asof_forward", "join_asof_nearest", "resample_interpolate_linear"],
+    [
+        "join_asof_forward",
+        "join_asof_nearest",
+        "resample_interpolate_linear",
+        "survival_kaplan_meier",
+    ],
 )
 def test_no_quadratic_suffix_frames(name, spark, sf_dir):
     """Spark re-aggregates (x, unboundedFollowing) frames from scratch
     per row — O(n^2) per partition key (43 s vs 0.35 s measured on one
-    50k-row partition).  These queries carry data-sized per-entity
-    partitions, so their forward scans must stay spelled as
+    50k-row partition).  Forward scans must stay spelled as
     desc-ordered CUMULATIVE frames; tools/plan_audit.py flags any
-    regression registry-wide (SUFFIX_FRAME_OK is the constant-size
-    allowlist)."""
+    regression registry-wide, with ZERO allowlist entries since round
+    10 (survival_kaplan_meier's at-risk suffix sum was the last)."""
     plan = explain(spark, sf_dir, name)
     m = _SUFFIX_FRAME.search(plan)
     assert not m, f"{name} regressed to a quadratic suffix frame: {m.group()}"

@@ -109,6 +109,33 @@ def _run_chunked(vanilla: bool, sf_dir: str, chunk: int) -> int:
     return 1 if failures else 0
 
 
+def _release_blocks(spark) -> None:
+    """Per-query block release (round 10): a sweep used to accumulate
+    every prior query's localCheckpoint RDD blocks in the driver heap —
+    at --chunk 48 on a vanilla 1g JVM, ~20 predecessors' blocks OOM'd
+    graph_centrality_2hop even though it passes isolated.  Once a
+    query's rows are collected its blocks are garbage, EXCEPT those
+    referenced by the memo caches — so release in dependency order:
+    clear the memo LRUs first (their eviction callbacks drop global
+    temp views / unpersist, and the next hit re-reads the PUBLISHED
+    parquet derived frame rather than recomputing), then the SQL cache,
+    then unpersist whatever persistent RDDs remain.  Heap is now
+    bounded by ONE query's state; chunk size is no longer
+    load-bearing."""
+    try:
+        from eecs485_p4_mapreduce_spark.functions.memo import (
+            clear_all_caches,
+        )
+
+        clear_all_caches()
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in list(jmap.keys()):
+            jmap[k].unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass  # release is best-effort hygiene, never a sweep error
+
+
 def main() -> int:
     argv = sys.argv[1:]
     vanilla = "--vanilla" in argv
@@ -141,7 +168,12 @@ def main() -> int:
         spark = get_spark("oracle-check")
     failures = 0
     results: dict[str, dict] = {}
-    for name in names:
+    for i, name in enumerate(names):
+        if i and len(names) > 1:
+            # release the PREVIOUS query's blocks (loop-top placement so
+            # every exit path of the previous iteration — errors,
+            # no-oracle continues — still gets released)
+            _release_blocks(spark)
         spec = REGISTRY[name]
         t0 = time.time()
         try:

@@ -179,10 +179,10 @@ def _window_partition_risk(plan: str) -> tuple[int, int]:
 # 0.35 s on one 50k-row partition, the round-9 as-of lesson).  Respell
 # as a DESC-ordered cumulative frame (running last-non-null) unless the
 # frame is provably constant-size and adjudicated here.
-SUFFIX_FRAME_OK = {
-    "survival_kaplan_meier": "suffix cumsum over the <=31-row"
-    " duration-day life table (calendar-bounded)",
-}
+# Zero-exception since round 10: survival_kaplan_meier (the last
+# entry) now spells its at-risk suffix sum as a DESC-ordered
+# cumulative frame like the as-of family.
+SUFFIX_FRAME_OK: dict[str, str] = {}
 
 
 def _suffix_frames(plan: str) -> int:
