@@ -3525,3 +3525,208 @@ def pattern_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+# --------------------------------------------- CUPED A/B readout
+
+# theta at 1e-6 as an INTEGER (the signed half-up recipe kept scaled):
+# sign(cov) * (2*|cov|*10^6 + var) div (2*var).  cov/var are the exact
+# integer moment rationals, so T6 is exact integer arithmetic end to
+# end; var = 0 (constant covariate) renders theta 0 — no adjustment —
+# through the lazy CASE (ANSI: decimal div by zero throws, so the
+# division must be unreachable there).
+_CUPED_T6_SPARK = (
+    "CASE WHEN vx = 0 THEN cast(0 as bigint) ELSE"
+    " cast((CASE WHEN cv < 0 THEN -1 ELSE 1 END)"
+    " * ((2 * abs(cv) * 1000000 + vx) div (2 * vx)) as bigint) END"
+)
+_CUPED_T6_DUCK = (
+    "CASE WHEN vx = 0 THEN CAST(0 AS BIGINT) ELSE"
+    " CAST((CASE WHEN cv < 0 THEN -1 ELSE 1 END)"
+    " * ((2 * abs(cv) * 1000000 + vx) // (2 * vx)) AS BIGINT) END"
+)
+
+
+def _ab_cuped_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.sampling import (
+        _bucket256_sql,
+    )
+
+    bkt = _bucket256_sql("user_id").replace("AS STRING", "AS VARCHAR")
+    diff = hu_ratio_signed_sql(
+        "CAST(syt AS HUGEINT) * nc - CAST(syc AS HUGEINT) * nt",
+        "CAST(nt AS HUGEINT) * nc", 6)
+    prediff = hu_ratio_signed_sql(
+        "CAST(sxt AS HUGEINT) * nc - CAST(sxc AS HUGEINT) * nt",
+        "CAST(nt AS HUGEINT) * nc", 6)
+    cuped = hu_ratio_signed_sql(
+        "(CAST(syt AS HUGEINT) * nc - CAST(syc AS HUGEINT) * nt) * 1000000"
+        " - t6 * (CAST(sxt AS HUGEINT) * nc - CAST(sxc AS HUGEINT) * nt)",
+        "CAST(nt AS HUGEINT) * nc * 1000000", 6)
+    srm = hu_ratio_sql(
+        "abs(CAST(nt AS HUGEINT) - nc) * 10000",
+        "CAST(nt AS HUGEINT) + nc", 0)
+    return f"""
+    WITH anchor AS (
+      SELECT epoch_us(MIN(ts)) + (epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+               // 2 AS mid
+      FROM events),
+    u AS (
+      SELECT user_id,
+             CASE WHEN {bkt} < 128 THEN 1 ELSE 0 END AS treat,
+             SUM(CASE WHEN epoch_us(ts) < anchor.mid THEN 1 ELSE 0 END)
+               AS x,
+             SUM(CASE WHEN epoch_us(ts) >= anchor.mid THEN 1 ELSE 0 END)
+               AS y
+      FROM events CROSS JOIN anchor GROUP BY 1, 2),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM u),
+    th AS (
+      SELECT CAST(n AS HUGEINT) * sxy - sx * sy AS cv,
+             CAST(n AS HUGEINT) * sxx - sx * sx AS vx
+      FROM m),
+    t6t AS (SELECT {_CUPED_T6_DUCK} AS t6 FROM th),
+    arms AS (
+      SELECT SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS nt,
+             SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN treat = 1 THEN CAST(x AS HUGEINT) END) AS sxt,
+             SUM(CASE WHEN treat = 0 THEN CAST(x AS HUGEINT) END) AS sxc,
+             SUM(CASE WHEN treat = 1 THEN CAST(y AS HUGEINT) END) AS syt,
+             SUM(CASE WHEN treat = 0 THEN CAST(y AS HUGEINT) END) AS syc
+      FROM u)
+    SELECT CAST(nt AS BIGINT) AS n_treat, CAST(nc AS BIGINT) AS n_control,
+           CASE WHEN nt = 0 OR nc = 0 THEN NULL
+                ELSE CAST({srm} AS BIGINT) END AS srm_delta_bp,
+           CASE WHEN nt = 0 OR nc = 0 THEN NULL ELSE {diff} END
+             AS naive_diff,
+           CASE WHEN nt = 0 OR nc = 0 THEN NULL ELSE {prediff} END
+             AS pre_diff,
+           CAST(t6 AS DOUBLE) / 1000000 AS theta,
+           CASE WHEN nt = 0 OR nc = 0 THEN NULL ELSE {cuped} END
+             AS cuped_diff
+    FROM arms CROSS JOIN t6t
+    """
+
+
+@query("ab_cuped_readout", oracle=_ab_cuped_oracle())
+def ab_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al. 2013, public method): users split 50/50 by md5 bucket (the
+    deterministic-assignment discipline — reproducible across runs,
+    engines, and re-ingests), covariate x = the user's PRE-period event
+    count (before the replayable corpus-midpoint anchor), metric y =
+    the POST-period count.  theta = cov(x,y)/var(x) over all users;
+    the CUPED-adjusted effect is naive_diff - theta * pre_diff (the
+    linear-adjustment identity, evaluated on means).  Also emits the
+    sample-ratio-mismatch guardrail in basis points — the first thing
+    an experimentation platform checks before trusting any lift.
+
+    Determinism: every moment is an exact integer sum; theta is kept
+    as the SCALED INTEGER T6 (signed half-up at 1e-6, var = 0 -> 0
+    through the lazy CASE — the ANSI divide-by-zero rule), so
+    cuped_diff is ONE exact integer rational:
+    [(syt*nc - syc*nt)*10^6 - T6*(sxt*nc - sxc*nt)] / (nt*nc*10^6).
+    No float ever meets an ordering or a rounding boundary.  int128
+    headroom: user counts <= ~1e4 events put cov/var ~ n^2*1e8 —
+    binds ~1e11 users through the render's 2*|num|*10^6 factor (the
+    measured-bound discipline); beyond that, the declared quantization
+    drop.  Scale shape: one user-keyed aggregate (map-side
+    combinable), then two 1-row rollups broadcast into a 1-row
+    readout."""
+    from eecs485_p4_mapreduce_spark.operators.sampling import (
+        _bucket256_sql,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.expr(
+            "unix_micros(min(ts)) +"
+            " (unix_micros(max(ts)) - unix_micros(min(ts))) div 2"
+        ).alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "user_id",
+            F.expr(
+                f"CASE WHEN {_bucket256_sql('user_id')} < 128"
+                " THEN 1 ELSE 0 END"
+            ).alias("treat"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.expr("unix_micros(ts) < mid"), 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.expr("unix_micros(ts) >= mid"), 1).otherwise(0)
+            ).alias("y"),
+        )
+        .localCheckpoint()  # moments + arms both read it
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+    )
+    th = m.select(
+        F.expr("cast(n as decimal(38,0)) * sxy - sx * sy").alias("cv"),
+        F.expr("cast(n as decimal(38,0)) * sxx - sx * sx").alias("vx"),
+    )
+    t6t = th.select(F.expr(_CUPED_T6_SPARK).alias("t6"))
+    arms = u.agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0)).alias("nc"),
+        F.sum(
+            F.when(F.col("treat") == 1, F.col("x").cast("decimal(38,0)"))
+        ).alias("sxt"),
+        F.sum(
+            F.when(F.col("treat") == 0, F.col("x").cast("decimal(38,0)"))
+        ).alias("sxc"),
+        F.sum(
+            F.when(F.col("treat") == 1, F.col("y").cast("decimal(38,0)"))
+        ).alias("syt"),
+        F.sum(
+            F.when(F.col("treat") == 0, F.col("y").cast("decimal(38,0)"))
+        ).alias("syc"),
+    )
+    guard = F.expr("nt = 0 OR nc = 0")
+    diff = hu_ratio_signed(
+        "cast(syt as decimal(38,0)) * nc - cast(syc as decimal(38,0)) * nt",
+        "cast(nt as decimal(38,0)) * nc",
+        6,
+    )
+    prediff = hu_ratio_signed(
+        "cast(sxt as decimal(38,0)) * nc - cast(sxc as decimal(38,0)) * nt",
+        "cast(nt as decimal(38,0)) * nc",
+        6,
+    )
+    cuped = hu_ratio_signed(
+        "(cast(syt as decimal(38,0)) * nc - cast(syc as decimal(38,0)) * nt)"
+        " * 1000000"
+        " - t6 * (cast(sxt as decimal(38,0)) * nc"
+        " - cast(sxc as decimal(38,0)) * nt)",
+        "cast(nt as decimal(38,0)) * nc * 1000000",
+        6,
+    )
+    srm = hu_ratio(
+        "abs(cast(nt as decimal(38,0)) - nc) * 10000",
+        "cast(nt as decimal(38,0)) + nc",
+        0,
+    )
+    return arms.crossJoin(F.broadcast(t6t)).select(
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_control"),
+        F.when(guard, F.lit(None)).otherwise(srm.cast("bigint")).alias(
+            "srm_delta_bp"
+        ),
+        F.when(guard, F.lit(None)).otherwise(diff).alias("naive_diff"),
+        F.when(guard, F.lit(None)).otherwise(prediff).alias("pre_diff"),
+        (F.col("t6").cast("double") / 1000000).alias("theta"),
+        F.when(guard, F.lit(None)).otherwise(cuped).alias("cuped_diff"),
+    )

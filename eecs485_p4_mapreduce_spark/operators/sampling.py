@@ -428,3 +428,129 @@ def sample_ppswor_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = docs.agg(F.sum("n_chars").cast("bigint").alias("total_chars"))
     return samp.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(tot))
+
+
+# --------------------------------------------- Neyman allocation
+
+_NEY_BUDGET = 1000  # total sample budget across strata
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, COUNT(*) AS nh,
+             SUM(CAST(n_chars AS HUGEINT)) AS sx,
+             SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+      FROM documents GROUP BY 1),
+    s AS (
+      SELECT lang, nh,
+             CAST(round(sqrt(CAST(CAST(nh AS HUGEINT) * sxx - sx * sx
+                                  AS DOUBLE)
+                             / (CAST(nh AS DOUBLE) * nh)) * 10000)
+                  AS BIGINT) AS s4
+      FROM g),
+    w AS (SELECT lang, nh, s4, CAST(nh AS HUGEINT) * s4 AS wh FROM s),
+    t AS (SELECT SUM(wh) AS tot, SUM(CAST(nh AS HUGEINT)) AS nd FROM w),
+    w2 AS (
+      SELECT lang, nh, s4,
+             CASE WHEN t.tot = 0 THEN CAST(nh AS HUGEINT) ELSE wh END AS wh,
+             CASE WHEN t.tot = 0 THEN t.nd ELSE t.tot END AS tot
+      FROM w CROSS JOIN t),
+    b AS (
+      SELECT lang, nh, s4, wh, tot,
+             ({_NEY_BUDGET} * wh) // tot AS base,
+             {_NEY_BUDGET} * wh - (({_NEY_BUDGET} * wh) // tot) * tot AS rem
+      FROM w2),
+    lv AS (SELECT {_NEY_BUDGET} - SUM(base) AS leftover FROM b),
+    r AS (
+      SELECT b.*, lv.leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM b CROSS JOIN lv)
+    SELECT lang, CAST(nh AS BIGINT) AS n_docs,
+           CAST(s4 AS DOUBLE) / 10000 AS sigma,
+           CAST(wh AS BIGINT) AS weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS n_alloc
+    FROM r
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) stratified-sample allocation: split a fixed
+    budget of {_NEY_BUDGET} draws across language strata proportionally
+    to N_h * sigma_h — the design that minimizes the variance of the
+    stratified mean (big AND spread-out strata earn more samples).  The
+    fractional allocation is realized by LARGEST-REMAINDER rounding, so
+    the integer allocations sum exactly to the budget on every engine.
+
+    Determinism: per-stratum variance is the exact integer rational
+    (n*sxx - sx^2)/n^2 (n_chars <= ~1e5, so the int128 single-pass form
+    carries ~1e14 rows per stratum; the measured-bound discipline of
+    tests/test_headroom_bounds.py); sigma = sqrt of an identical double
+    (sqrt outputs are never decimal halves — CLAUDE.md), quantized to
+    1e-4 and carried as the INTEGER s4, so weights, floor division,
+    remainders, and the remainder ranking are all exact integer
+    arithmetic (never a float sort key).  An all-constant corpus
+    (every sigma 0) falls back to proportional allocation rather than
+    dividing by zero — the CASE keeps the division lazy in both
+    engines (ANSI rule).  Scale shape: one scan into a
+    lang-cardinality moment aggregate; everything after runs on
+    5 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count("*").alias("nh"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            (F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars"))
+        ).alias("sxx"),
+    )
+    s = g.select(
+        "lang",
+        "nh",
+        F.expr(
+            "cast(round(sqrt(cast(cast(nh as decimal(38,0)) * sxx - sx * sx"
+            " as double) / (cast(nh as double) * nh)) * 10000) as bigint)"
+        ).alias("s4"),
+    )
+    w = s.select(
+        "lang", "nh", "s4",
+        F.expr("cast(nh as decimal(38,0)) * s4").alias("wh"),
+    )
+    t = w.agg(
+        F.sum("wh").alias("tot"),
+        F.sum(F.col("nh").cast("decimal(38,0)")).alias("nd"),
+    )
+    w2 = w.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "nh",
+        "s4",
+        F.expr(
+            "CASE WHEN tot = 0 THEN cast(nh as decimal(38,0)) ELSE wh END"
+        ).alias("wh"),
+        F.expr("CASE WHEN tot = 0 THEN nd ELSE tot END").alias("tot"),
+    )
+    b = w2.select(
+        "lang",
+        "nh",
+        "s4",
+        "wh",
+        "tot",
+        F.expr(f"({_NEY_BUDGET} * wh) div tot").alias("base"),
+        F.expr(
+            f"{_NEY_BUDGET} * wh - (({_NEY_BUDGET} * wh) div tot) * tot"
+        ).alias("rem"),
+    )
+    lv = b.agg(F.expr(f"{_NEY_BUDGET} - sum(base)").alias("leftover"))
+    r = b.crossJoin(F.broadcast(lv)).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), "lang"))
+    )
+    return r.select(
+        "lang",
+        F.col("nh").cast("bigint").alias("n_docs"),
+        (F.col("s4").cast("double") / 10000).alias("sigma"),
+        F.col("wh").cast("bigint").alias("weight"),
+        F.expr(
+            "cast(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+            " as bigint)"
+        ).alias("n_alloc"),
+    )

@@ -2113,3 +2113,118 @@ def corpus_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_tot").cast("bigint").alias("total_tokens"),
         hu_ratio("_cum", "_tot", 6).alias("coverage"),
     )
+
+
+# --------------------------------------------- PMI collocations
+
+_PMI_MIN_COUNT = 5   # frequency floor: PMI is noise below this
+_PMI_TOPK = 50
+
+
+@query(
+    "corpus_pmi_collocations",
+    oracle=f"""
+    WITH tk AS (SELECT {DUCK_TOKENS} AS toks FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(toks)), i ->
+                    list_extract(toks, i))) AS w1,
+                  unnest(list_transform(range(1, len(toks)), i ->
+                    list_extract(toks, i + 1))) AS w2
+           FROM tk),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    c2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM bg),
+    scored AS (
+      SELECT c12.w1, c12.w2, c12.c12, c1.c1, c2.c2,
+             round(log2((CAST(c12.c12 AS DOUBLE) * n.n)
+                        / (CAST(c1.c1 AS DOUBLE) * c2.c2)), 4) AS pmi
+      FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+      WHERE c12.c12 >= {_PMI_MIN_COUNT}),
+    top AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+      FROM scored ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK})
+    SELECT CAST(rk AS BIGINT) AS rk, w1, w2,
+           CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT) AS c1,
+           CAST(c2 AS BIGINT) AS c2, pmi
+    FROM top
+    """,
+)
+def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOPK} bigram collocations by pointwise mutual
+    information, PMI = log2(c12*N / (c1*c2)) with a count floor of
+    {_PMI_MIN_COUNT} — the classic collocation extractor (phrases like
+    named entities and technical terms surface at high PMI; the floor
+    kills the hapax noise PMI is notorious for).  c1 counts the word
+    in FIRST position and c2 in SECOND position (the directed bigram
+    convention), so the model matches quality_bigram_surprisal's count
+    tables.
+
+    Determinism: counts are exact integers; each PMI is log2 of an
+    IDENTICALLY-computed double — int-to-double casts are correctly
+    rounded in both engines and stay exact while each product is
+    < 2^53 (c12*N binds first: ~9e15, i.e. past-1e11-bigram corpora
+    pair a hot collocation with the corpus total; beyond that compute
+    in decimal and cast the RATIO once) — quantized round(4) BEFORE
+    ranking; the top-k orders by (rounded score, w1, w2), never a raw
+    float (the ranking-windows rule).  Scale shape: three
+    bigram/unigram aggregates (map-side combinable) + two equi-joins on
+    token keys; the floor prunes before the join; top-k is
+    TakeOrdered + a rank window over <= {_PMI_TOPK} rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(tokens("text").alias("toks"))
+    bg = tk.select(
+        F.posexplode(
+            F.expr(
+                # slice-of-sequence guard (quality_bigram_surprisal):
+                # never a descending sequence on 0/1-token docs
+                "transform(slice(sequence(0, size(toks)), 2,"
+                " greatest(size(toks) - 1, 0)), i ->"
+                " named_struct('w1', element_at(toks, i),"
+                " 'w2', element_at(toks, i + 1)))"
+            )
+        ).alias("pos", "s")
+    ).select(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count("*").alias("c2"))
+    n = bg.agg(F.count("*").alias("n"))
+    scored = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.log2(
+                    (F.col("c12").cast("double") * F.col("n"))
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    top = (
+        scored.orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOPK)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("pmi"), "w1", "w2")),
+        )
+    )
+    return top.select(
+        F.col("rk").cast("bigint").alias("rk"),
+        "w1",
+        "w2",
+        F.col("c12").cast("bigint").alias("c12"),
+        F.col("c1").cast("bigint").alias("c1"),
+        F.col("c2").cast("bigint").alias("c2"),
+        "pmi",
+    )

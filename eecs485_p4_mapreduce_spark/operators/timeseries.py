@@ -971,3 +971,130 @@ def resample_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").isNull().alias("is_gap"),
         n_lin.alias("n_lin"),
     )
+
+
+# --------------------------------------------- robust-z anomaly flags
+
+# flag threshold: |c - med| > 3 * 1.4826 * MAD, cleared of floats as
+# 10000 * |c - med| > 44478 * MAD (3 * 1.4826 * 10^4 = 44478 exactly)
+_RZ_NUM = 10000
+_RZ_DEN = 44478
+_RZ_K = 14826  # 1.4826 * 10^4 — the normal-consistency constant
+
+
+@query(
+    "anomaly_robust_zscore_daily",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    r1 AS (
+      SELECT event_type, day, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c, day) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d),
+    med AS (
+      SELECT event_type,
+             MIN(CASE WHEN rk = CAST(ceil(n / 2.0) AS BIGINT)
+                      THEN c END) AS med
+      FROM r1 GROUP BY event_type),
+    dev AS (
+      SELECT d.event_type, d.day, d.c, m.med, abs(d.c - m.med) AS ad
+      FROM d JOIN med m ON m.event_type = d.event_type),
+    r2 AS (
+      SELECT event_type, ad,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ad, day) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type,
+             MIN(CASE WHEN rk = CAST(ceil(n / 2.0) AS BIGINT)
+                      THEN ad END) AS mad
+      FROM r2 GROUP BY event_type)
+    SELECT dev.event_type, dev.day, CAST(dev.c AS BIGINT) AS n_events,
+           CAST(dev.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad,
+           CASE WHEN mad.mad = 0 THEN NULL
+                ELSE {hu_ratio_sql(
+                    f"abs(dev.c - dev.med) * {_RZ_NUM}",
+                    f"{_RZ_K} * mad.mad", 4)} END AS robust_z,
+           (mad.mad > 0 AND {_RZ_NUM} * abs(dev.c - dev.med)
+              > {_RZ_DEN} * mad.mad) AS is_anomaly
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    """,
+)
+def anomaly_robust_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score anomaly flags on daily event volumes per type —
+    the median/MAD outlier detector monitoring pipelines prefer over
+    mean/stddev (a single spike inflates a stddev but barely moves a
+    MAD).  A day is anomalous when |c - med| > 3 * 1.4826 * MAD.
+
+    Determinism: daily counts are exact integers; both medians are
+    nearest-rank selections (the stats_mad_events recipe — never
+    interpolation); the FLAG is the cross-multiplied integer compare
+    {_RZ_NUM} * |c - med| > {_RZ_DEN} * MAD (3 * 1.4826 folded into one
+    integer constant — no float ever meets the threshold), and the
+    reported z renders via the integer half-up recipe with MAD = 0
+    rendering NULL through the lazy CASE (the ANSI divide-by-zero
+    rule).  Scale shape: the day grid is calendar-bounded, so after one
+    (type, day) count aggregate every window runs on ~corpus-span rows
+    per type; the median tables broadcast back onto the day grid."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("c"))
+    w1 = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    r1 = d.select(
+        "event_type",
+        "c",
+        F.row_number().over(w1).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = r1.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") / 2.0).cast("bigint"),
+                F.col("c"),
+            )
+        ).alias("med")
+    )
+    dev = d.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "c",
+        "med",
+        F.abs(F.col("c") - F.col("med")).alias("ad"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("ad", "day")
+    r2 = dev.select(
+        "event_type",
+        "ad",
+        F.row_number().over(w2).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mad = r2.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") / 2.0).cast("bigint"),
+                F.col("ad"),
+            )
+        ).alias("mad")
+    )
+    z = hu_ratio(f"ad * {_RZ_NUM}", f"{_RZ_K} * mad", 4)
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "day",
+        F.col("c").cast("bigint").alias("n_events"),
+        F.col("med").cast("bigint").alias("med"),
+        F.col("mad").cast("bigint").alias("mad"),
+        F.when(F.col("mad") == 0, F.lit(None)).otherwise(z).alias(
+            "robust_z"
+        ),
+        (
+            (F.col("mad") > 0)
+            & (_RZ_NUM * F.col("ad") > _RZ_DEN * F.col("mad"))
+        ).alias("is_anomaly"),
+    )
