@@ -965,39 +965,63 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- exact substring (token-window) duplication -------------------------
 
-_NGRAM = 8
-
-_GRAMS_DUCK = f"""
-    t AS (SELECT doc_id, source, {DUCK_TOKENS} AS tk FROM documents),
-    g AS (
-      SELECT doc_id, source,
-             unnest(list_transform(range(1, len(tk) - {_NGRAM - 2}), i ->
-               md5(array_to_string(list_slice(tk, i, i + {_NGRAM - 1}), ' ')))) AS h
-      FROM t)"""
+# _NGRAM/_GRAMS_DUCK live in the leaf module ngramshared (also used by
+# pipeline.py at decoration time — see its docstring for the
+# circular-import rationale); re-exported here for existing consumers.
+from eecs485_p4_mapreduce_spark.operators.ngramshared import (  # noqa: E402
+    _GRAMS_DUCK,
+    _NGRAM,
+)
 
 
 def _token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, h): md5 of each consecutive 8-token window.
+    """(doc_id, source, h): md5 of each consecutive 8-token window —
+    the corpus POSTING TABLE four queries probe (span dedup,
+    cross-source contamination, benchmark decontamination, the
+    composed decontam-mix pipeline).
 
     Built explode-first (posexplode + 7 window leads, whole-stage
     codegen) rather than as an array-lambda expression -- same
     projection-collapse / interpreted-lambda reasoning as
-    ``token_bigrams``; one shuffle on doc_id."""
+    ``token_bigrams``; one shuffle on doc_id.
+
+    The derived frame persists cross-application via
+    ``load_or_build_frame`` (the band-graph-stack discipline, mtime
+    keyed on documents): a warm application's contamination probes are
+    parquet scans of the published postings instead of re-tokenizing
+    and re-hashing the corpus — at 100 TB this IS the design the span
+    dedup docstring promises (the posting list a suffix-array pass
+    would approximate), stored once and probed by every consumer."""
     from pyspark.sql import Window
 
-    from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "tok")
+    from eecs485_p4_mapreduce_spark.functions.modelstore import (
+        load_or_build_frame,
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.col("tok")
-    for k in range(1, _NGRAM):
-        gram = F.concat(gram, F.lit(" "), F.lead("tok", k).over(w))
-    return toks.select(
-        "doc_id", "source", F.md5(gram).alias("h")
-    ).filter(F.col("h").isNotNull())
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "tok")
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        gram = F.col("tok")
+        for k in range(1, _NGRAM):
+            gram = F.concat(gram, F.lit(" "), F.lead("tok", k).over(w))
+        return toks.select(
+            "doc_id", "source", F.md5(gram).alias("h")
+        ).filter(F.col("h").isNotNull())
+
+    if mtime_token(sf_dir, "documents") is None:
+        return build()  # injected/monkeypatched corpora: never cache
+    return load_or_build_frame(
+        spark,
+        "token_windows8",
+        sf_dir,
+        "documents",
+        "doc_id bigint, source string, h string",
+        build,
+    )
 
 
 @query(
@@ -1619,10 +1643,11 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Benchmark decontamination (corpus vs eval set)
 # ---------------------------------------------------------------------------
 
-# Stand-in eval set: prompts lifted verbatim from these corpus documents
-# (tokens 5..20) — the "leaked benchmark" scenario a decontamination run
-# exists to catch.  Ids exist at every shipped sf.
-_BENCH_IDS = (3, 77, 141, 256, 307)
+# _BENCH_IDS lives in ngramshared (shared with pipeline.py), re-exported
+# here for existing consumers.
+from eecs485_p4_mapreduce_spark.operators.ngramshared import (  # noqa: E402
+    _BENCH_IDS,
+)
 
 
 @query(

@@ -499,7 +499,7 @@ def pipeline_epoch_pack_end_to_end(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _decontam_mix_oracle() -> str:
-    from eecs485_p4_mapreduce_spark.operators.dedup import (
+    from eecs485_p4_mapreduce_spark.operators.ngramshared import (
         _BENCH_IDS,
         _GRAMS_DUCK,
         _NGRAM,
@@ -606,16 +606,16 @@ def pipeline_decontam_mix_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline_curation_end_to_end survivor-set discipline).
     Monotonicity (mixed <= selected <= clean <= raw, per language) is
     pinned in tests/test_operators_unit.py."""
-    from eecs485_p4_mapreduce_spark.operators.dedup import (
-        _BENCH_IDS,
-        _NGRAM,
-        _token_windows,
-    )
+    from eecs485_p4_mapreduce_spark.operators.dedup import _token_windows
     from eecs485_p4_mapreduce_spark.operators.mixing import (
         _DSIR_B,
         _DSIR_WHEX,
         _HEX3,
         _TEMP_CASE,
+    )
+    from eecs485_p4_mapreduce_spark.operators.ngramshared import (
+        _BENCH_IDS,
+        _NGRAM,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(

@@ -64,6 +64,8 @@ CONSTANT_WINDOW_OK = {
     "search_tfidf_rank": "rank over the <=10-row TakeOrdered result",
     "sample_reservoir_bottomk": "rank over the <=64-row TakeOrdered result",
     "sample_ppswor_priority": "rank over the <=33-row TakeOrdered result",
+    "corpus_pmi_collocations": "rank over the <=50-row TakeOrdered result",
+    "sample_neyman_allocation": "remainder rank over one row per stratum",
     "graph_hits_bipartite": "ranks over two <=10-row TakeOrdered heads",
     "search_bm25_rank": "rank over the <=10-row TakeOrdered result",
     "search_rrf_fusion": "rank over the fused <=20-row top-k lists",
