@@ -860,3 +860,89 @@ def mix_shard_balance_rr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("spread_bp"),
     )
+
+
+# --------------------------------------------- mid-epoch resume
+
+# resume point = HALF the epoch's packed sequences, computed in-query
+# (a fixed absolute step would be degenerate at small scale factors and
+# trivial at large ones); a real restart passes its checkpoint step in.
+
+@query(
+    "mix_resume_from_step",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(len({DUCK_TOKENS}) AS BIGINT) AS tok,
+             md5(concat('ep0:', CAST(doc_id AS VARCHAR))) AS hk
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, tok,
+             ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS p,
+             SUM(tok) OVER (ORDER BY hk, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d),
+    k AS (SELECT (MAX(cum) // {_SEQ_BUDGET}) // 2 AS step FROM r),
+    s AS (
+      SELECT lang, tok, p,
+             CAST((cum - tok) // {_SEQ_BUDGET} AS BIGINT) AS seq_id
+      FROM r),
+    rem AS (SELECT s.*, k.step FROM s CROSS JOIN k
+            WHERE s.seq_id >= k.step)
+    SELECT lang,
+           CAST(MAX(step) AS BIGINT) AS resume_step,
+           CAST(COUNT(*) AS BIGINT) AS n_remaining,
+           CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS tokens_remaining,
+           CAST(MIN(p) AS BIGINT) AS first_pos,
+           CAST(MIN(seq_id) AS BIGINT) AS first_seq
+    FROM rem GROUP BY lang
+    """,
+)
+def mix_resume_from_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MID-EPOCH RESUME: a training job that consumed the
+    first K packed sequences (K = half the epoch's sequence count here;
+    a real restart passes its checkpoint step) restarts and must see exactly
+    the data it has not touched — per language, the remaining document
+    count, token mass, and the first remaining stream position /
+    sequence id.  Because the epoch order is a pure function of doc_id
+    (md5('ep0:'||doc_id), the mix_epoch_shuffle permutation) and
+    packing is a prefix-sum bin over that order
+    (pack_sequences_greedy's rule applied to the GLOBAL stream), the
+    resume point is a deterministic integer predicate — no sampler
+    state file, no drift between the dataloader and the checkpoint.
+
+    Scale shape: rank AND inclusive prefix sum come from ONE
+    range-partition global-rank pass (with_global_rank(sum_col=...) —
+    never an unpartitioned window); seq_id is pure arithmetic; the
+    readout is a lang-cardinality aggregate over the surviving rows.
+    Every quantity is an exact integer in both engines."""
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("tok"),
+        F.md5(
+            F.concat(F.lit("ep0:"), F.col("doc_id").cast("string"))
+        ).alias("hk"),
+    )
+    r = with_global_rank(docs, ["hk", "doc_id"], sum_col="tok")
+    s = r.select(
+        "lang",
+        "tok",
+        F.col("_rk").alias("p"),
+        F.col("_tot").alias("tot"),
+        F.expr(f"(_cum - tok) div {_SEQ_BUDGET}").cast("bigint").alias(
+            "seq_id"
+        ),
+    )
+    step = F.expr(f"(tot div {_SEQ_BUDGET}) div 2")
+    rem = s.filter(F.col("seq_id") >= step)
+    return rem.groupBy("lang").agg(
+        F.max(step).cast("bigint").alias("resume_step"),
+        F.count("*").cast("bigint").alias("n_remaining"),
+        F.coalesce(F.sum("tok"), F.lit(0))
+        .cast("bigint")
+        .alias("tokens_remaining"),
+        F.min("p").cast("bigint").alias("first_pos"),
+        F.min("seq_id").cast("bigint").alias("first_seq"),
+    )

@@ -2228,3 +2228,154 @@ def corpus_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c2").cast("bigint").alias("c2"),
         "pmi",
     )
+
+
+# --------------------------------------------- lang-ID agreement (kappa)
+
+
+def _kappa_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.numeric import (
+        hu_ratio_signed_sql,
+        hu_ratio_sql,
+    )
+
+    kappa = hu_ratio_signed_sql(
+        "CAST(g.n AS HUGEINT) * g.diag - rc.rcsum",
+        "CAST(g.n AS HUGEINT) * g.n - rc.rcsum", 6)
+    acc = hu_ratio_sql("g.diag", "g.n", 6)
+    prec = hu_ratio_sql("cm.tp", "cm.tp + cm.fp", 6)
+    rec = hu_ratio_sql("cm.tp", "cm.tp + cm.fn", 6)
+    f1 = hu_ratio_sql("2 * cm.tp", "2 * cm.tp + cm.fp + cm.fn", 6)
+    return f"""
+    WITH tok AS (SELECT doc_id, lang, {DUCK_TOKENS} AS toks FROM documents),
+    scored AS (SELECT lang, {_argmax_case(_score_exprs('duckdb'))} AS pred
+               FROM tok),
+    conf AS (SELECT lang, pred, COUNT(*) AS n FROM scored GROUP BY 1, 2),
+    rows_ AS (SELECT lang AS c, SUM(n) AS rn FROM conf GROUP BY 1),
+    cols_ AS (SELECT pred AS c, SUM(n) AS cn FROM conf GROUP BY 1),
+    g AS (SELECT SUM(n) AS n,
+                 SUM(CASE WHEN lang = pred THEN n ELSE 0 END) AS diag
+          FROM conf),
+    rc AS (SELECT SUM(CAST(rows_.rn AS HUGEINT) * cols_.cn) AS rcsum
+           FROM rows_ JOIN cols_ USING (c)),
+    cm AS (
+      SELECT rows_.c AS lang,
+             COALESCE((SELECT n FROM conf
+                       WHERE conf.lang = rows_.c AND conf.pred = rows_.c),
+                      0) AS tp,
+             COALESCE((SELECT cn FROM cols_ WHERE cols_.c = rows_.c), 0)
+               - COALESCE((SELECT n FROM conf
+                           WHERE conf.lang = rows_.c
+                             AND conf.pred = rows_.c), 0) AS fp,
+             rows_.rn
+               - COALESCE((SELECT n FROM conf
+                           WHERE conf.lang = rows_.c
+                             AND conf.pred = rows_.c), 0) AS fn
+      FROM rows_)
+    SELECT cm.lang, CAST(cm.tp AS BIGINT) AS tp,
+           CAST(cm.fp AS BIGINT) AS fp, CAST(cm.fn AS BIGINT) AS fn,
+           CASE WHEN cm.tp + cm.fp = 0 THEN NULL ELSE {prec} END
+             AS precision_,
+           CASE WHEN cm.tp + cm.fn = 0 THEN NULL ELSE {rec} END AS recall_,
+           CASE WHEN 2 * cm.tp + cm.fp + cm.fn = 0 THEN NULL ELSE {f1} END
+             AS f1,
+           {acc} AS accuracy,
+           CASE WHEN CAST(g.n AS HUGEINT) * g.n = rc.rcsum THEN NULL
+                ELSE {kappa} END AS kappa
+    FROM cm CROSS JOIN g CROSS JOIN rc
+    """
+
+
+@query("lang_id_kappa", oracle=_kappa_oracle())
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement between the heuristic language
+    identifier and the labels: Cohen's kappa plus per-class
+    precision/recall/F1 — the eval readout that says whether the cheap
+    filter's accuracy beats what class imbalance alone would produce
+    (accuracy flatters a classifier that just predicts 'en').
+
+    kappa = (po - pe)/(1 - pe) CLEARED OF ITS NESTED RATIOS:
+    (n*diag - sum_c row_c*col_c) / (n^2 - sum_c row_c*col_c) — one
+    exact integer rational rendered by the signed half-up recipe (a
+    degenerate marginal with pe = 1 renders NULL through the lazy
+    CASE); precision/recall/F1 are exact integer ratios per class with
+    empty-denominator NULL guards.  int128 headroom: n^2 * 10^6 * 2
+    <= 1e38 -> ~7e15 documents.  Scale shape: the same scan-side
+    scoring as lang_id_confusion into a <=|langs|^2-row matrix;
+    everything after runs on 5-row marginals."""
+    from eecs485_p4_mapreduce_spark.functions.numeric import (
+        hu_ratio,
+        hu_ratio_signed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("toks", tokens("text")).select(
+        "lang", F.expr(_argmax_case(_score_exprs("spark"))).alias("pred")
+    )
+    conf = (
+        scored.groupBy("lang", "pred")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # marginals + diagonal + per-class all read it
+    )
+    rows_ = conf.groupBy(F.col("lang").alias("c")).agg(
+        F.sum("n").alias("rn")
+    )
+    cols_ = conf.groupBy(F.col("pred").alias("c")).agg(
+        F.sum("n").alias("cn")
+    )
+    g = conf.agg(
+        F.sum("n").alias("n"),
+        F.sum(F.when(F.col("lang") == F.col("pred"), F.col("n")).otherwise(0))
+        .alias("diag"),
+    )
+    rc = (
+        rows_.join(cols_, "c")
+        .agg(
+            F.sum(F.expr("cast(rn as decimal(38,0)) * cn")).alias("rcsum")
+        )
+    )
+    diag = conf.filter(F.col("lang") == F.col("pred")).select(
+        F.col("lang").alias("c"), F.col("n").alias("tp")
+    )
+    cm = (
+        rows_.join(F.broadcast(cols_), "c", "left")
+        .join(F.broadcast(diag), "c", "left")
+        .select(
+            F.col("c").alias("lang"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("cn", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias(
+                "fp"
+            ),
+            (F.col("rn") - F.coalesce("tp", F.lit(0))).alias("fn"),
+        )
+    )
+    prec = hu_ratio("tp", "tp + fp", 6)
+    rec = hu_ratio("tp", "tp + fn", 6)
+    f1 = hu_ratio("2 * tp", "2 * tp + fp + fn", 6)
+    acc = hu_ratio("diag", "n", 6)
+    kappa = hu_ratio_signed(
+        "cast(n as decimal(38,0)) * diag - rcsum",
+        "cast(n as decimal(38,0)) * n - rcsum",
+        6,
+    )
+    return cm.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(rc)).select(
+        "lang",
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        F.col("fn").cast("bigint").alias("fn"),
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None))
+        .otherwise(prec)
+        .alias("precision_"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None))
+        .otherwise(rec)
+        .alias("recall_"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(None))
+        .otherwise(f1)
+        .alias("f1"),
+        acc.alias("accuracy"),
+        F.when(
+            F.expr("cast(n as decimal(38,0)) * n = rcsum"), F.lit(None)
+        )
+        .otherwise(kappa)
+        .alias("kappa"),
+    )
