@@ -2061,3 +2061,99 @@ def embedding_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> Data
         .otherwise(F.round(d_proj / d_orig, 4))
         .alias("distortion"),
     )
+
+
+# --------------------------------------------- whitening apply + audit
+
+_WHITEN_Z = 4.0  # outlier threshold on the standardized value
+
+
+@query(
+    "embedding_whiten_audit",
+    oracle=f"""
+    WITH el AS (
+      SELECT vec_id, d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(d)),
+    g AS (
+      SELECT d, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(18,9))) AS sxd,
+             SUM(CAST(x * x AS DECIMAL(28,15))) AS sxxd
+      FROM el GROUP BY d),
+    model AS (
+      SELECT d,
+             {hu_ratio_signed_sql("CAST(sxd * 1000000000 AS HUGEINT)",
+                                  "CAST(n AS HUGEINT) * 1000000000",
+                                  6)} AS mean,
+             sqrt({hu_ratio_signed_sql(
+                 "CAST(n AS HUGEINT) * CAST(sxxd * 1000000000000000"
+                 " AS HUGEINT) * 1000 - CAST(sxd * 1000000000 AS HUGEINT)"
+                 " * CAST(sxd * 1000000000 AS HUGEINT)",
+                 "CAST(n AS HUGEINT) * n * 1000000000000000000", 6)}) AS sd
+      FROM g),
+    z AS (
+      SELECT el.d,
+             CASE WHEN m.sd = 0 THEN 0.0
+                  ELSE (el.x - m.mean) / m.sd END AS z
+      FROM el JOIN model m ON m.d = el.d)
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN abs(z) > {_WHITEN_Z} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(MAX(abs(z)), 4) AS max_abs_z
+    FROM z GROUP BY d
+    """,
+)
+def embedding_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature standardization APPLIED and audited: fit the
+    per-dimension mean/sd model (the embedding_dim_stats moments), then
+    a second pass standardizes every value and reports per-dimension
+    tail mass — how many |z| > {_WHITEN_Z} outliers each coordinate
+    carries and its max |z| — the whitening health check a training
+    pipeline runs before trusting normalized features (a fat-tailed
+    dimension wants clipping or a robust scale instead).
+
+    Determinism: mean and variance render onto the 1e-6 integer grid
+    first (the dim-stats recipes), so both engines standardize with
+    BIT-IDENTICAL model doubles; z = (x - mean)/sd is then an identical
+    IEEE expression, the outlier count is an integer compare of
+    identical doubles, and max|z| is round(4) of an identical
+    sqrt-divided value (never a decimal half).  A zero-variance
+    dimension standardizes to 0 through the lazy CASE — no
+    double-division infinities cross an engine boundary.  Scale shape:
+    one moment aggregate (64 groups), the 64-row model broadcasts back
+    onto a second scan, one output-sized rollup — the train/apply
+    two-pass every feature pipeline ships."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d0", "x"
+        ),
+    ).select((F.col("d0") + 1).alias("d"), "x")
+    g = e.groupBy("d").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,9)")).alias("sxd"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,15)")).alias(
+            "sxxd"
+        ),
+    )
+    model = g.select(
+        "d",
+        hu_ratio_signed(
+            "sxd * 1000000000", "cast(n as decimal(38,0)) * 1000000000", 6
+        ).alias("mean"),
+        F.sqrt(
+            hu_ratio_signed(_DIMSTAT_VAR_NUM, _DIMSTAT_VAR_DEN, 6)
+        ).alias("sd"),
+    )
+    z = e.join(F.broadcast(model), "d").select(
+        "d",
+        F.when(F.col("sd") == 0, F.lit(0.0))
+        .otherwise((F.col("x") - F.col("mean")) / F.col("sd"))
+        .alias("z"),
+    )
+    return z.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.abs("z") > _WHITEN_Z, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
+    )
