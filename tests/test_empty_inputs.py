@@ -107,6 +107,15 @@ _REPRESENTATIVES = [
     "graph_hits_bipartite",     # empty edges through 3 normalize rounds
     "corpus_vocab_coverage_curve",  # empty type table through the rank
     "mix_shard_balance_rr",     # zero docs, empty 16-shard rollup
+    # round-10 additions
+    "pipeline_decontam_mix_select",  # empty victim set + DSIR + mix chain
+    "corpus_pmi_collocations",  # empty bigram tables through the top-k
+    "sample_neyman_allocation", # zero strata through the remainder rank
+    "ab_cuped_readout",         # NULL moments through T6 + guards
+    "anomaly_robust_zscore_daily",  # empty day grid, two rank selections
+    "lang_id_kappa",            # empty confusion matrix + marginals
+    "mix_resume_from_step",     # empty epoch stream through rank+prefix
+    "embedding_whiten_audit",   # empty model broadcast second pass
 ]
 
 
