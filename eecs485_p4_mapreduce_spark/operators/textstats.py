@@ -2379,3 +2379,72 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(kappa)
         .alias("kappa"),
     )
+
+
+# --------------------------------------------- Simpson diversity
+
+
+def _simpson_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio_sql
+
+    # 1 - sum n_i(n_i-1) / (N(N-1)) rendered as ONE rational:
+    # (N(N-1) - sum n_i(n_i-1)) / (N(N-1))
+    div = hu_ratio_sql(
+        "CAST(n AS HUGEINT) * (n - 1) - ssq",
+        "CAST(n AS HUGEINT) * (n - 1)", 6)
+    return f"""
+    WITH tok AS (
+      SELECT source, unnest({DUCK_TOKENS}) AS w FROM documents),
+    c AS (SELECT source, w, COUNT(*) AS ni FROM tok GROUP BY 1, 2),
+    g AS (
+      SELECT source, SUM(ni) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             SUM(CAST(ni AS HUGEINT) * (ni - 1)) AS ssq
+      FROM c GROUP BY 1)
+    SELECT source, CAST(n AS BIGINT) AS n_tokens, n_types,
+           CASE WHEN n < 2 THEN NULL ELSE {div} END AS simpson_diversity
+    FROM g
+    """
+
+
+@query("corpus_simpson_diversity", oracle=_simpson_oracle())
+def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index of the token distribution per source:
+    1 - sum n_i(n_i - 1)/(N(N - 1)) — the probability two tokens drawn
+    without replacement are DIFFERENT types.  The ecology-standard
+    diversity measure next to quality_token_entropy: entropy weights
+    the tail, Simpson weights the head, so a boilerplate-dominated
+    source drops Simpson first.
+
+    Determinism: unlike entropy (log2 per type), Simpson is ONE exact
+    integer rational — (N(N-1) - sum n_i(n_i-1)) / (N(N-1)) via the
+    half-up recipe; no transcendental anywhere.  N < 2 renders NULL
+    through the lazy CASE (ANSI divide-by-zero rule).  int128
+    headroom: sum n_i(n_i-1) <= N^2 -> ~7e15 tokens per source through
+    the render factor.  Scale shape: one (source, type) count
+    (map-side combinable), one source-cardinality rollup."""
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("w"))
+    c = tok.groupBy("source", "w").agg(F.count("*").alias("ni"))
+    g = c.groupBy("source").agg(
+        F.sum("ni").alias("n"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(
+            F.expr("cast(ni as decimal(38,0)) * (ni - 1)")
+        ).alias("ssq"),
+    )
+    div = hu_ratio(
+        "cast(n as decimal(38,0)) * (n - 1) - ssq",
+        "cast(n as decimal(38,0)) * (n - 1)",
+        6,
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        "n_types",
+        F.when(F.col("n") < 2, F.lit(None)).otherwise(div).alias(
+            "simpson_diversity"
+        ),
+    )

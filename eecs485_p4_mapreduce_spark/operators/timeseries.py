@@ -1098,3 +1098,108 @@ def anomaly_robust_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (_RZ_NUM * F.col("ad") > _RZ_DEN * F.col("mad"))
         ).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------- Cramér's V effect size
+
+
+def _cramers_oracle() -> str:
+    return f"""
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY dow),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    dims AS (SELECT (SELECT COUNT(*) FROM rt) AS nr,
+                    (SELECT COUNT(*) FROM ct) AS nc),
+    cells AS (
+      SELECT CAST({hu_ratio_sql(
+          "(CAST(obs.o AS HUGEINT) * n.n - CAST(rt.r AS HUGEINT) * ct.c)"
+          " * (CAST(obs.o AS HUGEINT) * n.n - CAST(rt.r AS HUGEINT) * ct.c)",
+          "CAST(n.n AS HUGEINT) * rt.r * ct.c", 6)}
+               AS DECIMAL(24,9)) AS contrib
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN n),
+    chi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(contrib) AS DOUBLE) AS chi_square
+            FROM cells)
+    SELECT chi.n_cells, CAST(dims.nr AS BIGINT) AS n_rows,
+           CAST(dims.nc AS BIGINT) AS n_cols, chi.chi_square,
+           CAST(least(dims.nr - 1, dims.nc - 1) AS BIGINT) AS dof_min,
+           CASE WHEN least(dims.nr - 1, dims.nc - 1) < 1 THEN NULL
+                ELSE round(sqrt(chi.chi_square
+                     / (CAST(n.n AS DOUBLE)
+                        * least(dims.nr - 1, dims.nc - 1))), 6) END
+             AS cramers_v
+    FROM chi CROSS JOIN dims CROSS JOIN n
+    """
+
+
+@query("stats_cramers_v", oracle=_cramers_oracle())
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type x day-of-week
+    contingency — the normalized companion of
+    stats_chi_square_independence: chi-square grows with n, so a
+    monitoring pipeline alerts on V = sqrt(chi2 / (n * min(r-1, c-1)))
+    in [0, 1] instead (the 'is this dependence MATERIAL' readout).
+
+    Determinism: the chi-square statistic is the same 1e-6-grid exact
+    rational sum as the base query (the _CHI_* production strings —
+    headroom rules there apply verbatim); V is sqrt of
+    identical-double / exact-int, and round(sqrt-output, 6) is safe
+    (never a decimal half — CLAUDE.md).  A degenerate 1-row/1-col
+    table renders NULL through the lazy CASE.  Scale shape: identical
+    to the base chi-square — contingency cells, never events, cross
+    the wire; the dims are two 1-row counts broadcast into a 1-row
+    readout."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count("*").alias("o")).localCheckpoint()
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    dims = rt.agg(F.count("*").alias("nr")).crossJoin(
+        F.broadcast(ct.agg(F.count("*").alias("nc")))
+    )
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    contrib = hu_ratio(_CHI_NUM, _CHI_DEN, 6)
+    chi = cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(contrib.cast("decimal(24,9)"))
+        .cast("double")
+        .alias("chi_square"),
+    )
+    v = F.round(
+        F.sqrt(
+            F.col("chi_square")
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("nr") - 1, F.col("nc") - 1)
+            )
+        ),
+        6,
+    )
+    return (
+        chi.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_cells",
+            F.col("nr").cast("bigint").alias("n_rows"),
+            F.col("nc").cast("bigint").alias("n_cols"),
+            "chi_square",
+            F.least(F.col("nr") - 1, F.col("nc") - 1)
+            .cast("bigint")
+            .alias("dof_min"),
+            F.when(
+                F.least(F.col("nr") - 1, F.col("nc") - 1) < 1, F.lit(None)
+            )
+            .otherwise(v)
+            .alias("cramers_v"),
+        )
+    )
