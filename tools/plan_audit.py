@@ -56,6 +56,8 @@ CONSTANT_WINDOW_OK = {
     "mix_shard_balance_rr": "P-row offsets frame (ranking recipe)",
     "corpus_vocab_coverage_curve": "P-row offsets frames (ranking recipe,"
     " sum_col prefix sum)",
+    "mix_resume_from_step": "P-row offsets frames (ranking recipe,"
+    " sum_col prefix sum; _pid-pinned in test_plans)",
     "mix_interleave_deterministic": "P-row offsets frame (ranking recipe;"
     " _pid-scoped, verified)",
     "pipeline_epoch_pack_end_to_end": "P-row offsets frames (ranking"
