@@ -12,7 +12,8 @@ A full-registry run (no query filter) additionally writes
 for non-default scale factors) -- the driver-schema
 per-query artifact (rows/schema/hash match + row counts + error), with a
 ``_meta`` entry recording HEAD, sf_dir, and timestamp -- so the local
-314/314 sweep is a checked-in, diffable record rather than a prose claim.
+full-registry sweep is a checked-in, diffable record rather than a prose
+claim.
 
 ``--vanilla`` runs on a bare ``SparkSession.builder.getOrCreate()`` with
 NONE of the engine's session confs -- the driver's exact environment --
