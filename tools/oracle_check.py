@@ -133,6 +133,13 @@ def _release_blocks(spark) -> None:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for k in list(jmap.keys()):
             jmap[k].unpersist(False)
+        # Broadcasts and freed block references are reclaimed by the
+        # ContextCleaner only after a JVM GC notices them — on a 1g
+        # vanilla child the next heavy query can OOM before that
+        # happens naturally, so nudge one explicitly (measured: the
+        # chunk-48 batch holding graph_centrality_2hop OOM'd without
+        # this and passes with it).
+        spark.sparkContext._jvm.System.gc()
     except Exception:  # noqa: BLE001
         pass  # release is best-effort hygiene, never a sweep error
 
