@@ -1187,3 +1187,116 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return atop.unionByName(htop)
+
+
+# --------------------------------------------- Jaccard link prediction
+
+
+def _linkpred_jaccard_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import (
+        MINHASH_BANDED_DUCK,
+    )
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio_sql
+
+    j = hu_ratio_sql(
+        "pred.common_neighbors * 1000000",
+        "dga.deg + dgc.deg - pred.common_neighbors", 6)
+    return f"""{MINHASH_BANDED_DUCK},
+    e AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    adj AS (SELECT da AS u, db AS v FROM e
+            UNION ALL SELECT db AS u, da AS v FROM e),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+    wedge AS (SELECT a1.u AS a, a2.v AS c
+              FROM adj a1 JOIN adj a2 ON a2.u = a1.v AND a1.u < a2.v),
+    cn AS (SELECT a, c, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+           FROM wedge GROUP BY a, c),
+    pred AS (SELECT cn.a, cn.c, cn.common_neighbors
+             FROM cn LEFT JOIN e ON e.da = cn.a AND e.db = cn.c
+             WHERE e.da IS NULL),
+    scored AS (
+      SELECT pred.a, pred.c, pred.common_neighbors,
+             CAST(dga.deg + dgc.deg - pred.common_neighbors AS BIGINT)
+               AS union_size,
+             {j} AS jaccard
+      FROM pred JOIN deg dga ON dga.u = pred.a
+                JOIN deg dgc ON dgc.u = pred.c)
+    SELECT a AS doc_a, c AS doc_b, common_neighbors, union_size, jaccard
+    FROM scored ORDER BY jaccard DESC, a, c LIMIT {_LP_TOPK}
+    """
+
+
+@query("graph_linkpred_jaccard", oracle=_linkpred_jaccard_oracle())
+def graph_linkpred_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-normalized link prediction over the band-candidate
+    graph: rank non-edges by |N(a) ∩ N(c)| / |N(a) ∪ N(c)| — the
+    degree-corrected twin of ``graph_linkpred_common_neighbors`` (raw
+    common-neighbor counts just surface hubs; the Jaccard score asks
+    whether the SHARED neighborhood dominates both endpoints'
+    neighborhoods, which is what actually predicts a missing near-dup
+    edge).
+
+    Determinism: counts and degrees are exact integers; the score is
+    the exact rational cn/(deg_a + deg_c - cn) rendered onto the 1e-6
+    grid by the half-up recipe BEFORE ranking, with (doc_a, doc_b) as
+    the tie-break — the ranking-windows rule (never a raw-float
+    ORDER BY; the denominator is >= 1 whenever the pair has a common
+    neighbor, so no zero-division branch is reachable).  Plan: the
+    shared oriented wedge enumeration + the persisted candidate edge
+    set (both published derived frames), a two-sided broadcastable
+    degree join, TakeOrdered readout — the oracle keeps the
+    unoriented adjacency spelling (wedge-multiset equivalence is
+    property-pinned)."""
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+    from eecs485_p4_mapreduce_spark.operators.dedup import (
+        lsh_candidate_edges,
+        lsh_oriented_edges,
+    )
+
+    edges = lsh_candidate_edges(spark, sf_dir)
+    adj = edges.select(F.col("da").alias("u")).unionByName(
+        edges.select(F.col("db").alias("u"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    wedge = _oriented_wedges(lsh_oriented_edges(spark, sf_dir)).select(
+        F.col("u").alias("a"), F.col("w").alias("c")
+    )
+    cn = wedge.groupBy("a", "c").agg(
+        F.count("*").cast("bigint").alias("common_neighbors")
+    )
+    pred = cn.join(
+        edges,
+        (cn["a"] == edges["da"]) & (cn["c"] == edges["db"]),
+        "left_anti",
+    )
+    dga = deg.select(F.col("u").alias("a"), F.col("deg").alias("deg_a"))
+    dgc = deg.select(F.col("u").alias("c"), F.col("deg").alias("deg_c"))
+    scored = (
+        pred.join(dga, "a")
+        .join(dgc, "c")
+        .select(
+            "a",
+            "c",
+            "common_neighbors",
+            (F.col("deg_a") + F.col("deg_c") - F.col("common_neighbors"))
+            .cast("bigint")
+            .alias("union_size"),
+            hu_ratio(
+                "cast(common_neighbors as decimal(38,0)) * 1000000",
+                "deg_a + deg_c - common_neighbors",
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("jaccard"), "a", "c")
+        .limit(_LP_TOPK)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("c").alias("doc_b"),
+            "common_neighbors",
+            "union_size",
+            "jaccard",
+        )
+    )

@@ -724,3 +724,118 @@ def pipeline_decontam_mix_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mix_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row datasheet a corpus release ships
+# ---------------------------------------------------------------------------
+
+
+def _dataset_card_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio_sql
+
+    dup_bp = hu_ratio_sql("(g.n - g.nfp) * 10000", "g.n", 0)
+    near_bp = hu_ratio_sql("nd.n_near * 10000", "g.n", 0)
+    mean_tok = hu_ratio_sql("g.tt", "g.n", 2)
+    return f"""
+    WITH {_MINHASH_BANDED_DUCK.strip()[len("WITH "):]},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+    nd AS (SELECT COUNT(DISTINCT d) AS n_near FROM (
+             SELECT da AS d FROM cand UNION ALL SELECT db FROM cand)),
+    base AS (
+      SELECT lang, source, len({DUCK_TOKENS}) AS tok,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    g AS (
+      SELECT COUNT(*) AS n, CAST(COALESCE(SUM(tok), 0) AS BIGINT) AS tt,
+             COUNT(DISTINCT lang) AS nl, COUNT(DISTINCT source) AS ns,
+             COUNT(DISTINCT fp) AS nfp
+      FROM base)
+    SELECT CAST(g.n AS BIGINT) AS n_docs, g.tt AS total_tokens,
+           CAST(g.nl AS BIGINT) AS n_langs, CAST(g.ns AS BIGINT) AS n_sources,
+           CAST(g.n - g.nfp AS BIGINT) AS n_exact_dup_docs,
+           CASE WHEN g.n = 0 THEN NULL
+                ELSE CAST({dup_bp} AS BIGINT) END AS exact_dup_bp,
+           CAST(nd.n_near AS BIGINT) AS n_neardup_docs,
+           CASE WHEN g.n = 0 THEN NULL
+                ELSE CAST({near_bp} AS BIGINT) END AS neardup_bp,
+           CASE WHEN g.n = 0 THEN NULL ELSE {mean_tok} END
+             AS mean_doc_tokens
+    FROM g CROSS JOIN nd
+    """
+
+
+@query("pipeline_dataset_card", oracle=_dataset_card_oracle())
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD — the quantitative half of the datasheet a
+    corpus release ships (Gebru et al.'s datasheets, public practice):
+    size (docs, tokens, mean tokens/doc), composition (languages,
+    sources), and the two duplication health numbers every consumer
+    asks for — exact-duplicate share (normalized-fingerprint collisions,
+    in basis points) and near-duplicate candidate share (documents
+    touched by any MinHash-LSH band collision, in basis points).
+
+    Each ingredient reuses the exact machinery its standalone operator
+    proved: the curation fingerprint, the persisted band-collision edge
+    set (``lsh_candidate_edges`` — a warm application reads published
+    parquet, so the card costs one corpus scan plus two broadcast
+    1-row joins).  All counts are exact integers; the three ratios
+    render by the half-up recipe with an empty-corpus lazy-CASE NULL.
+    Scale shape: one scan into a 1-row moment/dedup rollup, the edge
+    set reduced to a distinct-node count, three 1-row frames broadcast
+    into the single-row readout."""
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+    from eecs485_p4_mapreduce_spark.operators.dedup import (
+        lsh_candidate_edges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.size(tokens("text")).cast("bigint").alias("tok"),
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias(
+            "fp"
+        ),
+    )
+    g = base.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("tok"), F.lit(0)).cast("bigint").alias("tt"),
+        F.countDistinct("lang").alias("nl"),
+        F.countDistinct("source").alias("ns"),
+        F.countDistinct("fp").alias("nfp"),
+    )
+    e = lsh_candidate_edges(spark, sf_dir)
+    nd = (
+        e.select(F.col("da").alias("d"))
+        .unionByName(e.select(F.col("db").alias("d")))
+        .agg(F.countDistinct("d").alias("n_near"))
+    )
+    guard = F.col("n") == 0
+    return g.crossJoin(F.broadcast(nd)).select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("tt").alias("total_tokens"),
+        F.col("nl").cast("bigint").alias("n_langs"),
+        F.col("ns").cast("bigint").alias("n_sources"),
+        (F.col("n") - F.col("nfp")).cast("bigint").alias("n_exact_dup_docs"),
+        F.when(guard, F.lit(None))
+        .otherwise(
+            hu_ratio("(cast(n as decimal(38,0)) - nfp) * 10000", "n", 0)
+            .cast("bigint")
+        )
+        .alias("exact_dup_bp"),
+        F.col("n_near").cast("bigint").alias("n_neardup_docs"),
+        F.when(guard, F.lit(None))
+        .otherwise(
+            hu_ratio("cast(n_near as decimal(38,0)) * 10000", "n", 0)
+            .cast("bigint")
+        )
+        .alias("neardup_bp"),
+        F.when(guard, F.lit(None)).otherwise(hu_ratio("tt", "n", 2)).alias(
+            "mean_doc_tokens"
+        ),
+    )

@@ -582,3 +582,136 @@ def search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mrr")
     )
     return rr.crossJoin(F.broadcast(mrr))
+
+
+# --------------------------------------------- MAP@10
+
+
+def _map_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.plans.registry import REGISTRY
+
+    b = REGISTRY["search_bm25_rank"].oracle
+    terms = ", ".join(f"'{t}'" for t in _QTERMS)
+    ap = hu_ratio_sql(
+        "psum", "least(rel.r, {k}) * 1000000".format(k=_MRR_K), 6)
+    map_ = hu_ratio_sql(
+        "(SELECT SUM(CAST(COALESCE(ap, 0.0) AS DECIMAL(18,6)) * 1000000)"
+        " FROM per_term)",
+        "(SELECT COUNT(*) FROM per_term) * 1000000", 6)
+    return f"""
+    WITH bm AS ({b}),
+    top AS (SELECT bm.doc_id, bm.rk, list_distinct({DUCK_TOKENS}) AS toks
+            FROM bm JOIN documents USING (doc_id)
+            WHERE bm.rk <= {_MRR_K}),
+    q AS (SELECT unnest([{terms}]) AS query_term),
+    rel AS (
+      SELECT q.query_term, COUNT(d.doc_id) AS r
+      FROM q LEFT JOIN documents d
+        ON list_contains(list_distinct({DUCK_TOKENS.replace("text", "d.text")}), q.query_term)
+      GROUP BY q.query_term),
+    flags AS (
+      SELECT q.query_term, top.rk,
+             CASE WHEN list_contains(top.toks, q.query_term)
+                  THEN 1 ELSE 0 END AS is_rel
+      FROM q CROSS JOIN top),
+    prec AS (
+      SELECT query_term, rk, is_rel,
+             SUM(is_rel) OVER (PARTITION BY query_term ORDER BY rk
+                               ROWS UNBOUNDED PRECEDING) AS hits
+      FROM flags),
+    pterm AS (
+      SELECT query_term,
+             SUM(CASE WHEN is_rel = 1 THEN
+                   (2 * CAST(hits AS HUGEINT) * 1000000 + rk)
+                     // (2 * CAST(rk AS HUGEINT))
+                 ELSE 0 END) AS psum,
+             SUM(is_rel) AS n_rel_topk
+      FROM prec GROUP BY query_term),
+    per_term AS (
+      SELECT p.query_term, CAST(rel.r AS BIGINT) AS n_relevant,
+             CAST(p.n_rel_topk AS BIGINT) AS n_rel_topk,
+             CASE WHEN rel.r = 0 THEN NULL ELSE {ap} END AS ap
+      FROM pterm p JOIN rel ON rel.query_term = p.query_term)
+    SELECT query_term, n_relevant, n_rel_topk, ap, {map_} AS map_at_k
+    FROM per_term
+    """
+
+
+@query("search_map_eval", oracle=_map_oracle())
+def search_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@{_MRR_K} of the BM25 ranked list — the third standard
+    retrieval eval next to nDCG (whole-list grading) and MRR
+    (time-to-first-hit): average precision rewards packing ALL the
+    relevant documents early, normalized by min(R, k) with R the
+    corpus-wide relevant count, so an unreachable tail never deflates
+    the score.
+
+    Determinism: every P@i is the exact integer rational hits_i/i
+    HALF-UP-QUANTIZED to the 1e-6 integer grid BEFORE the per-term sum
+    (the kl_nats discipline applied to precisions); AP is one hu_ratio
+    over that exact sum; a term absent from the corpus renders NULL
+    through the lazy CASE, contributing 0 to MAP (COALESCE in the
+    quantized-mean recipe).  Scale shape: the corpus-scale work is the
+    BM25 pipeline plus ONE broadcast-NL relevance-count scan (3 terms
+    scan-side); everything else runs on 30 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    bm = search_bm25_rank(spark, sf_dir).filter(F.col("rk") <= _MRR_K)
+    top = bm.join(
+        docs.select(
+            "doc_id", F.array_distinct(tokens("text")).alias("toks")
+        ),
+        "doc_id",
+    ).select("rk", "toks")
+    q = spark.createDataFrame([(t,) for t in _QTERMS], "query_term string")
+    rel = (
+        F.broadcast(q)
+        .join(
+            docs.select(F.array_distinct(tokens("text")).alias("dtoks")),
+            F.array_contains(F.col("dtoks"), F.col("query_term")),
+            "left",
+        )
+        .groupBy("query_term")
+        .agg(F.count("dtoks").alias("r"))
+    )
+    flags = F.broadcast(q).crossJoin(top).select(
+        "query_term",
+        "rk",
+        F.when(
+            F.array_contains(F.col("toks"), F.col("query_term")), 1
+        )
+        .otherwise(0)
+        .alias("is_rel"),
+    )
+    w = (
+        Window.partitionBy("query_term")
+        .orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prec = flags.withColumn("hits", F.sum("is_rel").over(w))
+    pterm = prec.groupBy("query_term").agg(
+        F.sum(
+            F.when(
+                F.col("is_rel") == 1,
+                F.expr(
+                    "(2 * cast(hits as decimal(38,0)) * 1000000 + rk)"
+                    " div (2 * cast(rk as decimal(38,0)))"
+                ),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("psum"),
+        F.sum("is_rel").cast("bigint").alias("n_rel_topk"),
+    )
+    ap = hu_ratio("psum", f"least(r, {_MRR_K}) * 1000000", 6)
+    per_term = pterm.join(F.broadcast(rel), "query_term").select(
+        "query_term",
+        F.col("r").cast("bigint").alias("n_relevant"),
+        "n_rel_topk",
+        F.when(F.col("r") == 0, F.lit(None)).otherwise(ap).alias("ap"),
+    ).localCheckpoint()
+    map_ = per_term.agg(
+        hu_ratio(
+            "sum(cast(coalesce(ap, 0.0) as decimal(18,6)) * 1000000)",
+            "count(*) * 1000000",
+            6,
+        ).alias("map_at_k")
+    )
+    return per_term.crossJoin(F.broadcast(map_))
