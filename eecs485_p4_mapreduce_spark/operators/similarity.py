@@ -1589,7 +1589,16 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("_mp_raw"),
         hu_ratio("sum(y)", "count(*)", 6).alias("pos_rate"),
-        hu_ratio("sum(sq)", "cast(count(*) as decimal(38,0)) * 100", 0)
+        # sq <= 1e8 per row: a BIGINT sum would wrap (loudly, ANSI) at
+        # ~9e10 rows per bin — below the declared 100 TB scale — so sum
+        # in decimal(38,0) (hash-identical, ~1e30-row headroom; the
+        # eval_brier_decomposition fix applied to the shared rollup
+        # shape).  sum(p_bp) stays bigint: p_bp <= 1e4 binds at ~9e14.
+        hu_ratio(
+            "sum(cast(sq as decimal(38,0)))",
+            "cast(count(*) as decimal(38,0)) * 100",
+            0,
+        )
         .cast("double")
         .alias("_br_raw"),
     ).select(
