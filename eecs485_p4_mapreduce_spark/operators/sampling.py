@@ -47,7 +47,8 @@ def _bucket256_sql(key_expr: str) -> str:
     SELECT CASE WHEN bucket < 205 THEN 'train'
                 WHEN bucket < 230 THEN 'val'
                 ELSE 'test' END AS split,
-           lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+           lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM b
     GROUP BY 1, 2
     """,
@@ -151,7 +152,8 @@ def _bucket65536_sql(key_expr: str) -> str:
     s AS (
       SELECT lang, n_chars FROM documents, mx
       WHERE {_bucket65536_sql('doc_id')} * m < n_chars * 65536)
-    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS sampled_chars
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
     FROM s GROUP BY lang
     """,
 )

@@ -13,6 +13,15 @@ ways, both now replicated here:
 2.  No raw containers.  The driver's pandas sort dies on unhashable lists
     (the round-1 ``array_map_fns`` err).  A list/map/struct value in a final
     output column is a registration bug -- we raise instead of stringifying.
+
+3.  Type contracts on the DECLARED engine output types (round 10's red
+    row).  The local gate fetches rows natively (``fetchall()`` /
+    ``collect()``), where a DuckDB HUGEINT arrives as a Python int -- but
+    the driver canonicalizes through pandas, where HUGEINT coerces to
+    float64 (``i:123`` vs ``f:123.0``, the ``sample_split_train_val_test``
+    hash-red) and DECIMAL to object.  Values cannot reveal this, so both
+    local gates now also enforce :func:`duck_type_violations` /
+    :func:`spark_type_violations` on the result SCHEMAS.
 """
 
 from __future__ import annotations
@@ -51,6 +60,36 @@ def render(v) -> str:
             "array_join/to_json first"
         )
     return "o:" + str(v)
+
+
+# DuckDB output types pandas cannot hold losslessly: HUGEINT/UHUGEINT
+# (int128 -> float64) and DECIMAL (-> object).  Oracles must CAST these
+# to BIGINT/DOUBLE at the final SELECT.
+_DUCK_LOSSY = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def duck_type_violations(rel) -> list:
+    """Pandas-lossy final column types of a DuckDB relation (bind-only --
+    reading ``.types`` prepares the query without executing it)."""
+    return [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, rel.types)
+        if str(t).upper().startswith(_DUCK_LOSSY)
+    ]
+
+
+def spark_type_violations(schema) -> list:
+    """Driver-hazard final column types of a Spark schema: DecimalType
+    goes through pandas as object (vs the oracle's int64/float64) and
+    array/map/struct are unhashable in the driver's pandas sort."""
+    from pyspark.sql import types as T
+
+    bad = (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+    return [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in schema.fields
+        if isinstance(f.dataType, bad)
+    ]
 
 
 def canon(rows, cols):

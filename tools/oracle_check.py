@@ -48,6 +48,8 @@ from eecs485_p4_mapreduce_spark.plans import REGISTRY  # noqa: E402
 from eecs485_p4_mapreduce_spark.sources import TABLES  # noqa: E402
 from tools.canon import canon as _canon  # noqa: E402
 from tools.canon import close as _close  # noqa: E402
+from tools.canon import duck_type_violations as _duck_type_violations  # noqa: E402
+from tools.canon import spark_type_violations as _spark_type_violations  # noqa: E402
 
 
 def _run_chunked(vanilla: bool, sf_dir: str, chunk: int) -> int:
@@ -186,6 +188,13 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
+            sviol = _spark_type_violations(sdf.schema)
+            if sviol:
+                raise TypeError(
+                    f"pandas-lossy Spark final column types {sviol} -- "
+                    "the driver canonicalizes through pandas; cast to "
+                    "bigint/double or project through array_join/to_json"
+                )
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
@@ -204,6 +213,13 @@ def main() -> int:
             continue
         try:
             rel = con.sql(spec.oracle)
+            dviol = _duck_type_violations(rel)
+            if dviol:
+                raise TypeError(
+                    f"pandas-lossy DuckDB final column types {dviol} -- "
+                    "the driver canonicalizes through pandas (HUGEINT -> "
+                    "float64); CAST the final column AS BIGINT/DOUBLE"
+                )
             drows = rel.fetchall()
             dcols = rel.columns
         except Exception as e:  # noqa: BLE001
