@@ -511,11 +511,12 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2e7 rows PER GROUP at TPC-H magnitudes (E[xy] ~ 9e5), far below
     # the declared 100 TB scale — and wraps LOUDLY
     # (NUMERIC_VALUE_OUT_OF_RANGE).  Beyond that, in order:
-    # (a) center-then-square — the covariance analog of
-    # relational2.twopass_var (pass 1 truncated integer means mx6/my6,
+    # (a) center-then-square — IMPLEMENTED as stats_covar_twopass
+    # (twopass_covar below: pass 1 truncated integer means mx6/my6,
     # pass 2 sums dx, dy, dx*dy; shift invariance makes
-    # n*sum(dx*dy) - sum(dx)*sum(dy) ALGEBRAICALLY IDENTICAL) — buys
-    # mean^2/cov, ~25x here; (b) the DECLARED quantization drop
+    # n*sum(dx*dy) - sum(dx)*sum(dy) ALGEBRAICALLY IDENTICAL;
+    # overflow boundary pinned in tests/test_properties.py) — buys
+    # mean_x*mean_y/cov; (b) the DECLARED quantization drop
     # (inputs at 10^2, 4-digit render) for the remaining orders of
     # magnitude, identical in both engines.  Sharding merges moment
     # partials fine but does not relax the render.
@@ -536,6 +537,121 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr"),
     )
+
+
+def twopass_covar(li: DataFrame) -> DataFrame:
+    """Production body of stats_covar_twopass over any
+    (l_returnflag, l_quantity, l_extendedprice) frame — factored so the
+    overflow-boundary test drives the EXACT production derivation on a
+    synthetic frame whose single-pass form wraps decimal(38,0)."""
+    x = li.select(
+        "l_returnflag",
+        F.expr(
+            "cast(cast(l_quantity as decimal(18,6)) * 1000000"
+            " as decimal(38,0))"
+        ).alias("x6"),
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,6)) * 1000000"
+            " as decimal(38,0))"
+        ).alias("y6"),
+    )
+    centers = (
+        x.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x6").alias("sx6"),
+            F.sum("y6").alias("sy6"),
+        )
+        # Spark decimal `div` truncates toward zero — matches the
+        # oracle's sign-split HUGEINT floor spelling
+        .select(
+            "l_returnflag",
+            "n",
+            F.expr("sx6 div n").alias("mx6"),
+            F.expr("sy6 div n").alias("my6"),
+        )
+    )
+    p2 = (
+        x.join(F.broadcast(centers), "l_returnflag")
+        .groupBy("l_returnflag", "n", "mx6", "my6")
+        .agg(
+            F.sum(F.expr("x6 - mx6")).alias("sdx6"),
+            F.sum(F.expr("y6 - my6")).alias("sdy6"),
+            F.sum(F.expr("(x6 - mx6) * (y6 - my6)")).alias("sdxy12"),
+        )
+    )
+    return p2.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("mx6").cast("double") / 1000000).alias("center_x"),
+        (F.col("my6").cast("double") / 1000000).alias("center_y"),
+        hu_ratio_signed(
+            "cast(n as decimal(38,0)) * sdxy12 - sdx6 * sdy6",
+            "cast(n as decimal(38,0)) * (n - 1) * 1000000000000",
+            6,
+        ).alias("covar_samp"),
+    )
+
+
+@query(
+    "stats_covar_twopass",
+    oracle=f"""
+    WITH x AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(18,6)) * 1000000
+                  AS HUGEINT) AS x6,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 1000000
+                  AS HUGEINT) AS y6
+      FROM lineitem),
+    c AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             SUM(x6) AS sx6, SUM(y6) AS sy6
+      FROM x GROUP BY 1),
+    m AS (  -- truncate-toward-zero centers (Spark decimal `div`
+            -- truncates; HUGEINT // floors, so split the sign)
+      SELECT l_returnflag, n,
+             CASE WHEN sx6 < 0 THEN -(abs(sx6) // CAST(n AS HUGEINT))
+                  ELSE sx6 // CAST(n AS HUGEINT) END AS mx6,
+             CASE WHEN sy6 < 0 THEN -(abs(sy6) // CAST(n AS HUGEINT))
+                  ELSE sy6 // CAST(n AS HUGEINT) END AS my6
+      FROM c),
+    p2 AS (
+      SELECT x.l_returnflag, m.n, m.mx6, m.my6,
+             SUM(x.x6 - m.mx6) AS sdx6,
+             SUM(x.y6 - m.my6) AS sdy6,
+             SUM((x.x6 - m.mx6) * (x.y6 - m.my6)) AS sdxy12
+      FROM x JOIN m ON x.l_returnflag = m.l_returnflag
+      GROUP BY 1, 2, 3, 4)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           CAST(mx6 AS DOUBLE) / 1000000 AS center_x,
+           CAST(my6 AS DOUBLE) / 1000000 AS center_y,
+           {hu_ratio_signed_sql(
+               "CAST(n AS HUGEINT) * sdxy12 - sdx6 * sdy6",
+               "CAST(n AS HUGEINT) * (n - 1) * 1000000000000", 6)}
+             AS covar_samp
+    FROM p2
+    """,
+)
+def stats_covar_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass (center-then-square) sample covariance — the IMPLEMENTED
+    overflow fallback stats_correlation's decision rule names.
+
+    Pass 1 computes per-group truncated integer means mx6/my6 at 10^6
+    scale; pass 2 re-scans, centers both columns, and exactly sums the
+    SMALL deviations dx, dy and their product.  Shift invariance makes
+    ``n*sum(dx*dy) - sum(dx)*sum(dy)`` ALGEBRAICALLY IDENTICAL to the
+    single-pass ``n*sum(xy) - sum(x)*sum(y)`` for any integer shifts, so
+    covar_samp hash-matches stats_correlation's while the int128 render
+    requirement drops from n^2*E[xy]*10^12 to n^2*|cov|*10^12 — the win
+    is mean_x*mean_y/cov, decisive whenever the means dominate the
+    spreads (sensor baselines, prices around a level, timestamps).  The
+    boundary where the single-pass form wraps while this one is exact is
+    pinned by tests/test_properties.py::
+    test_twopass_covar_survives_singlepass_overflow.  Cost: one extra
+    scan plus a broadcast join of the tiny center dim — the documented
+    escape, not the default, because lineitem's value domains sit near
+    zero."""
+    return twopass_covar(load_table(spark, sf_dir, "lineitem"))
 
 
 @query(

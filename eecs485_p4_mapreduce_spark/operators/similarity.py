@@ -957,12 +957,15 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <= 5e31, i.e. n <= ~7e6/sqrt(E[x^2]) rows per dimension (~5e7 for
     # unit-norm 64-dim embeddings where E[x^2] ~ 1/64).  The wrap is
     # LOUD (NUMERIC_VALUE_OUT_OF_RANGE), never a wrong number.  Beyond
-    # that: (a) DECLARED quantization drop — inputs at 10^4 and a
-    # 4-digit render put the bound past 1e12 rows, identical in both
-    # engines; (b) the mean-shifted two-pass
+    # that: (a) DECLARED quantization drop — IMPLEMENTED as
+    # embedding_dim_stats_q4 below (floor(x*10^4) grid + 4-digit
+    # render puts the bound past 1e12 rows/dim, identical in both
+    # engines; survival at the exact form's wrap point pinned in
+    # tests/test_headroom_bounds.py); (b) the mean-shifted two-pass
     # (relational2.twopass_var, boundary-pinned) when the mean
-    # dominates the spread.  Sharding alone does NOT relax the render —
-    # merged moment partials still feed the same rational.
+    # dominates the spread — useless here since embedding means ~ 0.
+    # Sharding alone does NOT relax the render — merged moment
+    # partials still feed the same rational.
     return g.select(
         "d",
         "n",
@@ -972,6 +975,80 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         hu_ratio_signed(
             _DIMSTAT_VAR_NUM, _DIMSTAT_VAR_DEN, 6
         ).alias("var_pop"),
+    )
+
+
+# embedding_dim_stats_q4's quantized variance rational, factored to
+# module constants so the headroom test can demonstrate survival at the
+# row count where the exact form's render wraps.  sx4/sxx8 are
+# decimal(38,0) sums of floor(x*10^4) and its square; n the group count.
+_DIMSTAT_Q4_VAR_NUM = (
+    "cast(n as decimal(38,0)) * sxx8 - sx4 * sx4"
+)
+_DIMSTAT_Q4_VAR_DEN = "cast(n as decimal(38,0)) * n * 100000000"
+
+
+@query(
+    "embedding_dim_stats_q4",
+    oracle=f"""
+    WITH el AS (
+      SELECT d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(d)),
+    q AS (SELECT d, CAST(FLOOR(x * 10000.0) AS HUGEINT) AS x4 FROM el),
+    g AS (
+      SELECT d, COUNT(*) AS n, SUM(x4) AS sx4, SUM(x4 * x4) AS sxx8
+      FROM q GROUP BY d)
+    SELECT d, CAST(n AS BIGINT) AS n,
+           {hu_ratio_signed_sql("sx4", "CAST(n AS HUGEINT) * 10000", 4)}
+             AS mean_q4,
+           {hu_ratio_signed_sql(
+               "CAST(n AS HUGEINT) * sxx8 - sx4 * sx4",
+               "CAST(n AS HUGEINT) * n * 100000000", 4)} AS var_pop_q4
+    FROM g
+    """,
+)
+def embedding_dim_stats_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance on a DECLARED 10^-4 input grid with a
+    4-digit render — the IMPLEMENTED quantization-drop fallback
+    embedding_dim_stats' decision rule names for past-the-render-bound
+    corpora.
+
+    For zero-mean embeddings, centering buys nothing (E[x^2] ~ var), so
+    the exact form's render factor 2*n^2*E[x^2]*10^18*10^6 binds at
+    ~5e7 rows/dim regardless of passes.  Dropping DECLARED precision
+    relaxes it: quantize each coordinate to x4 = floor(x*10^4) — floor
+    of a correctly-rounded double product is half-hazard-free and
+    bit-identical in both engines (the coreset-grid recipe) — then the
+    rational is over integer sums with render factor
+    2*n^2*E[x4^2]*10^4 <= 10^38, i.e. n <= ~5e13 rows/dim at unit-norm
+    64-dim magnitudes (E[x4^2] ~ 1.6e6): past 1e12 rows with margin,
+    covering 100 TB outright.  Per-term products are pre-cast to
+    decimal(38,0) before the sum (CLAUDE.md rule: int64 products
+    overflow first).  The declared drop is a CONTRACT, not an
+    approximation — both engines compute the identical statistic of the
+    identical quantized corpus.  Survival at the row count where the
+    exact form wraps is pinned in tests/test_headroom_bounds.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x")
+    )
+    q = e.select(
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("x") * F.lit(10000.0)).alias("x4"),
+    )
+    g = q.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.expr("cast(x4 as decimal(38,0))")).alias("sx4"),
+        F.sum(F.expr("cast(x4 as decimal(38,0)) * x4")).alias("sxx8"),
+    )
+    return g.select(
+        "d",
+        "n",
+        hu_ratio_signed("sx4", "cast(n as decimal(38,0)) * 10000", 4).alias(
+            "mean_q4"
+        ),
+        hu_ratio_signed(
+            _DIMSTAT_Q4_VAR_NUM, _DIMSTAT_Q4_VAR_DEN, 4
+        ).alias("var_pop_q4"),
     )
 
 

@@ -83,6 +83,38 @@ def test_dimstat_variance_exact_below_bound_loud_above(spark):
         ).collect()
 
 
+def test_dimstat_q4_survives_where_exact_form_wraps(spark):
+    """embedding_dim_stats_q4's quantized rational
+    (_DIMSTAT_Q4_VAR_NUM/_DEN) at n = 1e9 rows/dim — the row count
+    where the EXACT form's render provably wraps (previous test) —
+    stays exact: the declared floor(x*10^4) grid drops the render
+    factor from 2*n^2*E[x^2]*10^24 to 2*n^2*E[x4^2]*10^4, pushing the
+    bound past 1e12 rows/dim.  This pins the quantization-drop escape
+    as IMPLEMENTED for the dim-stats family."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import (
+        _DIMSTAT_Q4_VAR_DEN,
+        _DIMSTAT_Q4_VAR_NUM,
+    )
+
+    # n = 1e9 rows at E[x^2] = 0.7 (the exact form's wrap scenario):
+    # x4 magnitudes ~ 8366, E[x4^2] ~ 7e7 -> sxx8 = 7e16, sx4 = 1e10
+    n, sx4, sxx8 = 10**9, 10**10, 7 * 10**16
+    g = spark.sql(
+        f"SELECT cast({n} as bigint) AS n,"
+        f" cast({sx4} as decimal(38,0)) AS sx4,"
+        f" cast({sxx8} as decimal(38,0)) AS sxx8"
+    )
+    got = g.select(
+        hu_ratio_signed(_DIMSTAT_Q4_VAR_NUM, _DIMSTAT_Q4_VAR_DEN, 4).alias("v")
+    ).collect()[0]["v"]
+    true_num = n * sxx8 - sx4 * sx4
+    true_den = n * n * 10**8
+    assert got == float(_half_away(true_num, true_den, 4)) / 10**4
+    # headroom to spare: the render factor at 1e12 rows is still inside
+    # decimal(38,0) (2 * (1e24 * 7e7) * 1e4 = 1.4e36 < 1e38)
+    assert 2 * (10**12) ** 2 * (7 * 10**7) * 10**4 < 10**38
+
+
 def test_chi_square_cell_exact_below_bound_loud_above(spark):
     """stats_chi_square_independence's per-cell rational
     (_CHI_NUM/_CHI_DEN): exact while |o*n - r*c| <= ~7e15 (~8e8

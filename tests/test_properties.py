@@ -1016,6 +1016,68 @@ def test_twopass_variance_survives_singlepass_overflow(spark):
     assert row["center"] == float(s // n) / 10**6
 
 
+def test_twopass_covar_survives_singlepass_overflow(spark):
+    """stats_covar_twopass's production body (analytics.twopass_covar)
+    at the documented int128 boundary: 20k rows of ~9e8/8e8-magnitude
+    value pairs wrap the single-pass stats_correlation derivation
+    loudly (the cross-moment terms alone exceed its decimal widths),
+    while the center-then-square derivation stays small and returns the
+    EXACT sample covariance (checked against Fraction arithmetic,
+    including the 1e-6 half-away render).  This pins stats_correlation's
+    'center-then-square beyond ~2e7 rows/group' escape hatch as
+    implemented, not merely documented."""
+    from fractions import Fraction
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from eecs485_p4_mapreduce_spark.operators.analytics import (
+        _CORR_COV_DEN,
+        _CORR_COV_NUM,
+        twopass_covar,
+    )
+
+    n = 20000
+    # exact-in-decimal(18,6) doubles: big means, small spreads — the
+    # regime where centering wins mean_x*mean_y/cov headroom
+    xs = [900000000.0 + (i % 7) * 0.25 for i in range(n)]
+    ys = [800000000.0 + (i % 5) * 0.5 for i in range(n)]
+    x6 = [int(Fraction(str(v)) * 10**6) for v in xs]
+    y6 = [int(Fraction(str(v)) * 10**6) for v in ys]
+    # the boundary is real: the single-pass intermediate wraps int128
+    assert n * sum(a * b for a, b in zip(x6, y6)) > 10**38
+    li = spark.createDataFrame(
+        [("x", a, b) for a, b in zip(xs, ys)],
+        "l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    # 1) the single-pass stats_correlation derivation overflows loudly
+    single = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sxd"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).alias("syd"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast(
+                "decimal(28,12)"
+            )
+        ).alias("sxyd"),
+    )
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE"):
+        single.select(
+            F.expr(f"({_CORR_COV_NUM}) / ({_CORR_COV_DEN})").alias("r")
+        ).collect()
+    # 2) the two-pass production path is exact
+    row = twopass_covar(li).collect()[0]
+    sx, sy = sum(x6), sum(y6)
+    sxy = sum(a * b for a, b in zip(x6, y6))
+    true = Fraction(n * sxy - sx * sy, n * (n - 1) * 10**12)
+    assert row["covar_samp"] == float(
+        _half_away(true.numerator, true.denominator, 6)
+    ) / 10**6
+    assert row["n"] == n
+    assert row["center_x"] == float(sx // n) / 10**6
+    assert row["center_y"] == float(sy // n) / 10**6
+
+
 @given(
     st.lists(
         st.tuples(st.integers(0, 11), st.integers(0, 11)),
