@@ -1992,10 +1992,12 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dres ~ n_k * n * (calibration gap) binds first — ~1e8 total rows
     # at a 20% gap with balanced deciles — and wraps LOUDLY
     # (NUMERIC_VALUE_OUT_OF_RANGE).  Beyond that, the DECLARED
-    # quantization drop: render the resolution term at 4 digits from
-    # 10^4-prescaled bin rates (identical in both engines, bound past
-    # 1e12 rows).  Sharding merges the integer bin partials fine but
-    # does not relax the render.
+    # quantization drop — IMPLEMENTED as eval_brier_resolution_q4
+    # below (bin/base rates half-up on the 1e-4 grid FIRST, term
+    # n_k*(rate4-base4)^2 <= n_k*10^8, bound ~8e23 rows; survival at
+    # the exact form's wrap point pinned in
+    # tests/test_headroom_bounds.py).  Sharding merges the integer bin
+    # partials fine but does not relax the render.
     t = b.crossJoin(F.broadcast(g)).select(
         hu_ratio(
             f"{_BRIER_DREL} * {_BRIER_DREL}",
@@ -2034,6 +2036,113 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(n as decimal(38,0)) * n",
             6,
         ).alias("uncertainty"),
+    )
+
+
+# eval_brier_resolution_q4's quantized per-bin term, factored to module
+# constants so the headroom pin can drive the PRODUCTION strings at
+# synthetic counts past the exact form's wrap point.  rate4/base4 are
+# half-up integer bin/base rates on the declared 1e-4 grid (the hu
+# integer recipe (2a*10^4 + b) div (2b) — all operands nonnegative, so
+# Spark's truncating decimal div and DuckDB's flooring HUGEINT //
+# agree); the term is n_k * (rate4 - base4)^2 <= n_k * 10^8.
+_BRIER_Q4_RATE = (
+    "((2 * cast(sy as decimal(38,0)) * 10000 + n_k)"
+    " div (2 * cast(n_k as decimal(38,0))))"
+)
+_BRIER_Q4_BASE = (
+    "((2 * cast(sy_tot as decimal(38,0)) * 10000 + n)"
+    " div (2 * cast(n as decimal(38,0))))"
+)
+_BRIER_Q4_TERM = (
+    f"cast(n_k as decimal(38,0)) * ({_BRIER_Q4_RATE} - {_BRIER_Q4_BASE})"
+    f" * ({_BRIER_Q4_RATE} - {_BRIER_Q4_BASE})"
+)
+
+
+def _brier_resolution_q4_oracle() -> str:
+    w_list = ", ".join(str(w) for w in _INF_W)
+    rate = "((2 * CAST(sy AS HUGEINT) * 10000 + n_k) // (2 * CAST(n_k AS HUGEINT)))"
+    base = "((2 * CAST(sy_tot AS HUGEINT) * 10000 + n) // (2 * CAST(n AS HUGEINT)))"
+    return f"""
+    WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                      round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                            [{w_list}]), 6) AS logit
+               FROM embeddings),
+    p AS (SELECT y,
+                 CAST(round(10000 * (1 / (1 + exp(-logit)))) AS BIGINT)
+                   AS p_bp
+          FROM e),
+    b AS (SELECT least(p_bp // 1000, 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_k,
+                 CAST(SUM(y) AS BIGINT) AS sy
+          FROM p GROUP BY 1),
+    g AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                 CAST(SUM(sy) AS BIGINT) AS sy_tot
+          FROM b),
+    t AS (SELECT CAST(n_k AS HUGEINT) * ({rate} - {base})
+                   * ({rate} - {base}) AS term
+          FROM b CROSS JOIN g)
+    SELECT g.n,
+           {hu_ratio_sql("g.sy_tot", "g.n", 6)} AS base_rate,
+           {hu_ratio_sql("(SELECT SUM(term) FROM t)",
+                         "CAST(g.n AS HUGEINT) * 100000000", 6)}
+             AS resolution_q4
+    FROM g
+    """
+
+
+@query("eval_brier_resolution_q4", oracle=_brier_resolution_q4_oracle())
+def eval_brier_resolution_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier resolution on DECLARED 1e-4-quantized bin rates — the
+    IMPLEMENTED quantization-drop fallback eval_brier_decomposition's
+    decision rule names for its binding term.
+
+    The exact decomposition's resolution deviation
+    dres = sy*n - n_k*sy_tot grows like n_k*n*(calibration gap), so its
+    render 2*dres^2*10^8 wraps int128 at ~1e8 total rows (20% gap,
+    balanced deciles).  Here each bin's outcome rate and the base rate
+    are first rendered onto the 1e-4 grid as half-up INTEGERS (the hu
+    recipe with nonnegative operands — truncating div and flooring //
+    agree), and the term becomes n_k*(rate4 - base4)^2 <= n_k*10^8: the
+    resolution numerator is <= n*10^8, so the 6-digit render holds to
+    ~8e23 rows — 100 TB outright.  The declared drop is a CONTRACT:
+    both engines quantize the identical integers identically, and the
+    error vs the exact term is bounded by the 1e-4 grid.  Survival at
+    the exact form's wrap point is pinned in
+    tests/test_headroom_bounds.py.  Same plan shape as the exact form:
+    one scan into a <=10-bin rollup, constant rows out."""
+    w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    dot = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_arr)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(F.expr(dot), 6).alias("logit"),
+    )
+    p = e.select(
+        "y",
+        F.round(10000 * (1 / (1 + F.exp(-F.col("logit")))))
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+    b = p.groupBy(
+        F.least(F.expr("p_bp div 1000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_k"),
+        F.sum("y").cast("bigint").alias("sy"),
+    ).localCheckpoint()  # global rollup + per-bin terms both read it
+    g = b.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("sy").cast("bigint").alias("sy_tot"),
+    )
+    t = b.crossJoin(F.broadcast(g)).agg(
+        F.sum(F.expr(_BRIER_Q4_TERM)).alias("res_num")
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "n",
+        hu_ratio("sy_tot", "n", 6).alias("base_rate"),
+        hu_ratio(
+            "res_num", "cast(n as decimal(38,0)) * 100000000", 6
+        ).alias("resolution_q4"),
     )
 
 

@@ -438,10 +438,12 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     n^2 * (independence deviation), so percent-level deviations bind
     at ~8e8 events — below the declared 100 TB scale — and the wrap is
     LOUD (NUMERIC_VALUE_OUT_OF_RANGE), never a wrong number.  Beyond
-    that, rescale the integer rational BEFORE squaring: both engines'
-    exact integer div by a shared 10^k so |d|/10^k < ~7e15 — a
-    declared, engine-identical quantization whose error is bounded by
-    the div remainder.  Sharding merges the integer contingency
+    that, the DECLARED quantization drop — IMPLEMENTED as
+    stats_chi_square_q4 below: d stays the exact int128 difference,
+    the contribution is evaluated in correctly-rounded doubles and
+    floored onto a declared 1e-4 grid, bit-identical in both engines
+    to ~9e14 events (survival at the exact form's wrap point pinned in
+    tests/test_headroom_bounds.py).  Sharding merges the integer contingency
     partials fine (counts are mergeable; the rational is evaluated
     once on the merged <= 7x5-cell table) but does not relax the
     render.  Contingency cells, not events, cross the wire."""
@@ -461,6 +463,87 @@ def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame
     return cells.agg(
         F.count("*").cast("bigint").alias("n_cells"),
         F.sum(contrib.cast("decimal(24,9)")).cast("double").alias("chi_square"),
+    )
+
+
+# stats_chi_square_q4's per-cell double pipeline, factored so the
+# headroom test can drive the PRODUCTION string at synthetic counts far
+# past the exact form's wrap point.  d stays the exact int128 difference
+# (needs only n^2 <= 1.7e38, i.e. all of int64); everything after is
+# correctly-rounded double arithmetic on identical inputs, so both
+# engines floor the identical product onto the declared 1e-4 grid.
+_CHI_Q4_TERM = (
+    f"floor(((cast({_CHI_D} as double) * cast({_CHI_D} as double))"
+    " / ((cast(n as double) * cast(r as double)) * cast(c as double)))"
+    " * 10000.0)"
+)
+
+
+@query(
+    "stats_chi_square_q4",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, SUM(o) AS c FROM obs GROUP BY dow),
+    nn AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+      SELECT CAST(FLOOR(((CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+                         / ((CAST(n AS DOUBLE) * CAST(r AS DOUBLE))
+                            * CAST(c AS DOUBLE))) * 10000.0) AS HUGEINT)
+               AS t4
+      FROM (SELECT CAST(obs.o AS HUGEINT) * nn.n
+                     - CAST(rt.r AS HUGEINT) * ct.c AS d,
+                   nn.n, rt.r, ct.c
+            FROM obs JOIN rt USING (event_type)
+                     JOIN ct USING (dow) CROSS JOIN nn))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(t4) AS DOUBLE) / 10000.0 AS chi_square_q4
+    FROM cells
+    """,
+)
+def stats_chi_square_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic on a DECLARED 1e-4 contribution
+    grid — the IMPLEMENTED rescale fallback
+    stats_chi_square_independence's decision rule names for
+    past-the-render-bound tables.
+
+    The exact form's render factor 2*d^2*10^6 wraps int128 at
+    |d| = |o*n - r*c| ~ 7e15 (~8e8 events at percent-level deviations).
+    Here d itself stays the EXACT int128 difference (only n^2 <= 1.7e38
+    is needed — all of int64), and the cell contribution d^2/(n*r*c) is
+    then evaluated in correctly-rounded double arithmetic on identical
+    integer inputs, floored onto a declared 1e-4 grid: every
+    intermediate is the same IEEE double in both engines (the
+    coreset-grid recipe — floor of a correctly-rounded product is
+    half-hazard-free), so the quantized statistic is bit-identical at
+    ANY event count, with per-cell error < 1e-4 by construction
+    (~35 cells -> < 4e-3 absolute on a statistic compared against
+    critical values in the tens-to-hundreds).  No int128 product of
+    marginals anywhere: the denominator is a pure double product.  The
+    remaining bound is Spark floor()'s bigint range on the scaled term
+    (a cell contribution is <= n, so t4 <= n*10^4): n <= ~9e14 events,
+    three orders past the declared 100 TB scale, and ANSI-loud beyond.
+    Same plan shape as the exact form: contingency cells, not events,
+    cross the wire."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+    )
+    t4 = F.expr(f"cast({_CHI_Q4_TERM} as decimal(38,0))")
+    return cells.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        (F.sum(t4).cast("double") / F.lit(10000.0)).alias("chi_square_q4"),
     )
 
 

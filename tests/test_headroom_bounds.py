@@ -148,6 +148,72 @@ def test_chi_square_cell_exact_below_bound_loud_above(spark):
         hot.select(hu_ratio(_CHI_NUM, _CHI_DEN, 6)).collect()
 
 
+def test_chi_q4_survives_where_exact_form_wraps(spark):
+    """stats_chi_square_q4's quantized term (_CHI_Q4_TERM) at the hot
+    scenario where the exact rational's render provably wraps (previous
+    test): d stays exact int128, the contribution is correctly-rounded
+    double arithmetic floored onto the declared 1e-4 grid — Python
+    floats are the same IEEE doubles, so the expected value is computed
+    with the identical operation sequence."""
+    import math
+
+    from eecs485_p4_mapreduce_spark.operators.timeseries import _CHI_Q4_TERM
+
+    o, r, c, n = 123_456_789, 500_000_000, 400_000_000, 2_000_000_000
+    hot = spark.sql(
+        f"SELECT cast({o} as bigint) AS o, cast({r} as bigint) AS r,"
+        f" cast({c} as bigint) AS c, cast({n} as bigint) AS n"
+    )
+    got = hot.select(F.expr(_CHI_Q4_TERM).alias("t4")).collect()[0]["t4"]
+    d = o * n - r * c
+    expect = math.floor(
+        ((float(d) * float(d)) / ((float(n) * float(r)) * float(c))) * 10000.0
+    )
+    assert int(got) == expect
+    # and at 1e14 events (past 100 TB): t4 <= n*10^4 stays in bigint
+    o2, r2, c2, n2 = 10**13, 3 * 10**13, 2 * 10**13, 10**14
+    big = spark.sql(
+        f"SELECT cast({o2} as bigint) AS o, cast({r2} as bigint) AS r,"
+        f" cast({c2} as bigint) AS c, cast({n2} as bigint) AS n"
+    )
+    got2 = big.select(F.expr(_CHI_Q4_TERM).alias("t4")).collect()[0]["t4"]
+    d2 = o2 * n2 - r2 * c2
+    assert int(got2) == math.floor(
+        ((float(d2) * float(d2)) / ((float(n2) * float(r2)) * float(c2)))
+        * 10000.0
+    )
+
+
+def test_brier_resolution_q4_survives_where_exact_form_wraps(spark):
+    """eval_brier_resolution_q4's quantized term (_BRIER_Q4_TERM) at the
+    hot scenario where the exact resolution render provably wraps (next
+    test): bin/base rates render half-up onto the 1e-4 grid first, so
+    the term is <= n_k*10^8 and the 6-digit render holds to ~8e23
+    rows."""
+    from eecs485_p4_mapreduce_spark.operators.similarity import (
+        _BRIER_Q4_TERM,
+    )
+
+    n_k, sy, n, sy_tot = 10**9, 4 * 10**8, 10**10, 6 * 10**9
+    hot = spark.sql(
+        f"SELECT cast({n_k} as bigint) AS n_k, cast({sy} as bigint) AS sy,"
+        f" cast({n} as bigint) AS n, cast({sy_tot} as bigint) AS sy_tot"
+    )
+    got = hot.select(
+        F.expr(_BRIER_Q4_TERM).alias("term"),
+        hu_ratio(
+            _BRIER_Q4_TERM, "cast(n as decimal(38,0)) * 100000000", 6
+        ).alias("res"),
+    ).collect()[0]
+    rate4 = (2 * sy * 10**4 + n_k) // (2 * n_k)
+    base4 = (2 * sy_tot * 10**4 + n) // (2 * n)
+    term = n_k * (rate4 - base4) ** 2
+    assert int(got["term"]) == term
+    assert got["res"] == float(_half_away(term, n * 10**8, 6)) / 10**6
+    # headroom: even at n = 1e20 rows the render factor fits
+    assert 2 * (10**20 * 10**8) * 10**6 < 10**38
+
+
 def test_brier_terms_exact_below_bound_loud_above(spark):
     """eval_brier_decomposition's per-bin squares (_BRIER_DREL/_DRES):
     each deviation square binds at |dev| <= ~2.2e14 through the
