@@ -1272,3 +1272,89 @@ def test_decontam_mix_funnel_is_monotone_and_conserves(spark, sf_dir):
     }
     for lang, r in rows.items():
         assert r["n_clean"] == r["n_raw"] - nv.get(lang, 0), (lang, r, nv)
+
+
+def test_neyman_largest_remainder_invariants_under_ties(spark, tmp_path):
+    """Round-10 VERDICT item 7: sample_neyman_allocation's
+    largest-remainder invariant pinned directly on the PRODUCTION query
+    (not just via the oracle match), under adversarial sigma ties and
+    the all-constant (sigma = 0 everywhere) degenerate corpus:
+
+    - allocations sum EXACTLY to the budget;
+    - every allocation is floor(B*wh/tot) or floor+1 (largest-remainder
+      never drifts further);
+    - ties in the remainder break by lang, so identical strata get the
+      +1 in lang order;
+    - the DuckDB twin renders the identical rows (canon hash-match on
+      the injected corpus)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+    from tools.canon import canon as _canon
+
+    spec = REGISTRY["sample_neyman_allocation"]
+    BUDGET = 1000
+
+    # three corpora: (a) 5 identical strata -> all weights tie, every
+    # remainder ties, +1s must land in lang order; (b) mixed with two
+    # exactly-tied strata among unequal ones; (c) all-constant values
+    # -> sigma 0 everywhere -> proportional fallback
+    cases = {
+        "tied": [("l%d" % i, v) for i in range(5) for v in (10, 20, 30)],
+        "mixed": (
+            [("aa", v) for v in (5, 50, 500)]
+            + [("bb", v) for v in (5, 50, 500)]      # exact tie with aa
+            + [("cc", v) for v in (1, 2, 3, 4, 5, 6)]
+            + [("dd", v) for v in (1000, 2000)]
+        ),
+        "allconst": [("l%d" % i, 7) for i in range(4) for _ in range(i + 1)],
+    }
+    for name, rows in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(1, len(rows) + 1), pa.int64()),
+                "text": ["x" * v for _, v in rows],
+                "lang": [lang for lang, _ in rows],
+                "source": ["web"] * len(rows),
+                "n_chars": pa.array([v for _, v in rows], pa.int64()),
+            }
+        )
+        pq.write_table(docs, d / "documents.parquet")
+        sdf = spec.fn(spark, str(d))
+        got = sdf.collect()
+        assert sum(r["n_alloc"] for r in got) == BUDGET, name
+        # recompute the exact fractional allocation in Python ints
+        tot = sum(r["weight"] for r in got)
+        assert tot > 0, name  # the sigma=0 fallback keeps tot positive
+        rem = {}
+        for r in got:
+            base = (BUDGET * r["weight"]) // tot
+            assert r["n_alloc"] in (base, base + 1), (name, r)
+            rem[r["lang"]] = BUDGET * r["weight"] - base * tot
+        # largest-remainder with lang tie-break: the +1 set must be the
+        # top-leftover strata under (rem DESC, lang ASC)
+        leftover = BUDGET - sum((BUDGET * r["weight"]) // tot for r in got)
+        order = sorted(got, key=lambda r: (-rem[r["lang"]], r["lang"]))
+        plus = {r["lang"] for r in order[:leftover]}
+        for r in got:
+            base = (BUDGET * r["weight"]) // tot
+            assert r["n_alloc"] == base + (1 if r["lang"] in plus else 0), (
+                name,
+                r,
+            )
+        if name == "allconst":
+            assert all(r["sigma"] == 0.0 for r in got)
+        # cross-engine: the DuckDB twin hash-matches on this corpus
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet'"
+        )
+        rel = con.sql(spec.oracle)
+        s_canon, s_cols = _canon(got, sdf.columns)
+        d_canon, d_cols = _canon(rel.fetchall(), rel.columns)
+        assert s_cols == d_cols and s_canon == d_canon, name
