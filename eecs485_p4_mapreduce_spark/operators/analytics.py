@@ -3846,3 +3846,352 @@ def ab_cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t6").cast("double") / 1000000).alias("theta"),
         F.when(guard, F.lit(None)).otherwise(cuped).alias("cuped_diff"),
     )
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS head FROM events),
+    u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+          FROM events GROUP BY 1),
+    d AS (SELECT CAST((epoch_us(u.l) - epoch_us(u.f)) // 86400000000
+                   AS BIGINT) AS dur_days,
+                 CASE WHEN (epoch_us(mx.head) - epoch_us(u.l))
+                        // 86400000000 >= 3
+                      THEN 1 ELSE 0 END AS death
+          FROM u CROSS JOIN mx),
+    h AS (SELECT dur_days, COUNT(*) AS n_exit,
+                 CAST(SUM(death) AS BIGINT) AS n_deaths
+          FROM d GROUP BY 1),
+    r AS (SELECT dur_days, n_exit, n_deaths,
+                 CAST(SUM(n_exit) OVER (ORDER BY dur_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_at_risk
+          FROM h),
+    k AS (SELECT dur_days, n_at_risk, n_deaths,
+                 (2 * CAST(n_deaths AS HUGEINT) * 1000000 + n_at_risk)
+                   // (2 * CAST(n_at_risk AS HUGEINT)) AS haz6
+          FROM r),
+    s AS (SELECT dur_days, n_at_risk, n_deaths, haz6,
+                 CAST(SUM(haz6) OVER (ORDER BY dur_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS ch6
+          FROM k)
+    SELECT dur_days, n_at_risk, n_deaths,
+           CAST(CAST(haz6 AS BIGINT) AS DOUBLE) / 1000000 AS hazard,
+           CAST(ch6 AS DOUBLE) / 1000000 AS cum_hazard,
+           round(exp(-(CAST(ch6 AS DOUBLE) / 1000000)), 4)
+             AS breslow_survival
+    FROM s
+    """,
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve (and its Breslow survival
+    transform exp(-H)) over the same deterministic life table as
+    ``survival_kaplan_meier`` — the estimator of choice when hazards,
+    not survival products, are the modelling target (it remains defined
+    through d = r extinction events where the KM product hits zero).
+
+    Determinism is STRONGER than KM's: each hazard increment d/r is the
+    exact integer rational rendered half-up onto the 1e-6 grid (no ln
+    at all), the cumulative hazard is an INTEGER prefix sum of those
+    grid values, and only the final Breslow transform is transcendental
+    (exp of identical doubles, round(4) safe).  The at-risk suffix sum
+    is the DESC-ordered cumulative frame (dur_days unique — the KM
+    spelling; the oracle keeps the suffix form, identical by
+    construction).  Scale shape: one user-keyed aggregate over the
+    event scan, then calendar-bounded duration-grid windows."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    ).localCheckpoint()
+    mx = u.agg(F.max("l").alias("head"))
+    d = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("(unix_micros(l) - unix_micros(f)) div 86400000000")
+        .cast("bigint")
+        .alias("dur_days"),
+        F.when(
+            F.expr("(unix_micros(head) - unix_micros(l)) div 86400000000")
+            >= 3,
+            1,
+        )
+        .otherwise(0)
+        .alias("death"),
+    )
+    h = d.groupBy("dur_days").agg(
+        F.count("*").alias("n_exit"),
+        F.sum("death").cast("bigint").alias("n_deaths"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("dur_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_pre = (
+        Window.orderBy("dur_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = h.select(
+        "dur_days",
+        "n_deaths",
+        F.sum("n_exit").over(w_desc).cast("bigint").alias("n_at_risk"),
+    )
+    k = r.select(
+        "dur_days",
+        "n_at_risk",
+        "n_deaths",
+        F.expr(
+            "(2 * cast(n_deaths as decimal(38,0)) * 1000000 + n_at_risk)"
+            " div (2 * cast(n_at_risk as decimal(38,0)))"
+        ).alias("haz6"),
+    )
+    s = k.select(
+        "dur_days",
+        "n_at_risk",
+        "n_deaths",
+        "haz6",
+        F.sum("haz6").over(w_pre).cast("bigint").alias("ch6"),
+    )
+    ch = F.col("ch6").cast("double") / 1000000
+    return s.select(
+        "dur_days",
+        "n_at_risk",
+        "n_deaths",
+        (F.col("haz6").cast("bigint").cast("double") / 1000000).alias(
+            "hazard"
+        ),
+        ch.alias("cum_hazard"),
+        F.round(F.exp(-ch), 4).alias("breslow_survival"),
+    )
+
+
+# randomized-response coins: two independent fair bits from md5 hex
+# digits (digit < '8' has mass exactly 8/16), replayable in both engines
+_RR_D1 = "substring(md5(CAST(c_custkey AS STRING)), 1, 1) < '8'"
+_RR_D2 = "substring(md5(CAST(c_custkey AS STRING)), 2, 1) < '8'"
+
+
+@query(
+    "privacy_randomized_response",
+    oracle=f"""
+    WITH r AS (
+      SELECT c_nationkey,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS truth,
+             CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) < '8'
+                  THEN CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                  ELSE CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)),
+                                           2, 1) < '8'
+                            THEN 1 ELSE 0 END
+             END AS reported
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(reported) AS BIGINT) AS n_reported,
+             CAST(SUM(truth) AS BIGINT) AS n_true
+      FROM r GROUP BY 1)
+    SELECT c_nationkey, n, n_reported,
+           {{est}} AS est_rate,
+           {{tru}} AS true_rate
+    FROM g
+    """.format(
+        est=hu_ratio_signed_sql(
+            "4 * CAST(n_reported AS HUGEINT) - CAST(n AS HUGEINT)",
+            "2 * CAST(n AS HUGEINT)", 6),
+        tru=hu_ratio_sql("n_true", "n", 6),
+    ),
+)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response over a sensitive binary attribute
+    (market segment = BUILDING) per nation: each respondent answers
+    truthfully with probability 1/2, otherwise flips an independent
+    fair coin — the plausible-deniability collection mechanism — and
+    the aggregate debiases via p = 2*p_obs - 1/2, i.e. the EXACT
+    integer rational (4*reported - n)/(2n) (signed: small noisy cohorts
+    can estimate below zero, which the release keeps rather than
+    clamps).  Both coins replay from md5(c_custkey) hex digits
+    (mass exactly 8/16 each), so the mechanism — like
+    privacy_dp_noisy_histogram — is deterministic for the oracle while
+    the true rate rides along for the audit.  Scale shape: one scan,
+    one nation-cardinality aggregate; the noise never leaves the
+    row."""
+    c = load_table(spark, sf_dir, "customer")
+    truth = F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+    reported = (
+        F.when(F.expr(_RR_D1), truth)
+        .otherwise(F.when(F.expr(_RR_D2), 1).otherwise(0))
+    )
+    g = c.select(
+        "c_nationkey",
+        truth.alias("truth"),
+        reported.alias("reported"),
+    ).groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("reported").cast("bigint").alias("n_reported"),
+        F.sum("truth").cast("bigint").alias("n_true"),
+    )
+    return g.select(
+        "c_nationkey",
+        "n",
+        "n_reported",
+        hu_ratio_signed(
+            "4 * cast(n_reported as decimal(38,0)) - n",
+            "2 * cast(n as decimal(38,0))",
+            6,
+        ).alias("est_rate"),
+        hu_ratio("n_true", "n", 6).alias("true_rate"),
+    )
+
+
+# stats_kruskal_wallis' per-group H term, shared verbatim by both
+# dialects (operates on columns already cast to double: r2d = doubled
+# rank sum, ngd = group size, nd = grand total).  Centered form — the
+# midrank identity sum(n_g * rbar_g) = N(N+1)/2 makes
+# H = 12/(N(N+1)) * sum n_g (rbar_g - (N+1)/2)^2 exactly — keeps every
+# intermediate ~N-sized instead of N^3.  floor onto the declared 1e-4
+# grid (correctly-rounded double chain, identical in both engines; the
+# round() spelling would be the decimal-half hazard class).
+_KW_DEV = "((r2d / (2.0 * ngd)) - ((nd + 1.0) / 2.0))"
+_KW_TERM4 = (
+    f"floor((((12.0 * ngd) * {_KW_DEV}) * {_KW_DEV})"
+    " / (nd * (nd + 1.0)) * 10000.0)"
+)
+# tie-correction factor C = 1 - sum(t^3 - t)/(N^3 - N) on the declared
+# 1e-6 floor grid (N^3 only ever exists as a double)
+_KW_C6 = "floor((1.0 - tied / ((nd * nd) * nd - nd)) * 1000000.0)"
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle=f"""
+    WITH vc AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1),
+    r AS (
+      SELECT v, c,
+             CAST(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+               AS BIGINT) AS cum_before
+      FROM vc),
+    vg AS (
+      SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM documents GROUP BY 1, 2),
+    grp AS (
+      SELECT vg.lang,
+             CAST(SUM(vg.cg) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(vg.cg AS HUGEINT)
+                      * (2 * r.cum_before + r.c + 1)) AS HUGEINT) AS r2
+      FROM vg JOIN r ON r.v = vg.v
+      GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS tie
+      FROM vc),
+    terms AS (
+      SELECT CAST({_KW_TERM4.replace('r2d', 'CAST(grp.r2 AS DOUBLE)')
+                             .replace('ngd', 'CAST(grp.n_g AS DOUBLE)')
+                             .replace('nd', 'CAST(tot.n AS DOUBLE)')}
+                  AS HUGEINT) AS t4
+      FROM grp CROSS JOIN tot),
+    h AS (SELECT CAST(SUM(t4) AS HUGEINT) AS h4,
+                 CAST(COUNT(*) AS BIGINT) AS n_groups
+          FROM terms),
+    c6t AS (
+      SELECT CAST({_KW_C6.replace('tied', 'CAST(tot.tie AS DOUBLE)')
+                          .replace('nd', 'CAST(tot.n AS DOUBLE)')}
+                  AS HUGEINT) AS c6, tot.n
+      FROM tot)
+    SELECT h.n_groups, c6t.n,
+           CAST(CAST(h.h4 AS BIGINT) AS DOUBLE) / 10000.0 AS h_stat,
+           CASE WHEN c6t.c6 > 0 THEN
+             CAST(CAST((2 * h.h4 * 100 * 10000 + c6t.c6)
+                       // (2 * c6t.c6) AS BIGINT) AS DOUBLE) / 10000.0
+           ELSE NULL END AS h_tie_corrected
+    FROM h CROSS JOIN c6t
+    """,
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: do document lengths differ in location
+    across ALL language strata at once — the k-group generalization of
+    stats_mannwhitney_en_lengths (one omnibus rank test instead of
+    k-choose-2 pairwise U tests).
+
+    Tie-safe integer core: the doubled midrank 2*cum_before + c + 1 per
+    distinct length (the Mann-Whitney value-histogram discipline) makes
+    every group's doubled rank sum an exact integer.  H then evaluates
+    in its CENTERED form — the midrank identity collapses
+    12/(N(N+1))*sum R_g^2/n_g - 3(N+1) to a sum of nonnegative per-group
+    deviation terms, keeping intermediates ~N-sized (the naive form
+    squares N*n_g, int128-hopeless at corpus scale) — as a
+    correctly-rounded double chain floored onto the declared 1e-4 grid
+    per group BEFORE the (order-independent) integer sum; the tie
+    factor C lands on its own 1e-6 floor grid and the corrected H is
+    one exact integer rational of the two grid values (all-ties C = 0
+    degenerates to NULL via lazy CASE).  Scale shape: one value
+    histogram + one (value, lang) aggregate over the scan; every window
+    runs on distinct-lengths rows (output-sized, the Mann-Whitney
+    precedent); groups are lang-cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r = vc.select(
+        "v",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("cum_before"),
+    )
+    vg = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("cg")
+    )
+    grp = (
+        vg.join(r, "v")
+        .groupBy("lang")
+        .agg(
+            F.sum("cg").cast("bigint").alias("n_g"),
+            F.sum(
+                F.expr(
+                    "cast(cg as decimal(38,0))"
+                    " * (2 * cum_before + c + 1)"
+                )
+            ).alias("r2"),
+        )
+    )
+    tot = vc.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c * c - c")).alias("tie"),
+    )
+    term4 = (
+        _KW_TERM4.replace("r2d", "CAST(r2 AS DOUBLE)")
+        .replace("ngd", "CAST(n_g AS DOUBLE)")
+        .replace("nd", "CAST(n AS DOUBLE)")
+    )
+    terms = grp.crossJoin(F.broadcast(tot)).select(
+        F.expr(f"cast({term4} as decimal(38,0))").alias("t4")
+    )
+    h = terms.agg(
+        F.sum("t4").alias("h4"),
+        F.count("*").cast("bigint").alias("n_groups"),
+    )
+    c6e = (
+        _KW_C6.replace("tied", "CAST(tie AS DOUBLE)")
+        .replace("nd", "CAST(n AS DOUBLE)")
+    )
+    c6t = tot.select(
+        F.expr(f"cast({c6e} as decimal(38,0))").alias("c6"), "n"
+    )
+    return h.crossJoin(F.broadcast(c6t)).select(
+        "n_groups",
+        "n",
+        (F.col("h4").cast("bigint").cast("double") / 10000.0).alias(
+            "h_stat"
+        ),
+        F.when(
+            F.col("c6") > 0,
+            F.expr(
+                "cast((2 * h4 * 100 * 10000 + c6) div (2 * c6)"
+                " as bigint)"
+            ).cast("double")
+            / 10000.0,
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("h_tie_corrected"),
+    )

@@ -33,6 +33,7 @@ from eecs485_p4_mapreduce_spark.functions.numeric import (
     hu_ratio,
     hu_ratio_signed,
     hu_ratio_signed_sql,
+    hu_ratio_sql,
 )
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS, tokens
 from eecs485_p4_mapreduce_spark.plans.registry import query
@@ -913,3 +914,75 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("heaps_beta"),
     )
+
+
+_BURST_MIN_CF = 50   # ignore rare tokens: Fano of a 3-occurrence token is noise
+_BURST_TOPK = 20
+
+
+@query(
+    "corpus_token_burstiness",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({DUCK_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tk GROUP BY 1, 2),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    m AS (SELECT term,
+                 CAST(SUM(tf) AS BIGINT) AS cf,
+                 CAST(SUM(tf * tf) AS BIGINT) AS sff
+          FROM tf GROUP BY 1),
+    f AS (SELECT m.term, m.cf,
+                 {hu_ratio_sql(
+                     "CAST(n.n_docs AS HUGEINT) * m.sff"
+                     " - CAST(m.cf AS HUGEINT) * m.cf",
+                     "CAST(n.n_docs AS HUGEINT) * m.cf", 6)} AS fano
+          FROM m CROSS JOIN n
+          WHERE m.cf >= {_BURST_MIN_CF})
+    SELECT term, cf, fano
+    FROM f ORDER BY fano DESC, term LIMIT {_BURST_TOPK}
+    """,
+)
+def corpus_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BURST_TOPK} burstiest tokens by Fano factor (variance-to-
+    mean ratio of per-document counts, zeros included): Fano ~ 1 is
+    Poisson background vocabulary; Fano >> 1 marks topical/templated
+    tokens that arrive in clumps — the Church-Gale burstiness signal a
+    curation pipeline uses to separate content words from boilerplate
+    carriers before TF-IDF-style weighting trusts raw frequencies.
+
+    Including the zero rows costs nothing: with integer per-doc counts,
+    var/mean over all N docs collapses to the EXACT integer rational
+    (N*sum(tf^2) - cf^2) / (N*cf) — only matched (doc, term) rows are
+    ever materialized, and Cauchy-Schwarz makes the numerator
+    nonnegative, so the unsigned half-up recipe renders it at 1e-6 and
+    the top-k orders by the rendered value with the term tie-break.
+    Scale shape: one tokenize scan into a vocabulary-sized two-level
+    aggregate, broadcast 1-row N, TakeOrdered readout.  Headroom:
+    N*sum(tf^2) at N ~ 1e12 docs and per-doc tf <= 1e4 stays ~1e28,
+    and the render factor 2*num*10^6 ~ 1e35 < 1e38."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    n = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    m = tf.groupBy("term").agg(
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("sff"),
+    )
+    f = (
+        m.filter(F.col("cf") >= _BURST_MIN_CF)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "cf",
+            hu_ratio(
+                "cast(n_docs as decimal(38,0)) * sff"
+                " - cast(cf as decimal(38,0)) * cf",
+                "cast(n_docs as decimal(38,0)) * cf",
+                6,
+            ).alias("fano"),
+        )
+    )
+    return f.orderBy(F.desc("fano"), "term").limit(_BURST_TOPK)

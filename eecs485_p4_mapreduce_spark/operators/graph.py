@@ -1300,3 +1300,124 @@ def graph_linkpred_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+def _adamic_adar_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
+
+    return f"""{MINHASH_BANDED_DUCK},
+    e AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+          FROM banded a JOIN banded b
+            ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    adj AS (SELECT da AS u, db AS v FROM e
+            UNION ALL SELECT db AS u, da AS v FROM e),
+    deg AS (SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM adj GROUP BY 1),
+    wedge AS (SELECT a1.u AS a, a1.v AS m, a2.v AS c
+              FROM adj a1 JOIN adj a2 ON a2.u = a1.v AND a1.u < a2.v),
+    aa AS (SELECT w.a, w.c,
+                  CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+                  CAST(SUM(CAST(round(1.0 / ln(d.degree), 4)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS aa_score
+           FROM wedge w JOIN deg d ON d.doc_id = w.m
+           GROUP BY w.a, w.c),
+    pred AS (SELECT aa.a, aa.c, aa.common_neighbors, aa.aa_score
+             FROM aa LEFT JOIN e ON e.da = aa.a AND e.db = aa.c
+             WHERE e.da IS NULL)
+    SELECT a AS doc_a, c AS doc_b, common_neighbors, aa_score
+    FROM pred ORDER BY aa_score DESC, a, c LIMIT {_LP_TOPK}
+    """
+
+
+@query("graph_linkpred_adamic_adar", oracle=_adamic_adar_oracle())
+def graph_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the MinHash-LSH candidate graph:
+    non-edges ranked by sum over common neighbors of 1/ln(degree) — the
+    degree-damped refinement of graph_linkpred_common_neighbors (a
+    shared neighbor that touches everything is weak evidence; a rare
+    shared neighbor is strong).
+
+    Plan: the same session-cached DEGREE-ORIENTED edge set, but the
+    3-class wedge enumeration KEEPS the middle — whose degree already
+    rides the oriented rows (dlo/dhi), so no degree join is needed at
+    all on the Spark side (the orientation precomputed it).  Each
+    middle's 1/ln(deg) is quantized round(4) BEFORE the decimal pair
+    sum (the ln-quantize recipe; a wedge middle has >= 2 distinct
+    neighbors, so ln(deg) >= ln 2 — the division is never degenerate),
+    the ranking orders by the exact 4-decimal score with (a, c)
+    tie-break, existing edges drop via anti-join, and the readout is a
+    TakeOrdered.  Wedge-multiset equivalence with the oracle's
+    both-directions spelling is the pinned _oriented_wedges property —
+    keeping the middle does not change the argument (each wedge has one
+    generation class)."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import (
+        lsh_candidate_edges,
+        lsh_oriented_edges,
+    )
+
+    edges = lsh_candidate_edges(spark, sf_dir)
+    oe = lsh_oriented_edges(spark, sf_dir)
+    a, b = oe.alias("a"), oe.alias("b")
+    ka_hi = F.struct(F.col("a.dhi"), F.col("a.hi"))
+    kb_hi = F.struct(F.col("b.dhi"), F.col("b.hi"))
+    ka_lo = F.struct(F.col("a.dlo"), F.col("a.lo"))
+    kb_lo = F.struct(F.col("b.dlo"), F.col("b.lo"))
+    # the middle's TRUE degree is already annotated on the oriented
+    # edge (dlo/dhi) — carry it out of each wedge class
+    oo = (
+        a.join(b, F.col("a.lo") == F.col("b.lo"))
+        .filter(ka_hi < kb_hi)
+        .select(
+            F.col("a.hi").alias("x"),
+            F.col("b.hi").alias("y"),
+            F.col("a.dlo").alias("mdeg"),
+        )
+    )
+    io = a.join(b, F.col("a.hi") == F.col("b.lo")).select(
+        F.col("a.lo").alias("x"),
+        F.col("b.hi").alias("y"),
+        F.col("a.dhi").alias("mdeg"),
+    )
+    ii = (
+        a.join(b, F.col("a.hi") == F.col("b.hi"))
+        .filter(ka_lo < kb_lo)
+        .select(
+            F.col("a.lo").alias("x"),
+            F.col("b.lo").alias("y"),
+            F.col("a.dhi").alias("mdeg"),
+        )
+    )
+    wedge = (
+        oo.unionAll(io)
+        .unionAll(ii)
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("c"),
+            "mdeg",
+        )
+    )
+    aa = wedge.groupBy("a", "c").agg(
+        F.count("*").cast("bigint").alias("common_neighbors"),
+        F.sum(
+            F.round(F.lit(1.0) / F.log(F.col("mdeg")), 4).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("aa_score"),
+    )
+    pred = aa.join(
+        edges,
+        (aa["a"] == edges["da"]) & (aa["c"] == edges["db"]),
+        "left_anti",
+    )
+    return (
+        pred.orderBy(F.desc("aa_score"), "a", "c")
+        .limit(_LP_TOPK)
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("c").alias("doc_b"),
+            "common_neighbors",
+            "aa_score",
+        )
+    )

@@ -715,3 +715,110 @@ def search_map_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("map_at_k")
     )
     return per_term.crossJoin(F.broadcast(map_))
+
+
+_QLM_MU = 2000.0  # Dirichlet smoothing mass (Zhai-Lafferty default ballpark)
+
+
+@query(
+    "search_qlm_dirichlet",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens FROM dl),
+    qt AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+    qf AS (SELECT doc_id, term FROM qt
+           WHERE term IN ({', '.join(f"'{t}'" for t in _QTERMS)})),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qf GROUP BY 1, 2),
+    cf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM qf GROUP BY 1),
+    pc AS (SELECT term,
+                  (CAST(cf AS DOUBLE) + 1.0)
+                    / (CAST(tot.total_tokens AS DOUBLE) + 1.0) AS pc
+           FROM cf CROSS JOIN tot),
+    md AS (SELECT DISTINCT doc_id FROM qf),
+    grid AS (SELECT md.doc_id, pc.term, pc.pc, dl.dl
+             FROM md CROSS JOIN pc JOIN dl USING (doc_id)),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(SUM(CASE WHEN tf.tf IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_terms_matched,
+             CAST(SUM(CAST(round(
+               ln((COALESCE(tf.tf, 0) + {_QLM_MU} * g.pc)
+                  / (g.dl + {_QLM_MU})), 4) AS DECIMAL(18,6))) AS DOUBLE)
+               AS score
+      FROM grid g LEFT JOIN tf
+        ON tf.doc_id = g.doc_id AND tf.term = g.term
+      GROUP BY g.doc_id),
+    ranked AS (
+      SELECT doc_id, n_terms_matched, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+      FROM scored)
+    SELECT doc_id, n_terms_matched, score, rk
+    FROM ranked WHERE rk <= {_TOPK}
+    """,
+)
+def search_qlm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood ranking (Zhai-Lafferty) for
+    the query bag {_QTERMS}, mu={_QLM_MU} — the language-modeling
+    retrieval family beside BM25/tf-idf: score(d) = sum_q
+    ln((tf + mu*P(q|C)) / (dl + mu)), with P(q|C) the add-one-smoothed
+    collection unigram probability.
+
+    Determinism: P(q|C) is ONE double division of exact integers
+    (identical correctly-rounded value in both engines), each per-term
+    log contribution is quantized round(4) BEFORE the decimal document
+    sum (the log-quantize recipe — ln outputs are never decimal
+    halves), and the final top-k orders by the exact 4-decimal score
+    with doc_id tie-break.  Unmatched query terms still contribute
+    their background mass, so the grid is matched-docs x |Q| rows with
+    a left join onto tf — query terms, not the vocabulary, bound every
+    frame after the scan.  Scale shape: identical to search_bm25_rank —
+    scan-side term filter, broadcast 3-row model, TakeOrdered top-k;
+    nothing global but the <= k-row final rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("toks"))
+    dl = tk.select("doc_id", F.size("toks").alias("dl"))
+    total_tokens = dl.agg(
+        F.sum("dl").cast("bigint").alias("t")
+    ).collect()[0]["t"]
+    qf = tk.select("doc_id", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*_QTERMS)
+    )
+    tf = qf.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    pc = qf.groupBy("term").agg(
+        (
+            (F.count("*").cast("double") + F.lit(1.0))
+            / (F.lit(float(total_tokens)) + F.lit(1.0))
+        ).alias("pc")
+    )
+    md = qf.select("doc_id").distinct()
+    grid = md.crossJoin(F.broadcast(pc)).join(dl, "doc_id")
+    contrib = F.round(
+        F.log(
+            (F.coalesce(F.col("tf"), F.lit(0)) + _QLM_MU * F.col("pc"))
+            / (F.col("dl") + _QLM_MU)
+        ),
+        4,
+    )
+    scored = (
+        grid.join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.col("tf").isNotNull().cast("int").alias("matched"),
+            contrib.cast("decimal(18,6)").alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("matched").cast("bigint").alias("n_terms_matched"),
+            # exact 4-decimal contribution sum: the double cast needs
+            # no re-round (never at a 6-decimal half)
+            F.sum("c").cast("double").alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "n_terms_matched", "score", "rk")
+    )

@@ -2352,3 +2352,202 @@ def embedding_whiten_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.round(F.max(F.abs("z")), 4).alias("max_abs_z"),
     )
+
+
+@query(
+    "eval_ece_mce",
+    oracle=f"""
+    WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                      round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                            [{", ".join(str(w) for w in _INF_W)}]), 6) AS logit
+               FROM embeddings),
+    p AS (SELECT y,
+                 CAST(round(10000 * (1 / (1 + exp(-logit)))) AS BIGINT)
+                   AS p_bp
+          FROM e),
+    b AS (SELECT least(p_bp // 1000, 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_k,
+                 CAST(SUM(p_bp) AS BIGINT) AS sp,
+                 CAST(SUM(y) AS BIGINT) AS sy
+          FROM p GROUP BY 1),
+    g AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                 CAST(SUM(abs(10000 * sy - sp)) AS BIGINT) AS dev_tot,
+                 MAX({hu_ratio_sql("abs(10000 * sy - sp)",
+                                   "CAST(n_k AS HUGEINT) * 10000", 6)})
+                   AS mce
+          FROM b)
+    SELECT n, {hu_ratio_sql("g.dev_tot", "CAST(g.n AS HUGEINT) * 10000", 6)}
+             AS ece,
+           mce
+    FROM g
+    """,
+)
+def eval_ece_mce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected and maximum calibration error of the linear scorer over
+    the standard deciles — the one-number calibration gates beside the
+    Murphy decomposition: ECE = sum_k (n_k/n)|rate_k - conf_k|,
+    MCE = max_k |rate_k - conf_k|.
+
+    The per-bin gap collapses EXACTLY: with integer basis-point
+    predictions, (n_k/n)|sy/n_k - sp/(10^4 n_k)| = |10^4 sy - sp| /
+    (10^4 n) — so ECE is ONE integer rational (sum of per-bin integer
+    deviations over 10^4*n) with render headroom to ~5e27 rows, no
+    per-bin division at all.  MCE renders each bin's exact rational at
+    1e-6 first, then takes MAX of the identical doubles (a value, not
+    an argmax — tie-safe by construction).  Scale shape: one scan into
+    the <=10-bin rollup, one row out."""
+    w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    dot = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_arr)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(F.expr(dot), 6).alias("logit"),
+    )
+    p = e.select(
+        "y",
+        F.round(10000 * (1 / (1 + F.exp(-F.col("logit")))))
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+    b = p.groupBy(
+        F.least(F.expr("p_bp div 1000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_k"),
+        F.sum("p_bp").cast("bigint").alias("sp"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    g = b.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum(F.expr("abs(10000 * sy - sp)")).cast("bigint").alias("dev_tot"),
+        F.max(
+            hu_ratio(
+                "abs(10000 * sy - sp)", "cast(n_k as decimal(38,0)) * 10000", 6
+            )
+        ).alias("mce"),
+    )
+    return g.select(
+        "n",
+        hu_ratio("dev_tot", "cast(n as decimal(38,0)) * 10000", 6).alias(
+            "ece"
+        ),
+        "mce",
+    )
+
+
+@query(
+    "eval_isotonic_bins",
+    oracle=f"""
+    WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                      round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                            [{", ".join(str(w) for w in _INF_W)}]), 6) AS logit
+               FROM embeddings),
+    p AS (SELECT y,
+                 CAST(round(10000 * (1 / (1 + exp(-logit)))) AS BIGINT)
+                   AS p_bp
+          FROM e),
+    b AS (SELECT least(p_bp // 1000, 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_k,
+                 CAST(SUM(y) AS BIGINT) AS sy
+          FROM p GROUP BY 1),
+    c AS (SELECT bin, n_k, sy,
+                 SUM(n_k) OVER (ORDER BY bin) AS cn,
+                 SUM(sy) OVER (ORDER BY bin) AS cs
+          FROM b),
+    segs AS (
+      SELECT j.bin AS j, k.bin AS k,
+             (2 * CAST(k.cs - (j.cs - j.sy) AS HUGEINT) * 1000000
+              + (k.cn - (j.cn - j.n_k)))
+               // (2 * CAST(k.cn - (j.cn - j.n_k) AS HUGEINT)) AS m6
+      FROM c j JOIN c k ON j.bin <= k.bin),
+    inner_min AS (
+      SELECT b.bin, s.j, MIN(s.m6) AS mn
+      FROM b JOIN segs s ON s.j <= b.bin AND s.k >= b.bin
+      GROUP BY b.bin, s.j),
+    fit AS (SELECT bin, MAX(mn) AS f6 FROM inner_min GROUP BY bin)
+    SELECT b.bin, b.n_k,
+           {hu_ratio_sql("b.sy", "b.n_k", 6)} AS rate,
+           CAST(f.f6 AS DOUBLE) / 1000000 AS iso_rate
+    FROM b JOIN fit f USING (bin)
+    ORDER BY b.bin
+    """,
+)
+def eval_isotonic_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration curve over the
+    scorer's deciles — the PAV fit computed via its minimax identity
+    iso_i = max_{{j<=i}} min_{{k>=i}} mean(y, bins j..k), the
+    recalibration map a serving system applies on top of raw scores.
+
+    Determinism: every segment mean sy(j..k)/n(j..k) is an exact
+    integer rational rendered HALF-UP onto the 1e-6 integer grid FIRST
+    (the hu recipe — nonnegative operands, truncating div == flooring
+    //), so the max-of-min runs on INTEGERS; the result is monotone by
+    construction of the identity.  Scale shape: the corpus collapses to
+    <=10 bin rows in one scan; segments (<=55), the j-min and the i-max
+    are constant-size frames — PAVA's sequential pooling is replaced by
+    a closed-form all-segments formulation precisely because 10x10
+    segment enumeration is free while a sequential pool over a
+    distributed frame is not."""
+    w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    dot = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_arr)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(F.expr(dot), 6).alias("logit"),
+    )
+    p = e.select(
+        "y",
+        F.round(10000 * (1 / (1 + F.exp(-F.col("logit")))))
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+    b = p.groupBy(
+        F.least(F.expr("p_bp div 1000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_k"),
+        F.sum("y").cast("bigint").alias("sy"),
+    ).localCheckpoint()  # cumulative window + joins all read the tiny frame
+    wbin = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = b.select(
+        "bin", "n_k", "sy",
+        F.sum("n_k").over(wbin).alias("cn"),
+        F.sum("sy").over(wbin).alias("cs"),
+    )
+    j = c.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n_k")).alias("cn0"),
+        (F.col("cs") - F.col("sy")).alias("cs0"),
+    )
+    k = c.select(
+        F.col("bin").alias("k"), F.col("cn").alias("cn1"),
+        F.col("cs").alias("cs1"),
+    )
+    segs = (
+        j.crossJoin(k)
+        .filter(F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            F.expr(
+                "(2 * cast(cs1 - cs0 as decimal(38,0)) * 1000000"
+                " + (cn1 - cn0)) div (2 * cast(cn1 - cn0 as decimal(38,0)))"
+            ).alias("m6"),
+        )
+    )
+    inner = (
+        b.select("bin")
+        .join(
+            segs,
+            (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")),
+        )
+        .groupBy("bin", "j")
+        .agg(F.min("m6").alias("mn"))
+    )
+    fit = inner.groupBy("bin").agg(F.max("mn").alias("f6"))
+    return (
+        b.join(fit, "bin")
+        .select(
+            "bin",
+            "n_k",
+            hu_ratio("sy", "n_k", 6).alias("rate"),
+            (F.col("f6").cast("double") / 1000000).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )

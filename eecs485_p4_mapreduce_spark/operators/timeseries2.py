@@ -888,3 +888,247 @@ def timeseries_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mu").cast("double").alias("seasonal_mean"),
         F.col("n_anomalies").cast("bigint").alias("n_anomalies"),
     )
+
+
+_DAILY_FILLED_DUCK = f"""
+    daily AS (
+      SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS d, COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    spine AS (
+      SELECT event_type, min_d,
+             unnest(generate_series(min_d, max_d)) AS d
+      FROM (SELECT event_type, min(d) AS min_d, max(d) AS max_d
+            FROM daily GROUP BY 1)),
+    filled AS (
+      SELECT s.event_type, CAST(s.d - s.min_d AS BIGINT) AS x,
+             CAST(COALESCE(daily.n, 0) AS BIGINT) AS y
+      FROM spine s LEFT JOIN daily USING (event_type, d))"""
+
+
+def _daily_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled per-type daily series (x = day index, y = count) —
+    the stats_trend_ols_daily derivation factored for the robust-trend
+    family."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_US_PER_DAY}").alias("d"),
+    ).agg(F.count("*").alias("n"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("min_d"), F.max("d").alias("max_d"))
+        .select(
+            "event_type",
+            "min_d",
+            F.explode(F.sequence("min_d", "max_d")).alias("d"),
+        )
+    )
+    return spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        (F.col("d") - F.col("min_d")).cast("bigint").alias("x"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("y"),
+    )
+
+
+@query(
+    "stats_theil_sen_daily",
+    oracle=f"""
+    WITH {_DAILY_FILLED_DUCK},
+    pairs AS (
+      SELECT a.event_type, a.x AS ax, b.x AS bx,
+             CASE WHEN b.y >= a.y
+                  THEN (2 * (b.y - a.y) * 1000000 + (b.x - a.x))
+                         // (2 * (b.x - a.x))
+                  ELSE -((2 * (a.y - b.y) * 1000000 + (b.x - a.x))
+                         // (2 * (b.x - a.x)))
+             END AS s6
+      FROM filled a JOIN filled b
+        ON a.event_type = b.event_type AND a.x < b.x),
+    r AS (
+      SELECT event_type, s6,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY s6, ax, bx) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs)
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           CAST(s6 AS DOUBLE) / 1000000 AS slope
+    FROM r
+    WHERE rk = CAST(ceil(np / 2.0) AS BIGINT)
+    """,
+)
+def stats_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope per event type: the MEDIAN of all
+    pairwise day-to-day slopes over the zero-filled daily series — the
+    breakdown-resistant twin of stats_trend_ols_daily (a single
+    corrupted day moves OLS arbitrarily but shifts a median slope by at
+    most one rank).
+
+    Determinism: every pairwise slope dy/dx is rendered half-up onto
+    the 1e-6 INTEGER grid first (sign-split truncating div — both
+    engines' integer division agrees after the split), so the median is
+    a nearest-rank selection over integers with (s6, ax, bx) as the
+    total order — never a raw-float sort key.  Scale shape: pairs are
+    days-squared PER TYPE (calendar-bounded — ~6.6M pairs for a decade
+    of days, constant in row count); the per-type rank window rides the
+    same bounded frame.  The event scan itself is one
+    map-side-combinable daily aggregate."""
+    filled = _daily_filled(spark, sf_dir).localCheckpoint()
+    a = filled.select(
+        "event_type", F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    b = filled.select(
+        "event_type", F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("ax") < F.col("bx"))
+        .select(
+            "event_type",
+            "ax",
+            "bx",
+            F.expr(
+                "CASE WHEN by >= ay"
+                " THEN (2 * (by - ay) * 1000000 + (bx - ax))"
+                " div (2 * (bx - ax))"
+                " ELSE -((2 * (ay - by) * 1000000 + (bx - ax))"
+                " div (2 * (bx - ax))) END"
+            ).alias("s6"),
+        )
+    )
+    w_rk = Window.partitionBy("event_type").orderBy("s6", "ax", "bx")
+    w_np = Window.partitionBy("event_type")
+    r = pairs.select(
+        "event_type",
+        "s6",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count("*").over(w_np).alias("np"),
+    )
+    return r.filter(
+        F.col("rk") == F.ceil(F.col("np") / 2.0).cast("bigint")
+    ).select(
+        "event_type",
+        F.col("np").cast("bigint").alias("n_pairs"),
+        (F.col("s6").cast("double") / 1000000).alias("slope"),
+    )
+
+
+@query(
+    "stats_mann_kendall_trend",
+    oracle=f"""
+    WITH {_DAILY_FILLED_DUCK},
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM filled a JOIN filled b
+        ON a.event_type = b.event_type AND a.x < b.x
+      GROUP BY 1),
+    nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS np
+           FROM filled GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, y, COUNT(*) AS t
+            FROM filled GROUP BY 1, 2)
+      GROUP BY 1),
+    v AS (
+      SELECT nd.event_type, nd.np, s.s_stat,
+             (nd.np * (nd.np - 1) * (2 * nd.np + 5) - ties.tie_term)
+               AS var18
+      FROM nd JOIN s USING (event_type) JOIN ties USING (event_type))
+    SELECT event_type, np AS n_days, s_stat,
+           CAST(var18 AS DOUBLE) / 18.0 AS var_s,
+           CASE WHEN var18 = 0 THEN NULL
+                WHEN s_stat > 0 THEN
+                  round((s_stat - 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4)
+                WHEN s_stat < 0 THEN
+                  round((s_stat + 1) / sqrt(CAST(var18 AS DOUBLE) / 18.0), 4)
+                ELSE CAST(0.0 AS DOUBLE) END AS z,
+           CASE WHEN s_stat > 0 THEN 'up'
+                WHEN s_stat < 0 THEN 'down' ELSE 'flat' END AS direction
+    FROM v
+    """,
+)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type over the
+    zero-filled daily series — the nonparametric significance companion
+    to the Theil-Sen slope (S counts concordant minus discordant day
+    pairs; var(S) carries the standard tie correction).
+
+    Determinism: S and the tie-corrected variance numerator are EXACT
+    integers (sign comparisons and tie-group counts — no ranks, no
+    floats); var18 folds the /18 into one declared double division, and
+    the continuity-corrected z = (S -/+ 1)/sqrt(var) is a
+    correctly-rounded pipeline over identical doubles, round(4) per the
+    sqrt-output rule; the var18 = 0 degenerate (a 1-day series) returns
+    NULL via a lazy CASE.  Scale shape: identical to
+    stats_theil_sen_daily — calendar-bounded pair enumeration, one
+    map-side-combinable scan."""
+    filled = _daily_filled(spark, sf_dir).localCheckpoint()
+    a = filled.select(
+        "event_type", F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    b = filled.select(
+        "event_type", F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("ax") < F.col("bx"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("by") > F.col("ay"), 1)
+                .when(F.col("by") < F.col("ay"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nd = filled.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("np")
+    )
+    ties = (
+        filled.groupBy("event_type", "y")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    v = nd.join(s, "event_type").join(ties, "event_type").select(
+        "event_type",
+        "np",
+        "s_stat",
+        (
+            F.col("np") * (F.col("np") - 1) * (2 * F.col("np") + 5)
+            - F.col("tie_term")
+        ).alias("var18"),
+    )
+    var_s = F.col("var18").cast("double") / 18.0
+    return v.select(
+        "event_type",
+        F.col("np").alias("n_days"),
+        "s_stat",
+        var_s.alias("var_s"),
+        F.when(F.col("var18") == 0, F.lit(None).cast("double"))
+        .when(
+            F.col("s_stat") > 0,
+            F.round((F.col("s_stat") - 1) / F.sqrt(var_s), 4),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            F.round((F.col("s_stat") + 1) / F.sqrt(var_s), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+        F.when(F.col("s_stat") > 0, "up")
+        .when(F.col("s_stat") < 0, "down")
+        .otherwise("flat")
+        .alias("direction"),
+    )
