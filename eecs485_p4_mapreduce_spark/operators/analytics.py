@@ -4195,3 +4195,107 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("h_tie_corrected"),
     )
+
+
+# two-sided alpha = 0.05, power = 0.80 normal quantiles, shared Python
+# literals (the Benford-literals recipe — no query-time inverse CDF)
+_PWR_Z = 1.959964 + 0.841621
+
+
+def _ab_power_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    bkt = _bucket256_sql("user_id").replace("AS STRING", "AS VARCHAR")
+    mean = hu_ratio_sql("m.s", "m.n", 6)
+    vs = hu_ratio_sql(
+        "CAST(m.n AS HUGEINT) * m.ss - CAST(m.s AS HUGEINT) * m.s",
+        "CAST(m.n AS HUGEINT) * (m.n - 1)", 6)
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN {bkt} < 128 THEN 1 ELSE 0 END AS treat,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(y) AS BIGINT) AS s,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS ss
+      FROM u)
+    SELECT m.n1 AS n_treat, m.n0 AS n_control,
+           {mean} AS mean_y,
+           {vs} AS var_samp,
+           round({_PWR_Z} * sqrt(
+             (CAST(CAST(m.n AS HUGEINT) * m.ss
+                   - CAST(m.s AS HUGEINT) * m.s AS DOUBLE)
+              / CAST(CAST(m.n AS HUGEINT) * (m.n - 1) AS DOUBLE))
+             * (1.0 / CAST(m.n1 AS DOUBLE)
+                + 1.0 / CAST(m.n0 AS DOUBLE))), 4) AS mde_abs
+    FROM m
+    """
+
+
+@query("ab_power_mde", oracle=_ab_power_oracle())
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power analysis for the md5-bucket 50/50 assignment
+    ab_cuped_readout uses: the minimum detectable effect (absolute, on
+    per-user event counts) at alpha = 0.05 two-sided and 80% power —
+    MDE = (z_a + z_b) * sqrt(s^2 (1/n_t + 1/n_c)) — the readout that
+    says whether an experiment is worth launching BEFORE it runs.
+
+    Determinism: arm sizes and the per-user metric moments are exact
+    integers; var_samp renders via the half-up recipe; the MDE itself
+    is a correctly-rounded double chain (one rational division, sqrt,
+    literal z-multiplier) rounded at 4 per the sqrt-output rule, with
+    the z quantiles as shared Python literals (no query-time inverse
+    CDF).  Headroom: n*ss is the stats_moments class (~1e10 users at
+    y ~ 20 before int128 pressure; the twopass escape applies).  Scale
+    shape: one user-keyed count aggregate, one 1-row moment reduce."""
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    bkt = F.expr(_bucket256_sql("user_id"))
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("y")
+    ).select(
+        F.when(bkt < 128, 1).otherwise(0).alias("treat"), "y"
+    )
+    m = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum("y").cast("bigint").alias("s"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y"))
+        .cast("bigint")
+        .alias("ss"),
+    )
+    var_dbl = F.expr(
+        "cast(cast(n as decimal(38,0)) * ss - cast(s as decimal(38,0)) * s"
+        " as double)"
+        " / cast(cast(n as decimal(38,0)) * (n - 1) as double)"
+    )
+    return m.select(
+        F.col("n1").alias("n_treat"),
+        F.col("n0").alias("n_control"),
+        hu_ratio("s", "n", 6).alias("mean_y"),
+        hu_ratio(
+            "cast(n as decimal(38,0)) * ss - cast(s as decimal(38,0)) * s",
+            "cast(n as decimal(38,0)) * (n - 1)",
+            6,
+        ).alias("var_samp"),
+        F.round(
+            F.lit(_PWR_Z)
+            * F.sqrt(
+                var_dbl
+                * (1.0 / F.col("n1") + 1.0 / F.col("n0"))
+            ),
+            4,
+        ).alias("mde_abs"),
+    )

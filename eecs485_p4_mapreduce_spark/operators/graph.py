@@ -1421,3 +1421,128 @@ def graph_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aa_score",
         )
     )
+
+
+def _modularity_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.minhashfn import MINHASH_BANDED_DUCK
+
+    sql = f"""{MINHASH_BANDED_DUCK},
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+    eu AS MATERIALIZED (
+      SELECT da AS u, db AS v FROM e UNION ALL SELECT db, da FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM eu)"""
+    for r in range(1, _LPA_ROUNDS + 1):
+        sql += f""",
+    votes{r} AS (
+      SELECT e.u AS node, l.lbl, COUNT(*) AS c
+      FROM eu e JOIN l{r - 1} l ON l.node = e.v
+      GROUP BY e.u, l.lbl),
+    best{r} AS (
+      SELECT node, lbl,
+             row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, lbl ASC) AS rk
+      FROM votes{r}),
+    l{r} AS MATERIALIZED (SELECT node, lbl FROM best{r} WHERE rk = 1)"""
+    sql += f""",
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM eu GROUP BY 1),
+    dc AS (SELECT l.lbl, CAST(SUM(deg.deg) AS HUGEINT) AS d_c
+           FROM deg JOIN l{_LPA_ROUNDS} l USING (node) GROUP BY 1),
+    intra AS (SELECT CAST(COUNT(*) AS HUGEINT) AS sum_ec
+              FROM e JOIN l{_LPA_ROUNDS} la ON la.node = e.da
+                     JOIN l{_LPA_ROUNDS} lb ON lb.node = e.db
+              WHERE la.lbl = lb.lbl),
+    s AS (SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM e) AS m,
+                 intra.sum_ec,
+                 (SELECT CAST(SUM(d_c * d_c) AS HUGEINT) FROM dc)
+                   AS sum_dc2,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_comm
+          FROM intra)
+    SELECT CAST(m AS BIGINT) AS m_edges, n_comm AS n_communities,
+           CAST(sum_ec AS BIGINT) AS intra_edges,
+           {hu_ratio_signed_sql("4 * s.m * s.sum_ec - s.sum_dc2",
+                                "4 * s.m * s.m", 6)} AS modularity
+    FROM s
+    """
+    return sql
+
+
+@query("graph_modularity_lpa", oracle=_modularity_oracle())
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the graph_lpa_communities partition over
+    the MinHash candidate graph — the one-number answer to "did label
+    propagation find real structure or noise" (Q near 0: the partition
+    is no better than random given the degree sequence; Q > ~0.3:
+    strong community structure worth cluster-by-cluster dedup).
+
+    Q = sum_c (e_c/m - (d_c/2m)^2) clears fractions to ONE exact
+    integer rational (4m*sum(e_c) - sum(d_c^2)) / (4m^2) — intra-edge
+    counts and community degree sums are exact BIGINTs off the shared
+    cached edge set, rendered by the signed half-up recipe (Q can be
+    negative).  The LPA rounds re-run the graph_lpa_communities loop
+    verbatim (fixed 2 synchronous rounds, (count DESC, label ASC)
+    plurality).  Scale shape: per round one neighbor join + per-node
+    rank; the modularity epilogue is two label joins and a
+    community-cardinality aggregate — headroom sum(d_c^2) <= 4m^2,
+    render factor 2*4m^2*10^6 good to m ~ 1e15 edges."""
+    from eecs485_p4_mapreduce_spark.operators.dedup import lsh_candidate_edges
+
+    e = lsh_candidate_edges(spark, sf_dir)
+    eu = e.select(F.col("da").alias("u"), F.col("db").alias("v")).unionAll(
+        e.select(F.col("db").alias("u"), F.col("da").alias("v"))
+    )
+    labels = eu.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            eu.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    deg = eu.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    dc = deg.join(labels, "node").groupBy("lbl").agg(
+        F.sum(F.expr("cast(deg as decimal(38,0))")).alias("d_c")
+    )
+    la = labels.select(F.col("node").alias("da"), F.col("lbl").alias("lba"))
+    lb = labels.select(F.col("node").alias("db"), F.col("lbl").alias("lbb"))
+    intra = (
+        e.join(la, "da")
+        .join(lb, "db")
+        .filter(F.col("lba") == F.col("lbb"))
+        .agg(F.count("*").cast("decimal(38,0)").alias("sum_ec"))
+    )
+    s = (
+        e.agg(F.count("*").cast("decimal(38,0)").alias("m"))
+        .crossJoin(F.broadcast(intra))
+        .crossJoin(
+            F.broadcast(
+                dc.agg(
+                    F.sum(F.expr("d_c * d_c")).alias("sum_dc2"),
+                    F.count("*").cast("bigint").alias("n_comm"),
+                )
+            )
+        )
+    )
+    return s.select(
+        F.col("m").cast("bigint").alias("m_edges"),
+        F.col("n_comm").alias("n_communities"),
+        F.col("sum_ec").cast("bigint").alias("intra_edges"),
+        hu_ratio_signed(
+            "4 * m * sum_ec - sum_dc2", "4 * m * m", 6
+        ).alias("modularity"),
+    )

@@ -2551,3 +2551,102 @@ def eval_isotonic_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "eval_auc_roc",
+    oracle=f"""
+    WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                      round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                            [{", ".join(str(w) for w in _INF_W)}]), 6) AS logit
+               FROM embeddings),
+    p AS (SELECT y,
+                 CAST(round(10000 * (1 / (1 + exp(-logit)))) AS BIGINT)
+                   AS p_bp
+          FROM e),
+    vc AS (SELECT p_bp AS v, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(SUM(y) AS BIGINT) AS c1
+           FROM p GROUP BY 1),
+    r AS (SELECT v, c, c1,
+                 CAST(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                   AS BIGINT) AS cum_before
+          FROM vc),
+    m AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c) - SUM(c1) AS BIGINT) AS n0,
+                 CAST(SUM(CAST(c1 AS HUGEINT)
+                          * (2 * cum_before + c + 1)) AS HUGEINT) AS r2
+          FROM r)
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           {hu_ratio_sql("m.r2 - CAST(m.n1 AS HUGEINT) * (m.n1 + 1)",
+                         "2 * CAST(m.n1 AS HUGEINT) * m.n0", 6)} AS auc,
+           {hu_ratio_signed_sql(
+               "m.r2 - CAST(m.n1 AS HUGEINT) * (m.n1 + 1)"
+               " - CAST(m.n1 AS HUGEINT) * m.n0",
+               "CAST(m.n1 AS HUGEINT) * m.n0", 6)} AS gini
+    FROM m
+    """,
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (and Gini = 2*AUC - 1) of the linear scorer — the
+    threshold-free discrimination readout beside the calibration bank:
+    AUC = P(score of a random positive > score of a random negative),
+    with ties counted half.
+
+    Computed as the Mann-Whitney U statistic over the scorer's integer
+    basis-point outputs via the DOUBLED-midrank value-histogram
+    discipline (stats_mannwhitney_en_lengths): per distinct score, the
+    doubled midrank 2*cum_before + c + 1 is an exact integer, so the
+    positive-class rank sum, U, AUC and Gini are exact integer
+    rationals rendered by the half-up recipes — tie handling is exact
+    where a naive pairwise count would either miscount ties or
+    enumerate n1*n0 pairs.  Scale shape: one scoring scan into a
+    <=10001-row score histogram; the cumulative window and the final
+    reduce are output-sized."""
+    w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    dot = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_arr)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(F.expr(dot), 6).alias("logit"),
+    )
+    p = e.select(
+        "y",
+        F.round(10000 * (1 / (1 + F.exp(-F.col("logit")))))
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+    vc = p.groupBy(F.col("p_bp").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r = vc.select(
+        "v",
+        "c",
+        "c1",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("cum_before"),
+    )
+    m = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        (F.sum("c") - F.sum("c1")).cast("bigint").alias("n0"),
+        F.sum(
+            F.expr(
+                "cast(c1 as decimal(38,0)) * (2 * cum_before + c + 1)"
+            )
+        ).alias("r2"),
+    )
+    return m.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        hu_ratio(
+            "r2 - cast(n1 as decimal(38,0)) * (n1 + 1)",
+            "2 * cast(n1 as decimal(38,0)) * n0",
+            6,
+        ).alias("auc"),
+        hu_ratio_signed(
+            "r2 - cast(n1 as decimal(38,0)) * (n1 + 1)"
+            " - cast(n1 as decimal(38,0)) * n0",
+            "cast(n1 as decimal(38,0)) * n0",
+            6,
+        ).alias("gini"),
+    )
