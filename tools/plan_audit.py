@@ -88,6 +88,13 @@ CONSTANT_WINDOW_OK = {
     "pii_redaction_density_deciles": "P-row offsets frames (ranking recipe;"
     " _pid-scoped pinned in test_plans)",
     "survival_kaplan_meier": "duration-day grid life table (calendar-bounded)",
+    "survival_nelson_aalen": "duration-day grid life table (calendar-bounded)",
+    "eval_auc_roc": "basis-point score histogram (<=10001 rows, output-sized)",
+    "eval_isotonic_bins": "<=10-bin frames (bin cumsum + constant-size"
+    " segment minimax)",
+    "search_qlm_dirichlet": "rank over the <=10-row TakeOrdered result",
+    "stats_kruskal_wallis": "distinct-length histogram (output-sized,"
+    " the Mann-Whitney precedent)",
     "stats_runs_test": "daily-grid rank/lag (calendar-bounded)",
     "interval_concurrency_daily": "day-spine sweep cumsum (calendar-bounded)",
 }
