@@ -2650,3 +2650,169 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def _model_card_oracle() -> str:
+    w_list = ", ".join(str(w) for w in _INF_W)
+    rate = "((2 * CAST(sy AS HUGEINT) * 10000 + n_k) // (2 * CAST(n_k AS HUGEINT)))"
+    base = "((2 * CAST(sy_tot AS HUGEINT) * 10000 + n)"
+    base += " // (2 * CAST(n AS HUGEINT)))"
+    return f"""
+    WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                      round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                            [{w_list}]), 6) AS logit
+               FROM embeddings),
+    p AS (SELECT y,
+                 CAST(round(10000 * (1 / (1 + exp(-logit)))) AS BIGINT)
+                   AS p_bp
+          FROM e),
+    b AS (SELECT least(p_bp // 1000, 9) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_k,
+                 CAST(SUM(p_bp) AS BIGINT) AS sp,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(CAST((p_bp - 10000 * y) * (p_bp - 10000 * y)
+                               AS HUGEINT)) AS HUGEINT) AS ssq
+          FROM p GROUP BY 1),
+    g AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                 CAST(SUM(sy) AS BIGINT) AS sy_tot,
+                 CAST(SUM(ssq) AS HUGEINT) AS ssq_tot,
+                 CAST(SUM(abs(10000 * sy - sp)) AS BIGINT) AS dev_tot,
+                 MAX({hu_ratio_sql("abs(10000 * sy - sp)",
+                                   "CAST(n_k AS HUGEINT) * 10000", 6)})
+                   AS mce
+          FROM b),
+    rq AS (SELECT CAST(SUM(CAST(n_k AS HUGEINT)
+                           * ({rate} - {base}) * ({rate} - {base}))
+                       AS HUGEINT) AS res_num
+           FROM b CROSS JOIN g),
+    vc AS (SELECT p_bp AS v, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(SUM(y) AS BIGINT) AS c1
+           FROM p GROUP BY 1),
+    r AS (SELECT v, c, c1,
+                 CAST(SUM(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                   AS BIGINT) AS cum_before
+          FROM vc),
+    mw AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                  CAST(SUM(c) - SUM(c1) AS BIGINT) AS n0,
+                  CAST(SUM(CAST(c1 AS HUGEINT)
+                           * (2 * cum_before + c + 1)) AS HUGEINT) AS r2
+           FROM r)
+    SELECT g.n,
+           {hu_ratio_sql("g.sy_tot", "g.n", 6)} AS base_rate,
+           {hu_ratio_sql("mw.r2 - CAST(mw.n1 AS HUGEINT) * (mw.n1 + 1)",
+                         "2 * CAST(mw.n1 AS HUGEINT) * mw.n0", 6)} AS auc,
+           CAST(CAST((2 * g.ssq_tot + CAST(g.n AS HUGEINT) * 100)
+                     // (2 * CAST(g.n AS HUGEINT) * 100) AS BIGINT)
+                AS DOUBLE) / 1000000 AS brier,
+           {hu_ratio_sql("g.dev_tot", "CAST(g.n AS HUGEINT) * 10000", 6)}
+             AS ece,
+           g.mce,
+           {hu_ratio_sql("rq.res_num", "CAST(g.n AS HUGEINT) * 100000000", 6)}
+             AS resolution_q4
+    FROM g CROSS JOIN rq CROSS JOIN mw
+    """
+
+
+@query("eval_model_card", oracle=_model_card_oracle())
+def eval_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row MODEL CARD for the linear scorer — the evaluation
+    twin of pipeline_dataset_card: sample size, base rate,
+    discrimination (exact ROC AUC), accuracy (Brier), calibration
+    (ECE + MCE) and resolution (quantized Murphy term), all from ONE
+    scoring scan fanned into the decile-bin rollup and the basis-point
+    score histogram.
+
+    Every number reuses a registry recipe verbatim: AUC via doubled
+    midranks (eval_auc_roc), Brier via the integer half-up division
+    (eval_brier_decomposition), ECE as its collapsed single rational
+    and MCE as a max of rendered rationals (eval_ece_mce), resolution
+    on the 1e-4 rate grid (eval_brier_resolution_q4) — so the card is
+    hash-consistent with each standalone readout by construction.
+    Scale shape: one scan, a <=10-row bin frame, a <=10001-row score
+    histogram, three 1-row reduces cross-joined at the end."""
+    w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    dot = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_arr)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(F.expr(dot), 6).alias("logit"),
+    )
+    p = e.select(
+        "y",
+        F.round(10000 * (1 / (1 + F.exp(-F.col("logit")))))
+        .cast("bigint")
+        .alias("p_bp"),
+    ).localCheckpoint()  # the bin rollup AND the histogram read it
+    b = p.groupBy(
+        F.least(F.expr("p_bp div 1000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_k"),
+        F.sum("p_bp").cast("bigint").alias("sp"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            F.expr(
+                "cast((p_bp - 10000 * y) * (p_bp - 10000 * y)"
+                " as decimal(38,0))"
+            )
+        ).alias("ssq"),
+    ).localCheckpoint()
+    g = b.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("sy").cast("bigint").alias("sy_tot"),
+        F.sum("ssq").cast("decimal(38,0)").alias("ssq_tot"),
+        F.sum(F.expr("abs(10000 * sy - sp)")).cast("bigint").alias("dev_tot"),
+        F.max(
+            hu_ratio(
+                "abs(10000 * sy - sp)",
+                "cast(n_k as decimal(38,0)) * 10000",
+                6,
+            )
+        ).alias("mce"),
+    )
+    rq = b.crossJoin(F.broadcast(g.select("n", "sy_tot"))).agg(
+        F.sum(F.expr(_BRIER_Q4_TERM)).alias("res_num")
+    )
+    vc = p.groupBy(F.col("p_bp").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    r = vc.select(
+        "c",
+        "c1",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("cum_before"),
+    )
+    mw = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        (F.sum("c") - F.sum("c1")).cast("bigint").alias("n0"),
+        F.sum(
+            F.expr("cast(c1 as decimal(38,0)) * (2 * cum_before + c + 1)")
+        ).alias("r2"),
+    )
+    return (
+        g.crossJoin(F.broadcast(rq))
+        .crossJoin(F.broadcast(mw))
+        .select(
+            "n",
+            hu_ratio("sy_tot", "n", 6).alias("base_rate"),
+            hu_ratio(
+                "r2 - cast(n1 as decimal(38,0)) * (n1 + 1)",
+                "2 * cast(n1 as decimal(38,0)) * n0",
+                6,
+            ).alias("auc"),
+            (
+                F.expr(
+                    "cast((2 * ssq_tot + cast(n as decimal(38,0)) * 100)"
+                    " div (2 * cast(n as decimal(38,0)) * 100) as bigint)"
+                ).cast("double")
+                / 1000000
+            ).alias("brier"),
+            hu_ratio(
+                "dev_tot", "cast(n as decimal(38,0)) * 10000", 6
+            ).alias("ece"),
+            "mce",
+            hu_ratio(
+                "res_num", "cast(n as decimal(38,0)) * 100000000", 6
+            ).alias("resolution_q4"),
+        )
+    )

@@ -30,8 +30,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.numeric import (
+    hu_ratio,
     hu_ratio_signed,
     hu_ratio_signed_sql,
+    hu_ratio_sql,
 )
 from eecs485_p4_mapreduce_spark.plans.registry import query
 from eecs485_p4_mapreduce_spark.sources import load_table
@@ -1131,4 +1133,107 @@ def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s_stat") < 0, "down")
         .otherwise("flat")
         .alias("direction"),
+    )
+
+
+# EWMA weights (alpha = 0.2): w6[k] = round_half_up(0.8^k * 10^6),
+# computed ONCE in exact Fraction arithmetic as Python literals shared
+# by both dialects (pow(0.8, k) at query time would ride each engine's
+# libm — the transcendental-divergence class).  Truncated at k = 50
+# (0.8^50*10^6 ~ 14 — a declared, engine-identical tail drop of ~1e-5
+# relative mass).
+def _ewma_w6() -> list[int]:
+    from fractions import Fraction
+
+    out = []
+    for k in range(51):
+        f = Fraction(4**k * 10**6, 5**k)
+        q, r2 = divmod(f.numerator, f.denominator)
+        out.append(q + (1 if 2 * r2 >= f.denominator else 0))
+    return out
+
+
+_EWMA_W6 = _ewma_w6()
+_EWMA_SPAN = len(_EWMA_W6) - 1
+
+
+@query(
+    "resample_ewma_daily",
+    oracle=f"""
+    WITH {_DAILY_FILLED_DUCK},
+    w AS (SELECT [{", ".join(str(w) for w in _EWMA_W6)}] AS w6),
+    pairs AS (
+      SELECT cur.event_type, cur.x AS d,
+             CAST(prior.y AS HUGEINT)
+               * w.w6[CAST(cur.x - prior.x AS BIGINT) + 1] AS num_term,
+             CAST(w.w6[CAST(cur.x - prior.x AS BIGINT) + 1] AS HUGEINT)
+               AS den_term
+      FROM filled cur
+      JOIN filled prior
+        ON prior.event_type = cur.event_type
+       AND prior.x <= cur.x AND prior.x >= cur.x - {_EWMA_SPAN}
+      CROSS JOIN w),
+    s AS (
+      SELECT event_type, d,
+             CAST(SUM(num_term) AS HUGEINT) AS num,
+             CAST(SUM(den_term) AS HUGEINT) AS den
+      FROM pairs GROUP BY 1, 2)
+    SELECT event_type, d AS day_index,
+           {hu_ratio_sql("s.num", "s.den", 6)} AS ewma
+    FROM s
+    """,
+)
+def resample_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.2, pandas
+    adjust=True normalization) of daily event volume per type over the
+    zero-filled daily series — the smoothed trend line a monitor plots
+    and alerts against.
+
+    Determinism: the geometric weights 0.8^k are RATIONAL (4^k/5^k),
+    so they are pre-rendered onto the 1e-6 integer grid in exact
+    Fraction arithmetic as shared Python literals — query-time
+    pow(0.8, k) would ride each engine's libm, the transcendental-
+    divergence class — and each day's EWMA is then ONE exact integer
+    rational sum(y*w6)/sum(w6) via the half-up recipe.  The window is
+    truncated at {_EWMA_SPAN} days (a declared ~1e-5 tail drop,
+    identical in both engines), which also bounds the pair join at
+    {_EWMA_SPAN + 1} rows per output day — linear in the calendar, not
+    quadratic.  Scale shape: one map-side-combinable daily aggregate
+    over the scan, then a banded self-join on the calendar-bounded
+    filled grid."""
+    filled = _daily_filled(spark, sf_dir).localCheckpoint()
+    w6 = "array(" + ", ".join(str(w) for w in _EWMA_W6) + ")"
+    cur = filled.select(
+        "event_type", F.col("x").alias("d")
+    )
+    prior = filled.select(
+        F.col("event_type").alias("pet"),
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+    )
+    pairs = cur.join(
+        prior,
+        (F.col("pet") == F.col("event_type"))
+        & (F.col("px") <= F.col("d"))
+        & (F.col("px") >= F.col("d") - _EWMA_SPAN),
+    ).select(
+        "event_type",
+        "d",
+        F.expr(
+            f"cast(py as decimal(38,0))"
+            f" * element_at({w6}, cast(d - px as int) + 1)"
+        ).alias("num_term"),
+        F.expr(
+            f"cast(element_at({w6}, cast(d - px as int) + 1)"
+            " as decimal(38,0))"
+        ).alias("den_term"),
+    )
+    s = pairs.groupBy("event_type", "d").agg(
+        F.sum("num_term").alias("num"),
+        F.sum("den_term").alias("den"),
+    )
+    return s.select(
+        "event_type",
+        F.col("d").alias("day_index"),
+        hu_ratio("num", "den", 6).alias("ewma"),
     )
