@@ -4299,3 +4299,76 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mde_abs"),
     )
+
+
+_ADV_TOPK = 20
+
+
+@query(
+    "rl_group_advantage",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS v6
+      FROM events),
+    g AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v6) AS HUGEINT) AS s6
+      FROM v GROUP BY 1),
+    adv AS (
+      SELECT v.event_id, v.user_id, g.n,
+             {hu_ratio_signed_sql(
+                 "CAST(v.v6 AS HUGEINT) * g.n - g.s6",
+                 "CAST(g.n AS HUGEINT) * 1000000", 6)} AS advantage
+      FROM v JOIN g USING (user_id)
+      WHERE g.n >= 2)
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS group_n, advantage
+    FROM adv
+    ORDER BY abs(advantage) DESC, user_id, event_id
+    LIMIT {_ADV_TOPK}
+    """,
+)
+def rl_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage baselines (the GRPO/RLOO reward shape):
+    treating each user's event values as a group of sampled rewards for
+    one prompt, the advantage of each sample is its reward minus the
+    group mean — the variance-reduced signal an RL-from-feedback
+    pipeline feeds the policy gradient instead of raw rewards.  Readout:
+    the {_ADV_TOPK} largest-|advantage| samples (the pairs a reward-model
+    audit reads first), singleton groups dropped (their advantage is
+    identically zero and carries no gradient).
+
+    Determinism: rewards quantize to exact 1e-6 integers (the decimal
+    cast is lossless for the stored 6-decimal values), the group mean
+    never materializes — advantage = (v6*n - sum6)/(n*10^6) is ONE
+    exact signed rational per row — and the top-k orders by the
+    rendered value with (user_id, event_id) tie-break through a
+    TakeOrdered.  Scale shape: one user-keyed aggregate, one broadcast-
+    able stats join back onto the stream, no window over the data."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "cast(cast(value as decimal(18,6)) * 1000000 as decimal(38,0))"
+        ).alias("v6"),
+    )
+    g = v.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v6").alias("s6"),
+    )
+    adv = (
+        v.join(g, "user_id")
+        .filter(F.col("n") >= 2)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("n").cast("bigint").alias("group_n"),
+            hu_ratio_signed(
+                "v6 * n - s6", "cast(n as decimal(38,0)) * 1000000", 6
+            ).alias("advantage"),
+        )
+    )
+    return adv.orderBy(
+        F.abs(F.col("advantage")).desc(), "user_id", "event_id"
+    ).limit(_ADV_TOPK)

@@ -2816,3 +2816,106 @@ def eval_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resolution_q4"),
         )
     )
+
+
+def _mcnemar_oracle() -> str:
+    w_full = ", ".join(str(w) for w in _INF_W)
+    w_head = ", ".join(str(w) for w in _INF_W[:16])
+    chi = hu_ratio_sql(
+        "(abs(CAST(b AS HUGEINT) - c) - 1) * (abs(CAST(b AS HUGEINT) - c) - 1)",
+        "CAST(b AS HUGEINT) + c", 6)
+    return f"""
+    WITH e AS (
+      SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+             CASE WHEN round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                    [{w_full}]), 6) > 0 THEN 1 ELSE 0 END AS pa,
+             CASE WHEN round(list_inner_product(
+                    CAST(embedding[1:16] AS DOUBLE[]),
+                    [{w_head}]), 6) > 0 THEN 1 ELSE 0 END AS pb
+      FROM embeddings),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pa = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_correct,
+             CAST(SUM(CASE WHEN pb = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS b_correct,
+             CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM e)
+    SELECT n,
+           {hu_ratio_sql("m.a_correct", "m.n", 6)} AS acc_full,
+           {hu_ratio_sql("m.b_correct", "m.n", 6)} AS acc_head16,
+           b AS full_only_wins, c AS head_only_wins,
+           CASE WHEN b + c = 0 THEN NULL ELSE {chi} END AS mcnemar_chi
+    FROM m
+    """
+
+
+@query("eval_mcnemar_scorers", oracle=_mcnemar_oracle())
+def eval_mcnemar_scorers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between the full 64-dim linear scorer and
+    its 16-dim matryoshka-prefix head on the SAME vectors — the correct
+    comparison for 'is the cheap head really worse', since both
+    classifiers grade identical examples (two independent accuracy
+    intervals would double-count shared noise).  Emits both accuracies,
+    the discordant counts (full-right-head-wrong b vs
+    head-right-full-wrong c — only discordant pairs carry information),
+    and the continuity-corrected statistic (|b-c|-1)^2/(b+c).
+
+    Determinism: both logits are round(6)-quantized dot products (the
+    scorer-family recipe), predictions and the 2x2 discordant table are
+    exact integers, accuracies and the statistic are exact integer
+    rationals via the half-up recipe, and the no-disagreement
+    degenerate returns NULL through a lazy CASE (ANSI-safe).  Scale
+    shape: one scan, one 1-row reduce — nothing but the five counters
+    crosses the wire."""
+    w_full = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    w_head = "array(" + ", ".join(f"{w}D" for w in _INF_W[:16]) + ")"
+    dot_full = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_full)
+    dot_head = _DOT.format(
+        a="CAST(slice(embedding, 1, 16) AS ARRAY<DOUBLE>)", b=w_head
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.when(F.round(F.expr(dot_full), 6) > 0, 1).otherwise(0).alias("pa"),
+        F.when(F.round(F.expr(dot_head), 6) > 0, 1).otherwise(0).alias("pb"),
+    )
+    m = e.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("pa") == F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_correct"),
+        F.sum(F.when(F.col("pb") == F.col("y"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_correct"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    chi = hu_ratio(
+        "(abs(cast(b as decimal(38,0)) - c) - 1)"
+        " * (abs(cast(b as decimal(38,0)) - c) - 1)",
+        "cast(b as decimal(38,0)) + c",
+        6,
+    )
+    return m.select(
+        "n",
+        hu_ratio("a_correct", "n", 6).alias("acc_full"),
+        hu_ratio("b_correct", "n", 6).alias("acc_head16"),
+        F.col("b").alias("full_only_wins"),
+        F.col("c").alias("head_only_wins"),
+        F.when(F.col("b") + F.col("c") == 0, F.lit(None).cast("double"))
+        .otherwise(chi)
+        .alias("mcnemar_chi"),
+    )

@@ -2448,3 +2448,148 @@ def corpus_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simpson_diversity"
         ),
     )
+
+
+# preference-pair quality key: the quality_score composite cleared of
+# its two divisions (x n_words * n_chars_txt) and rendered half-up onto
+# the 1e-6 integer grid — same value to 1e-6, integer sort key.
+_PREF_Q_NUM = (
+    "2 * cast(n_stop as decimal(38,0)) * n_chars_txt"
+    " + CASE WHEN n_words >= 20 THEN 1 ELSE 0 END"
+    "   * cast(n_words as decimal(38,0)) * n_chars_txt"
+    " - 5 * cast(n_punct as decimal(38,0)) * n_words"
+)
+_PREF_Q_DEN = "cast(n_words as decimal(38,0)) * n_chars_txt"
+
+
+@query(
+    "preference_pairs_quality",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             len({DUCK_TOKENS}) AS n_words,
+             length(text) AS n_chars_txt,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+             len(list_filter({DUCK_TOKENS},
+                 t -> list_contains(['the','a','and','of','to','is','in'],
+                                    t))) AS n_stop
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN (2 * CAST(n_stop AS HUGEINT) * n_chars_txt
+                   + CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+                     * CAST(n_words AS HUGEINT) * n_chars_txt
+                   - 5 * CAST(n_punct AS HUGEINT) * n_words) >= 0
+             THEN (2 * (2 * CAST(n_stop AS HUGEINT) * n_chars_txt
+                   + CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+                     * CAST(n_words AS HUGEINT) * n_chars_txt
+                   - 5 * CAST(n_punct AS HUGEINT) * n_words) * 1000000
+                   + CAST(n_words AS HUGEINT) * n_chars_txt)
+                  // (2 * CAST(n_words AS HUGEINT) * n_chars_txt)
+             ELSE -((2 * -(2 * CAST(n_stop AS HUGEINT) * n_chars_txt
+                   + CASE WHEN n_words >= 20 THEN 1 ELSE 0 END
+                     * CAST(n_words AS HUGEINT) * n_chars_txt
+                   - 5 * CAST(n_punct AS HUGEINT) * n_words) * 1000000
+                   + CAST(n_words AS HUGEINT) * n_chars_txt)
+                  // (2 * CAST(n_words AS HUGEINT) * n_chars_txt))
+             END AS BIGINT) AS q6
+      FROM feat),
+    r AS (
+      SELECT lang, doc_id, q6,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY q6 DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM q),
+    pairs AS (
+      SELECT a.lang, a.doc_id AS chosen_doc, b.doc_id AS rejected_doc,
+             a.q6 - b.q6 AS margin6
+      FROM r a JOIN r b
+        ON b.lang = a.lang AND b.rk = a.n + 1 - a.rk
+      WHERE a.rk <= a.n // 2)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(margin6) AS DOUBLE) / 1000000 AS min_margin,
+           CAST(MAX(margin6) AS DOUBLE) / 1000000 AS max_margin,
+           {{mean}} AS mean_margin
+    FROM pairs GROUP BY lang
+    """.format(mean=hu_ratio_sql(
+        "CAST(SUM(margin6) AS HUGEINT)",
+        "CAST(COUNT(*) AS HUGEINT) * 1000000", 6)),
+)
+def preference_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO-style
+    training data: within each language stratum, rank documents by the
+    quality_score composite and pair BEST-with-WORST (rank i with rank
+    n+1-i) — the max-margin pairing that gives a preference dataset its
+    strongest signal — then report per-stratum pair counts and margin
+    statistics (a margin near zero means the stratum can't supply
+    informative pairs).
+
+    Determinism: the quality composite is cleared of its two divisions
+    and rendered half-up onto the 1e-6 integer grid (_PREF_Q_NUM/DEN —
+    signed: punctuation-heavy docs go negative), so the ranking is an
+    integer sort with doc_id tie-break; margins are integer
+    differences; the mean margin is one exact rational.  Scale shape:
+    the rank is a grouped GLOBAL rank (few/huge lang groups — the
+    functions/ranking.py partition_cols discipline, rfm precedent);
+    pairing is one self-join on the mirrored rank; everything after is
+    lang-cardinality."""
+    from eecs485_p4_mapreduce_spark.functions.numeric import (
+        hu_ratio,
+        hu_ratio_signed,
+    )
+    from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_words"),
+        F.length("text").alias("n_chars_txt"),
+        F.length(F.regexp_replace("text", "[^.,!?;:]", "")).alias("n_punct"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_en, t))).alias(
+            "n_stop"
+        ),
+    )
+    q = feat.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "cast(CASE WHEN ({num}) >= 0"
+            " THEN (2 * ({num}) * 1000000 + ({den})) div (2 * ({den}))"
+            " ELSE -((2 * -({num}) * 1000000 + ({den})) div (2 * ({den})))"
+            " END as bigint)".format(num=_PREF_Q_NUM, den=_PREF_Q_DEN)
+        ).alias("q6"),
+    )
+    r = with_global_rank(
+        q,
+        [F.col("q6").desc(), F.col("doc_id")],
+        partition_cols=["lang"],
+    ).select("lang", "doc_id", "q6", F.col("_rk").alias("rk"), F.col("_n").alias("n"))
+    a = r.filter(F.col("rk") <= F.expr("n div 2")).select(
+        "lang",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("q6").alias("qa"),
+        (F.col("n") + 1 - F.col("rk")).alias("mate"),
+    )
+    b = r.select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("q6").alias("qb"),
+        F.col("rk").alias("rk_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang_b") == F.col("lang")) & (F.col("rk_b") == F.col("mate")),
+    ).select("lang", (F.col("qa") - F.col("qb")).alias("margin6"))
+    return pairs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.min("margin6").cast("double") / 1000000).alias("min_margin"),
+        (F.max("margin6").cast("double") / 1000000).alias("max_margin"),
+        hu_ratio(
+            "cast(sum(margin6) as decimal(38,0))",
+            "cast(count(*) as decimal(38,0)) * 1000000",
+            6,
+        ).alias("mean_margin"),
+    )
