@@ -4372,3 +4372,167 @@ def rl_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adv.orderBy(
         F.abs(F.col("advantage")).desc(), "user_id", "event_id"
     ).limit(_ADV_TOPK)
+
+
+_PERM_R = 16  # md5-replayable permutation replicas
+
+
+def _ab_permutation_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    obs = _bucket256_sql("user_id").replace("AS STRING", "AS VARCHAR")
+    rep = _bucket256_sql("user_id || ':' || r").replace(
+        "AS STRING", "AS VARCHAR"
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS y,
+             CASE WHEN {obs} < 128 THEN 1 ELSE 0 END AS t0
+      FROM events GROUP BY 1, 3),
+    o AS (
+      SELECT CAST(SUM(CASE WHEN t0 = 1 THEN y ELSE 0 END) AS HUGEINT)
+               AS syt,
+             CAST(SUM(CASE WHEN t0 = 0 THEN y ELSE 0 END) AS HUGEINT)
+               AS syc,
+             CAST(SUM(t0) AS HUGEINT) AS nt,
+             CAST(COUNT(*) - SUM(t0) AS HUGEINT) AS nc
+      FROM u),
+    reps AS (
+      SELECT r.r,
+             CAST(SUM(CASE WHEN {rep} < 128 THEN u.y ELSE 0 END)
+                  AS HUGEINT) AS syt,
+             CAST(SUM(CASE WHEN {rep} < 128 THEN 0 ELSE u.y END)
+                  AS HUGEINT) AS syc,
+             CAST(SUM(CASE WHEN {rep} < 128 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS nt,
+             CAST(SUM(CASE WHEN {rep} < 128 THEN 0 ELSE 1 END)
+                  AS HUGEINT) AS nc
+      FROM u CROSS JOIN (SELECT unnest(range(1, {_PERM_R} + 1)) AS r) r
+      GROUP BY r.r),
+    hits AS (
+      SELECT CAST(SUM(CASE WHEN reps.nt = 0 OR reps.nc = 0 THEN 1
+                  WHEN abs(reps.syt * reps.nc - reps.syc * reps.nt)
+                         * (o.nt * o.nc)
+                       >= abs(o.syt * o.nc - o.syc * o.nt)
+                         * (reps.nt * reps.nc)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM reps CROSS JOIN o)
+    SELECT CAST(o.nt AS BIGINT) AS n_treat,
+           CAST(o.nc AS BIGINT) AS n_control,
+           {hu_ratio_signed_sql("o.syt * o.nc - o.syc * o.nt",
+                                "o.nt * o.nc", 6)} AS observed_diff,
+           hits.n_extreme,
+           {hu_ratio_sql("(1 + hits.n_extreme) * 1",
+                         f"CAST({_PERM_R + 1} AS HUGEINT)", 6)} AS p_value
+    FROM o CROSS JOIN hits
+    """
+
+
+@query("ab_permutation_test", oracle=_ab_permutation_oracle())
+def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replayable permutation test for the md5-bucket A/B assignment:
+    re-randomize every user {_PERM_R} times from md5(user:r), recompute
+    the treatment-control mean gap under each null assignment, and
+    report the add-one-smoothed p-value — the distribution-free
+    significance readout beside ab_power_mde and ab_cuped_readout (no
+    normality assumption, no variance formula; the test statistic's
+    null distribution is the data's own).
+
+    Determinism: the observed and replica mean gaps never materialize
+    as floats — the extremeness comparison |d_r| >= |d_obs| is the
+    CROSS-MULTIPLIED integer compare of the two rationals (both
+    denominators positive; an all-one-side degenerate replica counts
+    extreme via a lazy guard), and the p-value is the exact rational
+    (1 + extreme)/(R + 1).  The replica fan-out is a literal
+    {_PERM_R}-row explode over the user rollup — the generalization
+    sweep's one-scan discipline — so events are scanned ONCE at any
+    scale; headroom syt*nc ~ (sum y)*n stays within int128 to ~1e15
+    users.  The fixed replica count trades p-value resolution (floor
+    1/{_PERM_R + 1}) for a bounded, replayable plan — raise R for a
+    finer floor, cost is linear."""
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = F.expr(_bucket256_sql("user_id"))
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("y")
+    ).select(
+        "user_id", "y", F.when(obs < 128, 1).otherwise(0).alias("t0")
+    ).localCheckpoint()  # observed arms + 16 replicas read it
+    o = u.agg(
+        F.sum(F.when(F.col("t0") == 1, F.col("y")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("syt"),
+        F.sum(F.when(F.col("t0") == 0, F.col("y")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("syc"),
+        F.sum("t0").cast("decimal(38,0)").alias("nt"),
+        (F.count("*") - F.sum("t0")).cast("decimal(38,0)").alias("nc"),
+    )
+    rep_bkt = F.expr(
+        _bucket256_sql("user_id || ':' || r")
+    )
+    reps = (
+        u.select(
+            "user_id",
+            "y",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, _PERM_R + 1)])
+            ).alias("r"),
+        )
+        .select(
+            "r",
+            "y",
+            F.when(rep_bkt < 128, 1).otherwise(0).alias("tr"),
+        )
+        .groupBy("r")
+        .agg(
+            F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("syt"),
+            F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("syc"),
+            F.sum("tr").cast("decimal(38,0)").alias("nt"),
+            F.sum(F.when(F.col("tr") == 0, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("nc"),
+        )
+    )
+    ob = o.select(
+        F.col("syt").alias("osyt"),
+        F.col("syc").alias("osyc"),
+        F.col("nt").alias("ont"),
+        F.col("nc").alias("onc"),
+    )
+    hits = reps.crossJoin(F.broadcast(ob)).agg(
+        F.sum(
+            F.when(
+                (F.col("nt") == 0) | (F.col("nc") == 0), 1
+            ).when(
+                F.expr(
+                    "abs(syt * nc - syc * nt) * (ont * onc)"
+                    " >= abs(osyt * onc - osyc * ont) * (nt * nc)"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme")
+    )
+    return (
+        o.crossJoin(F.broadcast(hits))
+        .select(
+            F.col("nt").cast("bigint").alias("n_treat"),
+            F.col("nc").cast("bigint").alias("n_control"),
+            hu_ratio_signed(
+                "syt * nc - syc * nt", "nt * nc", 6
+            ).alias("observed_diff"),
+            "n_extreme",
+            hu_ratio(
+                "(1 + n_extreme) * 1",
+                f"cast({_PERM_R + 1} as decimal(38,0))",
+                6,
+            ).alias("p_value"),
+        )
+    )

@@ -839,3 +839,94 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_doc_tokens"
         ),
     )
+
+
+@query(
+    "pipeline_snapshot_diff",
+    oracle="""
+    WITH b AS (
+      SELECT lang, n_chars,
+             ((instr('0123456789abcdef',
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))
+               AS bkt
+      FROM documents),
+    c AS (
+      SELECT lang,
+             CASE WHEN bkt < 26 THEN 'removed'
+                  WHEN bkt >= 230 THEN 'added'
+                  ELSE 'common' END AS state,
+             n_chars
+      FROM b)
+    SELECT lang,
+           CAST(SUM(CASE WHEN state = 'added' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN state = 'removed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN state = 'common' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_common,
+           CAST(SUM(CASE WHEN state = 'added' THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_added,
+           CAST(SUM(CASE WHEN state = 'removed' THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_removed,
+           CAST(SUM(CASE WHEN state = 'added' THEN n_chars
+                         WHEN state = 'removed' THEN -n_chars
+                         ELSE 0 END) AS BIGINT) AS net_char_delta
+    FROM c GROUP BY lang
+    """,
+)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning audit a curation
+    pipeline publishes between releases: per language, how many
+    documents (and characters) were added, removed, and carried over
+    from snapshot v1 to snapshot v2.  Snapshots are simulated with the
+    deterministic md5 doc_id bucketing (v1 = buckets 0..229, v2 =
+    26..255 — an ~80% overlap), so the diff itself is the artifact
+    under test, not the snapshot storage.
+
+    The crucial scale property: because membership is a pure function
+    of the row, the three-way classification is ONE CASE over ONE scan
+    — never an anti-join of two corpus-sized snapshots (the naive diff
+    shape that shuffles both sides).  Real snapshot tables diff the
+    same way whenever membership or version is derivable row-side
+    (partition column, validity interval, tombstone flag); only
+    content-hash drift detection needs the join.  All counters exact
+    integers."""
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    bkt = F.expr(_bucket256_sql("doc_id"))
+    state = (
+        F.when(bkt < 26, "removed")
+        .when(bkt >= 230, "added")
+        .otherwise("common")
+    )
+    c = docs.select("lang", "n_chars", state.alias("state"))
+    z = F.lit(0)
+    return c.groupBy("lang").agg(
+        F.sum(F.when(F.col("state") == "added", 1).otherwise(z))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("state") == "removed", 1).otherwise(z))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(F.when(F.col("state") == "common", 1).otherwise(z))
+        .cast("bigint")
+        .alias("n_common"),
+        F.sum(F.when(F.col("state") == "added", F.col("n_chars")).otherwise(z))
+        .cast("bigint")
+        .alias("chars_added"),
+        F.sum(
+            F.when(F.col("state") == "removed", F.col("n_chars")).otherwise(z)
+        )
+        .cast("bigint")
+        .alias("chars_removed"),
+        F.sum(
+            F.when(F.col("state") == "added", F.col("n_chars"))
+            .when(F.col("state") == "removed", -F.col("n_chars"))
+            .otherwise(z)
+        )
+        .cast("bigint")
+        .alias("net_char_delta"),
+    )
