@@ -778,9 +778,11 @@ def search_qlm_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tk = docs.select("doc_id", tokens("text").alias("toks"))
     dl = tk.select("doc_id", F.size("toks").alias("dl"))
+    # `or 0`: an empty corpus sums to NULL — the scorer then emits no
+    # rows anyway (no matched docs), but the literal must stay a float
     total_tokens = dl.agg(
         F.sum("dl").cast("bigint").alias("t")
-    ).collect()[0]["t"]
+    ).collect()[0]["t"] or 0
     qf = tk.select("doc_id", F.explode("toks").alias("term")).filter(
         F.col("term").isin(*_QTERMS)
     )

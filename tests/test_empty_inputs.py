@@ -38,6 +38,11 @@ _REPRESENTATIVES = [
     "graph_triangle_count",     # edge joins (empty localCheckpoint)
     "stats_exact_median_distributed",  # driver-side bucket select on empty hist
     "search_bm25_rank",         # driver-side avgdl collect on empty corpus
+    "search_qlm_dirichlet",     # driver-side total-tokens collect (or-0 pad)
+    "preference_pairs_quality", # grouped global rank + mirror join on empty
+    "eval_model_card",          # bin rollup + histogram reduces on empty
+    "stats_kruskal_wallis",     # NULL-guarded H on an empty value histogram
+    "ab_permutation_test",      # replica explode over an empty user rollup
     "mix_temperature_sampling", # empty rates table
     "ml_logreg_gradient_step",  # n = 0 division guard surface
     "window_abc_classification",# partition-offset running sum on empty
