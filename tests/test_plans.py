@@ -360,6 +360,7 @@ def test_no_forced_broadcast_of_per_document_side(name, spark, sf_dir):
         "pii_redaction_density_deciles",
         "stats_spearman_correlation",
         "mix_resume_from_step",
+        "preference_pairs_quality",
     ],
 )
 def test_global_rank_queries_have_no_data_sized_global_window(name, spark, sf_dir):

@@ -1153,3 +1153,55 @@ def test_desc_cumulative_next_anchor_matches_suffix_frame(spark, rows):
     ).collect()
     for r in out:
         assert r["want"] == r["got"], r
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=10,
+    ).filter(lambda bs: all(sy <= n for n, sy in bs))
+)
+@settings(max_examples=60, deadline=None)
+def test_isotonic_minimax_identity_matches_pava(bins):
+    """eval_isotonic_bins replaces PAVA's sequential pooling with the
+    minimax identity iso_i = max_{j<=i} min_{k>=i} mean(y, j..k) — a
+    constant-size segment enumeration a distributed engine can run.
+    Pin the identity itself: over random weighted binary bins, the
+    exact-Fraction minimax equals the textbook weighted
+    pool-adjacent-violators fit, and both are monotone."""
+    from fractions import Fraction
+
+    n = len(bins)
+    # minimax over exact segment means
+    def seg_mean(j, k):
+        sw = sum(bins[i][0] for i in range(j, k + 1))
+        sy = sum(bins[i][1] for i in range(j, k + 1))
+        return Fraction(sy, sw)
+
+    minimax = [
+        max(min(seg_mean(j, k) for k in range(i, n)) for j in range(0, i + 1))
+        for i in range(n)
+    ]
+    # classic weighted PAVA
+    blocks = []  # (weight, ysum)
+    for w, sy in bins:
+        blocks.append((w, sy))
+        while len(blocks) >= 2 and Fraction(blocks[-2][1], blocks[-2][0]) >= Fraction(
+            blocks[-1][1], blocks[-1][0]
+        ):
+            w2, s2 = blocks.pop()
+            w1, s1 = blocks.pop()
+            blocks.append((w1 + w2, s1 + s2))
+    # expand blocks back to per-bin fits
+    pava = []
+    idx = 0
+    for w, sy in blocks:
+        # count how many original bins this block covers by weight
+        acc = 0
+        while acc < w:
+            acc += bins[idx][0]
+            pava.append(Fraction(sy, w))
+            idx += 1
+    assert pava == minimax
+    assert all(a <= b for a, b in zip(minimax, minimax[1:]))
