@@ -4536,3 +4536,148 @@ def ab_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+def _fd_oracle() -> str:
+    def fd(name, table, lhs, rhs):
+        return f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           {hu_ratio_sql("SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)",
+                         "COUNT(*)", 6)} AS violation_rate
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd
+          FROM {table} GROUP BY {lhs})"""
+
+    return " UNION ALL ".join(
+        [
+            fd("nation->mktsegment", "customer", "c_nationkey",
+               "c_mktsegment"),
+            fd("orderkey->returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+            fd("regionkey->nationname", "nation", "n_regionkey", "n_name"),
+            fd("custkey->orderstatus", "orders", "o_custkey",
+               "o_orderstatus"),
+        ]
+    ) + " ORDER BY fd"
+
+
+@query("dq_functional_dependency_audit", oracle=_fd_oracle())
+def dq_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the data-profiling pass that tests
+    whether candidate column determinacies actually hold (the input to
+    normalization, dedup-key design, and "can this column be derived"
+    decisions): for four declared LHS -> RHS candidates, the share of
+    LHS groups whose RHS is not single-valued.
+
+    Each candidate is one map-side-combinable (LHS, distinct-RHS)
+    aggregate on its own table — the violation test never materializes
+    the violating rows, only group counters — and the four audits
+    union into a constant 4-row readout with exact integer counts and
+    half-up-rendered rates.  At 100 TB this is the same profile shape
+    dq_profile_orders uses: group cardinality bounds the exchange, not
+    table size."""
+    parts = []
+    for name, table, lhs, rhs in [
+        ("nation->mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+        ("orderkey->returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+        ("regionkey->nationname", "nation", "n_regionkey", "n_name"),
+        ("custkey->orderstatus", "orders", "o_custkey", "o_orderstatus"),
+    ]:
+        t = load_table(spark, sf_dir, table)
+        g = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        parts.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count("*").cast("bigint").alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                hu_ratio(
+                    "sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)",
+                    "count(*)",
+                    6,
+                ).alias("violation_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fd")
+
+
+@query(
+    "dq_id_gap_audit",
+    oracle=f"""
+    SELECT 'orders' AS tbl,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_id,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_id,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1
+                - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_missing,
+           {hu_ratio_sql(
+               "COUNT(DISTINCT o_orderkey)",
+               "MAX(o_orderkey) - MIN(o_orderkey) + 1", 6)} AS density
+    FROM orders
+    UNION ALL
+    SELECT 'customer',
+           CAST(MIN(c_custkey) AS BIGINT),
+           CAST(MAX(c_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+           CAST(MAX(c_custkey) - MIN(c_custkey) + 1
+                - COUNT(DISTINCT c_custkey) AS BIGINT),
+           {hu_ratio_sql(
+               "COUNT(DISTINCT c_custkey)",
+               "MAX(c_custkey) - MIN(c_custkey) + 1", 6)}
+    FROM customer
+    UNION ALL
+    SELECT 'part',
+           CAST(MIN(p_partkey) AS BIGINT),
+           CAST(MAX(p_partkey) AS BIGINT),
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+           CAST(MAX(p_partkey) - MIN(p_partkey) + 1
+                - COUNT(DISTINCT p_partkey) AS BIGINT),
+           {hu_ratio_sql(
+               "COUNT(DISTINCT p_partkey)",
+               "MAX(p_partkey) - MIN(p_partkey) + 1", 6)}
+    FROM part
+    ORDER BY tbl
+    """,
+)
+def dq_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuity audit: for each id-keyed table, the gap
+    count (span minus distinct ids) and density — the ingest-health
+    readout that catches dropped batches and partial loads (a dense id
+    column that suddenly shows holes means an upstream writer lost
+    rows).  Three single-aggregate scans with exact integer span
+    arithmetic and half-up-rendered densities; nothing but six
+    counters per table crosses the wire at any scale."""
+    rows = []
+    for tbl, key in [
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+    ]:
+        t = load_table(spark, sf_dir, tbl)
+        rows.append(
+            t.agg(
+                F.lit(tbl).alias("tbl"),
+                F.min(key).cast("bigint").alias("min_id"),
+                F.max(key).cast("bigint").alias("max_id"),
+                F.countDistinct(key).cast("bigint").alias("n_distinct"),
+                (
+                    F.max(key) - F.min(key) + 1 - F.countDistinct(key)
+                )
+                .cast("bigint")
+                .alias("n_missing"),
+                hu_ratio(
+                    f"count(DISTINCT {key})",
+                    f"max({key}) - min({key}) + 1",
+                    6,
+                ).alias("density"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("tbl")
