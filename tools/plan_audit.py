@@ -90,6 +90,8 @@ CONSTANT_WINDOW_OK = {
     "survival_kaplan_meier": "duration-day grid life table (calendar-bounded)",
     "survival_nelson_aalen": "duration-day grid life table (calendar-bounded)",
     "eval_auc_roc": "basis-point score histogram (<=10001 rows, output-sized)",
+    "eval_model_card": "basis-point score histogram (<=10001 rows,"
+    " output-sized — the eval_auc_roc cumsum)",
     "eval_isotonic_bins": "<=10-bin frames (bin cumsum + constant-size"
     " segment minimax)",
     "search_qlm_dirichlet": "rank over the <=10-row TakeOrdered result",
