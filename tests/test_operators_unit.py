@@ -1358,3 +1358,112 @@ def test_neyman_largest_remainder_invariants_under_ties(spark, tmp_path):
         s_canon, s_cols = _canon(got, sdf.columns)
         d_canon, d_cols = _canon(rel.fetchall(), rel.columns)
         assert s_cols == d_cols and s_canon == d_canon, name
+
+
+def test_model_card_matches_standalone_evals(spark, sf_dir):
+    """eval_model_card claims hash-consistency with each standalone
+    readout 'by construction' — pin it: every card number must equal
+    the same figure from eval_auc_roc / eval_ece_mce /
+    eval_brier_decomposition / eval_brier_resolution_q4 on the same
+    corpus."""
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    card = REGISTRY["eval_model_card"].fn(spark, sf_dir).collect()[0]
+    auc = REGISTRY["eval_auc_roc"].fn(spark, sf_dir).collect()[0]
+    ece = REGISTRY["eval_ece_mce"].fn(spark, sf_dir).collect()[0]
+    brier = REGISTRY["eval_brier_decomposition"].fn(spark, sf_dir).collect()[0]
+    res = REGISTRY["eval_brier_resolution_q4"].fn(spark, sf_dir).collect()[0]
+
+    assert card["auc"] == auc["auc"]
+    assert card["n"] == ece["n"] == res["n"] == brier["n"]
+    assert card["ece"] == ece["ece"]
+    assert card["mce"] == ece["mce"]
+    assert card["brier"] == brier["brier"]
+    assert card["base_rate"] == brier["base_rate"] == res["base_rate"]
+    assert card["resolution_q4"] == res["resolution_q4"]
+
+
+def test_robust_trend_family_matches_python_recount(spark, tmp_path):
+    """stats_theil_sen_daily / stats_mann_kendall_trend on an INJECTED
+    event series with adversarial structure (heavy value ties, a
+    calendar gap that the zero-filled spine must close, and one wild
+    outlier): the Theil-Sen median slope and the Mann-Kendall S /
+    tie-corrected variance must equal an independent pure-Python
+    recount that follows the declared recipes (1e-6 half-up slope grid,
+    nearest-rank median, doubled tie terms)."""
+    import datetime as dt
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    # daily counts by construction: day i gets counts[i] events
+    # (day 3 intentionally empty -> spine zero-fill; day 6 an outlier)
+    counts = [2, 5, 5, 0, 5, 2, 40, 2]
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for j in range(c):
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(days=day, minutes=j),
+                    100 + (eid % 3),
+                    "click",
+                    1.5,
+                    "{}",
+                )
+            )
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": [r[3] for r in rows],
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": [r[5] for r in rows],
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    # python recount on the zero-filled series y = counts
+    y = counts
+    n = len(y)
+    s6 = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            dy, dx = y[j] - y[i], j - i
+            if dy >= 0:
+                v = (2 * dy * 10**6 + dx) // (2 * dx)
+            else:
+                v = -((2 * -dy * 10**6 + dx) // (2 * dx))
+            s6.append((v, i, j))
+    s6.sort()
+    median6 = s6[(len(s6) + 1) // 2 - 1][0]  # nearest-rank ceil(n/2)
+    s_stat = sum(
+        (1 if y[j] > y[i] else -1 if y[j] < y[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(y)
+    var18 = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+
+    ts_row = REGISTRY["stats_theil_sen_daily"].fn(spark, str(tmp_path)).collect()
+    assert len(ts_row) == 1
+    assert ts_row[0]["n_pairs"] == len(s6)
+    assert ts_row[0]["slope"] == float(median6) / 10**6
+
+    mk = REGISTRY["stats_mann_kendall_trend"].fn(spark, str(tmp_path)).collect()
+    assert len(mk) == 1
+    assert mk[0]["n_days"] == n
+    assert mk[0]["s_stat"] == s_stat
+    assert mk[0]["var_s"] == float(var18) / 18.0
+    assert mk[0]["direction"] == ("up" if s_stat > 0 else "down" if s_stat < 0 else "flat")
