@@ -1467,3 +1467,65 @@ def test_robust_trend_family_matches_python_recount(spark, tmp_path):
     assert mk[0]["s_stat"] == s_stat
     assert mk[0]["var_s"] == float(var18) / 18.0
     assert mk[0]["direction"] == ("up" if s_stat > 0 else "down" if s_stat < 0 else "flat")
+
+
+def test_ewma_matches_python_recount_and_isotonic_monotone(spark, tmp_path, sf_dir):
+    """Two declared-grid recipes verified independently:
+
+    - resample_ewma_daily on an injected gappy series must equal a
+      pure-Python recount using the SAME exact Fraction weight literals
+      (truncated at the declared span, half-up 1e-6 render);
+    - eval_isotonic_bins' production output must be monotone
+      non-decreasing in the bin index (the minimax identity's defining
+      property, pinned on the real corpus)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.operators.timeseries2 import _EWMA_W6
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    counts = [3, 0, 0, 7, 1, 0, 9]
+    base = dt.datetime(2024, 3, 1, 6, 0, 0)
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        for j in range(c):
+            rows.append((eid, base + dt.timedelta(days=day, minutes=j)))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([7] * len(rows), pa.int64()),
+            "event_type": ["view"] * len(rows),
+            "value": pa.array([0.25] * len(rows), pa.float64()),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    got = {
+        r["day_index"]: r["ewma"]
+        for r in REGISTRY["resample_ewma_daily"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(len(counts)))
+    for t in range(len(counts)):
+        num = sum(
+            counts[t - k] * _EWMA_W6[k]
+            for k in range(0, min(t, len(_EWMA_W6) - 1) + 1)
+        )
+        den = sum(
+            _EWMA_W6[k] for k in range(0, min(t, len(_EWMA_W6) - 1) + 1)
+        )
+        expect = float((2 * num * 10**6 + den) // (2 * den)) / 10**6
+        assert got[t] == expect, t
+
+    iso = (
+        REGISTRY["eval_isotonic_bins"].fn(spark, sf_dir)
+        .orderBy("bin")
+        .collect()
+    )
+    fits = [r["iso_rate"] for r in iso]
+    assert fits == sorted(fits)
