@@ -1529,3 +1529,75 @@ def test_ewma_matches_python_recount_and_isotonic_monotone(spark, tmp_path, sf_d
     )
     fits = [r["iso_rate"] for r in iso]
     assert fits == sorted(fits)
+
+
+def test_permutation_test_matches_python_recount(spark, tmp_path):
+    """ab_permutation_test on an injected corpus: replicate the md5
+    bucketing, all 16 re-randomizations, the cross-multiplied
+    extremeness rule and the add-one p-value in pure Python (hashlib)
+    and require exact agreement — the integer-compare spelling is the
+    whole guarantee, so it gets an engine-independent witness."""
+    import datetime as dt
+    import hashlib
+    from fractions import Fraction
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.operators.analytics import _PERM_R
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:2], 16)
+
+    # 40 users with deliberately skewed per-user counts
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    ycounts = {u: (u % 7) + 1 + (3 if u % 5 == 0 else 0) for u in range(1, 41)}
+    for u, c in ycounts.items():
+        for j in range(c):
+            rows.append((eid, base + dt.timedelta(minutes=eid), u))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": ["view"] * len(rows),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    def arms(tag_fn):
+        syt = syc = nt = nc = 0
+        for u, c in ycounts.items():
+            if tag_fn(u):
+                syt += c
+                nt += 1
+            else:
+                syc += c
+                nc += 1
+        return syt, syc, nt, nc
+
+    osyt, osyc, ont, onc = arms(lambda u: bucket(str(u)) < 128)
+    d_obs = Fraction(osyt, ont) - Fraction(osyc, onc)
+    extreme = 0
+    for r in range(1, _PERM_R + 1):
+        syt, syc, nt, nc = arms(lambda u: bucket(f"{u}:{r}") < 128)
+        if nt == 0 or nc == 0:
+            extreme += 1
+        elif abs(Fraction(syt, nt) - Fraction(syc, nc)) >= abs(d_obs):
+            extreme += 1
+
+    got = REGISTRY["ab_permutation_test"].fn(spark, str(tmp_path)).collect()[0]
+    assert got["n_treat"] == ont and got["n_control"] == onc
+    assert got["n_extreme"] == extreme
+    num = 2 * (1 + extreme) * 10**6 + (_PERM_R + 1)
+    assert got["p_value"] == float(num // (2 * (_PERM_R + 1))) / 10**6
+    dn = d_obs.numerator * 10**6 * 2
+    dd = d_obs.denominator
+    hu = (abs(dn) + dd) // (2 * dd) * (1 if d_obs >= 0 else -1)
+    assert got["observed_diff"] == float(hu) / 10**6
