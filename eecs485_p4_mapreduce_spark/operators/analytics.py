@@ -4042,21 +4042,26 @@ def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # stats_kruskal_wallis' per-group H term, shared verbatim by both
-# dialects (operates on columns already cast to double: r2d = doubled
-# rank sum, ngd = group size, nd = grand total).  Centered form — the
-# midrank identity sum(n_g * rbar_g) = N(N+1)/2 makes
+# dialects (operates on columns already cast to double: {r2d} = doubled
+# rank sum, {ngd} = group size, {nd} = grand total — DELIMITED
+# str.format placeholders so substitution order can never matter;
+# bare-identifier .replace tokens were an overlap hazard, 'nd' being a
+# substring of 'ngd').  Centered form — the midrank identity
+# sum(n_g * rbar_g) = N(N+1)/2 makes
 # H = 12/(N(N+1)) * sum n_g (rbar_g - (N+1)/2)^2 exactly — keeps every
 # intermediate ~N-sized instead of N^3.  floor onto the declared 1e-4
 # grid (correctly-rounded double chain, identical in both engines; the
 # round() spelling would be the decimal-half hazard class).
-_KW_DEV = "((r2d / (2.0 * ngd)) - ((nd + 1.0) / 2.0))"
+_KW_DEV = "(({r2d} / (2.0 * {ngd})) - (({nd} + 1.0) / 2.0))"
 _KW_TERM4 = (
-    f"floor((((12.0 * ngd) * {_KW_DEV}) * {_KW_DEV})"
-    " / (nd * (nd + 1.0)) * 10000.0)"
+    "floor((((12.0 * {ngd}) * " + _KW_DEV + ") * " + _KW_DEV + ")"
+    " / ({nd} * ({nd} + 1.0)) * 10000.0)"
 )
 # tie-correction factor C = 1 - sum(t^3 - t)/(N^3 - N) on the declared
-# 1e-6 floor grid (N^3 only ever exists as a double)
-_KW_C6 = "floor((1.0 - tied / ((nd * nd) * nd - nd)) * 1000000.0)"
+# 1e-6 floor grid (N^3 only ever exists as a double); callers guard
+# the n <= 1 corpus with a lazy CASE (N^3 - N = 0 -> 0/0 NaN, and
+# floor(NaN) casts differently per engine)
+_KW_C6 = "floor((1.0 - {tied} / (({nd} * {nd}) * {nd} - {nd})) * 1000000.0)"
 
 
 @query(
@@ -4086,18 +4091,19 @@ _KW_C6 = "floor((1.0 - tied / ((nd * nd) * nd - nd)) * 1000000.0)"
              CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS tie
       FROM vc),
     terms AS (
-      SELECT CAST({_KW_TERM4.replace('r2d', 'CAST(grp.r2 AS DOUBLE)')
-                             .replace('ngd', 'CAST(grp.n_g AS DOUBLE)')
-                             .replace('nd', 'CAST(tot.n AS DOUBLE)')}
+      SELECT CAST({_KW_TERM4.format(r2d='CAST(grp.r2 AS DOUBLE)',
+                                    ngd='CAST(grp.n_g AS DOUBLE)',
+                                    nd='CAST(tot.n AS DOUBLE)')}
                   AS HUGEINT) AS t4
       FROM grp CROSS JOIN tot),
     h AS (SELECT CAST(SUM(t4) AS HUGEINT) AS h4,
                  CAST(COUNT(*) AS BIGINT) AS n_groups
           FROM terms),
     c6t AS (
-      SELECT CAST({_KW_C6.replace('tied', 'CAST(tot.tie AS DOUBLE)')
-                          .replace('nd', 'CAST(tot.n AS DOUBLE)')}
-                  AS HUGEINT) AS c6, tot.n
+      SELECT CASE WHEN tot.n <= 1 THEN NULL ELSE
+               CAST({_KW_C6.format(tied='CAST(tot.tie AS DOUBLE)',
+                                   nd='CAST(tot.n AS DOUBLE)')}
+                    AS HUGEINT) END AS c6, tot.n
       FROM tot)
     SELECT h.n_groups, c6t.n,
            CAST(CAST(h.h4 AS BIGINT) AS DOUBLE) / 10000.0 AS h_stat,
@@ -4125,7 +4131,9 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group BEFORE the (order-independent) integer sum; the tie
     factor C lands on its own 1e-6 floor grid and the corrected H is
     one exact integer rational of the two grid values (all-ties C = 0
-    degenerates to NULL via lazy CASE).  Scale shape: one value
+    degenerates to NULL via lazy CASE, and a <=1-row corpus
+    short-circuits C itself to NULL before its 0/0 NaN can reach the
+    integer cast).  Scale shape: one value
     histogram + one (value, lang) aggregate over the scan; every window
     runs on distinct-lengths rows (output-sized, the Mann-Whitney
     precedent); groups are lang-cardinality."""
@@ -4159,10 +4167,10 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n"),
         F.sum(F.expr("cast(c as decimal(38,0)) * c * c - c")).alias("tie"),
     )
-    term4 = (
-        _KW_TERM4.replace("r2d", "CAST(r2 AS DOUBLE)")
-        .replace("ngd", "CAST(n_g AS DOUBLE)")
-        .replace("nd", "CAST(n AS DOUBLE)")
+    term4 = _KW_TERM4.format(
+        r2d="CAST(r2 AS DOUBLE)",
+        ngd="CAST(n_g AS DOUBLE)",
+        nd="CAST(n AS DOUBLE)",
     )
     terms = grp.crossJoin(F.broadcast(tot)).select(
         F.expr(f"cast({term4} as decimal(38,0))").alias("t4")
@@ -4171,12 +4179,13 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t4").alias("h4"),
         F.count("*").cast("bigint").alias("n_groups"),
     )
-    c6e = (
-        _KW_C6.replace("tied", "CAST(tie AS DOUBLE)")
-        .replace("nd", "CAST(n AS DOUBLE)")
-    )
+    c6e = _KW_C6.format(tied="CAST(tie AS DOUBLE)", nd="CAST(n AS DOUBLE)")
     c6t = tot.select(
-        F.expr(f"cast({c6e} as decimal(38,0))").alias("c6"), "n"
+        F.expr(
+            f"CASE WHEN n <= 1 THEN NULL"
+            f" ELSE cast({c6e} as decimal(38,0)) END"
+        ).alias("c6"),
+        "n",
     )
     return h.crossJoin(F.broadcast(c6t)).select(
         "n_groups",
@@ -4227,13 +4236,15 @@ def _ab_power_oracle() -> str:
       FROM u)
     SELECT m.n1 AS n_treat, m.n0 AS n_control,
            {mean} AS mean_y,
-           {vs} AS var_samp,
-           round({_PWR_Z} * sqrt(
+           CASE WHEN m.n1 = 0 OR m.n0 = 0 OR m.n < 2 THEN NULL
+                ELSE {vs} END AS var_samp,
+           CASE WHEN m.n1 = 0 OR m.n0 = 0 OR m.n < 2 THEN NULL
+                ELSE round({_PWR_Z} * sqrt(
              (CAST(CAST(m.n AS HUGEINT) * m.ss
                    - CAST(m.s AS HUGEINT) * m.s AS DOUBLE)
               / CAST(CAST(m.n AS HUGEINT) * (m.n - 1) AS DOUBLE))
              * (1.0 / CAST(m.n1 AS DOUBLE)
-                + 1.0 / CAST(m.n0 AS DOUBLE))), 4) AS mde_abs
+                + 1.0 / CAST(m.n0 AS DOUBLE))), 4) END AS mde_abs
     FROM m
     """
 
@@ -4251,9 +4262,12 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a correctly-rounded double chain (one rational division, sqrt,
     literal z-multiplier) rounded at 4 per the sqrt-output rule, with
     the z quantiles as shared Python literals (no query-time inverse
-    CDF).  Headroom: n*ss is the stats_moments class (~1e10 users at
-    y ~ 20 before int128 pressure; the twopass escape applies).  Scale
-    shape: one user-keyed count aggregate, one 1-row moment reduce."""
+    CDF).  Degenerate designs (an empty arm, or n < 2 users) have no
+    variance or MDE: both dialects short-circuit var_samp/mde_abs to
+    NULL via a lazy CASE before any division.  Headroom: n*ss is the
+    stats_moments class (~1e10 users at y ~ 20 before int128 pressure;
+    the twopass escape applies).  Scale shape: one user-keyed count
+    aggregate, one 1-row moment reduce."""
     from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
 
     ev = load_table(spark, sf_dir, "events")
@@ -4281,23 +4295,33 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         " as double)"
         " / cast(cast(n as decimal(38,0)) * (n - 1) as double)"
     )
+    degen = (F.col("n1") == 0) | (F.col("n0") == 0) | (F.col("n") < 2)
     return m.select(
         F.col("n1").alias("n_treat"),
         F.col("n0").alias("n_control"),
         hu_ratio("s", "n", 6).alias("mean_y"),
-        hu_ratio(
-            "cast(n as decimal(38,0)) * ss - cast(s as decimal(38,0)) * s",
-            "cast(n as decimal(38,0)) * (n - 1)",
-            6,
-        ).alias("var_samp"),
-        F.round(
-            F.lit(_PWR_Z)
-            * F.sqrt(
-                var_dbl
-                * (1.0 / F.col("n1") + 1.0 / F.col("n0"))
-            ),
-            4,
-        ).alias("mde_abs"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(
+            hu_ratio(
+                "cast(n as decimal(38,0)) * ss"
+                " - cast(s as decimal(38,0)) * s",
+                "cast(n as decimal(38,0)) * (n - 1)",
+                6,
+            )
+        )
+        .alias("var_samp"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(_PWR_Z)
+                * F.sqrt(
+                    var_dbl
+                    * (1.0 / F.col("n1") + 1.0 / F.col("n0"))
+                ),
+                4,
+            )
+        )
+        .alias("mde_abs"),
     )
 
 

@@ -2578,12 +2578,14 @@ def eval_isotonic_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * (2 * cum_before + c + 1)) AS HUGEINT) AS r2
           FROM r)
     SELECT n1 AS n_pos, n0 AS n_neg,
+           CASE WHEN m.n1 = 0 OR m.n0 = 0 THEN NULL ELSE
            {hu_ratio_sql("m.r2 - CAST(m.n1 AS HUGEINT) * (m.n1 + 1)",
-                         "2 * CAST(m.n1 AS HUGEINT) * m.n0", 6)} AS auc,
+                         "2 * CAST(m.n1 AS HUGEINT) * m.n0", 6)} END AS auc,
+           CASE WHEN m.n1 = 0 OR m.n0 = 0 THEN NULL ELSE
            {hu_ratio_signed_sql(
                "m.r2 - CAST(m.n1 AS HUGEINT) * (m.n1 + 1)"
                " - CAST(m.n1 AS HUGEINT) * m.n0",
-               "CAST(m.n1 AS HUGEINT) * m.n0", 6)} AS gini
+               "CAST(m.n1 AS HUGEINT) * m.n0", 6)} END AS gini
     FROM m
     """,
 )
@@ -2600,7 +2602,9 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive-class rank sum, U, AUC and Gini are exact integer
     rationals rendered by the half-up recipes — tie handling is exact
     where a naive pairwise count would either miscount ties or
-    enumerate n1*n0 pairs.  Scale shape: one scoring scan into a
+    enumerate n1*n0 pairs.  A single-class corpus (n1=0 or n0=0) has
+    no defined AUC: both dialects short-circuit to NULL via a lazy
+    CASE before the division (ANSI divide-by-zero rule).  Scale shape: one scoring scan into a
     <=10001-row score histogram; the cumulative window and the final
     reduce are output-sized."""
     w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
@@ -2635,20 +2639,29 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r2"),
     )
+    degen = (F.col("n1") == 0) | (F.col("n0") == 0)
     return m.select(
         F.col("n1").alias("n_pos"),
         F.col("n0").alias("n_neg"),
-        hu_ratio(
-            "r2 - cast(n1 as decimal(38,0)) * (n1 + 1)",
-            "2 * cast(n1 as decimal(38,0)) * n0",
-            6,
-        ).alias("auc"),
-        hu_ratio_signed(
-            "r2 - cast(n1 as decimal(38,0)) * (n1 + 1)"
-            " - cast(n1 as decimal(38,0)) * n0",
-            "cast(n1 as decimal(38,0)) * n0",
-            6,
-        ).alias("gini"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(
+            hu_ratio(
+                "r2 - cast(n1 as decimal(38,0)) * (n1 + 1)",
+                "2 * cast(n1 as decimal(38,0)) * n0",
+                6,
+            )
+        )
+        .alias("auc"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(
+            hu_ratio_signed(
+                "r2 - cast(n1 as decimal(38,0)) * (n1 + 1)"
+                " - cast(n1 as decimal(38,0)) * n0",
+                "cast(n1 as decimal(38,0)) * n0",
+                6,
+            )
+        )
+        .alias("gini"),
     )
 
 
@@ -2700,8 +2713,9 @@ def _model_card_oracle() -> str:
            FROM r)
     SELECT g.n,
            {hu_ratio_sql("g.sy_tot", "g.n", 6)} AS base_rate,
+           CASE WHEN mw.n1 = 0 OR mw.n0 = 0 THEN NULL ELSE
            {hu_ratio_sql("mw.r2 - CAST(mw.n1 AS HUGEINT) * (mw.n1 + 1)",
-                         "2 * CAST(mw.n1 AS HUGEINT) * mw.n0", 6)} AS auc,
+                         "2 * CAST(mw.n1 AS HUGEINT) * mw.n0", 6)} END AS auc,
            CAST(CAST((2 * g.ssq_tot + CAST(g.n AS HUGEINT) * 100)
                      // (2 * CAST(g.n AS HUGEINT) * 100) AS BIGINT)
                 AS DOUBLE) / 1000000 AS brier,
@@ -2795,11 +2809,18 @@ def eval_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n",
             hu_ratio("sy_tot", "n", 6).alias("base_rate"),
-            hu_ratio(
-                "r2 - cast(n1 as decimal(38,0)) * (n1 + 1)",
-                "2 * cast(n1 as decimal(38,0)) * n0",
-                6,
-            ).alias("auc"),
+            F.when(
+                (F.col("n1") == 0) | (F.col("n0") == 0),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(
+                hu_ratio(
+                    "r2 - cast(n1 as decimal(38,0)) * (n1 + 1)",
+                    "2 * cast(n1 as decimal(38,0)) * n0",
+                    6,
+                )
+            )
+            .alias("auc"),
             (
                 F.expr(
                     "cast((2 * ssq_tot + cast(n as decimal(38,0)) * 100)"

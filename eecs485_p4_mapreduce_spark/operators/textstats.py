@@ -2493,7 +2493,8 @@ _PREF_Q_DEN = "cast(n_words as decimal(38,0)) * n_chars_txt"
                    + CAST(n_words AS HUGEINT) * n_chars_txt)
                   // (2 * CAST(n_words AS HUGEINT) * n_chars_txt))
              END AS BIGINT) AS q6
-      FROM feat),
+      FROM feat
+      WHERE n_words >= 1),
     r AS (
       SELECT lang, doc_id, q6,
              ROW_NUMBER() OVER (PARTITION BY lang
@@ -2528,7 +2529,11 @@ def preference_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rendered half-up onto the 1e-6 integer grid (_PREF_Q_NUM/DEN —
     signed: punctuation-heavy docs go negative), so the ranking is an
     integer sort with doc_id tie-break; margins are integer
-    differences; the mean margin is one exact rational.  Scale shape:
+    differences; the mean margin is one exact rational.  Zero-word
+    (empty / punctuation-only) docs are EXCLUDED before ranking — their
+    quality denominator is 0 (ANSI divide-by-zero), and an unjudgeable
+    doc can't anchor a preference pair; filtering beats a NULL q6,
+    whose DESC NULL placement would need per-engine pinning.  Scale shape:
     the rank is a grouped GLOBAL rank (few/huge lang groups — the
     functions/ranking.py partition_cols discipline, rfm precedent);
     pairing is one self-join on the mirrored rank; everything after is
@@ -2552,7 +2557,7 @@ def preference_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_stop"
         ),
     )
-    q = feat.select(
+    q = feat.filter(F.col("n_words") >= 1).select(
         "doc_id",
         "lang",
         F.expr(

@@ -1601,3 +1601,159 @@ def test_permutation_test_matches_python_recount(spark, tmp_path):
     dd = d_obs.denominator
     hu = (abs(dn) + dd) // (2 * dd) * (1 if d_obs >= 0 else -1)
     assert got["observed_diff"] == float(hu) / 10**6
+
+
+def _duck_with_view(tmp_path, table):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM"
+        f" '{tmp_path}/{table}.parquet'"
+    )
+    return con
+
+
+def test_preference_pairs_skip_zero_word_docs(spark, tmp_path):
+    """Round-11 ADVICE: an empty or punctuation-only document tokenizes
+    to zero words, so the quality composite's denominator is 0 — the
+    old spelling threw DIVIDE_BY_ZERO on the ANSI session while DuckDB
+    '//' yielded NULL.  Zero-word docs are now EXCLUDED before ranking
+    in both dialects; the judgeable docs still pair best-with-worst."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    spec = REGISTRY["preference_pairs_quality"]
+    texts = [
+        "",  # empty: 0 words
+        "...!!!???",  # punctuation-only: 0 words
+        "the quick brown fox jumps over the lazy dog",
+        "a b c d e f g h i j k l m n o p q r s t u v",
+        "plain words without any stop tokens here now",
+        "of the and to is in a of the and to is in a",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web"] * len(texts),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    rows = spec.fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    # 4 judgeable docs -> 2 pairs; the 2 zero-word docs never rank
+    assert rows[0]["n_pairs"] == 2
+    con = _duck_with_view(tmp_path, "documents")
+    drows = con.sql(spec.oracle).fetchall()
+    assert len(drows) == 1
+    assert drows[0][1] == 2
+    assert rows[0]["mean_margin"] == drows[0][4]
+
+
+def test_auc_single_class_renders_null(spark, tmp_path):
+    """Round-11 ADVICE: a single-class corpus (all labels < 5) has
+    n_pos = 0, so the AUC/Gini denominators are 0 — both dialects must
+    short-circuit to NULL via the lazy CASE instead of Spark throwing
+    under ANSI while DuckDB NULLIFs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    vecs = [[0.01 * (i + j % 7) for j in range(64)] for i in range(5)]
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(1, 6), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 2, 3, 4], pa.int32()),
+        }
+    )
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+
+    spec = REGISTRY["eval_auc_roc"]
+    row = spec.fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_pos"] == 0 and row["n_neg"] == 5
+    assert row["auc"] is None and row["gini"] is None
+    con = _duck_with_view(tmp_path, "embeddings")
+    drow = con.sql(spec.oracle).fetchall()[0]
+    assert drow[0] == 0 and drow[1] == 5
+    assert drow[2] is None and drow[3] is None
+
+    card = REGISTRY["eval_model_card"]
+    crow = card.fn(spark, str(tmp_path)).collect()[0]
+    assert crow["n"] == 5 and crow["auc"] is None
+    assert crow["brier"] is not None and crow["ece"] is not None
+    dcrow = con.sql(card.oracle).fetchall()[0]
+    assert dcrow[0] == 5 and dcrow[2] is None
+
+
+def test_kruskal_wallis_single_doc_null_tie_factor(spark, tmp_path):
+    """Round-11 ADVICE: a 1-document corpus makes the tie factor's
+    denominator N^3 - N = 0 (0/0 NaN, whose integer cast errors
+    differently per engine) — c6 now short-circuits to NULL at n <= 1,
+    so h_tie_corrected is NULL while h_stat still renders."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    spec = REGISTRY["stats_kruskal_wallis"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": ["only one document"],
+            "lang": ["en"],
+            "source": ["web"],
+            "n_chars": pa.array([17], pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    row = spec.fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_groups"] == 1 and row["n"] == 1
+    assert row["h_stat"] == 0.0
+    assert row["h_tie_corrected"] is None
+    con = _duck_with_view(tmp_path, "documents")
+    drow = con.sql(spec.oracle).fetchall()[0]
+    assert drow[0] == 1 and drow[1] == 1
+    assert drow[2] == 0.0 and drow[3] is None
+
+
+def test_ab_power_mde_single_user_renders_null(spark, tmp_path):
+    """Round-11 ADVICE: a single-user corpus leaves one arm empty and
+    n < 2, so var_samp's n*(n-1) and mde's 1/n_arm denominators are 0 —
+    both dialects now short-circuit var_samp/mde_abs to NULL via the
+    lazy CASE while n_treat/n_control/mean_y still render."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    spec = REGISTRY["ab_power_mde"]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1, 0, m) for m in range(3)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([42, 42, 42], pa.int64()),
+            "event_type": ["view"] * 3,
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": ["{}"] * 3,
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    row = spec.fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_treat"] + row["n_control"] == 1
+    assert row["mean_y"] == 3.0
+    assert row["var_samp"] is None and row["mde_abs"] is None
+    con = _duck_with_view(tmp_path, "events")
+    drow = con.sql(spec.oracle).fetchall()[0]
+    assert drow[0] + drow[1] == 1
+    assert drow[2] == 3.0
+    assert drow[3] is None and drow[4] is None
