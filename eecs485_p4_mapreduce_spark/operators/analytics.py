@@ -4705,3 +4705,793 @@ def dq_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("tbl")
+
+
+# --------------------------------------------- paired / k-group rank tests
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH b AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+      FROM events),
+    u AS (
+      SELECT e.user_id,
+             CAST(2 * SUM(CASE WHEN epoch_us(e.ts) <= b.mid
+                          THEN 1 ELSE 0 END)
+                  - COUNT(*) AS BIGINT) AS d
+      FROM events e CROSS JOIN b GROUP BY e.user_id, b.mid),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM u),
+    nz AS (SELECT abs(d) AS a,
+                  CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+           FROM u WHERE d <> 0),
+    vc AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(SUM(pos) AS BIGINT) AS cpos
+           FROM nz GROUP BY 1),
+    r AS (SELECT a, c, cpos,
+                 CAST(SUM(c) OVER (ORDER BY a
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                   AS BIGINT) AS cum_before
+          FROM vc),
+    m AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_nz,
+                 CAST(COALESCE(SUM(CAST(cpos AS HUGEINT)
+                        * (2 * cum_before + c + 1)), 0) AS HUGEINT) AS w2p
+          FROM r)
+    SELECT t.n_users, m.n_nz AS n_nonzero,
+           CAST(m.w2p AS BIGINT) AS w2_plus,
+           CASE WHEN m.n_nz = 0 THEN NULL ELSE
+             {hu_ratio_sql("m.w2p", "CAST(m.n_nz AS HUGEINT) * (m.n_nz + 1)",
+                           6)} END AS rank_share,
+           CASE WHEN m.n_nz = 0 THEN NULL
+                ELSE 2 * m.w2p > CAST(m.n_nz AS HUGEINT) * (m.n_nz + 1)
+           END AS shift_early
+    FROM t CROSS JOIN m
+    """,
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user activity: each
+    user's event count in the first calendar half of the data vs the
+    second half (the before/after pairing of a launch readout).  The
+    within-subject complement to stats_mannwhitney_en_lengths (two
+    independent samples) and stats_kruskal_wallis (k groups): here the
+    pairing removes between-user variance entirely.
+
+    Determinism: the paired difference d = 2*early - total is an exact
+    integer per user (the calendar midpoint is an integer epoch_us
+    div); zero differences drop per the classic Wilcoxon rule; |d|
+    ranks come from the doubled-midrank value histogram (the
+    Mann-Whitney discipline), so the positive-rank sum W+ is exact —
+    reported doubled (w2_plus) to stay integer under midrank halves.
+    rank_share = W+/(n(n+1)/2) and the direction flag are the same
+    rational via the half-up render / a cross-multiplied compare; an
+    all-zero-difference corpus renders both NULL via lazy CASE.
+    Headroom: w2p <= n^2 (int64 readout safe to ~3e9 nonzero pairs;
+    rank_share itself renders through int128 far beyond).  Scale
+    shape: one scan + one 1-row midpoint reduce broadcast back, one
+    user-keyed aggregate, then windows only over the distinct-|d|
+    histogram (output-sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts")))
+            .cast("bigint")
+        ).alias("mm")
+    ).select(F.expr("mm div 2").alias("mid"))
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            (
+                2
+                * F.sum(
+                    F.when(
+                        F.unix_micros("ts") <= F.col("mid"), 1
+                    ).otherwise(0)
+                )
+                - F.count("*")
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    t = u.agg(F.count("*").cast("bigint").alias("n_users"))
+    nz = u.filter(F.col("d") != 0).select(
+        F.abs("d").alias("a"),
+        F.when(F.col("d") > 0, 1).otherwise(0).alias("pos"),
+    )
+    vc = nz.groupBy("a").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("pos").cast("bigint").alias("cpos"),
+    )
+    w = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, 0)
+    r = vc.select(
+        "a",
+        "c",
+        "cpos",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("cum_before"),
+    )
+    m = r.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_nz"),
+        F.coalesce(
+            F.sum(
+                F.expr(
+                    "cast(cpos as decimal(38,0)) * (2 * cum_before + c + 1)"
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("w2p"),
+    )
+    return t.crossJoin(F.broadcast(m)).select(
+        "n_users",
+        F.col("n_nz").alias("n_nonzero"),
+        F.col("w2p").cast("bigint").alias("w2_plus"),
+        F.when(F.col("n_nz") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            hu_ratio("w2p", "cast(n_nz as decimal(38,0)) * (n_nz + 1)", 6)
+        )
+        .alias("rank_share"),
+        F.when(F.col("n_nz") == 0, F.lit(None).cast("boolean"))
+        .otherwise(
+            F.expr("2 * w2p > cast(n_nz as decimal(38,0)) * (n_nz + 1)")
+        )
+        .alias("shift_early"),
+    )
+
+
+def _friedman_oracle() -> str:
+    chi2 = hu_ratio_sql(
+        "3 * (mm.sq - CAST(nn.n AS HUGEINT) * nn.n * mm.k"
+        " * (mm.k + 1) * (mm.k + 1))",
+        "CAST(nn.n AS HUGEINT) * mm.k * (mm.k + 1)", 6)
+    kw = hu_ratio_sql(
+        "3 * (mm.sq - CAST(nn.n AS HUGEINT) * nn.n * mm.k"
+        " * (mm.k + 1) * (mm.k + 1))",
+        "CAST(nn.n AS HUGEINT) * nn.n * mm.k * (mm.k + 1) * (mm.k - 1)", 6)
+    return f"""
+    WITH tc AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    ty AS (SELECT DISTINCT event_type FROM events),
+    us AS (SELECT DISTINCT user_id FROM events),
+    grid AS (
+      SELECT us.user_id, ty.event_type, COALESCE(tc.cnt, 0) AS cnt
+      FROM us CROSS JOIN ty
+      LEFT JOIN tc USING (user_id, event_type)),
+    vc AS (SELECT user_id, cnt, CAST(COUNT(*) AS BIGINT) AS c
+           FROM grid GROUP BY 1, 2),
+    rr AS (SELECT user_id, cnt, c,
+                 CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY cnt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                   AS BIGINT) AS cum_before
+           FROM vc),
+    gr AS (
+      SELECT g.event_type,
+             CAST(SUM(2 * rr.cum_before + rr.c + 1) AS HUGEINT) AS r2
+      FROM grid g JOIN rr ON rr.user_id = g.user_id AND rr.cnt = g.cnt
+      GROUP BY 1),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  CAST(SUM(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS sq
+           FROM gr),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM us)
+    SELECT nn.n AS n_users, mm.k AS k_types,
+           CASE WHEN nn.n = 0 OR mm.k < 2 THEN NULL ELSE {chi2} END
+             AS chi2_friedman,
+           CASE WHEN nn.n = 0 OR mm.k < 2 THEN NULL ELSE {kw} END
+             AS kendall_w
+    FROM nn CROSS JOIN mm
+    """
+
+
+@query("stats_friedman_test", oracle=_friedman_oracle())
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do event TYPES differ in per-user frequency,
+    treating each user as a block — the within-block k-treatment rank
+    test completing the nonparametric bank (Mann-Whitney: 2 independent
+    groups; Kruskal-Wallis: k independent groups; Wilcoxon: 2 paired;
+    Friedman: k paired).  Blocks are users, treatments are the event
+    types, the response is the user's count of that type (zero-filled
+    over the users x types grid so every block ranks all k types).
+
+    Determinism: within-block midranks come from the per-user value
+    histogram (doubled midrank 2*cum_before + c + 1 — exact integers
+    even under ties, and the per-block window partitions BY USER so it
+    scales); with doubled rank sums R2_j = 2*R_j the identity
+    sum_j R2_j = n*k*(k+1) collapses the statistic to
+    chi2_F = 3*(sum_j R2_j^2 - n^2 k (k+1)^2) / (n k (k+1)) — ONE
+    exact nonnegative rational (Cauchy-Schwarz bounds the numerator at
+    zero), with Kendall's W = chi2_F/(n(k-1)) sharing the numerator.
+    No tie-correction factor is applied (midranks already absorb ties
+    into the rank sums; the classic correction only rescales — declared
+    out of scope).  n = 0 or k < 2 renders NULL via lazy CASE.
+    Headroom: R2_j <= 2nk so sum R2_j^2 <= 4 n^2 k^3 — int128-safe past
+    1e12 users at k <= 100.  Scale shape: one (user, type) count, a
+    users x k zero-fill grid (k is type-cardinality), user-partitioned
+    histogram windows, one k-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    ty = ev.select("event_type").distinct()
+    us = ev.select("user_id").distinct()
+    grid = (
+        us.crossJoin(F.broadcast(ty))
+        .join(tc, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    vc = grid.groupBy("user_id", "cnt").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rr = vc.select(
+        "user_id",
+        "cnt",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("cum_before"),
+    )
+    gr = (
+        grid.join(rr, ["user_id", "cnt"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("cast(2 * cum_before + c + 1 as decimal(38,0))"))
+            .alias("r2")
+        )
+    )
+    mm = gr.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.expr("r2 * r2")).cast("decimal(38,0)").alias("sq"),
+    )
+    nn = us.agg(F.count("*").cast("bigint").alias("n"))
+    degen = (F.col("n") == 0) | (F.col("k") < 2)
+    num = (
+        "3 * (sq - cast(n as decimal(38,0)) * n * k"
+        " * (k + 1) * (k + 1))"
+    )
+    return nn.crossJoin(F.broadcast(mm)).select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("k_types"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(
+            hu_ratio(num, "cast(n as decimal(38,0)) * k * (k + 1)", 6)
+        )
+        .alias("chi2_friedman"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(
+            hu_ratio(
+                num,
+                "cast(n as decimal(38,0)) * n * k * (k + 1) * (k - 1)",
+                6,
+            )
+        )
+        .alias("kendall_w"),
+    )
+
+
+def _brown_forsythe_oracle() -> str:
+    mad = hu_ratio_sql("f.s", "2 * f.n", 6)
+    fstat = hu_ratio_signed_sql(
+        "(f.n - f.k) * (f.sq6 - f.t6)",
+        "(f.k - 1) * (f.sst * 1000000 - f.sq6)", 6)
+    return f"""
+    WITH vc AS (
+      SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2),
+    ng AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_g FROM vc GROUP BY 1),
+    cc AS (SELECT lang, v, c,
+                 CAST(SUM(c) OVER (PARTITION BY lang ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+           FROM vc),
+    med AS (
+      SELECT cc.lang,
+             MIN(CASE WHEN cc.cum >= (ng.n_g + 1) // 2 THEN cc.v END)
+             + MIN(CASE WHEN cc.cum >= (ng.n_g + 2) // 2 THEN cc.v END)
+               AS med2
+      FROM cc JOIN ng USING (lang) GROUP BY 1),
+    z AS (SELECT vc.lang, vc.c, abs(2 * vc.v - med.med2) AS z2
+          FROM vc JOIN med USING (lang)),
+    gs AS (
+      SELECT lang,
+             CAST(SUM(CAST(c AS HUGEINT) * z2) AS HUGEINT) AS s_g,
+             CAST(SUM(CAST(c AS HUGEINT) * z2 * z2) AS HUGEINT) AS ss_g,
+             CAST(SUM(c) AS BIGINT) AS n_g
+      FROM z GROUP BY 1),
+    q AS (SELECT lang, n_g, s_g, ss_g,
+                 (2 * s_g * s_g * 1000000 + n_g)
+                   // (2 * CAST(n_g AS HUGEINT)) AS q6
+          FROM gs),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS HUGEINT) AS n,
+             CAST(COUNT(*) AS HUGEINT) AS k,
+             CAST(SUM(s_g) AS HUGEINT) AS s,
+             CAST(SUM(ss_g) AS HUGEINT) AS sst,
+             CAST(SUM(q6) AS HUGEINT) AS sq6
+      FROM q),
+    f AS (SELECT n, k, s, sst, sq6,
+                 (2 * s * s * 1000000 + n) // (2 * n) AS t6
+          FROM tot)
+    SELECT CAST(f.n AS BIGINT) AS n_docs, CAST(f.k AS BIGINT) AS k_groups,
+           {mad} AS mean_abs_dev,
+           CASE WHEN f.k < 2 OR f.n <= f.k
+                     OR f.sst * 1000000 - f.sq6 <= 0 THEN NULL
+                ELSE {fstat} END AS f_bf
+    FROM f
+    """
+
+
+@query("stats_brown_forsythe", oracle=_brown_forsythe_oracle())
+def stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across language strata:
+    the one-way ANOVA F statistic on |x - median_group| deviations of
+    document lengths — the robust Levene variant, and the
+    heteroscedasticity gate one runs BEFORE trusting a k-group location
+    test (Kruskal-Wallis assumes similar dispersion under the null).
+
+    Determinism: the per-group median of integer lengths is carried
+    DOUBLED (med2 = lower + upper order statistic, always an exact
+    integer off the per-lang value histogram's cumulative counts), so
+    every deviation z2 = |2x - med2| is an exact integer and the
+    doubling cancels in the F ratio.  The per-group mean-square term
+    S_g^2/n_g lands on a DECLARED 1e-6 half-up grid (q6, an integer
+    rational render — the declared-quantization escape, engine-identical
+    by construction); SSB and SSW are then integer differences of grid
+    values and F is one signed rational (signed because quantization
+    can push a true-zero SSB a hair negative).  Degenerate designs —
+    k < 2, n <= k, or SSW <= 0 on the grid (all deviations equal
+    within every group) — render NULL via lazy CASE.  Headroom:
+    S_g^2 * 1e6 wraps int128 at ~1e10 rows/group at TPC-H text
+    magnitudes (z2 ~ 2e4); past that, drop to the 1e-4 grid or shard
+    the mean-square two-pass (the stats_covar_twopass escape).  Scale
+    shape: everything beyond one scan runs on the per-lang
+    distinct-length histogram (output-sized; windows partition by
+    lang), then a k-row reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = docs.groupBy("lang", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ng = vc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_g"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cc = vc.select(
+        "lang", "v", "c", F.sum("c").over(w).cast("bigint").alias("cum")
+    )
+    med = (
+        cc.join(ng, "lang")
+        .groupBy("lang")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n_g + 1) div 2"), F.col("v")
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n_g + 2) div 2"), F.col("v")
+                    )
+                )
+            ).alias("med2")
+        )
+    )
+    z = vc.join(med, "lang").select(
+        "lang", "c", F.abs(2 * F.col("v") - F.col("med2")).alias("z2")
+    )
+    gs = z.groupBy("lang").agg(
+        F.sum(F.expr("cast(c as decimal(38,0)) * z2")).alias("s_g"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * z2 * z2")).alias("ss_g"),
+        F.sum("c").cast("bigint").alias("n_g"),
+    )
+    q = gs.select(
+        "n_g",
+        "s_g",
+        "ss_g",
+        F.expr(
+            "(2 * s_g * s_g * 1000000 + n_g)"
+            " div (2 * cast(n_g as decimal(38,0)))"
+        ).alias("q6"),
+    )
+    tot = q.agg(
+        F.sum("n_g").cast("decimal(38,0)").alias("n"),
+        F.count("*").cast("decimal(38,0)").alias("k"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("ss_g").cast("decimal(38,0)").alias("sst"),
+        F.sum("q6").cast("decimal(38,0)").alias("sq6"),
+    )
+    f = tot.select(
+        "n",
+        "k",
+        "s",
+        "sst",
+        "sq6",
+        F.expr("(2 * s * s * 1000000 + n) div (2 * n)").alias("t6"),
+    )
+    return f.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        hu_ratio("s", "2 * n", 6).alias("mean_abs_dev"),
+        F.when(
+            (F.col("k") < 2)
+            | (F.col("n") <= F.col("k"))
+            | (F.expr("sst * 1000000 - sq6") <= 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            hu_ratio_signed(
+                "(n - k) * (sq6 - t6)",
+                "(k - 1) * (sst * 1000000 - sq6)",
+                6,
+            )
+        )
+        .alias("f_bf"),
+    )
+
+
+_FDR_R = 16  # md5-replayable random-split replicas per hypothesis
+_FDR_ALPHA_BP = 10  # alpha = 0.10, carried as the integer 10/100
+
+
+def _bh_fdr_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    bkt = _bucket256_sql(
+        "d.doc_id || ':' || ls.lang || ':' || r.r"
+    ).replace("AS STRING", "AS VARCHAR")
+    pv = hu_ratio_sql("pv.knum", f"CAST({_FDR_R + 1} AS HUGEINT)", 6)
+    return f"""
+    WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+    ls AS (SELECT DISTINCT lang FROM d),
+    obs AS (SELECT lang, CAST(SUM(n_chars) AS HUGEINT) AS s1,
+                   CAST(COUNT(*) AS HUGEINT) AS n1
+            FROM d GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_chars) AS HUGEINT) AS s,
+                   CAST(COUNT(*) AS HUGEINT) AS n
+            FROM d),
+    o AS (SELECT obs.lang, obs.s1, obs.n1,
+                 tot.s - obs.s1 AS s0, tot.n - obs.n1 AS n0
+          FROM obs CROSS JOIN tot),
+    reps AS (
+      SELECT ls.lang, r.r,
+             CAST(SUM(CASE WHEN {bkt} < 128 THEN d.n_chars ELSE 0 END)
+                  AS HUGEINT) AS s1,
+             CAST(SUM(CASE WHEN {bkt} < 128 THEN 1 ELSE 0 END)
+                  AS HUGEINT) AS n1,
+             CAST(SUM(CASE WHEN {bkt} < 128 THEN 0 ELSE d.n_chars END)
+                  AS HUGEINT) AS s0,
+             CAST(SUM(CASE WHEN {bkt} < 128 THEN 0 ELSE 1 END)
+                  AS HUGEINT) AS n0
+      FROM d CROSS JOIN ls
+      CROSS JOIN (SELECT unnest(range(1, {_FDR_R + 1})) AS r) r
+      GROUP BY 1, 2),
+    hits AS (
+      SELECT reps.lang,
+             CAST(SUM(CASE WHEN reps.n1 = 0 OR reps.n0 = 0 THEN 1
+                  WHEN abs(reps.s1 * reps.n0 - reps.s0 * reps.n1)
+                         * (o.n1 * o.n0)
+                       >= abs(o.s1 * o.n0 - o.s0 * o.n1)
+                         * (reps.n1 * reps.n0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM reps JOIN o USING (lang) GROUP BY 1),
+    pv AS (
+      SELECT hits.lang, o.n1, 1 + hits.n_extreme AS knum,
+             ROW_NUMBER() OVER (ORDER BY hits.n_extreme, hits.lang) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM hits JOIN o USING (lang)),
+    istar AS (
+      SELECT COALESCE(MAX(CASE WHEN {_FDR_ALPHA_BP} * m * knum
+                                    <= {(_FDR_R + 1) * 100} * i
+                          THEN i END), 0) AS ix
+      FROM pv)
+    SELECT pv.lang, CAST(pv.n1 AS BIGINT) AS n_docs,
+           CAST(pv.knum AS BIGINT) AS p_num,
+           {pv} AS p_value,
+           CAST(pv.i AS BIGINT) AS p_rank,
+           pv.i <= istar.ix AS rejected
+    FROM pv CROSS JOIN istar
+    """
+
+
+@query("stats_bh_fdr_permutation", oracle=_bh_fdr_oracle())
+def stats_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a FAMILY of per-language
+    hypotheses — "does this language's mean document length differ
+    from the rest of the corpus?" — the multiple-testing step every
+    per-stratum audit needs before acting on its smallest p-value.
+    Each hypothesis gets an md5-replayable randomization test (the
+    ab_permutation_test discipline: 16 random 50/50 splits per
+    hypothesis, lang-salted so the replicas are independent across
+    hypotheses), then BH step-up at alpha = 0.10 rejects the
+    largest-i prefix of the p-sorted list with p_(i) <= i*alpha/m.
+
+    Determinism: every p-value is the exact rational
+    (1 + extreme)/17 with a SHARED integer denominator, so the
+    BH ordering is an integer sort on (n_extreme, lang) and the step-up
+    condition clears to the cross-multiplied integer compare
+    10*m*k_i <= 1700*i — no float p, no float alpha anywhere; replica
+    extremeness is the cross-multiplied |mean-gap| compare with empty
+    arms counted extreme (the permutation precedent).  Headroom: the
+    extremeness cross-product carries ~N^4 * charscale — int128 to
+    ~3e8 docs; past that quantize the gaps onto a declared grid before
+    comparing.  Scale shape: ONE documents scan fanned to
+    m*16 (lang, replica) partial aggregates (map-side combinable;
+    the scan is repartitioned first so the md5 fan-out never rides a
+    single parquet split); the BH rank runs on the m-row p-value frame
+    (lang-cardinality, adjudicated constant-size)."""
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", "n_chars").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ls = d.select("lang").distinct().select(F.col("lang").alias("lang_h"))
+    obs = d.groupBy("lang").agg(
+        F.sum("n_chars").cast("decimal(38,0)").alias("s1"),
+        F.count("*").cast("decimal(38,0)").alias("n1"),
+    )
+    tot = d.agg(
+        F.sum("n_chars").cast("decimal(38,0)").alias("s"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+    )
+    o = obs.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "s1",
+        "n1",
+        (F.col("s") - F.col("s1")).alias("s0"),
+        (F.col("n") - F.col("n1")).alias("n0"),
+    )
+    bkt = F.expr(_bucket256_sql("doc_id || ':' || lang_h || ':' || r"))
+    reps = (
+        d.crossJoin(F.broadcast(ls))
+        .select(
+            "doc_id",
+            "lang_h",
+            "n_chars",
+            F.explode(F.sequence(F.lit(1), F.lit(_FDR_R))).alias("r"),
+        )
+        .select(
+            "lang_h",
+            "r",
+            "n_chars",
+            F.when(bkt < 128, 1).otherwise(0).alias("t"),
+        )
+        .groupBy("lang_h", "r")
+        .agg(
+            F.sum(F.when(F.col("t") == 1, F.col("n_chars")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("rs1"),
+            F.sum("t").cast("decimal(38,0)").alias("rn1"),
+            F.sum(F.when(F.col("t") == 0, F.col("n_chars")).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("rs0"),
+            F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+            .cast("decimal(38,0)")
+            .alias("rn0"),
+        )
+    )
+    hits = (
+        reps.join(o, reps.lang_h == o.lang)
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when((F.col("rn1") == 0) | (F.col("rn0") == 0), 1)
+                .when(
+                    F.abs(
+                        F.col("rs1") * F.col("rn0")
+                        - F.col("rs0") * F.col("rn1")
+                    )
+                    * (F.col("n1") * F.col("n0"))
+                    >= F.abs(
+                        F.col("s1") * F.col("n0")
+                        - F.col("s0") * F.col("n1")
+                    )
+                    * (F.col("rn1") * F.col("rn0")),
+                    1,
+                )
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_extreme")
+        )
+    )
+    wbh = Window.orderBy("n_extreme", "lang")
+    pvf = (
+        hits.join(o.select("lang", "n1"), "lang")
+        .withColumn("knum", 1 + F.col("n_extreme"))
+        .withColumn("i", F.row_number().over(wbh))
+        .withColumn(
+            "m", F.count("*").over(Window.partitionBy()).cast("bigint")
+        )
+    )
+    istar = pvf.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    _FDR_ALPHA_BP * F.col("m") * F.col("knum")
+                    <= (_FDR_R + 1) * 100 * F.col("i"),
+                    F.col("i"),
+                )
+            ),
+            F.lit(0),
+        ).alias("ix")
+    )
+    return pvf.crossJoin(F.broadcast(istar)).select(
+        "lang",
+        F.col("n1").cast("bigint").alias("n_docs"),
+        F.col("knum").cast("bigint").alias("p_num"),
+        hu_ratio("knum", f"cast({_FDR_R + 1} as decimal(38,0))", 6).alias(
+            "p_value"
+        ),
+        F.col("i").cast("bigint").alias("p_rank"),
+        (F.col("i") <= F.col("ix")).alias("rejected"),
+    )
+
+
+# signed half-up integer render of a 1e-6-scaled sum / count (shared by
+# both dialects after {s}/{n}/{div} substitution) — the prediction-grid
+# quantizer for eval_regression_rmse_r2
+_REG_P6 = (
+    "CASE WHEN {n} = 0 OR {n} IS NULL THEN NULL"
+    " WHEN {s} >= 0 THEN (2 * {s} + {n}) {div} (2 * {n})"
+    " ELSE -((2 * -({s}) + {n}) {div} (2 * {n})) END"
+)
+
+
+def _regression_oracle() -> str:
+    p6 = _REG_P6.format(s="tr.s6", n="tr.n", div="//")
+    p6g = _REG_P6.format(s="gt.s6", n="gt.n", div="//")
+    m6 = _REG_P6.format(s="tm.s6", n="tm.n", div="//")
+    mae = hu_ratio_sql("a.sae", "a.n_test * 1000000", 6)
+    r2 = hu_ratio_signed_sql("a.ss_tot - a.ss_res", "a.ss_tot", 6)
+    return f"""
+    WITH v AS (
+      SELECT event_id, hour(ts) AS h,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v6
+      FROM events),
+    tr AS (SELECT h, CAST(SUM(v6) AS HUGEINT) AS s6,
+                  CAST(COUNT(*) AS HUGEINT) AS n
+           FROM v WHERE event_id % 2 = 0 GROUP BY 1),
+    gt AS (SELECT CAST(SUM(s6) AS HUGEINT) AS s6,
+                  CAST(SUM(n) AS HUGEINT) AS n
+           FROM tr),
+    prh AS (SELECT h, {p6} AS p6 FROM tr),
+    gp AS (SELECT {p6g} AS p6g, gt.n AS n_train FROM gt),
+    te AS (SELECT h, v6 FROM v WHERE event_id % 2 = 1),
+    tm AS (SELECT CAST(SUM(v6) AS HUGEINT) AS s6,
+                  CAST(COUNT(*) AS HUGEINT) AS n
+           FROM te),
+    tmq AS (SELECT {m6} AS m6 FROM tm),
+    e AS (SELECT te.v6 - COALESCE(prh.p6, gp.p6g) AS err,
+                 te.v6 - tmq.m6 AS dev
+          FROM te LEFT JOIN prh USING (h)
+          CROSS JOIN gp CROSS JOIN tmq),
+    a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_test,
+                 CAST(SUM(CAST(err AS HUGEINT) * err) AS HUGEINT) AS ss_res,
+                 CAST(SUM(CAST(dev AS HUGEINT) * dev) AS HUGEINT) AS ss_tot,
+                 CAST(SUM(abs(CAST(err AS HUGEINT))) AS HUGEINT) AS sae
+          FROM e)
+    SELECT CAST(COALESCE(gp.n_train, 0) AS BIGINT) AS n_train,
+           CAST(a.n_test AS BIGINT) AS n_test,
+           CASE WHEN a.n_test = 0 THEN NULL ELSE {mae} END AS mae,
+           CASE WHEN a.n_test = 0 THEN NULL
+                ELSE round(sqrt(CAST(a.ss_res AS DOUBLE)
+                                / CAST(a.n_test AS DOUBLE))
+                           / 1000000.0, 6) END AS rmse,
+           CASE WHEN a.n_test = 0 OR a.ss_tot = 0 THEN NULL
+                ELSE {r2} END AS r2
+    FROM a CROSS JOIN gp
+    """
+
+
+@query("eval_regression_rmse_r2", oracle=_regression_oracle())
+def eval_regression_rmse_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-eval readout (MAE / RMSE / R^2) for the hour-of-day
+    mean-value predictor on a deterministic even/odd event_id
+    train/test split — the eval_model_card twin for a REGRESSION
+    target: the baseline any value-prediction pipeline must beat, and
+    the standard metrics it is judged by.
+
+    Determinism: event values quantize losslessly to 1e-6 integers
+    (the rl_group_advantage cast); each hour's prediction and the test
+    mean are rendered onto the SAME 1e-6 grid via the signed integer
+    half-up recipe (declared quantization — a float mean would diverge
+    cross-engine), so every residual is an exact integer and SS_res /
+    SS_tot / sum|err| are exact int128 sums.  MAE and R^2 = 1 -
+    SS_res/SS_tot are exact rationals via the half-up renders; RMSE is
+    the one transcendental (sqrt output, round-6 safe).  A test hour
+    unseen in training falls back to the global train mean (declared);
+    empty test or zero-variance test renders NULL via lazy CASE, and an
+    empty train makes every prediction NULL which propagates to NULL
+    metrics without reaching a division.  Headroom: err^2 ~ 1e16 at
+    value ~ 1e2, int128-safe past 1e18 test rows.  Scale shape: one
+    scan split into a 24-row train rollup (broadcast back) and a
+    test-side aggregate — no window, no data-sized join."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        F.hour("ts").alias("h"),
+        F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)")
+        .alias("v6"),
+    )
+    tr = (
+        v.filter(F.expr("event_id % 2 = 0"))
+        .groupBy("h")
+        .agg(
+            F.sum("v6").cast("decimal(38,0)").alias("s6"),
+            F.count("*").cast("decimal(38,0)").alias("n"),
+        )
+    )
+    gt = tr.agg(
+        F.sum("s6").cast("decimal(38,0)").alias("s6"),
+        F.sum("n").cast("decimal(38,0)").alias("n"),
+    )
+    prh = tr.select(
+        "h", F.expr(_REG_P6.format(s="s6", n="n", div="div")).alias("p6")
+    )
+    gp = gt.select(
+        F.expr(_REG_P6.format(s="s6", n="n", div="div")).alias("p6g"),
+        F.col("n").alias("n_train"),
+    )
+    te = v.filter(F.expr("event_id % 2 = 1")).select("h", "v6")
+    tm = te.agg(
+        F.sum("v6").cast("decimal(38,0)").alias("s6"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+    )
+    tmq = tm.select(
+        F.expr(_REG_P6.format(s="s6", n="n", div="div")).alias("m6")
+    )
+    e = (
+        te.join(F.broadcast(prh), "h", "left")
+        .crossJoin(F.broadcast(gp))
+        .crossJoin(F.broadcast(tmq))
+        .select(
+            (F.col("v6") - F.coalesce(F.col("p6"), F.col("p6g"))).alias(
+                "err"
+            ),
+            (F.col("v6") - F.col("m6")).alias("dev"),
+        )
+    )
+    a = e.agg(
+        F.count("*").cast("decimal(38,0)").alias("n_test"),
+        F.sum(F.expr("cast(err as decimal(38,0)) * err")).alias("ss_res"),
+        F.sum(F.expr("cast(dev as decimal(38,0)) * dev")).alias("ss_tot"),
+        F.sum(F.abs(F.col("err")).cast("decimal(38,0)")).alias("sae"),
+    )
+    return a.crossJoin(F.broadcast(gp)).select(
+        F.coalesce(F.col("n_train"), F.lit(0)).cast("bigint").alias(
+            "n_train"
+        ),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.when(F.col("n_test") == 0, F.lit(None).cast("double"))
+        .otherwise(hu_ratio("sae", "n_test * 1000000", 6))
+        .alias("mae"),
+        F.when(F.col("n_test") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sqrt(
+                    F.col("ss_res").cast("double")
+                    / F.col("n_test").cast("double")
+                )
+                / 1000000.0,
+                6,
+            )
+        )
+        .alias("rmse"),
+        F.when(
+            (F.col("n_test") == 0) | (F.col("ss_tot") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(hu_ratio_signed("ss_tot - ss_res", "ss_tot", 6))
+        .alias("r2"),
+    )

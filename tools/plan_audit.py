@@ -99,6 +99,12 @@ CONSTANT_WINDOW_OK = {
     " the Mann-Whitney precedent)",
     "stats_runs_test": "daily-grid rank/lag (calendar-bounded)",
     "interval_concurrency_daily": "day-spine sweep cumsum (calendar-bounded)",
+    "stats_wilcoxon_signed_rank": "distinct-|d| histogram (output-sized,"
+    " the Mann-Whitney precedent)",
+    "stats_bh_fdr_permutation": "BH rank over the lang-cardinality"
+    " p-value frame",
+    "corpus_rank_biased_overlap": "ranks over two <=50-row TakeOrdered"
+    " heads",
 }
 
 _FACTS = [
