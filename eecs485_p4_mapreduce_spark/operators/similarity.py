@@ -2940,3 +2940,153 @@ def eval_mcnemar_scorers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(chi)
         .alias("mcnemar_chi"),
     )
+
+
+def _macro_f1_oracle() -> str:
+    # the registered eval_confusion_nearest_centroid WITH-chain, reused
+    # verbatim up to its conf rollup (predictions hash-consistent)
+    conf = """
+    WITH el AS (
+      SELECT label, d, CAST(embedding[d] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS t(d)),
+    cm AS (
+      SELECT label, d,
+             CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS m
+      FROM el GROUP BY 1, 2),
+    cv AS (SELECT label AS c_label, array_agg(m ORDER BY d) AS cvec
+           FROM cm GROUP BY 1),
+    scored AS (
+      SELECT e.vec_id, e.label, cv.c_label,
+             -2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), cv.cvec)
+               + list_inner_product(cv.cvec, cv.cvec) AS dist
+      FROM embeddings e CROSS JOIN cv),
+    pred AS (
+      SELECT vec_id, label, c_label AS pred_label FROM (
+        SELECT vec_id, label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, c_label) AS rk
+        FROM scored) WHERE rk = 1),
+    conf AS (
+      SELECT label AS true_label, pred_label,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM pred GROUP BY 1, 2)"""
+    prec = hu_ratio_sql("cls.tp", "cls.pred_n", 6)
+    rec = hu_ratio_sql("cls.tp", "cls.support", 6)
+    f16 = ("(2 * (2 * CAST(cls.tp AS HUGEINT) * 1000000)"
+           " + (cls.support + cls.pred_n))"
+           " // (2 * CAST(cls.support + cls.pred_n AS HUGEINT))")
+    acc = hu_ratio_sql("mac.diag", "mac.n", 6)
+    macro = hu_ratio_sql("mac.sf16", "CAST(mac.k AS HUGEINT) * 1000000", 6)
+    return f"""{conf},
+    rows_ AS (SELECT true_label AS c, CAST(SUM(n_vectors) AS BIGINT)
+                       AS support
+              FROM conf GROUP BY 1),
+    cols_ AS (SELECT pred_label AS c, CAST(SUM(n_vectors) AS BIGINT)
+                       AS pred_n
+              FROM conf GROUP BY 1),
+    diag AS (SELECT true_label AS c, CAST(SUM(n_vectors) AS BIGINT) AS tp
+             FROM conf WHERE true_label = pred_label GROUP BY 1),
+    cls AS (
+      SELECT rows_.c, rows_.support,
+             COALESCE(cols_.pred_n, 0) AS pred_n,
+             COALESCE(diag.tp, 0) AS tp
+      FROM rows_
+      LEFT JOIN cols_ USING (c)
+      LEFT JOIN diag USING (c)),
+    mac AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(support) AS BIGINT) AS n,
+             CAST(SUM(tp) AS BIGINT) AS diag,
+             CAST(SUM(CAST({f16} AS BIGINT)) AS HUGEINT) AS sf16
+      FROM cls)
+    SELECT CAST(cls.c AS VARCHAR) AS class, cls.support, cls.tp,
+           CASE WHEN cls.pred_n = 0 THEN NULL ELSE {prec} END AS precision,
+           {rec} AS recall,
+           CAST(CAST({f16} AS BIGINT) AS DOUBLE) / 1000000 AS f1
+    FROM cls
+    UNION ALL
+    SELECT '__all__' AS class, mac.n AS support, mac.diag AS tp,
+           {acc} AS precision, {acc} AS recall, {macro} AS f1
+    FROM mac
+    """
+
+
+@query("eval_macro_f1_centroid", oracle=_macro_f1_oracle())
+def eval_macro_f1_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 plus the macro-F1 summary row for
+    the nearest-centroid classifier — the readout that turns
+    eval_confusion_nearest_centroid's confusion matrix into the
+    class-imbalance-aware headline number (macro-F1 weights every class
+    equally where micro/accuracy lets the majority class dominate).
+
+    Reuses the registered confusion query verbatim as the base frame
+    (predictions and counts hash-consistent with it by construction).
+    Determinism: TP/FP/FN are exact integers off the |L|^2 confusion
+    rollup; per-class F1 = 2TP/(support + predicted) lands on the 1e-6
+    half-up grid as an INTEGER (f16) so the macro mean is one exact
+    rational of grid values (the declared-quantization mean recipe);
+    precision of a never-predicted class is NULL via lazy CASE, and
+    the '__all__' row carries micro accuracy (= micro-F1 for
+    single-label multiclass) in both ratio slots with macro-F1 in f1.
+    Scale shape: everything beyond the reused scoring scan is
+    |L|-sized."""
+    conf = eval_confusion_nearest_centroid(spark, sf_dir).select(
+        "true_label", "pred_label", "n_vectors"
+    )
+    rows_ = conf.groupBy(F.col("true_label").alias("c")).agg(
+        F.sum("n_vectors").cast("bigint").alias("support")
+    )
+    cols_ = conf.groupBy(F.col("pred_label").alias("c")).agg(
+        F.sum("n_vectors").cast("bigint").alias("pred_n")
+    )
+    diag = (
+        conf.filter(F.col("true_label") == F.col("pred_label"))
+        .groupBy(F.col("true_label").alias("c"))
+        .agg(F.sum("n_vectors").cast("bigint").alias("tp"))
+    )
+    cls = (
+        rows_.join(cols_, "c", "left")
+        .join(diag, "c", "left")
+        .select(
+            "c",
+            "support",
+            F.coalesce(F.col("pred_n"), F.lit(0)).alias("pred_n"),
+            F.coalesce(F.col("tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    f16 = (
+        "(2 * (2 * cast(tp as decimal(38,0)) * 1000000)"
+        " + (support + pred_n))"
+        " div (2 * cast(support + pred_n as decimal(38,0)))"
+    )
+    mac = cls.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("support").cast("bigint").alias("n"),
+        F.sum("tp").cast("bigint").alias("diag"),
+        F.sum(F.expr(f"cast({f16} as bigint)"))
+        .cast("decimal(38,0)")
+        .alias("sf16"),
+    )
+    per_class = cls.select(
+        F.col("c").cast("string").alias("class"),
+        "support",
+        "tp",
+        F.when(F.col("pred_n") == 0, F.lit(None).cast("double"))
+        .otherwise(hu_ratio("tp", "pred_n", 6))
+        .alias("precision"),
+        hu_ratio("tp", "support", 6).alias("recall"),
+        (F.expr(f"cast({f16} as bigint)").cast("double") / 1000000).alias(
+            "f1"
+        ),
+    )
+    summary = mac.select(
+        F.lit("__all__").alias("class"),
+        F.col("n").alias("support"),
+        F.col("diag").alias("tp"),
+        hu_ratio("diag", "n", 6).alias("precision"),
+        hu_ratio("diag", "n", 6).alias("recall"),
+        hu_ratio("sf16", "cast(k as decimal(38,0)) * 1000000", 6).alias(
+            "f1"
+        ),
+    )
+    return per_class.unionByName(summary)

@@ -2598,3 +2598,248 @@ def preference_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_margin"),
     )
+
+
+# --------------------------------------------- held-out unigram perplexity
+
+
+def _unigram_ppl_oracle() -> str:
+    oov = hu_ratio_sql("g.oov_cnt", "g.n_tokens", 6)
+    bits = hu_ratio_sql(
+        "g.snum", "CAST(g.n_tokens AS HUGEINT) * 10000", 6)
+    return f"""
+    WITH trtok AS (
+      SELECT unnest({DUCK_TOKENS}) AS w FROM documents
+      WHERE doc_id % 2 = 0),
+    trc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM trtok GROUP BY 1),
+    tv AS (SELECT CAST(COALESCE(SUM(cw), 0) AS BIGINT) AS t,
+                  CAST(COUNT(*) AS BIGINT) AS v
+           FROM trc),
+    tetok AS (
+      SELECT lang, unnest({DUCK_TOKENS}) AS w FROM documents
+      WHERE doc_id % 2 = 1),
+    tec AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tetok GROUP BY 1, 2),
+    sc AS (
+      SELECT tec.lang, tec.cnt,
+             CASE WHEN trc.cw IS NULL THEN tec.cnt ELSE 0 END AS oov,
+             CAST(CAST(round(-log2(CAST(COALESCE(trc.cw, 0) + 1 AS DOUBLE)
+                                   / (tv.t + tv.v + 1)), 4)
+                       AS DECIMAL(18,4)) * 10000 AS BIGINT) AS s4
+      FROM tec LEFT JOIN trc USING (w) CROSS JOIN tv),
+    g AS (
+      SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(SUM(oov) AS BIGINT) AS oov_cnt,
+             CAST(SUM(CAST(cnt AS HUGEINT) * s4) AS HUGEINT) AS snum
+      FROM sc GROUP BY 1)
+    SELECT g.lang, g.n_tokens, {oov} AS oov_share, {bits} AS bits_per_token
+    FROM g
+    """
+
+
+@query("token_unigram_perplexity_heldout", oracle=_unigram_ppl_oracle())
+def token_unigram_perplexity_heldout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Held-out unigram language-model cross-entropy per language: train
+    an add-one-smoothed unigram LM on the even-doc_id half of the
+    corpus, score the odd half, and report bits/token + OOV share per
+    lang — the classic intrinsic LM eval and the quality signal CCNet
+    buckets on, but measured OUT of sample (quality_perplexity_buckets
+    scores in-sample; a held-out split is what catches memorized
+    boilerplate).
+
+    Determinism: per-type surprisal -log2((c_w + 1)/(T + V' )) with
+    V' = V + 1 (the unseen-type mass) is a correctly-rounded double of
+    exact integer counts, quantized round(4) BEFORE the sums (the
+    kl_nats discipline) and carried as the 1e4-scaled BIGINT s4 (the
+    Adamic-Adar integer-partial-sum lesson); per-lang bits/token and
+    oov_share are then single exact rationals via the half-up render.
+    An empty train half propagates NULL surprisal into NULL readouts
+    without reaching any division.  Headroom: cnt * s4 ~ 1e5-scaled
+    token counts — int128 past 1e30 tokens.  Scale shape: two token
+    explosions (train/test) into (type) and (lang, type) counts — all
+    map-side combinable — one vocab-sized left join, one 2-int
+    broadcast, one lang-cardinality rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    trc = (
+        docs.filter(F.expr("doc_id % 2 = 0"))
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cw"))
+    )
+    tv = trc.agg(
+        F.coalesce(F.sum("cw"), F.lit(0)).cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    tec = (
+        docs.filter(F.expr("doc_id % 2 = 1"))
+        .select("lang", F.explode(tokens("text")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    sc = (
+        tec.join(trc, "w", "left")
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "lang",
+            "cnt",
+            F.when(F.col("cw").isNull(), F.col("cnt"))
+            .otherwise(F.lit(0))
+            .alias("oov"),
+            F.expr(
+                "cast(cast(round(-log2(cast(coalesce(cw, 0) + 1 as double)"
+                " / (t + v + 1)), 4) as decimal(18,4)) * 10000 as bigint)"
+            ).alias("s4"),
+        )
+    )
+    g = sc.groupBy("lang").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("oov_cnt"),
+        F.sum(F.expr("cast(cnt as decimal(38,0)) * s4")).alias("snum"),
+    )
+    return g.select(
+        "lang",
+        "n_tokens",
+        hu_ratio("oov_cnt", "n_tokens", 6).alias("oov_share"),
+        hu_ratio(
+            "snum", "cast(n_tokens as decimal(38,0)) * 10000", 6
+        ).alias("bits_per_token"),
+    )
+
+
+# --------------------------------------------- rank-biased overlap (RBO)
+
+_RBO_D = 50  # evaluation depth
+# (1-p) p^(d-1) at p = 9/10, rendered half-up onto the 1e-12 integer
+# grid from exact Fractions at import time (the resample_ewma_daily
+# precedent: NEVER query-time pow — libm divergence), so both dialects
+# consume identical integer literals.
+def _rbo_w12() -> list[int]:
+    from fractions import Fraction
+
+    p = Fraction(9, 10)
+    out = []
+    for d in range(1, _RBO_D + 1):
+        w = (1 - p) * p ** (d - 1)
+        out.append((2 * w.numerator * 10**12 + w.denominator)
+                   // (2 * w.denominator))
+    return out
+
+
+_RBO_W12 = _rbo_w12()
+
+
+def _rbo_oracle() -> str:
+    vals = ", ".join(f"({d + 1}, {w})" for d, w in enumerate(_RBO_W12))
+    rbo = hu_ratio_sql("s.rbo18", "CAST(1000000000000000000 AS HUGEINT)", 6)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({DUCK_TOKENS}) AS w FROM documents),
+    tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+    df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS cnt
+           FROM tok GROUP BY 1),
+    ta AS (SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS ra
+           FROM tf ORDER BY cnt DESC, w LIMIT {_RBO_D}),
+    tb AS (SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rb
+           FROM df ORDER BY cnt DESC, w LIMIT {_RBO_D}),
+    pr AS (SELECT ta.w, CASE WHEN ta.ra > tb.rb THEN ta.ra ELSE tb.rb END
+                    AS mx
+           FROM ta JOIN tb USING (w)),
+    dw AS (SELECT * FROM (VALUES {vals}) AS t(d, w12)),
+    ag AS (SELECT dw.d, dw.w12,
+                  CAST(COUNT(pr.w) AS BIGINT) AS inter
+           FROM dw LEFT JOIN pr ON pr.mx <= dw.d
+           GROUP BY 1, 2),
+    s AS (SELECT CAST(SUM(w12 * ((2 * inter * 1000000 + d) // (2 * d)))
+                      AS HUGEINT) AS rbo18,
+                 CAST(MAX(CASE WHEN d = {_RBO_D} THEN inter END)
+                      AS BIGINT) AS n_common
+          FROM ag)
+    SELECT CAST({_RBO_D} AS BIGINT) AS depth, s.n_common,
+           {rbo} AS rbo_min
+    FROM s
+    """
+
+
+@query("corpus_rank_biased_overlap", oracle=_rbo_oracle())
+def corpus_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO, p = 0.9, depth 50) between the corpus'
+    two canonical term rankings — by collection frequency (tf) and by
+    document frequency (df) — the top-weighted rank-correlation a
+    curation pipeline uses to ask "do burst-heavy terms distort the
+    head of the vocabulary?" (Spearman over the full vocab is
+    tail-dominated; RBO weights depth d by (1-p)p^(d-1)).
+
+    Determinism: the geometric weights are EXACT-Fraction-rendered
+    1e-12 integer literals computed at import time (the EWMA
+    precedent — query-time pow would be a libm divergence); per-depth
+    prefix agreement |A_d ∩ B_d|/d lands on the 1e-6 half-up grid as
+    an integer (each term's entry depth is max(ra, rb), so agreement
+    is a <=50x50 theta-join count, zero-filled from the literal depth
+    table); the truncated RBO_min sum is then an exact <=1e18 int64
+    rendered once.  Both top-50 lists use (count DESC, term)
+    tie-breaks; the rank windows run over the 50-row TakeOrdered
+    results (adjudicated constant-size).  Scale shape: one token
+    explosion into tf/df counts (map-side combinable; df's distinct is
+    a (doc_id, w) pre-aggregate), two top-50 TakeOrdereds, then
+    constant-size frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    tf = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("cnt"))
+    df = (
+        tok.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+    def _top(frame: DataFrame, rcol: str) -> DataFrame:
+        return (
+            frame.orderBy(F.desc("cnt"), "w")
+            .limit(_RBO_D)
+            .withColumn(
+                rcol,
+                F.row_number().over(Window.orderBy(F.desc("cnt"), "w")),
+            )
+            .select("w", rcol)
+        )
+
+    ta, tb = _top(tf, "ra"), _top(df, "rb")
+    pr = ta.join(tb, "w").select(
+        "w", F.greatest("ra", "rb").alias("mx")
+    )
+    dw = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d + 1).alias("d"),
+                        F.lit(w).alias("w12"),
+                    )
+                    for d, w in enumerate(_RBO_W12)
+                ]
+            )
+        ).alias("s")
+    ).select("s.d", "s.w12")
+    ag = (
+        dw.join(F.broadcast(pr), F.col("mx") <= F.col("d"), "left")
+        .groupBy("d", "w12")
+        .agg(F.count("w").cast("bigint").alias("inter"))
+    )
+    s = ag.agg(
+        F.sum(
+            F.expr("w12 * ((2 * inter * 1000000 + d) div (2 * d))")
+        )
+        .cast("decimal(38,0)")
+        .alias("rbo18"),
+        F.max(F.when(F.col("d") == _RBO_D, F.col("inter")))
+        .cast("bigint")
+        .alias("n_common"),
+    )
+    return s.select(
+        F.lit(_RBO_D).cast("bigint").alias("depth"),
+        "n_common",
+        hu_ratio("rbo18", "cast(1000000000000000000 as decimal(38,0))", 6)
+        .alias("rbo_min"),
+    )
