@@ -5495,3 +5495,224 @@ def eval_regression_rmse_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(hu_ratio_signed("ss_tot - ss_res", "ss_tot", 6))
         .alias("r2"),
     )
+
+
+def _logrank_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    bkt = _bucket256_sql("user_id").replace("AS STRING", "AS VARCHAR")
+    chi2 = hu_ratio_sql(
+        "(m.o1 * 1000000 - m.e16) * (m.o1 * 1000000 - m.e16)",
+        "m.v6 * 1000000", 6)
+    return f"""
+    WITH mx AS (SELECT max(ts) AS head FROM events),
+    u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+          FROM events GROUP BY 1),
+    d AS (SELECT CAST((epoch_us(u.l) - epoch_us(u.f)) // 86400000000
+                   AS BIGINT) AS dur_days,
+                 CASE WHEN (epoch_us(mx.head) - epoch_us(u.l))
+                        // 86400000000 >= 1
+                      THEN 1 ELSE 0 END AS death,
+                 CASE WHEN {bkt} < 128 THEN 1 ELSE 0 END AS grp
+          FROM u CROSS JOIN mx),
+    h AS (SELECT dur_days, grp, CAST(COUNT(*) AS BIGINT) AS n_exit,
+                 CAST(SUM(death) AS BIGINT) AS n_deaths
+          FROM d GROUP BY 1, 2),
+    grid AS (
+      SELECT dd.dur_days, g.grp,
+             COALESCE(h.n_exit, 0) AS n_exit,
+             COALESCE(h.n_deaths, 0) AS n_deaths
+      FROM (SELECT DISTINCT dur_days FROM h) dd
+      CROSS JOIN (SELECT unnest([0, 1]) AS grp) g
+      LEFT JOIN h USING (dur_days, grp)),
+    rg AS (SELECT dur_days, grp, n_deaths,
+                  CAST(SUM(n_exit) OVER (PARTITION BY grp
+                    ORDER BY dur_days DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS at_risk
+           FROM grid),
+    wt AS (SELECT dur_days,
+                  CAST(SUM(CASE WHEN grp = 1 THEN at_risk END) AS BIGINT)
+                    AS r1,
+                  CAST(SUM(CASE WHEN grp = 0 THEN at_risk END) AS BIGINT)
+                    AS r0,
+                  CAST(SUM(CASE WHEN grp = 1 THEN n_deaths END) AS BIGINT)
+                    AS d1,
+                  CAST(SUM(n_deaths) AS BIGINT) AS dt
+           FROM rg GROUP BY 1),
+    tr AS (SELECT d1, dt, r1, r0, r1 + r0 AS rn,
+                  (2 * CAST(dt AS HUGEINT) * r1 * 1000000 + (r1 + r0))
+                    // (2 * CAST(r1 + r0 AS HUGEINT)) AS e6,
+                  CASE WHEN r1 + r0 <= 1 THEN 0 ELSE
+                    (2 * CAST(dt AS HUGEINT) * r1 * r0
+                       * (r1 + r0 - dt) * 1000000
+                     + CAST(r1 + r0 AS HUGEINT) * (r1 + r0)
+                       * (r1 + r0 - 1))
+                    // (2 * CAST(r1 + r0 AS HUGEINT) * (r1 + r0)
+                          * (r1 + r0 - 1))
+                  END AS v6
+           FROM wt WHERE dt > 0),
+    g1 AS (SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_g1,
+                  CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_g0,
+                  CAST(SUM(CASE WHEN grp = 1 THEN death ELSE 0 END)
+                       AS BIGINT) AS deaths_g1,
+                  CAST(SUM(CASE WHEN grp = 0 THEN death ELSE 0 END)
+                       AS BIGINT) AS deaths_g0
+           FROM d),
+    m AS (SELECT CAST(COALESCE(SUM(d1), 0) AS HUGEINT) AS o1,
+                 CAST(COALESCE(SUM(e6), 0) AS HUGEINT) AS e16,
+                 CAST(COALESCE(SUM(v6), 0) AS HUGEINT) AS v6
+          FROM tr)
+    SELECT g1.n_g1, g1.n_g0, g1.deaths_g1, g1.deaths_g0,
+           CAST(CAST(m.e16 AS BIGINT) AS DOUBLE) / 1000000
+             AS e1_expected,
+           CASE WHEN m.v6 = 0 THEN NULL ELSE {chi2} END AS chi2_logrank
+    FROM g1 CROSS JOIN m
+    """
+
+
+@query("survival_logrank_test", oracle=_logrank_oracle())
+def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test over user event lifetimes: does the
+    md5-bucket A arm churn differently from the B arm — the standard
+    significance test ON TOP of the Kaplan-Meier curve (KM durations
+    with a tighter 1-DAY churn cut — the KM 3-day rule censors this
+    corpus' entire tail into zero deaths, which would degenerate the
+    test; the cut is a declared parameter of the readout — and the
+    same replayable 50/50 assignment as the ab_* bank), completing
+    the survival family
+    (KM curve, Nelson-Aalen hazard, and now the two-sample test).
+
+    Determinism: the life table is exact integers — per-(duration,
+    group) exits/deaths off one user rollup, at-risk counts as
+    group-partitioned DESC cumulatives over the zero-filled duration x
+    group grid (never a suffix frame).  At each death time the
+    hypergeometric mean d*r1/n and variance d*r1*r0*(n-d)/(n^2 (n-1))
+    are rendered half-up onto the 1e-6 integer grid (declared
+    quantization; the n <= 1 variance is 0 by lazy CASE), so O1 - E1
+    and V are integer sums and the chi-square statistic
+    (O1 - E1)^2 / V is ONE exact rational; an all-censored corpus
+    (V = 0) renders NULL.  Headroom: the variance numerator ~ d*n^3*1e6
+    — int128 to ~1e9 users at risk per death day; past that drop to
+    the 1e-4 grid.  Scale shape: one scan to the user rollup, one
+    (duration, group) aggregate, calendar-bounded grid windows, a
+    1-row reduce."""
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("head"))
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    bkt = F.expr(_bucket256_sql("user_id"))
+    d = u.crossJoin(F.broadcast(mx)).select(
+        F.expr("(unix_micros(l) - unix_micros(f)) div 86400000000")
+        .cast("bigint")
+        .alias("dur_days"),
+        F.when(
+            F.expr("(unix_micros(head) - unix_micros(l)) div 86400000000")
+            >= 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("death"),
+        F.when(bkt < 128, 1).otherwise(0).alias("grp"),
+    )
+    h = d.groupBy("dur_days", "grp").agg(
+        F.count("*").cast("bigint").alias("n_exit"),
+        F.sum("death").cast("bigint").alias("n_deaths"),
+    )
+    grid = (
+        h.select("dur_days")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(2).select(F.col("id").cast("int").alias("grp"))
+            )
+        )
+        .join(h, ["dur_days", "grp"], "left")
+        .select(
+            "dur_days",
+            "grp",
+            F.coalesce(F.col("n_exit"), F.lit(0)).alias("n_exit"),
+            F.coalesce(F.col("n_deaths"), F.lit(0)).alias("n_deaths"),
+        )
+    )
+    w_desc = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("dur_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rg = grid.select(
+        "dur_days",
+        "grp",
+        "n_deaths",
+        F.sum("n_exit").over(w_desc).cast("bigint").alias("at_risk"),
+    )
+    wt = rg.groupBy("dur_days").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("at_risk")))
+        .cast("bigint")
+        .alias("r1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("at_risk")))
+        .cast("bigint")
+        .alias("r0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n_deaths")))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("n_deaths").cast("bigint").alias("dt"),
+    )
+    tr = wt.filter(F.col("dt") > 0).select(
+        "d1",
+        F.expr(
+            "(2 * cast(dt as decimal(38,0)) * r1 * 1000000 + (r1 + r0))"
+            " div (2 * cast(r1 + r0 as decimal(38,0)))"
+        ).alias("e6"),
+        F.expr(
+            "CASE WHEN r1 + r0 <= 1 THEN 0 ELSE"
+            " (2 * cast(dt as decimal(38,0)) * r1 * r0"
+            "    * (r1 + r0 - dt) * 1000000"
+            "  + cast(r1 + r0 as decimal(38,0)) * (r1 + r0)"
+            "    * (r1 + r0 - 1))"
+            " div (2 * cast(r1 + r0 as decimal(38,0)) * (r1 + r0)"
+            "       * (r1 + r0 - 1)) END"
+        ).alias("v6"),
+    )
+    g1 = d.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_g1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_g0"),
+        F.sum(F.when(F.col("grp") == 1, F.col("death")).otherwise(0))
+        .cast("bigint")
+        .alias("deaths_g1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("death")).otherwise(0))
+        .cast("bigint")
+        .alias("deaths_g0"),
+    )
+    m = tr.agg(
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("decimal(38,0)").alias("o1"),
+        F.coalesce(F.sum("e6"), F.lit(0)).cast("decimal(38,0)").alias("e16"),
+        F.coalesce(F.sum("v6"), F.lit(0)).cast("decimal(38,0)").alias("v6"),
+    )
+    return g1.crossJoin(F.broadcast(m)).select(
+        "n_g1",
+        "n_g0",
+        "deaths_g1",
+        "deaths_g0",
+        (F.col("e16").cast("bigint").cast("double") / 1000000).alias(
+            "e1_expected"
+        ),
+        F.when(F.col("v6") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            hu_ratio(
+                "(o1 * 1000000 - e16) * (o1 * 1000000 - e16)",
+                "v6 * 1000000",
+                6,
+            )
+        )
+        .alias("chi2_logrank"),
+    )

@@ -986,3 +986,134 @@ def corpus_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return f.orderBy(F.desc("fano"), "term").limit(_BURST_TOPK)
+
+
+def _jsd_oracle() -> str:
+    jsd = hu_ratio_signed_sql(
+        "g.sp * 10000 * g.n2 + g.sq * 10000 * g.n1",
+        "2 * CAST(g.n1 AS HUGEINT) * g.n2 * 10000", 6)
+    return f"""
+    WITH tok AS (SELECT source, unnest({DUCK_TOKENS}) AS w FROM documents),
+    cs AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cs GROUP BY 1),
+    pr AS (SELECT a.source AS sa, b.source AS sb,
+                  a.n AS n1, b.n AS n2
+           FROM ns a JOIN ns b ON a.source < b.source),
+    sides AS (
+      SELECT pr.sa, pr.sb, cs.w, cs.c AS c1, 0 AS c2
+      FROM cs JOIN pr ON cs.source = pr.sa
+      UNION ALL
+      SELECT pr.sa, pr.sb, cs.w, 0 AS c1, cs.c AS c2
+      FROM cs JOIN pr ON cs.source = pr.sb),
+    tm AS (SELECT sa, sb, w, CAST(SUM(c1) AS BIGINT) AS c1,
+                  CAST(SUM(c2) AS BIGINT) AS c2
+           FROM sides GROUP BY 1, 2, 3),
+    contrib AS (
+      SELECT tm.sa, tm.sb,
+             CASE WHEN tm.c1 > 0 THEN
+               CAST(tm.c1 AS DECIMAL(18,4))
+                 * CAST(round(log2((2.0 * tm.c1 * pr.n2)
+                          / (CAST(tm.c1 AS DOUBLE) * pr.n2
+                             + CAST(tm.c2 AS DOUBLE) * pr.n1)), 4)
+                        AS DECIMAL(18,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END AS xp,
+             CASE WHEN tm.c2 > 0 THEN
+               CAST(tm.c2 AS DECIMAL(18,4))
+                 * CAST(round(log2((2.0 * tm.c2 * pr.n1)
+                          / (CAST(tm.c1 AS DOUBLE) * pr.n2
+                             + CAST(tm.c2 AS DOUBLE) * pr.n1)), 4)
+                        AS DECIMAL(18,4))
+             ELSE CAST(0 AS DECIMAL(18,4)) END AS xq
+      FROM tm JOIN pr USING (sa, sb)),
+    g AS (SELECT c.sa, c.sb, pr.n1, pr.n2,
+                 SUM(c.xp) AS sp, SUM(c.xq) AS sq
+          FROM contrib c JOIN pr USING (sa, sb)
+          GROUP BY 1, 2, 3, 4)
+    SELECT g.sa AS source_a, g.sb AS source_b,
+           g.n1 AS n_tokens_a, g.n2 AS n_tokens_b,
+           {jsd} AS jsd_bits
+    FROM g
+    """
+
+
+@query("corpus_js_divergence_sources", oracle=_jsd_oracle())
+def corpus_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between every pair of
+    sources' unigram distributions — the SYMMETRIC, bounded-[0,1]
+    domain-distance matrix that corpus_kl_divergence_by_source (each
+    source vs the pooled corpus) can't give: KL is asymmetric and
+    unbounded, so 'how far apart are web and wiki' needs JSD.
+
+    JSD(P,Q) = (KL(P||M) + KL(Q||M))/2 with M the even mixture; per
+    term the log ratio collapses to log2(2*c1*n2/(c1*n2 + c2*n1)) —
+    counts only, so a term absent from one side contributes exactly
+    log2(2) = 1 from the other and nothing from its own (no smoothing,
+    no log of zero; zero-count sides short-circuit through a lazy
+    CASE).  Cross-engine discipline is the KL recipe verbatim: the
+    log2 quantizes round(4), multiplies the INTEGER count exactly in
+    decimal, and the pair readout clears the two different token
+    denominators by cross-multiplication into ONE signed half-up
+    render (sp*n2 + sq*n1)/(2*n1*n2).  Scale shape: per-source vocab
+    counts fan out once per pair via two equi-joins on the small pair
+    list and re-aggregate on (pair, term) — k(k-1)/2 pairs of
+    vocab-sized streams, map-side combinable, no full-outer join and
+    no all-pairs row blowup beyond the declared pair fan-out."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("w"))
+    cs = tok.groupBy("source", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ns = cs.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = ns.select(F.col("source").alias("sa"), F.col("n").alias("n1"))
+    b = ns.select(F.col("source").alias("sb"), F.col("n").alias("n2"))
+    pr = a.join(b, F.col("sa") < F.col("sb"))
+    left = cs.join(
+        F.broadcast(pr), cs.source == F.col("sa")
+    ).select("sa", "sb", "w", F.col("c").alias("c1"), F.lit(0).alias("c2"))
+    right = cs.join(
+        F.broadcast(pr), cs.source == F.col("sb")
+    ).select("sa", "sb", "w", F.lit(0).alias("c1"), F.col("c").alias("c2"))
+    tm = (
+        left.unionByName(right)
+        .groupBy("sa", "sb", "w")
+        .agg(
+            F.sum("c1").cast("bigint").alias("c1"),
+            F.sum("c2").cast("bigint").alias("c2"),
+        )
+    )
+    den = (
+        "(cast(c1 as double) * n2 + cast(c2 as double) * n1)"
+    )
+    contrib = tm.join(F.broadcast(pr), ["sa", "sb"]).select(
+        "sa",
+        "sb",
+        F.expr(
+            "CASE WHEN c1 > 0 THEN cast(c1 as decimal(18,4))"
+            f" * cast(round(log2((2.0 * c1 * n2) / {den}), 4)"
+            "   as decimal(18,4))"
+            " ELSE cast(0 as decimal(18,4)) END"
+        ).alias("xp"),
+        F.expr(
+            "CASE WHEN c2 > 0 THEN cast(c2 as decimal(18,4))"
+            f" * cast(round(log2((2.0 * c2 * n1) / {den}), 4)"
+            "   as decimal(18,4))"
+            " ELSE cast(0 as decimal(18,4)) END"
+        ).alias("xq"),
+    )
+    g = (
+        contrib.groupBy("sa", "sb")
+        .agg(F.sum("xp").alias("sp"), F.sum("xq").alias("sq"))
+        .join(F.broadcast(pr), ["sa", "sb"])
+    )
+    return g.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("n1").alias("n_tokens_a"),
+        F.col("n2").alias("n_tokens_b"),
+        hu_ratio_signed(
+            "sp * 10000 * n2 + sq * 10000 * n1",
+            "2 * cast(n1 as decimal(38,0)) * n2 * 10000",
+            6,
+        ).alias("jsd_bits"),
+    )

@@ -991,3 +991,119 @@ def embedding_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks, "pick bigint, vec_id bigint, maximin bigint"
     )
     return pdf.crossJoin(F.broadcast(rad))
+
+
+# --------------------------------------------- closed-form OLS (2 features)
+
+# 3x3 Cramer determinants over the exact Gram moments, shared verbatim
+# by both dialects (operands are pre-cast int128-wide: decimal(38,0) on
+# Spark, HUGEINT in DuckDB).  Column order: [1, x1, x2] with b the
+# y-moment vector — dn is det(X'X); d0/d1/d2 replace the respective
+# column with b.
+_OLS_DN = (
+    "(n * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_OLS_D0 = (
+    "(sy * (s11 * s22 - s12 * s12)"
+    " - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_OLS_D1 = (
+    "(n * (s1y * s22 - s12 * s2y)"
+    " - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_OLS_D2 = (
+    "(n * (s11 * s2y - s1y * s12)"
+    " - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+
+
+def _ols_oracle() -> str:
+    beta = {
+        k: hu_ratio_signed_sql(d, f"{_OLS_DN} * 1000000", 6)
+        for k, d in (("b0", _OLS_D0), ("b1", _OLS_D1), ("b2", _OLS_D2))
+    }
+    return f"""
+    WITH v AS (
+      SELECT (epoch_us(ts) // 3600000000) % 24 AS x1,
+             ((epoch_us(ts) // 86400000000) + 4) % 7 AS x2,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y6
+      FROM events),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x1) AS HUGEINT) AS s1,
+             CAST(SUM(x2) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(SUM(CAST(y6 AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y6) AS HUGEINT) AS s1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y6) AS HUGEINT) AS s2y
+      FROM v)
+    SELECT CAST(m.n AS BIGINT) AS n,
+           CASE WHEN {_OLS_DN} = 0 THEN NULL ELSE {beta['b0']} END
+             AS beta_intercept,
+           CASE WHEN {_OLS_DN} = 0 THEN NULL ELSE {beta['b1']} END
+             AS beta_hour,
+           CASE WHEN {_OLS_DN} = 0 THEN NULL ELSE {beta['b2']} END
+             AS beta_dow
+    FROM m
+    """
+
+
+@query("ml_ols_normal_equation", oracle=_ols_oracle())
+def ml_ols_normal_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature linear regression solved in CLOSED FORM by the
+    normal equations: value ~ intercept + hour-of-day + day-of-week,
+    fit via Cramer's rule over the exact 3x3 Gram matrix — the
+    distributed-ML shape where training is ONE aggregation (nine exact
+    integer moments) and the 'solve' is constant-time driver-free
+    arithmetic, the multi-feature step beyond stats_trend_ols_daily's
+    single-regressor slope.
+
+    Determinism: both features derive from integer epoch arithmetic
+    ((us div 3600e6) % 24 and the Thursday-anchored (days + 4) % 7 —
+    NEVER the engines' dayofweek(), whose numbering conventions
+    differ); y quantizes losslessly to 1e-6 integers, so all nine
+    moments and all four Cramer determinants are exact int128 values
+    and each coefficient is ONE signed rational det_j/(det * 1e6)
+    rendered half-up (det(X'X) >= 0, zero only for a collinear/empty
+    design — lazy-CASE NULL).  Headroom: det ~ n^3 * 1e4 and det_j
+    carries the 1e6 y-scale — int128 through the render factor to
+    ~1e8 rows; past that, center the features first (the
+    stats_var_twopass escape) — centering drops det by ~n^2.  Scale
+    shape: one scan into a single 9-moment reduce; nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("x1"),
+        F.expr("((unix_micros(ts) div 86400000000) + 4) % 7").alias("x2"),
+        F.expr("cast(cast(value as decimal(18,6)) * 1000000 as bigint)")
+        .alias("y6"),
+    )
+    m = v.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x1").cast("decimal(38,0)").alias("s1"),
+        F.sum("x2").cast("decimal(38,0)").alias("s2"),
+        F.sum(F.expr("cast(x1 as decimal(38,0)) * x1")).alias("s11"),
+        F.sum(F.expr("cast(x2 as decimal(38,0)) * x2")).alias("s22"),
+        F.sum(F.expr("cast(x1 as decimal(38,0)) * x2")).alias("s12"),
+        F.sum("y6").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("cast(x1 as decimal(38,0)) * y6")).alias("s1y"),
+        F.sum(F.expr("cast(x2 as decimal(38,0)) * y6")).alias("s2y"),
+    )
+    degen = F.expr(f"{_OLS_DN} = 0")
+    out = [("beta_intercept", _OLS_D0), ("beta_hour", _OLS_D1),
+           ("beta_dow", _OLS_D2)]
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        *[
+            F.when(degen, F.lit(None).cast("double"))
+            .otherwise(hu_ratio_signed(d, f"{_OLS_DN} * 1000000", 6))
+            .alias(name)
+            for name, d in out
+        ],
+    )

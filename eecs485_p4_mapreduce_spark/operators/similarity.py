@@ -3090,3 +3090,121 @@ def eval_macro_f1_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per_class.unionByName(summary)
+
+
+def _pr_auc_oracle() -> str:
+    w_list = ", ".join(str(w) for w in _INF_W)
+    ap = hu_ratio_sql("m.apnum", "CAST(m.n1 AS HUGEINT) * 1000000", 6)
+    base = hu_ratio_sql("m.n1", "m.n1 + m.n0", 6)
+    return f"""
+    WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                      round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                            [{w_list}]), 6) AS logit
+               FROM embeddings),
+    p AS (SELECT y,
+                 CAST(round(10000 * (1 / (1 + exp(-logit)))) AS BIGINT)
+                   AS p_bp
+          FROM e),
+    vc AS (SELECT p_bp AS v, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(SUM(y) AS BIGINT) AS c1
+           FROM p GROUP BY 1),
+    r AS (SELECT v, c, c1,
+                 CAST(SUM(c) OVER (ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(SUM(c1) OVER (ORDER BY v DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum1
+          FROM vc),
+    t AS (SELECT c1,
+                 (2 * CAST(cum1 AS HUGEINT) * 1000000 + cum)
+                   // (2 * CAST(cum AS HUGEINT)) AS p6
+          FROM r WHERE c1 > 0),
+    m AS (SELECT (SELECT CAST(COALESCE(SUM(c1), 0) AS BIGINT) FROM vc)
+                   AS n1,
+                 (SELECT CAST(COALESCE(SUM(c - c1), 0) AS BIGINT) FROM vc)
+                   AS n0,
+                 CAST(COALESCE(SUM(CAST(c1 AS HUGEINT) * p6), 0)
+                      AS HUGEINT) AS apnum
+          FROM t)
+    SELECT m.n1 AS n_pos, m.n0 AS n_neg,
+           CASE WHEN m.n1 = 0 THEN NULL ELSE {ap} END AS avg_precision,
+           CASE WHEN m.n1 + m.n0 = 0 THEN NULL ELSE {base} END AS base_rate
+    FROM m
+    """
+
+
+@query("eval_pr_auc", oracle=_pr_auc_oracle())
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the exact area under the precision-recall
+    curve at every distinct score threshold) for the linear scorer —
+    the imbalanced-class complement to eval_auc_roc: ROC-AUC stays
+    optimistic when positives are rare; AP is anchored to the base
+    rate, which rides along for comparison.
+
+    AP = sum over distinct scores v (descending) of
+    (c1_v / n1) * Precision(>= v).  Each threshold precision
+    cum1/cum is rendered half-up onto the 1e-6 integer grid (p6, the
+    search_map_eval P@i discipline: quantize per-term BEFORE the sum),
+    so the weighted sum is one exact integer rational
+    sum(c1 * p6) / (n1 * 1e6).  The cumulatives run DESC (never a
+    suffix frame) over the <=10001-row basis-point score histogram —
+    the eval_auc_roc scale shape: one scoring scan, output-sized
+    windows, a 1-row reduce.  A no-positives corpus renders AP NULL
+    via lazy CASE; the empty corpus renders both NULL."""
+    w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    dot = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_arr)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(F.expr(dot), 6).alias("logit"),
+    )
+    p = e.select(
+        "y",
+        F.round(10000 * (1 / (1 + F.exp(-F.col("logit")))))
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+    vc = p.groupBy(F.col("p_bp").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("y").cast("bigint").alias("c1"),
+    )
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = vc.select(
+        "c1",
+        F.sum("c").over(w).cast("bigint").alias("cum"),
+        F.sum("c1").over(w).cast("bigint").alias("cum1"),
+    )
+    t = r.filter(F.col("c1") > 0).select(
+        "c1",
+        F.expr(
+            "(2 * cast(cum1 as decimal(38,0)) * 1000000 + cum)"
+            " div (2 * cast(cum as decimal(38,0)))"
+        ).alias("p6"),
+    )
+    tot = vc.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("bigint").alias("n1"),
+        F.coalesce(F.sum(F.col("c") - F.col("c1")), F.lit(0))
+        .cast("bigint")
+        .alias("n0"),
+    )
+    ap = t.agg(
+        F.coalesce(
+            F.sum(F.expr("cast(c1 as decimal(38,0)) * p6")), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("apnum")
+    )
+    return tot.crossJoin(F.broadcast(ap)).select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.when(F.col("n1") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            hu_ratio("apnum", "cast(n1 as decimal(38,0)) * 1000000", 6)
+        )
+        .alias("avg_precision"),
+        F.when(F.col("n1") + F.col("n0") == 0, F.lit(None).cast("double"))
+        .otherwise(hu_ratio("n1", "n1 + n0", 6))
+        .alias("base_rate"),
+    )
