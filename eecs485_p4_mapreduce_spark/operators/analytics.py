@@ -1627,13 +1627,13 @@ _DP_EPS_INV = 2.0  # 1/epsilon (epsilon = 0.5)
 _DP_SALT = "dp-v1-"
 
 
-def _dp_noise_sql(dialect: str) -> str:
+def _dp_noise_sql(dialect: str, salt: str = _DP_SALT) -> str:
     h = (
-        "cast(conv(substring(md5(concat('" + _DP_SALT + "', event_type)), 1, 8), 16, 10) as bigint)"
+        "cast(conv(substring(md5(concat('" + salt + "', event_type)), 1, 8), 16, 10) as bigint)"
         if dialect == "spark"
         else (
             "CAST(list_sum(list_transform(range(0, 8), c -> (strpos('0123456789abcdef',"
-            f" substring(md5(concat('{_DP_SALT}', event_type)), 1 + c, 1)) - 1)"
+            f" substring(md5(concat('{salt}', event_type)), 1 + c, 1)) - 1)"
             " * CAST(pow(16, 7 - c) AS BIGINT))) AS BIGINT)"
         )
     )
@@ -5715,4 +5715,205 @@ def survival_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("chi2_logrank"),
+    )
+
+
+_DP_TOPK_SALT = "dp-topk-v1-"
+_DP_TOPK_K = 3
+
+
+def _dp_topk_oracle() -> str:
+    noise = _dp_noise_sql("duckdb", _DP_TOPK_SALT)
+    return f"""
+    WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+               FROM events GROUP BY event_type),
+    nz AS (SELECT event_type, n_true,
+                  greatest(CAST(0 AS BIGINT), n_true + {noise}) AS n_noisy
+           FROM g),
+    top AS (SELECT * FROM nz
+            ORDER BY n_noisy DESC, event_type LIMIT {_DP_TOPK_K})
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_noisy DESC, event_type)
+                AS BIGINT) AS rk,
+           event_type, n_noisy, n_true
+    FROM top
+    """
+
+
+@query("privacy_dp_topk_noisy_max", oracle=_dp_topk_oracle())
+def privacy_dp_topk_noisy_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report-noisy-max top-k release: the k = 3 most frequent event
+    types selected by their LAPLACE-NOISED counts (the one-shot
+    noisy-max mechanism, the selection-query complement of
+    privacy_dp_noisy_histogram's measurement release) — what a privacy
+    layer answers when asked 'which categories dominate' without
+    exposing exact ordering near ties.
+
+    The noise reuses the histogram mechanism verbatim (inverse-CDF
+    integer Laplace at epsilon = 0.5) under its own salt, md5-replayed
+    from the key so the oracle replays the release bit-for-bit (a
+    production release draws real entropy — the seeded form is the
+    unit-testable skeleton, the histogram query's declared caveat).
+    The selection orders by the exact-integer noisy counts with an
+    event_type tie-break, so the released ranking is deterministic in
+    both engines; n_true rides along for the audit and would be
+    dropped from a real release.  Scale shape: one count aggregate,
+    a type-cardinality TakeOrdered, a k-row rank window."""
+    e = load_table(spark, sf_dir, "events")
+    noise = F.expr(_dp_noise_sql("spark", _DP_TOPK_SALT))
+    nz = (
+        e.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_true"))
+        .select(
+            "event_type",
+            "n_true",
+            F.greatest(
+                F.lit(0).cast("bigint"), F.col("n_true") + noise
+            ).alias("n_noisy"),
+        )
+    )
+    top = nz.orderBy(F.desc("n_noisy"), "event_type").limit(_DP_TOPK_K)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_noisy"), "event_type"))
+        .cast("bigint"),
+    ).select("rk", "event_type", "n_noisy", "n_true")
+
+
+def _cond_entropy_oracle() -> str:
+    hn = hu_ratio_signed_sql(
+        "-(g.shn * 10000)", "CAST(g.n AS HUGEINT) * 10000", 6)
+    hc = hu_ratio_signed_sql(
+        "-(g.shc * 10000)", "CAST(g.n AS HUGEINT) * 10000", 6)
+    mi = hu_ratio_signed_sql(
+        "g.smi * 10000", "CAST(g.n AS HUGEINT) * 10000", 6)
+    return f"""
+    WITH s AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    tp AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+           FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    mi_ AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS ci FROM tp GROUP BY 1),
+    mj AS (SELECT nxt, CAST(SUM(c) AS BIGINT) AS cj FROM tp GROUP BY 1),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM tp),
+    terms AS (
+      SELECT tp.c,
+             CAST(tp.c AS DECIMAL(18,4))
+               * CAST(round(log2(CAST(tp.c AS DOUBLE) / mi_.ci), 4)
+                      AS DECIMAL(18,4)) AS xc,
+             CAST(tp.c AS DECIMAL(18,4))
+               * CAST(round(log2((CAST(tp.c AS DOUBLE) * nn.n)
+                                 / (CAST(mi_.ci AS DOUBLE) * mj.cj)), 4)
+                      AS DECIMAL(18,4)) AS xm
+      FROM tp JOIN mi_ USING (cur) JOIN mj USING (nxt) CROSS JOIN nn),
+    jt AS (
+      SELECT CAST(mj.cj AS DECIMAL(18,4))
+               * CAST(round(log2(CAST(mj.cj AS DOUBLE) / nn.n), 4)
+                      AS DECIMAL(18,4)) AS xj
+      FROM mj CROSS JOIN nn),
+    g AS (SELECT nn.n,
+                 (SELECT SUM(xj) FROM jt) AS shn,
+                 (SELECT SUM(xc) FROM terms) AS shc,
+                 (SELECT SUM(xm) FROM terms) AS smi
+          FROM nn)
+    SELECT g.n AS n_transitions,
+           CASE WHEN g.n = 0 THEN NULL ELSE {hn} END AS h_next_bits,
+           CASE WHEN g.n = 0 THEN NULL ELSE {hc} END AS h_cond_bits,
+           CASE WHEN g.n = 0 THEN NULL ELSE {mi} END AS mi_bits
+    FROM g
+    """
+
+
+@query("stats_conditional_entropy_transitions", oracle=_cond_entropy_oracle())
+def stats_conditional_entropy_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Information content of the per-user event-type SEQUENCE: the
+    marginal entropy of the next event type H(next), the conditional
+    entropy given the current type H(next|cur), and their difference —
+    the mutual information the first-order Markov structure carries
+    (graph_markov_transitions reports the transition probabilities;
+    this is the one-row summary of how PREDICTIVE they are: mi ~ 0
+    means sessions are memoryless and the Markov model buys nothing).
+
+    Determinism: transitions come from a user-partitioned LEAD over
+    (ts, event_id) — the sessionization tie-break discipline; every
+    entropy term quantizes its log2 round(4) and multiplies the exact
+    integer count in decimal (the KL recipe), and each readout renders
+    as ONE signed half-up rational over the shared denominator
+    N * 1e4.  The three sums are independently quantized (declared:
+    mi_bits is its own grid sum, not the difference of the other two —
+    they agree to ~1e-4).  An empty/one-event-per-user corpus (no
+    transitions) renders NULL via lazy CASE.  Scale shape: one
+    user-partitioned window over the scan, then (cur, next) counts —
+    type-cardinality-squared rollups and 1-row reduces."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    tp = (
+        s.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    mi_ = tp.groupBy("cur").agg(F.sum("c").cast("bigint").alias("ci"))
+    mj = tp.groupBy("nxt").agg(F.sum("c").cast("bigint").alias("cj"))
+    nn = tp.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n"))
+    terms = (
+        tp.join(mi_, "cur")
+        .join(mj, "nxt")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.expr(
+                "cast(c as decimal(18,4))"
+                " * cast(round(log2(cast(c as double) / ci), 4)"
+                "   as decimal(18,4))"
+            ).alias("xc"),
+            F.expr(
+                "cast(c as decimal(18,4))"
+                " * cast(round(log2((cast(c as double) * n)"
+                "   / (cast(ci as double) * cj)), 4) as decimal(18,4))"
+            ).alias("xm"),
+        )
+    )
+    jt = mj.crossJoin(F.broadcast(nn)).select(
+        F.expr(
+            "cast(cj as decimal(18,4))"
+            " * cast(round(log2(cast(cj as double) / n), 4)"
+            "   as decimal(18,4))"
+        ).alias("xj")
+    )
+    ag_t = terms.agg(
+        F.sum("xc").alias("shc"), F.sum("xm").alias("smi")
+    )
+    ag_j = jt.agg(F.sum("xj").alias("shn"))
+    g = nn.crossJoin(F.broadcast(ag_t)).crossJoin(F.broadcast(ag_j))
+    null_d = F.lit(None).cast("double")
+    return g.select(
+        F.col("n").alias("n_transitions"),
+        F.when(F.col("n") == 0, null_d)
+        .otherwise(
+            hu_ratio_signed(
+                "-(shn * 10000)", "cast(n as decimal(38,0)) * 10000", 6
+            )
+        )
+        .alias("h_next_bits"),
+        F.when(F.col("n") == 0, null_d)
+        .otherwise(
+            hu_ratio_signed(
+                "-(shc * 10000)", "cast(n as decimal(38,0)) * 10000", 6
+            )
+        )
+        .alias("h_cond_bits"),
+        F.when(F.col("n") == 0, null_d)
+        .otherwise(
+            hu_ratio_signed(
+                "smi * 10000", "cast(n as decimal(38,0)) * 10000", 6
+            )
+        )
+        .alias("mi_bits"),
     )

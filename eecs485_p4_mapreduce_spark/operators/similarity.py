@@ -3208,3 +3208,99 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(hu_ratio("n1", "n1 + n0", 6))
         .alias("base_rate"),
     )
+
+
+def _cal_regression_oracle() -> str:
+    w_list = ", ".join(str(w) for w in _INF_W)
+    slope = hu_ratio_signed_sql(
+        "10000 * (m.n * m.spy - m.sp * m.sy)",
+        "m.n * m.spp - m.sp * m.sp", 6)
+    intercept = hu_ratio_signed_sql(
+        "m.sy * (m.n * m.spp - m.sp * m.sp)"
+        " - (m.n * m.spy - m.sp * m.sy) * m.sp",
+        "m.n * (m.n * m.spp - m.sp * m.sp)", 6)
+    return f"""
+    WITH e AS (SELECT CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y,
+                      round(list_inner_product(CAST(embedding AS DOUBLE[]),
+                            [{w_list}]), 6) AS logit
+               FROM embeddings),
+    p AS (SELECT y,
+                 CAST(round(10000 * (1 / (1 + exp(-logit)))) AS BIGINT)
+                   AS p_bp
+          FROM e),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(p_bp) AS HUGEINT) AS sp,
+                 CAST(SUM(CAST(p_bp AS HUGEINT) * p_bp) AS HUGEINT) AS spp,
+                 CAST(SUM(y) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(p_bp AS HUGEINT) * y) AS HUGEINT) AS spy
+          FROM p)
+    SELECT CAST(m.n AS BIGINT) AS n,
+           CASE WHEN m.n * m.spp - m.sp * m.sp = 0 THEN NULL
+                ELSE {slope} END AS cal_slope,
+           CASE WHEN m.n * m.spp - m.sp * m.sp = 0 THEN NULL
+                ELSE {intercept} END AS cal_intercept
+    FROM m
+    """
+
+
+@query("eval_calibration_regression", oracle=_cal_regression_oracle())
+def eval_calibration_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-in-the-large as a LINEAR regression of outcomes on
+    predicted probabilities: y ~ a + b*p over the scorer's basis-point
+    outputs — the two-number summary (slope b, intercept a) that
+    complements the binned views (eval_calibration_bins / eval_ece_mce
+    / eval_isotonic_bins): a perfectly calibrated scorer has b = 1,
+    a = 0; b < 1 means overconfident spread, a > 0 means global
+    underprediction.
+
+    Determinism: p_bp is the shared integer basis-point score; the
+    five regression moments are exact int128 sums, and slope/intercept
+    are each ONE signed rational by Cramer on the 2x2 normal equations
+    — the 1e4 probability scale folds into the slope numerator and the
+    intercept clears BOTH divisions by cross-multiplication (no
+    nested-ratio float anywhere).  A constant-score or empty corpus
+    (zero predictor variance) renders both NULL via lazy CASE.
+    Headroom: n*spp ~ n^2 * 1e8 and the intercept numerator adds a
+    factor sy ~ n — int128 through the render factor to ~1e7 rows;
+    past that, center p first (the stats_var_twopass escape — the
+    moments shift exactly).  Scale shape: one scoring scan into one
+    5-moment reduce."""
+    w_arr = "array(" + ", ".join(f"{w}D" for w in _INF_W) + ")"
+    dot = _DOT.format(a="CAST(embedding AS ARRAY<DOUBLE>)", b=w_arr)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+        F.round(F.expr(dot), 6).alias("logit"),
+    )
+    p = e.select(
+        "y",
+        F.round(10000 * (1 / (1 + F.exp(-F.col("logit")))))
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+    m = p.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("p_bp").cast("decimal(38,0)").alias("sp"),
+        F.sum(F.expr("cast(p_bp as decimal(38,0)) * p_bp")).alias("spp"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("cast(p_bp as decimal(38,0)) * y")).alias("spy"),
+    )
+    degen = F.expr("n * spp - sp * sp = 0")
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(
+            hu_ratio_signed(
+                "10000 * (n * spy - sp * sy)", "n * spp - sp * sp", 6
+            )
+        )
+        .alias("cal_slope"),
+        F.when(degen, F.lit(None).cast("double"))
+        .otherwise(
+            hu_ratio_signed(
+                "sy * (n * spp - sp * sp) - (n * spy - sp * sy) * sp",
+                "n * (n * spp - sp * sp)",
+                6,
+            )
+        )
+        .alias("cal_intercept"),
+    )

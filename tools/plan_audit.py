@@ -90,6 +90,10 @@ CONSTANT_WINDOW_OK = {
     "survival_kaplan_meier": "duration-day grid life table (calendar-bounded)",
     "survival_nelson_aalen": "duration-day grid life table (calendar-bounded)",
     "eval_auc_roc": "basis-point score histogram (<=10001 rows, output-sized)",
+    "eval_pr_auc": "basis-point score histogram (<=10001 rows,"
+    " output-sized — DESC cumulatives)",
+    "privacy_dp_topk_noisy_max": "rank over the <=3-row TakeOrdered"
+    " result",
     "eval_model_card": "basis-point score histogram (<=10001 rows,"
     " output-sized — the eval_auc_roc cumsum)",
     "eval_isotonic_bins": "<=10-bin frames (bin cumsum + constant-size"
