@@ -5917,3 +5917,219 @@ def stats_conditional_entropy_transitions(
         )
         .alias("mi_bits"),
     )
+
+
+@query(
+    "stats_cochran_q",
+    oracle=f"""
+    WITH x AS (SELECT DISTINCT user_id, event_type FROM events),
+    cj AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+           FROM x GROUP BY 1),
+    ri AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r
+           FROM x GROUP BY 1),
+    m AS (SELECT (SELECT CAST(COUNT(*) AS HUGEINT) FROM cj) AS k,
+                 (SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) FROM cj)
+                   AS n,
+                 (SELECT CAST(COALESCE(SUM(CAST(c AS HUGEINT) * c), 0)
+                              AS HUGEINT) FROM cj) AS sc2,
+                 (SELECT CAST(COALESCE(SUM(CAST(r AS HUGEINT) * r), 0)
+                              AS HUGEINT) FROM ri) AS sr2)
+    SELECT CAST((SELECT COUNT(*) FROM ri) AS BIGINT) AS n_users,
+           CAST(m.k AS BIGINT) AS k_types,
+           CASE WHEN m.k < 2 OR m.k * m.n - m.sr2 = 0 THEN NULL ELSE
+             {hu_ratio_sql("(m.k - 1) * (m.k * m.sc2 - m.n * m.n)",
+                           "m.k * m.n - m.sr2", 6)} END AS cochran_q
+    FROM m
+    """,
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test: do the event TYPES differ in reach — the
+    share of users who perform them at least once — treating each user
+    as a matched block with a BINARY response per type.  The
+    dichotomous member of the within-block family (Friedman ranks
+    counts; Q ranks presence), and the right test when the readout is
+    adoption rather than intensity.
+
+    Q = (k-1) * (k*sum C_j^2 - N^2) / (k*N - sum R_i^2) over column
+    (type) totals C_j, row (user) totals R_i and grand total N of the
+    0/1 presence matrix — every term an exact integer off two
+    aggregates of the DISTINCT (user, type) pairs (absent pairs are
+    zeros and never materialize; no grid needed), so Q is ONE exact
+    nonnegative rational (Cauchy-Schwarz bounds the numerator;
+    R_i <= k bounds the denominator) rendered half-up.  An
+    every-user-does-everything corpus (den = 0) or k < 2 renders NULL
+    via lazy CASE.  Headroom: k*sum C_j^2 ~ k*n_users^2 — int128 past
+    1e15 users.  Scale shape: one distinct-pair aggregate feeding two
+    map-side-combinable rollups and a 1-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select("user_id", "event_type").distinct()
+    cj = x.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ri = x.groupBy("user_id").agg(F.count("*").cast("bigint").alias("r"))
+    mc = cj.agg(
+        F.count("*").cast("decimal(38,0)").alias("k"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("decimal(38,0)").alias("n"),
+        F.coalesce(
+            F.sum(F.expr("cast(c as decimal(38,0)) * c")), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("sc2"),
+    )
+    mr = ri.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.coalesce(
+            F.sum(F.expr("cast(r as decimal(38,0)) * r")), F.lit(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("sr2"),
+    )
+    return mr.crossJoin(F.broadcast(mc)).select(
+        "n_users",
+        F.col("k").cast("bigint").alias("k_types"),
+        F.when(
+            (F.col("k") < 2) | (F.expr("k * n - sr2") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            hu_ratio("(k - 1) * (k * sc2 - n * n)", "k * n - sr2", 6)
+        )
+        .alias("cochran_q"),
+    )
+
+
+@query(
+    "stats_page_trend_dayparts",
+    oracle="""
+    WITH tc AS (
+      SELECT user_id, (epoch_us(ts) // 21600000000) % 4 AS part,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2),
+    us AS (SELECT DISTINCT user_id FROM tc),
+    grid AS (
+      SELECT us.user_id, p.part, COALESCE(tc.cnt, 0) AS cnt
+      FROM us CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS part) p
+      LEFT JOIN tc USING (user_id, part)),
+    vc AS (SELECT user_id, cnt, CAST(COUNT(*) AS BIGINT) AS c
+           FROM grid GROUP BY 1, 2),
+    rr AS (SELECT user_id, cnt, c,
+                 CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY cnt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                   AS BIGINT) AS cum_before
+           FROM vc),
+    gr AS (
+      SELECT g.part,
+             CAST(SUM(2 * rr.cum_before + rr.c + 1) AS HUGEINT) AS r2
+      FROM grid g JOIN rr ON rr.user_id = g.user_id AND rr.cnt = g.cnt
+      GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM us),
+    m AS (SELECT CAST(SUM((part + 1) * r2) AS HUGEINT) AS l2,
+                 CAST(COUNT(*) AS HUGEINT) AS k
+          FROM gr)
+    SELECT CAST(nn.n AS BIGINT) AS n_users, CAST(m.k AS BIGINT) AS k_parts,
+           CAST(CAST(m.l2 AS BIGINT) AS BIGINT) AS l2_statistic,
+           CASE WHEN nn.n = 0 OR m.k < 2 THEN NULL ELSE
+             round((CAST(m.l2 - (nn.n * m.k * (m.k + 1) * (m.k + 1)) // 2
+                         AS DOUBLE) * 6)
+                   / (CAST(m.k AS DOUBLE)
+                      * sqrt(CAST(nn.n * (m.k + 1) * (m.k * m.k - 1)
+                                  AS DOUBLE))), 4) END AS z_page
+    FROM nn CROSS JOIN m
+    """,
+)
+def stats_page_trend_dayparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test for ORDERED treatments: does per-user
+    activity increase monotonically across the four six-hour day-parts
+    — the ordered-alternative refinement of stats_friedman_test
+    (Friedman asks 'any difference?'; Page asks 'a trend in THIS
+    order?', and has far more power when the alternative is monotone).
+
+    L = sum_j j * R_j over within-user midranks of the zero-filled
+    user x day-part counts; carried DOUBLED (l2 = sum j * R2_j, an
+    exact integer off the Friedman rank machinery — day-parts derive
+    from integer epoch arithmetic, never engine-local time fns).
+    Under H0, E[L2] = n*k*(k+1)^2/2 exactly — spelled as INTEGER
+    division in both dialects (the product is even for every k;
+    DuckDB's `/` would route the subtraction through double and lose
+    low bits past 2^53 where Spark's decimal stays exact) — and
+    z = 6*(L2 - E[L2]) /
+    (k*sqrt(n*(k+1)*(k^2-1))) is ONE correctly-rounded double chain
+    (integer inputs, one sqrt — round(4) per the sqrt-output rule).
+    The classic no-ties variance is used with midranks (the standard
+    large-sample form; ties only shrink the true variance — declared).
+    n = 0 or k < 2 renders NULL via lazy CASE.  Scale shape: the
+    Friedman grid shapes verbatim — one (user, part) count, a 4-wide
+    zero-fill, user-partitioned histogram windows, a 4-row reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    tc = ev.groupBy(
+        "user_id",
+        F.expr("(unix_micros(ts) div 21600000000) % 4").alias("part"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    us = tc.select("user_id").distinct()
+    parts = spark.range(4).select(F.col("id").cast("bigint").alias("part"))
+    grid = (
+        us.crossJoin(F.broadcast(parts))
+        .join(tc, ["user_id", "part"], "left")
+        .select(
+            "user_id",
+            "part",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )
+    vc = grid.groupBy("user_id", "cnt").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rr = vc.select(
+        "user_id",
+        "cnt",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).cast("bigint").alias("cum_before"),
+    )
+    gr = (
+        grid.join(rr, ["user_id", "cnt"])
+        .groupBy("part")
+        .agg(
+            F.sum(F.expr("cast(2 * cum_before + c + 1 as decimal(38,0))"))
+            .alias("r2")
+        )
+    )
+    nn = us.agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    m = gr.agg(
+        F.sum(F.expr("(part + 1) * r2")).cast("decimal(38,0)").alias("l2"),
+        F.count("*").cast("decimal(38,0)").alias("k"),
+    )
+    return nn.crossJoin(F.broadcast(m)).select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("k").cast("bigint").alias("k_parts"),
+        F.col("l2").cast("bigint").alias("l2_statistic"),
+        F.when(
+            (F.col("n") == 0) | (F.col("k") < 2),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (
+                    F.expr(
+                        "cast(l2 - ((n * k * (k + 1) * (k + 1)) div 2)"
+                        " as double)"
+                    )
+                    * 6
+                )
+                / (
+                    F.col("k").cast("double")
+                    * F.sqrt(
+                        F.expr(
+                            "cast(n * (k + 1) * (k * k - 1) as double)"
+                        )
+                    )
+                ),
+                4,
+            )
+        )
+        .alias("z_page"),
+    )
