@@ -6133,3 +6133,264 @@ def stats_page_trend_dayparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("z_page"),
     )
+
+
+# z_{0.975} as an exact Fraction: zz = z^2 = 1959964^2 / 10^12 — the
+# Wilson center is then ONE exact integer rational (a round(double) of
+# it would be the decimal-half hazard class, since zz is rational).
+_WILSON_ZN = 1959964 * 1959964  # z^2 numerator at denominator 1e12
+_WILSON_D = 10**12
+
+
+def _wilson_oracle() -> str:
+    zn, d = _WILSON_ZN, _WILSON_D
+    center = hu_ratio_sql(
+        f"2 * CAST(g.x AS HUGEINT) * {d} + {zn}",
+        f"2 * CAST(g.n AS HUGEINT) * {d} + 2 * CAST({zn} AS HUGEINT)", 6)
+    rate = hu_ratio_sql("g.x", "g.n", 6)
+    return f"""
+    WITH x AS (SELECT DISTINCT user_id, event_type FROM events),
+    nn AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM x),
+    g AS (SELECT x.event_type, CAST(COUNT(*) AS BIGINT) AS x, nn.n
+          FROM x CROSS JOIN nn GROUP BY 1, 3)
+    SELECT g.event_type, g.x AS n_users_reached, g.n AS n_users,
+           {rate} AS rate,
+           {center} AS wilson_center,
+           round((1.959964 * sqrt((CAST(g.x AS DOUBLE) * (g.n - g.x)) / g.n
+                                  + {zn / d} / 4.0))
+                 / (g.n + {zn / d}), 6) AS wilson_halfwidth
+    FROM g
+    """
+
+
+@query("stats_wilson_ci_rates", oracle=_wilson_oracle())
+def stats_wilson_ci_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for each event type's user
+    REACH rate (share of users who perform it at least once — the
+    Cochran's-Q marginals with uncertainty attached): the
+    recommended small-and-large-n binomial interval (never escapes
+    [0,1], unlike the Wald CI a naive pipeline reaches for).
+
+    Determinism: x and n are exact integers off the distinct
+    (user, type) pairs; z^2 is carried as the EXACT rational
+    1959964^2/10^12, so the Wilson center (x + z^2/2)/(n + z^2) clears
+    to ONE integer rational rendered half-up — a round(double) spelling
+    would be the decimal-half hazard class since the center is
+    rational-valued.  The half-width keeps its sqrt (transcendental
+    output, round(6) safe per the sqrt rule) over correctly-rounded
+    double inputs.  Headroom: 2*n*1e12 — int128 past 1e20 users.
+    Scale shape: one distinct-pair aggregate, a type-cardinality
+    rollup, a broadcast 1-row user count."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select("user_id", "event_type").distinct()
+    nn = x.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n")
+    )
+    g = (
+        x.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("x"))
+        .crossJoin(F.broadcast(nn))
+    )
+    zn, d = _WILSON_ZN, _WILSON_D
+    return g.select(
+        "event_type",
+        F.col("x").alias("n_users_reached"),
+        F.col("n").alias("n_users"),
+        hu_ratio("x", "n", 6).alias("rate"),
+        hu_ratio(
+            f"2 * cast(x as decimal(38,0)) * {d} + {zn}",
+            f"2 * cast(n as decimal(38,0)) * {d}"
+            f" + 2 * cast({zn} as decimal(38,0))",
+            6,
+        ).alias("wilson_center"),
+        F.round(
+            (
+                F.lit(1.959964)
+                * F.sqrt(
+                    (F.col("x").cast("double") * (F.col("n") - F.col("x")))
+                    / F.col("n")
+                    + F.lit(zn / d) / 4.0
+                )
+            )
+            / (F.col("n") + F.lit(zn / d)),
+            6,
+        ).alias("wilson_halfwidth"),
+    )
+
+
+def _ratio_delta_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    bkt = _bucket256_sql("user_id").replace("AS STRING", "AS VARCHAR")
+    rt = hu_ratio_sql("w.sxt", "w.syt", 6)
+    rc = hu_ratio_sql("w.sxc", "w.syc", 6)
+    diff = hu_ratio_signed_sql(
+        "w.sxt * w.syc - w.sxc * w.syt",
+        "CAST(w.syt AS HUGEINT) * w.syc", 6)
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN {bkt} < 128 THEN 1 ELSE 0 END AS t,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    o AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS HUGEINT) AS sx,
+                 CAST(SUM(y) AS HUGEINT) AS sy
+          FROM u GROUP BY 1),
+    q AS (SELECT u.t,
+                 CAST(SUM((CAST(u.x AS HUGEINT) * o.sy
+                           - CAST(u.y AS HUGEINT) * o.sx)
+                          * (CAST(u.x AS HUGEINT) * o.sy
+                             - CAST(u.y AS HUGEINT) * o.sx))
+                      AS HUGEINT) AS qq
+          FROM u JOIN o USING (t) GROUP BY 1),
+    w AS (SELECT
+            CAST(MAX(CASE WHEN o.t = 1 THEN o.n END) AS BIGINT) AS nt,
+            CAST(MAX(CASE WHEN o.t = 0 THEN o.n END) AS BIGINT) AS nc,
+            CAST(MAX(CASE WHEN o.t = 1 THEN o.sx END) AS HUGEINT) AS sxt,
+            CAST(MAX(CASE WHEN o.t = 0 THEN o.sx END) AS HUGEINT) AS sxc,
+            CAST(MAX(CASE WHEN o.t = 1 THEN o.sy END) AS HUGEINT) AS syt,
+            CAST(MAX(CASE WHEN o.t = 0 THEN o.sy END) AS HUGEINT) AS syc,
+            CAST(MAX(CASE WHEN q.t = 1 THEN q.qq END) AS HUGEINT) AS qt,
+            CAST(MAX(CASE WHEN q.t = 0 THEN q.qq END) AS HUGEINT) AS qc
+          FROM o JOIN q USING (t))
+    SELECT CAST(COALESCE(w.nt, 0) AS BIGINT) AS n_treat,
+           CAST(COALESCE(w.nc, 0) AS BIGINT) AS n_control,
+           CASE WHEN w.syt IS NULL OR w.syt = 0 THEN NULL ELSE {rt} END
+             AS ctr_treat,
+           CASE WHEN w.syc IS NULL OR w.syc = 0 THEN NULL ELSE {rc} END
+             AS ctr_control,
+           CASE WHEN w.syt IS NULL OR w.syc IS NULL
+                     OR w.syt = 0 OR w.syc = 0 THEN NULL
+                ELSE {diff} END AS diff,
+           CASE WHEN w.syt IS NULL OR w.syc IS NULL
+                     OR w.syt = 0 OR w.syc = 0
+                     OR w.nt < 2 OR w.nc < 2 THEN NULL
+                ELSE round((CAST(w.sxt AS DOUBLE) / CAST(w.syt AS DOUBLE)
+                            - CAST(w.sxc AS DOUBLE) / CAST(w.syc AS DOUBLE))
+                   / sqrt(CAST(w.nt AS DOUBLE) * CAST(w.qt AS DOUBLE)
+                            / (w.nt - 1)
+                            / (CAST(w.syt AS DOUBLE) * CAST(w.syt AS DOUBLE)
+                               * CAST(w.syt AS DOUBLE) * CAST(w.syt AS DOUBLE))
+                          + CAST(w.nc AS DOUBLE) * CAST(w.qc AS DOUBLE)
+                            / (w.nc - 1)
+                            / (CAST(w.syc AS DOUBLE) * CAST(w.syc AS DOUBLE)
+                               * CAST(w.syc AS DOUBLE) * CAST(w.syc AS DOUBLE))),
+                   4) END AS z_delta
+    FROM w
+    """
+
+
+@query("ab_ratio_metric_delta_method", oracle=_ratio_delta_oracle())
+def ab_ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method z-test for a RATIO metric (click-through rate =
+    total clicks / total views) under the md5-bucket 50/50 assignment —
+    the experimentation-bank member the mean-metric tests can't
+    replace: a per-user ratio averages wrong (users with few views
+    dominate), and naive per-user CTR variance ignores the
+    denominator's own sampling noise.  Delta method: Var(X̄/Ȳ) ≈
+    n·Σ(x_i·Sy − y_i·Sx)² / ((n−1)·Sy⁴) per arm.
+
+    Determinism: per-arm CTRs and their difference are exact integer
+    rationals (the diff clears the two denominators by
+    cross-multiplication into ONE signed half-up render); the
+    quadratic Q = Σ(x_i·Sy − y_i·Sx)² is an exact int128 sum (the
+    r-cleared spelling — (x_i − r·y_i)² would need the rational r per
+    row), and only the final z is a correctly-rounded double chain
+    through one sqrt (round(4) per the sqrt rule).  Degenerate arms
+    (no views, n < 2, or a missing arm) render NULL via lazy CASE.
+    Headroom: Q ~ n³·(xy scale)² — int128 to ~1e11 users; past that
+    center x,y first (the covariance two-pass escape).  Scale shape:
+    one scan to the user rollup, one 2-row arm aggregate broadcast
+    back for the Q pass, a 2-row pivot."""
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+
+    ev = load_table(spark, sf_dir, "events")
+    bkt = F.expr(_bucket256_sql("user_id"))
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).select(
+        F.when(bkt < 128, 1).otherwise(0).alias("t"), "x", "y"
+    ).localCheckpoint()  # arm moments AND the Q pass read it
+    o = u.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+    )
+    q = (
+        u.join(F.broadcast(o), "t")
+        .select(
+            "t",
+            F.expr(
+                "(cast(x as decimal(38,0)) * sy"
+                " - cast(y as decimal(38,0)) * sx)"
+            ).alias("dd"),
+        )
+        .groupBy("t")
+        .agg(F.sum(F.expr("dd * dd")).cast("decimal(38,0)").alias("qq"))
+    )
+    w = o.join(q, "t").agg(
+        F.max(F.when(F.col("t") == 1, F.col("n"))).cast("bigint").alias("nt"),
+        F.max(F.when(F.col("t") == 0, F.col("n"))).cast("bigint").alias("nc"),
+        F.max(F.when(F.col("t") == 1, F.col("sx"))).alias("sxt"),
+        F.max(F.when(F.col("t") == 0, F.col("sx"))).alias("sxc"),
+        F.max(F.when(F.col("t") == 1, F.col("sy"))).alias("syt"),
+        F.max(F.when(F.col("t") == 0, F.col("sy"))).alias("syc"),
+        F.max(F.when(F.col("t") == 1, F.col("qq"))).alias("qt"),
+        F.max(F.when(F.col("t") == 0, F.col("qq"))).alias("qc"),
+    )
+    null_d = F.lit(None).cast("double")
+    arm_bad = (
+        F.col("syt").isNull()
+        | F.col("syc").isNull()
+        | (F.col("syt") == 0)
+        | (F.col("syc") == 0)
+    )
+    var_arm = (
+        "cast({n} as double) * cast({q} as double) / ({n} - 1)"
+        " / (cast({s} as double) * cast({s} as double)"
+        "    * cast({s} as double) * cast({s} as double))"
+    )
+    z_expr = (
+        "(cast(sxt as double) / cast(syt as double)"
+        " - cast(sxc as double) / cast(syc as double))"
+        " / sqrt("
+        + var_arm.format(n="nt", q="qt", s="syt")
+        + " + "
+        + var_arm.format(n="nc", q="qc", s="syc")
+        + ")"
+    )
+    return w.select(
+        F.coalesce(F.col("nt"), F.lit(0)).cast("bigint").alias("n_treat"),
+        F.coalesce(F.col("nc"), F.lit(0)).cast("bigint").alias(
+            "n_control"
+        ),
+        F.when(F.col("syt").isNull() | (F.col("syt") == 0), null_d)
+        .otherwise(hu_ratio("sxt", "syt", 6))
+        .alias("ctr_treat"),
+        F.when(F.col("syc").isNull() | (F.col("syc") == 0), null_d)
+        .otherwise(hu_ratio("sxc", "syc", 6))
+        .alias("ctr_control"),
+        F.when(arm_bad, null_d)
+        .otherwise(
+            hu_ratio_signed(
+                "sxt * syc - sxc * syt",
+                "cast(syt as decimal(38,0)) * syc",
+                6,
+            )
+        )
+        .alias("diff"),
+        F.when(
+            arm_bad | (F.col("nt") < 2) | (F.col("nc") < 2), null_d
+        )
+        .otherwise(F.round(F.expr(z_expr), 4))
+        .alias("z_delta"),
+    )
