@@ -1045,6 +1045,8 @@ _SUFFIX_FRAME = re.compile(
         "join_asof_nearest",
         "resample_interpolate_linear",
         "survival_kaplan_meier",
+        "survival_logrank_test",
+        "eval_pr_auc",
     ],
 )
 def test_no_quadratic_suffix_frames(name, spark, sf_dir):
@@ -1057,3 +1059,15 @@ def test_no_quadratic_suffix_frames(name, spark, sf_dir):
     plan = explain(spark, sf_dir, name)
     m = _SUFFIX_FRAME.search(plan)
     assert not m, f"{name} regressed to a quadratic suffix frame: {m.group()}"
+
+
+def test_bh_fdr_fanout_not_single_split(spark, sf_dir):
+    """stats_bh_fdr_permutation fans ONE documents scan into m*R md5
+    partial aggregates; a compact one-row-group parquet file would
+    serialize the whole fan-out onto a single core (the minhash_banded
+    lesson), so the query repartitions the scan BEFORE the replica
+    explode — pinned as a RoundRobin exchange in the plan."""
+    plan = explain(spark, sf_dir, "stats_bh_fdr_permutation")
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, (
+        "stats_bh_fdr_permutation lost its pre-fan-out repartition"
+    )
