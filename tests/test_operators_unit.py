@@ -1757,3 +1757,153 @@ def test_ab_power_mde_single_user_renders_null(spark, tmp_path):
     assert drow[0] + drow[1] == 1
     assert drow[2] == 3.0
     assert drow[3] is None and drow[4] is None
+
+
+def test_pr_auc_single_class_renders_null(spark, tmp_path):
+    """eval_pr_auc on a single-class corpus: no positives means AP has
+    no definition (n1 = 0) — NULL via lazy CASE in both dialects, with
+    the base rate rendering 0 (not NULL: the corpus is non-empty)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    vecs = [[0.01 * (i + j % 5) for j in range(64)] for i in range(4)]
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(1, 5), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 2, 3], pa.int32()),
+        }
+    )
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+    spec = REGISTRY["eval_pr_auc"]
+    row = spec.fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_pos"] == 0 and row["n_neg"] == 4
+    assert row["avg_precision"] is None
+    assert row["base_rate"] == 0.0
+    con = _duck_with_view(tmp_path, "embeddings")
+    drow = con.sql(spec.oracle).fetchall()[0]
+    assert drow[0] == 0 and drow[1] == 4
+    assert drow[2] is None and drow[3] == 0.0
+
+
+def test_logrank_all_censored_renders_null(spark, tmp_path):
+    """survival_logrank_test when every user is still active (V = 0 —
+    no deaths anywhere): chi2 NULL via lazy CASE, e1_expected 0, and
+    the arm/death counts still render."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 1
+    for u in range(1, 9):
+        # every user's last event is AT the corpus head (lag 0 days)
+        rows.append((eid, base, u)); eid += 1
+        rows.append((eid, base + dt.timedelta(hours=5), u)); eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": ["view"] * len(rows),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    spec = REGISTRY["survival_logrank_test"]
+    row = spec.fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_g1"] + row["n_g0"] == 8
+    assert row["deaths_g1"] == 0 and row["deaths_g0"] == 0
+    assert row["e1_expected"] == 0.0 and row["chi2_logrank"] is None
+    con = _duck_with_view(tmp_path, "events")
+    drow = con.sql(spec.oracle).fetchall()[0]
+    assert drow[0] + drow[1] == 8 and drow[4] == 0.0 and drow[5] is None
+
+
+def test_ols_collinear_design_renders_null(spark, tmp_path):
+    """ml_ols_normal_equation on a single-timestamp corpus: hour and
+    dow are constants, the Gram matrix is rank-1 and det = 0 — all
+    three coefficients NULL via lazy CASE in both dialects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    t0 = dt.datetime(2024, 3, 7, 14, 30)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([t0, t0, t0], pa.timestamp("us")),
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": ["view"] * 3,
+            "value": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            "props": ["{}"] * 3,
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    spec = REGISTRY["ml_ols_normal_equation"]
+    row = spec.fn(spark, str(tmp_path)).collect()[0]
+    assert row["n"] == 3
+    assert row["beta_intercept"] is None
+    assert row["beta_hour"] is None and row["beta_dow"] is None
+    con = _duck_with_view(tmp_path, "events")
+    drow = con.sql(spec.oracle).fetchall()[0]
+    assert drow[0] == 3 and drow[1] is None and drow[2] is None
+
+
+def test_ratio_delta_missing_arm_renders_null(spark, tmp_path):
+    """ab_ratio_metric_delta_method with every user hashed into ONE
+    arm: the missing arm's moments are NULL, so CTRs/diff/z all
+    short-circuit to NULL while the arm sizes render 0/n."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.operators.sampling import _bucket256_sql
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    import duckdb as _dd
+
+    con0 = _dd.connect()
+    bkt = _bucket256_sql("user_id").replace("AS STRING", "AS VARCHAR")
+    # find user ids that all land in the SAME md5 bucket half
+    uids = []
+    u = 1
+    while len(uids) < 4:
+        (b,) = con0.sql(
+            f"SELECT {bkt} FROM (SELECT {u} AS user_id)"
+        ).fetchone()
+        if b < 128:
+            uids.append(u)
+        u += 1
+    rows, eid = [], 1
+    base = dt.datetime(2024, 1, 1)
+    for uu in uids:
+        for k, et in enumerate(["view", "view", "click"]):
+            rows.append((eid, base + dt.timedelta(minutes=eid), uu, et))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": [r[3] for r in rows],
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    spec = REGISTRY["ab_ratio_metric_delta_method"]
+    row = spec.fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_treat"] == 4 and row["n_control"] == 0
+    assert row["ctr_treat"] is not None
+    assert row["ctr_control"] is None
+    assert row["diff"] is None and row["z_delta"] is None
+    con = _duck_with_view(tmp_path, "events")
+    drow = con.sql(spec.oracle).fetchall()[0]
+    assert drow[0] == 4 and drow[1] == 0
+    assert drow[3] is None and drow[4] is None and drow[5] is None
