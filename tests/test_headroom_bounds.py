@@ -374,3 +374,83 @@ def test_logreg_prescaled_sum_matches_sum_then_scale(spark):
     ]
     s = sum(terms)
     assert got == float(_half_away(s, n * 10**15, 6)) / 10**6
+
+
+def test_ols_cramer_exact_below_bound_loud_above(spark):
+    """ml_ols_normal_equation's Cramer rationals (_OLS_DN/_OLS_D1):
+    exact at realistic magnitudes (hour <= 23, dow <= 6, y 1e-6-scaled
+    at |value| ~ 1e2); the render's 2*|det_j|*10^6 binds around ~1e8
+    rows (det_j ~ n^3 * feature-scale^4 * 1e8) and wraps loudly past
+    it — the docstring's escape is CENTERING the features (moments
+    shift exactly), never sharding."""
+    from eecs485_p4_mapreduce_spark.operators.linalg import (
+        _OLS_D1,
+        _OLS_DN,
+    )
+
+    def frame(n):
+        # synthetic-but-consistent Gram moments: x1 ~ 11.5 mean hour,
+        # x2 ~ 3 mean dow, y6 ~ 5e7 (value ~ 50)
+        s1, s2 = n * 23 // 2, n * 3
+        s11, s22, s12 = n * 180, n * 12, n * 35
+        sy = n * 5 * 10**7
+        s1y, s2y = s1 * 5 * 10**7 + n * 10**6, s2 * 5 * 10**7 - n * 10**5
+        cols = dict(n=n, s1=s1, s2=s2, s11=s11, s22=s22, s12=s12,
+                    sy=sy, s1y=s1y, s2y=s2y)
+        sql = ", ".join(
+            f"cast({v} as decimal(38,0)) AS {k}" for k, v in cols.items()
+        )
+        return spark.sql(f"SELECT {sql}"), cols
+
+    g, c = frame(10**6)  # in-bound: 1e6 rows
+    got = g.select(
+        hu_ratio_signed(_OLS_D1, f"{_OLS_DN} * 1000000", 6).alias("b1")
+    ).collect()[0]["b1"]
+    dn = (c["n"] * (c["s11"] * c["s22"] - c["s12"] ** 2)
+          - c["s1"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
+          + c["s2"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"]))
+    d1 = (c["n"] * (c["s1y"] * c["s22"] - c["s12"] * c["s2y"])
+          - c["sy"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
+          + c["s2"] * (c["s1"] * c["s2y"] - c["s1y"] * c["s2"]))
+    assert got == float(_half_away(d1, dn * 10**6, 6)) / 10**6
+    # past the bound: 1e10 rows -> det_j ~ 1e30*... and the render's
+    # 2*|d1|*1e6 clears decimal(38,0)
+    big, _ = frame(10**10)
+    with pytest.raises(Exception, match=_OVERFLOW):
+        big.select(
+            hu_ratio_signed(_OLS_D1, f"{_OLS_DN} * 1000000", 6).alias("b1")
+        ).collect()
+
+
+def test_calibration_intercept_exact_below_bound_loud_above(spark):
+    """eval_calibration_regression's intercept rational (the
+    cross-multiplication-cleared 2x2 Cramer form): exact at realistic
+    magnitudes (p_bp <= 1e4); the intercept numerator carries
+    sy*(n*spp - sp^2) ~ n^3 * 1e8, so the render binds around ~1e7
+    rows and wraps loudly past it — the docstring's escape is
+    centering p (the moments shift exactly)."""
+
+    def frame(n):
+        sp = n * 5000
+        spp = n * 35 * 10**6
+        sy = n // 2
+        spy = n * 2700
+        cols = dict(n=n, sp=sp, spp=spp, sy=sy, spy=spy)
+        sql = ", ".join(
+            f"cast({v} as decimal(38,0)) AS {k}" for k, v in cols.items()
+        )
+        return spark.sql(f"SELECT {sql}"), cols
+
+    num = "sy * (n * spp - sp * sp) - (n * spy - sp * sy) * sp"
+    den = "n * (n * spp - sp * sp)"
+    g, c = frame(10**6)
+    got = g.select(
+        hu_ratio_signed(num, den, 6).alias("a")
+    ).collect()[0]["a"]
+    tnum = (c["sy"] * (c["n"] * c["spp"] - c["sp"] ** 2)
+            - (c["n"] * c["spy"] - c["sp"] * c["sy"]) * c["sp"])
+    tden = c["n"] * (c["n"] * c["spp"] - c["sp"] ** 2)
+    assert got == float(_half_away(tnum, tden, 6)) / 10**6
+    big, _ = frame(10**9)
+    with pytest.raises(Exception, match=_OVERFLOW):
+        big.select(hu_ratio_signed(num, den, 6).alias("a")).collect()
