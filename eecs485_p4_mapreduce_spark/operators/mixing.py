@@ -946,3 +946,241 @@ def mix_resume_from_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p").cast("bigint").alias("first_pos"),
         F.min("seq_id").cast("bigint").alias("first_seq"),
     )
+
+
+def _pack_leak_oracle() -> str:
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio_sql
+
+    share = hu_ratio_sql(
+        "g.cross2", "g.tot2", 6)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len({DUCK_TOKENS}) AS tok FROM documents),
+    packed AS (
+      SELECT lang, tok,
+             SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks),
+    seq AS (
+      SELECT lang, tok,
+             CAST(floor((cum - tok) / {_SEQ_BUDGET}.0) AS BIGINT) AS seq_id
+      FROM packed),
+    per AS (
+      SELECT lang, seq_id,
+             CAST(SUM(tok) AS HUGEINT) AS t,
+             CAST(SUM(CAST(tok AS HUGEINT) * tok) AS HUGEINT) AS st2
+      FROM seq GROUP BY 1, 2),
+    g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+             CAST(SUM((t * t - st2) // 2) AS HUGEINT) AS leak,
+             CAST(SUM(t * t - st2) AS HUGEINT) AS cross2,
+             CAST(SUM(t * (t - 1)) AS HUGEINT) AS tot2
+      FROM per GROUP BY 1)
+    SELECT g.lang, g.n_seqs, CAST(g.leak AS BIGINT) AS cross_doc_pairs,
+           CASE WHEN g.tot2 = 0 THEN NULL ELSE {share} END
+             AS cross_attention_share
+    FROM g
+    """
+
+
+@query("pack_crossdoc_attention_leak", oracle=_pack_leak_oracle())
+def pack_crossdoc_attention_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention leakage of the greedy packer: for each
+    language's packed {_SEQ_BUDGET}-token sequences, how many causal
+    (query, key) attention pairs CROSS a document boundary — the pairs
+    a plain causal mask computes but a document-masked (block-diagonal)
+    attention would zero.  The readout that decides whether packing
+    needs doc-masking: a share near zero means documents rarely share
+    a sequence and the cheap mask is fine.
+
+    Composes pack_sequences_greedy's assignment verbatim (same
+    prefix-sum binning, same boundary-overflow semantics).  Per
+    sequence the strictly-cross-document ordered-pair count is
+    (T^2 - sum t_i^2)/2 — an exact even-integer identity over the
+    per-doc token counts — and the per-lang share divides by the
+    causal total sum T(T-1)/2, cleared to ONE exact rational
+    sum(T^2 - sum t^2) / sum(T(T-1)) via the half-up render (an
+    all-empty-docs language renders NULL via lazy CASE).  Headroom:
+    T <= budget + max doc length, so the sums are ~n_seqs * budget^2 —
+    int128 past 1e28 tokens.  Scale shape: the packer's one
+    lang-partitioned prefix-sum window, a (lang, seq) rollup, a
+    lang-cardinality reduce."""
+    from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.size(tokens("text")).alias("tok"))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = t.withColumn("cum", F.sum("tok").over(w)).withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("tok")) / _SEQ_BUDGET).cast("bigint"),
+    )
+    per = seq.groupBy("lang", "seq_id").agg(
+        F.sum("tok").cast("decimal(38,0)").alias("t"),
+        F.sum(F.expr("cast(tok as decimal(38,0)) * tok")).alias("st2"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_seqs"),
+        F.sum(F.expr("(t * t - st2) div 2"))
+        .cast("decimal(38,0)")
+        .alias("leak"),
+        F.sum(F.expr("t * t - st2")).cast("decimal(38,0)").alias("cross2"),
+        F.sum(F.expr("t * (t - 1)")).cast("decimal(38,0)").alias("tot2"),
+    )
+    return g.select(
+        "lang",
+        "n_seqs",
+        F.col("leak").cast("bigint").alias("cross_doc_pairs"),
+        F.when(F.col("tot2") == 0, F.lit(None).cast("double"))
+        .otherwise(hu_ratio("cross2", "tot2", 6))
+        .alias("cross_attention_share"),
+    )
+
+
+_UNIMAX_E = 4  # epoch cap: no source repeats more than E times
+
+
+def _unimax_oracle() -> str:
+    return f"""
+    WITH nt AS (
+      SELECT source, CAST(SUM(len({DUCK_TOKENS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    c AS (SELECT source, n_tokens,
+                 CAST({_UNIMAX_E} * n_tokens AS BIGINT) AS cap
+          FROM nt),
+    r AS (SELECT source, n_tokens, cap,
+                 row_number() OVER (ORDER BY cap, source) AS j,
+                 CAST(SUM(cap) OVER (ORDER BY cap, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS p,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS m
+          FROM c),
+    f AS (SELECT *,
+                 CASE WHEN CAST(cap AS HUGEINT) * (m - j)
+                           <= {_BUDGET} - p
+                      THEN 1 ELSE 0 END AS capped
+          FROM r),
+    kk AS (SELECT CAST(COALESCE(SUM(capped), 0) AS BIGINT) AS k,
+                  CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN cap END), 0)
+                       AS BIGINT) AS pk,
+                  CAST(MAX(m) AS BIGINT) AS m
+           FROM f),
+    u AS (SELECT f.*, kk.k, kk.pk,
+                 CASE WHEN kk.m = kk.k THEN 0
+                      ELSE ({_BUDGET} - kk.pk) // (kk.m - kk.k) END AS base,
+                 CASE WHEN kk.m = kk.k THEN 0
+                      ELSE ({_BUDGET} - kk.pk) % (kk.m - kk.k) END AS rem
+          FROM f CROSS JOIN kk),
+    a AS (SELECT source, n_tokens, cap, capped,
+                 CASE WHEN capped = 1 THEN cap
+                      ELSE base + CASE WHEN j - k <= rem THEN 1 ELSE 0 END
+                 END AS alloc_tokens
+          FROM u)
+    SELECT source, n_tokens, cap AS cap_tokens,
+           capped = 1 AS capped,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST((2 * CAST(alloc_tokens AS HUGEINT) * 10000 + n_tokens)
+                // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS epochs_bp
+    FROM a
+    """
+
+
+@query("mix_unimax_waterfill", oracle=_unimax_oracle())
+def mix_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style waterfilling allocator: split the 1M-token
+    budget as UNIFORMLY as possible across sources subject to an
+    epoch CAP (no source repeats more than 4 times) — the
+    cap-and-redistribute allocator that replaces temperature mixing
+    when repetition damage dominates (mix_epoch_token_budget is the
+    tau=2 temperature twin; this one solves
+    alloc_i = min(cap_i, theta) with theta chosen so the total is
+    exactly the budget).
+
+    Determinism: the waterfill threshold never materializes as a float
+    — sources sort ascending by (cap, source); row j is capped iff
+    cap_j * (m - j) <= B - P_j (the cross-multiplied integer form of
+    cap_j <= theta_j, monotone in j so the capped set is a prefix);
+    the uncapped sources split the remainder by integer division with
+    the first (remainder) of them — in the same deterministic order —
+    taking one extra token (the largest-remainder discipline; all
+    uncapped fractional parts are equal by construction, so the
+    tie-break IS the rank).  The allocation sums to exactly B whenever
+    the cap permits, and to sum(cap) when it doesn't (every source
+    capped).  epochs_bp renders via the integer half-up recipe.  Scale
+    shape: one token-count scan; everything after is source-cardinality
+    (the ranked windows run on the m-row frame)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = (
+        docs.select("source", F.size(tokens("text")).alias("ntok"))
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("bigint").alias("n_tokens"))
+    )
+    c = nt.select(
+        "source",
+        "n_tokens",
+        (F.lit(_UNIMAX_E) * F.col("n_tokens")).cast("bigint").alias("cap"),
+    )
+    wr = Window.orderBy("cap", "source")
+    r = c.select(
+        "source",
+        "n_tokens",
+        "cap",
+        F.row_number().over(wr).alias("j"),
+        F.sum("cap")
+        .over(wr.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("p"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    f = r.withColumn(
+        "capped",
+        F.when(
+            F.expr(
+                f"cast(cap as decimal(38,0)) * (m - j) <= {_BUDGET} - p"
+            ),
+            1,
+        ).otherwise(0),
+    )
+    kk = f.agg(
+        F.coalesce(F.sum("capped"), F.lit(0)).cast("bigint").alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("pk"),
+        F.max("m").cast("bigint").alias("m2"),
+    )
+    u = f.crossJoin(F.broadcast(kk)).select(
+        "*",
+        F.expr(
+            f"CASE WHEN m2 = k THEN 0"
+            f" ELSE ({_BUDGET} - pk) div (m2 - k) END"
+        ).alias("base"),
+        F.expr(
+            f"CASE WHEN m2 = k THEN 0"
+            f" ELSE ({_BUDGET} - pk) % (m2 - k) END"
+        ).alias("rem"),
+    )
+    a = u.select(
+        "source",
+        "n_tokens",
+        "cap",
+        "capped",
+        F.expr(
+            "CASE WHEN capped = 1 THEN cap"
+            " ELSE base + CASE WHEN j - k <= rem THEN 1 ELSE 0 END END"
+        ).alias("alloc_tokens"),
+    )
+    return a.select(
+        "source",
+        "n_tokens",
+        F.col("cap").alias("cap_tokens"),
+        (F.col("capped") == 1).alias("capped"),
+        F.col("alloc_tokens").cast("bigint").alias("alloc_tokens"),
+        F.expr(
+            "cast((2 * cast(alloc_tokens as decimal(38,0)) * 10000"
+            " + n_tokens) div (2 * cast(n_tokens as decimal(38,0)))"
+            " as bigint)"
+        ).alias("epochs_bp"),
+    )

@@ -1907,3 +1907,72 @@ def test_ratio_delta_missing_arm_renders_null(spark, tmp_path):
     drow = con.sql(spec.oracle).fetchall()[0]
     assert drow[0] == 4 and drow[1] == 0
     assert drow[3] is None and drow[4] is None and drow[5] is None
+
+
+def test_unimax_waterfill_invariants(spark, tmp_path):
+    """mix_unimax_waterfill allocation invariants on an injected
+    corpus (the Neyman largest-remainder template): with the cap
+    binding for small sources, capped sources get exactly cap, the
+    uncapped split differs by at most one token, and the total is
+    exactly the budget; a corpus whose caps sum below the budget
+    returns alloc = cap everywhere."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+    from eecs485_p4_mapreduce_spark.operators.mixing import (
+        _BUDGET,
+        _UNIMAX_E,
+    )
+
+    spec = REGISTRY["mix_unimax_waterfill"]
+
+    def corpus(sizes):
+        texts, srcs, ids = [], [], []
+        i = 1
+        for s, nw in sizes.items():
+            texts.append(" ".join(["w"] * nw))
+            srcs.append(s)
+            ids.append(i)
+            i += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": texts,
+                "lang": ["en"] * len(ids),
+                "source": srcs,
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    # (a) two tiny sources (capped) + three big ones (uncapped split)
+    sizes = {"tiny1": 100, "tiny2": 200, "big1": 200_000,
+             "big2": 300_000, "big3": 400_000}
+    pq.write_table(corpus(sizes), tmp_path / "documents.parquet")
+    rows = {r["source"]: r for r in spec.fn(spark, str(tmp_path)).collect()}
+    assert rows["tiny1"]["capped"] and rows["tiny1"]["alloc_tokens"] == 100 * _UNIMAX_E
+    assert rows["tiny2"]["capped"] and rows["tiny2"]["alloc_tokens"] == 200 * _UNIMAX_E
+    unc = [rows[s]["alloc_tokens"] for s in ("big1", "big2", "big3")]
+    assert not any(rows[s]["capped"] for s in ("big1", "big2", "big3"))
+    assert max(unc) - min(unc) <= 1
+    assert sum(r["alloc_tokens"] for r in rows.values()) == _BUDGET
+    # oracle agrees row-for-row
+    con = _duck_with_view(tmp_path, "documents")
+    drows = {r[0]: r for r in con.sql(spec.oracle).fetchall()}
+    for s, r in rows.items():
+        assert drows[s][4] == r["alloc_tokens"], s
+
+    # (b) caps sum below the budget -> every source capped at cap
+    import shutil
+
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    sizes2 = {"a": 50, "b": 70}
+    pq.write_table(corpus(sizes2), d2 / "documents.parquet")
+    rows2 = {r["source"]: r for r in spec.fn(spark, str(d2)).collect()}
+    for s, nw in sizes2.items():
+        assert rows2[s]["capped"]
+        assert rows2[s]["alloc_tokens"] == nw * _UNIMAX_E
+        assert rows2[s]["epochs_bp"] == _UNIMAX_E * 10000

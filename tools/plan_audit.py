@@ -109,6 +109,7 @@ CONSTANT_WINDOW_OK = {
     " p-value frame",
     "corpus_rank_biased_overlap": "ranks over two <=50-row TakeOrdered"
     " heads",
+    "mix_unimax_waterfill": "waterfill rank over one row per source",
 }
 
 _FACTS = [
