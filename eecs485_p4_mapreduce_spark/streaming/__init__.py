@@ -1559,3 +1559,296 @@ def streaming_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg)
+
+
+_IDLE_GAP_US = 1800 * 1000000
+_IDLE_GAP_MS = 1800 * 1000
+_IDLE_NSHARDS = 64
+
+
+def _idle_merge_batch(open_, pdf):
+    """Sessionize one micro-batch's per-shard rows against the carried
+    open sessions: returns (closed 'gap' rows, updated open dict).
+    Intra-batch boundaries come from a vectorized diff over each user's
+    sorted event times."""
+    import numpy as np
+
+    closed = []
+    for u, g in pdf.groupby("user_id"):
+        us = np.asarray(g["ts"], dtype="datetime64[us]").astype("int64")
+        u = int(u)
+        if u in open_ and us[0] - open_[u][1] <= _IDLE_GAP_US:
+            st0, lt0, n0 = open_[u]
+        else:
+            if u in open_:
+                s = open_[u]
+                closed.append((u, s[0], s[1], s[2], "gap"))
+            st0, lt0, n0 = us[0], us[0], 0
+        bnd = np.where(np.diff(us) > _IDLE_GAP_US)[0]
+        seg_starts = np.concatenate(([0], bnd + 1))
+        seg_ends = np.concatenate((bnd, [len(us) - 1]))
+        for i, (a, b) in enumerate(zip(seg_starts, seg_ends)):
+            if i == 0:
+                st, lt, n = st0, int(us[b]), n0 + int(b - a + 1)
+            else:
+                st, lt, n = int(us[a]), int(us[b]), int(b - a + 1)
+            if i < len(seg_starts) - 1:
+                closed.append((u, st, lt, n, "gap"))
+            else:
+                open_[u] = [st, lt, n]
+    return closed, open_
+
+
+def _idle_close_expired(open_, wm_us):
+    """Close every open session whose idle timeout has passed the
+    watermark; returns (closed 'timeout' rows, surviving open dict)."""
+    closed = []
+    for u in sorted(open_):
+        st, lt, n = open_[u]
+        if lt + _IDLE_GAP_US <= wm_us:
+            closed.append((u, st, lt, n, "timeout"))
+            del open_[u]
+    return closed, open_
+
+
+def _idle_emit(rows):
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "user_id": np.array([r[0] for r in rows], dtype="int64"),
+            "session_start": pd.to_datetime([r[1] for r in rows], unit="us"),
+            "session_end": pd.to_datetime([r[2] for r in rows], unit="us"),
+            "n_events": np.array([r[3] for r in rows], dtype="int64"),
+            "closed_by": [r[4] for r in rows],
+        }
+    )
+
+
+def _idle_pack(open_):
+    ks = sorted(open_)
+    return (
+        [int(u) for u in ks],
+        [int(open_[u][0]) for u in ks],
+        [int(open_[u][1]) for u in ks],
+        [int(open_[u][2]) for u in ks],
+    )
+
+
+def _idle_unpack(tup):
+    uids, sts, lts, ns = tup
+    return {u: [s, l, n] for u, s, l, n in zip(uids, sts, lts, ns)}
+
+
+@query(
+    "streaming_tws_idle_timeout_sessions",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS head FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged),
+    agg AS (
+      SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY 1, 2),
+    lasts AS (SELECT user_id, MAX(sid) AS last_sid FROM agg GROUP BY 1)
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+           CASE WHEN a.sid < l.last_sid THEN 'gap' ELSE 'timeout' END
+             AS closed_by
+    FROM agg a JOIN lasts l USING (user_id) CROSS JOIN mx
+    WHERE a.sid < l.last_sid
+       OR epoch_us(a.session_end) + 1800000000
+            <= (epoch_us(mx.head) // 1000) * 1000
+    """,
+)
+def streaming_tws_idle_timeout_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Idle-timeout sessionization with EVENT-TIME TIMERS — the timer
+    half of the arbitrary-state API that the rest of the streaming bank
+    doesn't exercise: a session CLOSES either when a later event
+    arrives after a >30m gap ('gap', emitted while handling input) or
+    when the WATERMARK passes last_event + 30m with no successor
+    ('timeout', emitted from the timer callback in the
+    watermark-advance batch).  Sessions still open at the corpus-head
+    watermark are NOT emitted — exactly the at-rest state a production
+    restart would resume.
+
+    The oracle replays both rules in batch SQL: lag+cumsum sessions,
+    with a user's LAST session appearing iff session_end + 30m <= the
+    head watermark (ms-floored, delay 0 — Spark tracks watermarks in
+    milliseconds).  Grouping is by SHARD (user_id mod 64, the
+    streaming_stateful_user_stats lesson): one state row and ONE
+    armed timer per shard (the earliest open expiry, re-armed as
+    sessions close) — per-user keys would pay a Python round-trip per
+    user per batch and a million-timer state at scale.  Intra-batch
+    gaps split vectorized (numpy diff over per-user sorted times);
+    emission is append-mode and exactly-once-at-close.
+
+    Environment gate (the streaming_tws_user_stats precedent): TWS's
+    state-server protocol needs google.protobuf, which this container
+    lacks — without it the query runs the semantically-identical
+    ``applyInPandasWithState`` spelling (GroupStateTimeout.
+    EventTimeTimeout + setTimeoutTimestamp, the pre-4.0 timer API);
+    the TWS StatefulProcessor branch (registerTimer /
+    handleExpiredTimer) runs wherever protobuf exists."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("closed_by", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("uids", ArrayType(LongType())),
+            StructField("sts", ArrayType(LongType())),
+            StructField("lts", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
+        ]
+    )
+
+    spark = stream_session(spark)
+    ev = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .withColumn(
+            "shard", F.pmod(F.col("user_id"), F.lit(_IDLE_NSHARDS))
+        )
+        .select("shard", "user_id", "ts")
+    )
+
+    try:
+        import google.protobuf  # noqa: F401  (TWS state-server dependency)
+
+        have_tws = True
+    except ImportError:
+        have_tws = False
+
+    if have_tws:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class IdleSessions(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._h = handle
+                self._open = handle.getValueState("open", state_schema)
+
+            def _load(self):
+                if self._open.exists():
+                    return _idle_unpack(self._open.get())
+                return {}
+
+            def _store_and_arm(self, open_):
+                self._open.update(_idle_pack(open_))
+                for ts in list(self._h.listTimers()):
+                    self._h.deleteTimer(ts)
+                if open_:
+                    earliest = min(v[1] for v in open_.values())
+                    self._h.registerTimer(
+                        earliest // 1000 + _IDLE_GAP_MS
+                    )
+
+            def handleInputRows(self, key, rows, timerValues):
+                open_ = self._load()
+                closed = []
+                parts = [p for p in rows if len(p)]
+                if parts:
+                    pdf = pd.concat(parts).sort_values(["user_id", "ts"])
+                    closed, open_ = _idle_merge_batch(open_, pdf)
+                self._store_and_arm(open_)
+                if closed:
+                    yield _idle_emit(closed)
+
+            def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+                wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+                closed, open_ = _idle_close_expired(self._load(), wm_us)
+                self._store_and_arm(open_)
+                if closed:
+                    yield _idle_emit(closed)
+
+            def close(self) -> None:
+                pass
+
+        sessions = ev.groupBy("shard").transformWithStateInPandas(
+            IdleSessions(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+        return run_to_completion(sessions, mode="append")
+
+    # pre-4.0 timer API twin: same semantics through GroupState
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def idle_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            open_ = _idle_unpack(state.get) if state.exists else {}
+            closed, open_ = _idle_close_expired(open_, wm_us)
+            if open_:
+                state.update(_idle_pack(open_))
+                earliest = min(v[1] for v in open_.values())
+                state.setTimeoutTimestamp(
+                    max(
+                        earliest // 1000 + _IDLE_GAP_MS,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+            else:
+                state.remove()
+            if closed:
+                yield _idle_emit(closed)
+            return
+        open_ = _idle_unpack(state.get) if state.exists else {}
+        closed = []
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            pdf = pd.concat(parts).sort_values(["user_id", "ts"])
+            closed, open_ = _idle_merge_batch(open_, pdf)
+        if open_:
+            state.update(_idle_pack(open_))
+            earliest = min(v[1] for v in open_.values())
+            state.setTimeoutTimestamp(
+                max(
+                    earliest // 1000 + _IDLE_GAP_MS,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        else:
+            state.remove()
+        if closed:
+            yield _idle_emit(closed)
+
+    sessions = ev.groupBy("shard").applyInPandasWithState(
+        idle_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_completion(sessions, mode="append")
