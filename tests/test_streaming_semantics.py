@@ -587,3 +587,146 @@ def test_dropduplicates_within_watermark_state_expiry(spark):
     ids = sorted(r["event_id"] for r in out2)
     # u1 re-emitted after expiry (id 3); u2's in-window duplicate dropped
     assert ids == [1, 2, 3], ids
+
+
+def test_idle_timeout_sessions_timer_and_restart(spark):
+    """Event-time-timer sessionization semantics + restart
+    exactly-once: run 1 closes an intra-batch gap session ('gap') and
+    two idle sessions via the watermark-advance timer batch
+    ('timeout'), while a session still inside its idle window stays
+    UNEMITTED in state; run 2 (same checkpoint) restores that state,
+    EXTENDS the open session across the restart, and re-emits
+    nothing — append output is exactly-once-at-close."""
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    import pandas as pd
+
+    from eecs485_p4_mapreduce_spark import streaming as S
+
+    d = os.path.join(tempfile.mkdtemp(prefix="sg-idle-"), "events")
+    ckpt = tempfile.mkdtemp(prefix="sg-ckpt-")
+    sink = tempfile.mkdtemp(prefix="sg-sink-")
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("closed_by", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("uids", ArrayType(LongType())),
+            StructField("sts", ArrayType(LongType())),
+            StructField("lts", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
+        ]
+    )
+
+    def idle_fn(key, pdfs, state: GroupState):
+        # the production fallback spelling, verbatim semantics
+        if state.hasTimedOut:
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            open_ = S._idle_unpack(state.get) if state.exists else {}
+            closed, open_ = S._idle_close_expired(open_, wm_us)
+        else:
+            open_ = S._idle_unpack(state.get) if state.exists else {}
+            closed = []
+            parts = [p for p in pdfs if len(p)]
+            if parts:
+                pdf = pd.concat(parts).sort_values(["user_id", "ts"])
+                closed, open_ = S._idle_merge_batch(open_, pdf)
+        if open_:
+            state.update(S._idle_pack(open_))
+            earliest = min(v[1] for v in open_.values())
+            state.setTimeoutTimestamp(
+                max(
+                    earliest // 1000 + S._IDLE_GAP_MS,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        else:
+            state.remove()
+        if closed:
+            yield S._idle_emit(closed)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint,"
+                " value double"
+            )
+            .parquet(d)
+            .withWatermark("ts", "0 seconds")
+            .withColumn("shard", F.pmod(F.col("user_id"), F.lit(64)))
+            .select("shard", "user_id", "ts")
+        )
+        q = (
+            stream.groupBy("shard")
+            .applyInPandasWithState(
+                idle_fn,
+                outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (
+                (r["user_id"], r["session_start"], r["session_end"],
+                 r["n_events"], r["closed_by"])
+                for r in spark.read.parquet(sink).collect()
+            )
+        )
+
+    now = time.time()
+    _write_batch(
+        spark, d, "b1.parquet",
+        [
+            (1, t(10, 0), 1, 1.0), (2, t(10, 10), 1, 1.0),  # idle -> timeout
+            (3, t(13, 0), 2, 1.0),                          # still open
+            (4, t(9, 0), 4, 1.0), (5, t(10, 0), 4, 1.0),    # intra-batch gap
+        ],
+        now - 200,
+    )
+    out1 = run_once()
+    assert out1 == [
+        (1, t(10, 0), t(10, 10), 2, "timeout"),
+        (4, t(9, 0), t(9, 0), 1, "gap"),
+        (4, t(10, 0), t(10, 0), 1, "timeout"),
+    ], out1
+
+    _write_batch(
+        spark, d, "b2.parquet",
+        [
+            (6, t(13, 10), 2, 1.0),  # extends u2's restored open session
+            (7, t(13, 30), 1, 1.0),  # fresh open session for u1
+        ],
+        now - 100,
+    )
+    out2 = run_once()
+    # nothing re-emitted, nothing new closed: u2's extended session
+    # (13:40 expiry) and u1's fresh one are both inside the 13:30
+    # watermark; the run-1 rows appear exactly once
+    assert out2 == out1, out2
