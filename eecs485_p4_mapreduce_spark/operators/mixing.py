@@ -331,8 +331,9 @@ _WI = "cast(floor(sqrt(cast(n_tokens as double)) * 1000) as bigint)"
     SELECT r.source, r.n_tokens,
            CAST(r.alloc0 + CASE WHEN r.rk <= e.k THEN 1 ELSE 0 END AS BIGINT)
              AS alloc_tokens,
+           CASE WHEN r.n_tokens = 0 THEN NULL ELSE
            CAST((r.alloc0 + CASE WHEN r.rk <= e.k THEN 1 ELSE 0 END) * 10000
-                // r.n_tokens AS BIGINT) AS epochs_bp
+                // r.n_tokens AS BIGINT) END AS epochs_bp
     FROM ranked r, extra e
     """,
 )
@@ -386,9 +387,10 @@ def mix_epoch_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             "alloc_tokens",
-            F.expr("cast(alloc_tokens * 10000 div n_tokens as bigint)").alias(
-                "epochs_bp"
-            ),
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN NULL ELSE"
+                " cast(alloc_tokens * 10000 div n_tokens as bigint) END"
+            ).alias("epochs_bp"),
         )
     )
 
@@ -1080,8 +1082,10 @@ def _unimax_oracle() -> str:
     SELECT source, n_tokens, cap AS cap_tokens,
            capped = 1 AS capped,
            CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CASE WHEN n_tokens = 0 THEN NULL ELSE
            CAST((2 * CAST(alloc_tokens AS HUGEINT) * 10000 + n_tokens)
-                // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) AS epochs_bp
+                // (2 * CAST(n_tokens AS HUGEINT)) AS BIGINT) END
+             AS epochs_bp
     FROM a
     """
 
@@ -1179,8 +1183,9 @@ def mix_unimax_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("capped") == 1).alias("capped"),
         F.col("alloc_tokens").cast("bigint").alias("alloc_tokens"),
         F.expr(
-            "cast((2 * cast(alloc_tokens as decimal(38,0)) * 10000"
+            "CASE WHEN n_tokens = 0 THEN NULL ELSE"
+            " cast((2 * cast(alloc_tokens as decimal(38,0)) * 10000"
             " + n_tokens) div (2 * cast(n_tokens as decimal(38,0)))"
-            " as bigint)"
+            " as bigint) END"
         ).alias("epochs_bp"),
     )

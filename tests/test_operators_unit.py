@@ -1976,3 +1976,39 @@ def test_unimax_waterfill_invariants(spark, tmp_path):
         assert rows2[s]["capped"]
         assert rows2[s]["alloc_tokens"] == nw * _UNIMAX_E
         assert rows2[s]["epochs_bp"] == _UNIMAX_E * 10000
+
+
+def test_token_budget_allocators_zero_token_source(spark, tmp_path):
+    """A source whose documents all tokenize EMPTY has n_tokens = 0:
+    both budget allocators must render its epochs_bp as NULL via lazy
+    CASE (the old spelling threw DIVIDE_BY_ZERO on the ANSI session
+    while DuckDB // yielded NULL) while still allocating it zero/cap
+    tokens and keeping the other sources' split intact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    texts = ["", "   ", "alpha beta gamma delta", "one two three"]
+    srcs = ["empty", "empty", "web", "wiki"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(1, 5), pa.int64()),
+            "text": texts,
+            "lang": ["en"] * 4,
+            "source": srcs,
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    con = _duck_with_view(tmp_path, "documents")
+    for name in ("mix_epoch_token_budget", "mix_unimax_waterfill"):
+        spec = REGISTRY[name]
+        rows = {r["source"]: r for r in spec.fn(spark, str(tmp_path)).collect()}
+        assert rows["empty"]["n_tokens"] == 0, name
+        assert rows["empty"]["epochs_bp"] is None, name
+        assert rows["web"]["epochs_bp"] is not None, name
+        drows = {r[0]: r for r in con.sql(spec.oracle).fetchall()}
+        epochs_idx = {"mix_epoch_token_budget": 3,
+                      "mix_unimax_waterfill": 5}[name]
+        assert drows["empty"][epochs_idx] is None, name
