@@ -5215,6 +5215,17 @@ def stats_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hypotheses), then BH step-up at alpha = 0.10 rejects the
     largest-i prefix of the p-sorted list with p_(i) <= i*alpha/m.
 
+    DECLARED NULL MODEL (round-12 ADVICE): the replicas are
+    ~50/50 RANDOMIZATION splits, NOT size-preserving label
+    permutations — for a small stratum (n1 << n/2) the replica
+    mean-gap variance sits below the true permutation null, biasing
+    these p-values toward significance.  This is an approximate 50/50
+    randomization GATE (a screening readout for the BH machinery),
+    not a calibrated permutation test; conditioning each replica on
+    the observed (n1, n0) would need a per-(lang, replica) hash-rank
+    top-n1 selection — a corpus-sized sort per replica that the
+    screening use-case doesn't justify.
+
     Determinism: every p-value is the exact rational
     (1 + extreme)/17 with a SHARED integer denominator, so the
     BH ordering is an integer sort on (n_extreme, lang) and the step-up

@@ -3021,6 +3021,17 @@ def eval_macro_f1_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reuses the registered confusion query verbatim as the base frame
     (predictions and counts hash-consistent with it by construction).
+
+    DECLARED CLASS UNIVERSE (round-12 ADVICE): the per-class rows and
+    the macro mean run over the TRUE-label classes only (rows_ left-join
+    cols_) — a class that is predicted but never true contributes no
+    F1 = 0 term and does not grow k.  This diverges from the
+    union-of-labels macro-F1 convention by design: the nearest-centroid
+    classifier can only predict labels that exist in the training
+    corpus, so pred-only classes arise solely from empty-support
+    degenerate strata, and support-weighted readouts should not be
+    diluted by them.  (The union convention would full-outer rows_ /
+    cols_ and count such classes as F1 = 0.)
     Determinism: TP/FP/FN are exact integers off the |L|^2 confusion
     rollup; per-class F1 = 2TP/(support + predicted) lands on the 1e-6
     half-up grid as an INTEGER (f16) so the macro mean is one exact

@@ -2655,8 +2655,11 @@ def token_unigram_perplexity_heldout(
     kl_nats discipline) and carried as the 1e4-scaled BIGINT s4 (the
     Adamic-Adar integer-partial-sum lesson); per-lang bits/token and
     oov_share are then single exact rationals via the half-up render.
-    An empty train half propagates NULL surprisal into NULL readouts
-    without reaching any division.  Headroom: cnt * s4 ~ 1e5-scaled
+    Degenerate contract (empty train half): with T = V = 0 the add-one
+    term is -log2(1/(0+0+1)) = 0 for every test type, so bits_per_token
+    renders 0.0 and oov_share 1.0 — identically in both engines (no
+    NULL; COALESCE(cw,0)+1 keeps every path defined; round-12 ADVICE
+    corrected an earlier claim that this propagated NULL).  Headroom: cnt * s4 ~ 1e5-scaled
     token counts — int128 past 1e30 tokens.  Scale shape: two token
     explosions (train/test) into (type) and (lang, type) counts — all
     map-side combinable — one vocab-sized left join, one 2-int

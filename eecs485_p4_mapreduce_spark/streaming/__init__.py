@@ -1601,11 +1601,20 @@ def _idle_merge_batch(open_, pdf):
 
 def _idle_close_expired(open_, wm_us):
     """Close every open session whose idle timeout has passed the
-    watermark; returns (closed 'timeout' rows, surviving open dict)."""
+    watermark; returns (closed 'timeout' rows, surviving open dict).
+
+    STRICT compare: Spark fires an event-time timer only when the
+    watermark strictly exceeds the registered expiry (armed at
+    floor(lt/1000) + gap_ms), so a session whose expiry lands exactly
+    on the watermark millisecond must stay OPEN.  Since wm_us is a
+    whole millisecond, ``lt + gap < wm_us`` is exactly
+    ``floor((lt + gap)/1000) < wm_ms`` — the same rule the timer
+    firing implements — so helper, timer arming, and oracle agree at
+    the boundary (round-12 ADVICE)."""
     closed = []
     for u in sorted(open_):
         st, lt, n = open_[u]
-        if lt + _IDLE_GAP_US <= wm_us:
+        if lt + _IDLE_GAP_US < wm_us:
             closed.append((u, st, lt, n, "timeout"))
             del open_[u]
     return closed, open_
@@ -1668,7 +1677,7 @@ def _idle_unpack(tup):
     FROM agg a JOIN lasts l USING (user_id) CROSS JOIN mx
     WHERE a.sid < l.last_sid
        OR epoch_us(a.session_end) + 1800000000
-            <= (epoch_us(mx.head) // 1000) * 1000
+            < (epoch_us(mx.head) // 1000) * 1000
     """,
 )
 def streaming_tws_idle_timeout_sessions(
@@ -1685,9 +1694,12 @@ def streaming_tws_idle_timeout_sessions(
     restart would resume.
 
     The oracle replays both rules in batch SQL: lag+cumsum sessions,
-    with a user's LAST session appearing iff session_end + 30m <= the
-    head watermark (ms-floored, delay 0 — Spark tracks watermarks in
-    milliseconds).  Grouping is by SHARD (user_id mod 64, the
+    with a user's LAST session appearing iff session_end + 30m is
+    STRICTLY below the head watermark (ms-floored, delay 0 — Spark
+    tracks watermarks in milliseconds, and an event-time timer fires
+    only when the watermark strictly exceeds its registered expiry,
+    so an expiry landing exactly on the final watermark millisecond
+    stays open; `_idle_close_expired` uses the same strict rule).  Grouping is by SHARD (user_id mod 64, the
     streaming_stateful_user_stats lesson): one state row and ONE
     armed timer per shard (the earliest open expiry, re-armed as
     sessions close) — per-user keys would pay a Python round-trip per

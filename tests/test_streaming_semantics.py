@@ -730,3 +730,71 @@ def test_idle_timeout_sessions_timer_and_restart(spark):
     # (13:40 expiry) and u1's fresh one are both inside the 13:30
     # watermark; the run-1 rows appear exactly once
     assert out2 == out1, out2
+
+
+def test_idle_timeout_exact_watermark_boundary_stays_open(spark, tmp_path):
+    """Exact-boundary pin for the strict timer rule (round-12 ADVICE):
+    a session whose expiry lands EXACTLY on the final watermark
+    millisecond stays OPEN in both the stream and the oracle, while a
+    session one millisecond below closes as 'timeout'.  Spark fires an
+    event-time timer only when the watermark STRICTLY exceeds the
+    registered expiry, so the oracle and `_idle_close_expired` both use
+    the strict compare; with the old inclusive (<=) oracle this corpus
+    mismatches (the oracle would emit u1)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from eecs485_p4_mapreduce_spark.plans import REGISTRY
+
+    t = dt.datetime
+    rows = [
+        # u1: expiry 10:30:00.000 == head watermark -> must stay OPEN
+        (1, t(2024, 1, 1, 10, 0, 0, 0), 1),
+        # u2: expiry 10:29:59.999 < watermark -> closes as 'timeout'
+        (2, t(2024, 1, 1, 9, 59, 59, 999000), 2),
+        # u9: head event defines the watermark (whole millisecond)
+        (3, t(2024, 1, 1, 10, 30, 0, 0), 9),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": ["view"] * len(rows),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    spec = REGISTRY["streaming_tws_idle_timeout_sessions"]
+    got = sorted(
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["closed_by"],
+        )
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (
+            2,
+            t(2024, 1, 1, 9, 59, 59, 999000),
+            t(2024, 1, 1, 9, 59, 59, 999000),
+            1,
+            "timeout",
+        )
+    ], got
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    oracle = sorted(
+        (int(u), s, e, int(n), c)
+        for u, s, e, n, c in con.execute(spec.oracle).fetchall()
+    )
+    assert oracle == got, oracle
