@@ -5190,8 +5190,8 @@ def _bh_fdr_oracle() -> str:
              CAST(COUNT(*) OVER () AS BIGINT) AS m
       FROM hits JOIN o USING (lang)),
     istar AS (
-      SELECT COALESCE(MAX(CASE WHEN {_FDR_ALPHA_BP} * m * knum
-                                    <= {(_FDR_R + 1) * 100} * i
+      SELECT COALESCE(MAX(CASE WHEN 100 * m * knum
+                                    <= {(_FDR_R + 1) * _FDR_ALPHA_BP} * i
                           THEN i END), 0) AS ix
       FROM pv)
     SELECT pv.lang, CAST(pv.n1 AS BIGINT) AS n_docs,
@@ -5229,8 +5229,12 @@ def stats_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every p-value is the exact rational
     (1 + extreme)/17 with a SHARED integer denominator, so the
     BH ordering is an integer sort on (n_extreme, lang) and the step-up
-    condition clears to the cross-multiplied integer compare
-    10*m*k_i <= 1700*i — no float p, no float alpha anywhere; replica
+    condition p_(i) <= i*alpha/m, i.e. k_i/17 <= i*10/(100*m), clears
+    to the cross-multiplied integer compare 100*m*k_i <= 170*i — no
+    float p, no float alpha anywhere (an earlier spelling multiplied
+    the wrong side by 100, a 100x-too-loose gate that rejected every
+    hypothesis at m <= 10; caught by the pure-Python recount pin, the
+    exact failure class shared templates hide from the oracle); replica
     extremeness is the cross-multiplied |mean-gap| compare with empty
     arms counted extreme (the permutation precedent).  Headroom: the
     extremeness cross-product carries ~N^4 * charscale — int128 to
@@ -5329,8 +5333,8 @@ def stats_bh_fdr_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.max(
                 F.when(
-                    _FDR_ALPHA_BP * F.col("m") * F.col("knum")
-                    <= (_FDR_R + 1) * 100 * F.col("i"),
+                    100 * F.col("m") * F.col("knum")
+                    <= (_FDR_R + 1) * _FDR_ALPHA_BP * F.col("i"),
                     F.col("i"),
                 )
             ),
