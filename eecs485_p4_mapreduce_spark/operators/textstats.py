@@ -10,7 +10,7 @@ generated from the same templates below to keep them bitwise-aligned.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio, hu_ratio_sql
@@ -536,83 +536,54 @@ def token_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-merge vocabulary counts (merged token included, flagged).
 
     Greedy non-overlapping application is the part engines usually drop
-    to imperative code for; here it is three window functions over the
-    original token stream: within each maximal run of consecutive
-    pair-match positions, exactly the even offsets merge (run membership
-    = pos minus running match-rank; offset = pos minus the run's first
-    match position), and the following position is consumed via lag.
-    Zero self-joins — the whole step is scan → windows → aggregate, so
-    at corpus scale it costs one shuffle for the doc-partitioned windows
-    and one for the final count (the same shape as token_bigrams, which
-    is the pair-count half of this query).  Iterating the full BPE
-    vocabulary training = re-running this step on the re-tokenized
-    stream (the merged token participates in the next round's pairs).
-    """
-    from pyspark.sql import Window
+    to imperative code for; here it is ONE string replace per document
+    over the delimited-string encoding (`_bpe_apply_pair_str`; the
+    window-kernel reference spelling lives in `_bpe_apply_pair`, and
+    the two are property-pinned equal).  The whole step is a pair-count
+    aggregate (partial-agg shuffle of (tok, nxt) keys only), a bounded
+    1-row top-pair collect (the kmeans-centroid model-state pattern,
+    same as the training loop), a narrow per-doc replace, and the final
+    vocabulary count — zero doc-partitioned windows, zero self-joins.
+    ``is_merged`` is derivable: round one starts from whitespace tokens
+    (no spaces), so a token contains a space iff this round's merge
+    built it.  Iterating the full BPE vocabulary training = re-running
+    this step on the re-tokenized stream (the merged token participates
+    in the next round's pairs).
 
+    Degenerate contract (oracle's ``FROM toks, top1`` comma join): a
+    corpus with NO adjacent pair anywhere yields an EMPTY readout."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        toks.select(
-            F.concat("tok", F.lit(" "), F.lead("tok").over(w)).alias("bigram")
-        )
-        .filter(F.col("bigram").isNotNull())
-        .groupBy("bigram")
-        .agg(F.count("*").alias("cnt"))
-    )
+    st = _bpe_string_frame(docs).localCheckpoint()
     top1 = (
-        big.orderBy(F.desc("cnt"), "bigram")
+        _bpe_pairs(st)
+        .groupBy("tok", "nxt")
+        .agg(F.count("*").alias("cnt"))
+        # this query's oracle tie-breaks on the CONCATENATED bigram
+        # (unambiguous in round one: raw tokens contain no spaces)
+        .orderBy(F.desc("cnt"), F.concat("tok", F.lit(" "), "nxt"))
         .limit(1)
-        .select(
-            F.split_part("bigram", F.lit(" "), F.lit(1)).alias("pa"),
-            F.split_part("bigram", F.lit(" "), F.lit(2)).alias("pb"),
+        .collect()  # bounded model state: at most 1 (pa, pb) row
+    )
+    if not top1:
+        st = st.where(F.lit(False))
+    else:
+        st = st.select(
+            _bpe_apply_pair_str(F.col("s"), top1[0]["tok"], top1[0]["nxt"]).alias(
+                "s"
+            )
         )
-    )
-    t2 = (
-        toks.crossJoin(F.broadcast(top1))
-        .withColumn(
-            "match",
-            (F.col("tok") == F.col("pa"))
-            & (F.lead("tok").over(w) == F.col("pb")),
-        )
-    )
-    t3 = t2.withColumn(
-        "grp",
-        F.col("pos")
-        - F.sum(F.when(F.col("match"), 1).otherwise(0)).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    wg = Window.partitionBy("doc_id", "grp")
-    t4 = t3.withColumn(
-        "merged",
-        F.when(
-            F.col("match")
-            & (
-                (F.col("pos") - F.min(F.when(F.col("match"), F.col("pos"))).over(wg))
-                % 2
-                == 0
-            ),
-            F.lit(True),
-        ).otherwise(F.lit(False)),
-    )
-    t5 = t4.withColumn(
-        "consumed", F.coalesce(F.lag("merged").over(w), F.lit(False))
-    )
-    stream = t5.filter(~F.col("consumed")).select(
-        F.when(
-            F.col("merged"), F.concat("pa", F.lit(" "), "pb")
-        ).otherwise(F.col("tok")).alias("token"),
-        F.col("merged").alias("is_merged"),
-    )
     return (
-        stream.groupBy("token", "is_merged")
+        _bpe_tokens(st)
+        .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("n"))
         .filter(F.col("n") >= 5)
-        .orderBy(F.desc("n"), "token")
+        .orderBy(F.desc("n"), "tok")
         .limit(50)
-        .select("token", "n", "is_merged")
+        .select(
+            F.col("tok").alias("token"),
+            "n",
+            F.contains("tok", F.lit(" ")).alias("is_merged"),
+        )
     )
 
 
@@ -622,10 +593,14 @@ _BPE_ROUNDS = 3
 def _bpe_apply_pair(s: DataFrame, pa: str, pb: str, carry: tuple = ()) -> DataFrame:
     """One greedy left-to-right, non-overlapping merge pass of the
     CONSTANT pair (``pa``, ``pb``) over a (doc_id, pos, tok) stream —
-    the match/run-group/parity/consume window kernel shared by BPE
-    training and encoding (their proven per-round logic, factored).
-    ``carry`` lists extra columns to thread through (encode keeps
-    ``source``).  Returns the re-numbered, localCheckpointed stream."""
+    the match/run-group/parity/consume window kernel.  Since round 13
+    this is the REFERENCE implementation only: the production BPE paths
+    apply merges through the equivalent `_bpe_apply_pair_str` string
+    kernel (zero exchanges/sorts per round), and
+    ``test_bpe_string_kernel_matches_window_kernel`` pins the two equal
+    on adversarial run corpora.  ``carry`` lists extra columns to
+    thread through.  Returns the re-numbered, localCheckpointed
+    stream."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     big = s.withColumn("nxt", F.lead("tok").over(w))
     t2 = big.withColumn(
@@ -665,6 +640,108 @@ def _bpe_apply_pair(s: DataFrame, pa: str, pb: str, carry: tuple = ()) -> DataFr
             .alias("tok"),
         )
         .localCheckpoint()
+    )
+
+
+def _bpe_doc_string(tokens_col) -> Column:
+    """Render a doc's token array as the DOUBLE-newline-delimited string
+    the string-replace merge kernel operates on::
+
+        \\n\\n t1 \\n\\n t2 \\n\\n ... tn \\n\\n
+
+    Tokens come from whitespace splitting (``functions/textfn.tokens``)
+    so they can never contain a newline, and merged tokens acquire
+    SPACES, never newlines — the delimiter cannot collide at any merge
+    depth.  The separator is two newlines because the replace pattern
+    consumes one newline on each side (see `_bpe_apply_pair_str`), which
+    keeps the separator invariant after every substitution and lets
+    back-to-back merges in one pass each see their leading delimiter."""
+    return F.concat(F.lit("\n\n"), F.array_join(tokens_col, "\n\n"), F.lit("\n\n"))
+
+
+def _bpe_apply_pair_str(s_col, pa: str, pb: str) -> Column:
+    """One greedy left-to-right, non-overlapping merge pass of the
+    CONSTANT pair (``pa``, ``pb``) as a SINGLE narrow string replace —
+    the round-13 respelling of the `_bpe_apply_pair` window kernel
+    (kept below as the reference implementation; equivalence is
+    property-pinned by ``test_bpe_string_kernel_matches_window_kernel``
+    on adversarial run corpora).
+
+    Why it is the same function: on the `_bpe_doc_string` encoding,
+    ``replace`` scans left to right and resumes AFTER each replacement
+    (UTF8String.replace never rescans replaced output), which IS the
+    greedy non-overlapping rule — a just-merged token can never serve
+    as the left side of a same-round merge (''pa pb'' is strictly
+    longer than ``pa``), exactly the window kernel's run-parity /
+    consumed logic.  The pattern ``\\n pa \\n\\n pb \\n`` anchors both
+    tokens to full delimiter-bounded occurrences (tokens contain no
+    newline, so the interior ``\\n\\n`` can only align with a
+    separator), and the replacement restores the invariant: the
+    untouched outer newlines plus the replacement's own make the
+    boundaries ``\\n\\n`` again, and the source keeps one trailing
+    newline after the match so an immediately following occurrence
+    still matches — [x,y,x,y] under (x,y) merges BOTH pairs, while
+    [a,a,a] under (a,a) merges only positions 0-1, the parity rule.
+
+    Plan effect vs the window kernel: zero Exchange, zero Sort per
+    round (was: one doc_id exchange + four window sorts + an eager
+    localCheckpoint of the full exploded token stream)."""
+    return F.replace(
+        s_col,
+        F.lit("\n" + pa + "\n\n" + pb + "\n"),
+        F.lit("\n" + pa + " " + pb + "\n"),
+    )
+
+
+def _bpe_string_frame(docs: DataFrame, *carry: str) -> DataFrame:
+    """The (``*carry``, s) per-doc string state the string-replace BPE
+    loop iterates on, repartitioned to session parallelism off the
+    single-split documents scan (the CLAUDE.md single-split rule: one
+    compact parquet file = one task, and every per-round pair count and
+    the final readout would otherwise tokenize the whole corpus on one
+    core).  Width is defaultParallelism-derived, never a constant."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(
+        *carry, _bpe_doc_string(tokens("text")).alias("s")
+    ).repartition(n)
+
+
+def _bpe_tokens(st: DataFrame, *carry: str) -> DataFrame:
+    """Explode the current token stream back out of the string state
+    (order within a doc is irrelevant to every consumer — they count)."""
+    return st.select(
+        *carry,
+        F.explode(F.filter(F.split(F.col("s"), "\n"), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+
+
+def _bpe_pairs(st: DataFrame) -> DataFrame:
+    """Adjacent ``(tok, nxt)`` pairs of the current token stream — the
+    pair-count input of a training round.  Pairs are built per doc from
+    the split array with an index lambda (``F.get`` is null-safe at the
+    tail, unlike ANSI ``element_at``), so the job is Scan → Project →
+    Generate → partial agg: the only exchange a round pays is the tiny
+    post-partial pair-count shuffle."""
+    arr = F.filter(F.split(F.col("s"), "\n"), lambda t: t != "")
+    return (
+        st.select(arr.alias("arr"))
+        .select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.col("arr"),
+                        lambda x, i: F.struct(
+                            x.alias("tok"),
+                            F.get(F.col("arr"), i + 1).alias("nxt"),
+                        ),
+                    ),
+                    lambda p: p["nxt"].isNotNull(),
+                )
+            ).alias("p")
+        )
+        .select("p.tok", "p.nxt")
     )
 
 
@@ -760,12 +837,12 @@ def token_bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal apply passes — training is deterministic, so the replayed
     stream is bit-identical.  On a miss, each round's top pair is a
     bounded 1-row model-state collect (the kmeans-centroid pattern),
-    applied as literals via the shared `_bpe_apply_pair` kernel and
+    applied as literals via the shared `_bpe_apply_pair_str` kernel and
     published atomically at the end.  A round with NO adjacent pair is
     a no-op — exactly the oracle's NULL scalar-subquery semantics
     (the old broadcast-crossJoin spelling emptied the stream there).
-    Each round's output stream is localCheckpointed before the next:
-    as one monolithic statement the round-3 scalar subqueries
+    Each round's output string state is localCheckpointed before the
+    next: as one monolithic statement the round-3 scalar subqueries
     re-executed the whole round-1/2 chain (34 s at sf0.01); the
     pinned-round loop runs the identical logic in ~4 s.  The oracle IS
     the monolithic statement (DuckDB materializes its CTEs), so
@@ -781,10 +858,17 @@ def _bpe_train_readout(
 ) -> DataFrame:
     """Shared parametric BPE training loop (round-9: the loop, not N
     unrolled rounds) — per-round top-pair selection (bounded 1-row
-    model-state collect), literal apply via `_bpe_apply_pair` with its
-    per-round localCheckpoint, model-store persistence under
-    ``tag_name`` (mtime-keyed, so 3- and 8-round models never collide),
-    and the top-50 vocabulary readout."""
+    model-state collect), literal apply via the `_bpe_apply_pair_str`
+    string-replace kernel with a per-round localCheckpoint of the
+    per-doc STRING state (round 13: the exploded-stream window kernel
+    cost one exchange + four window sorts + a full-stream checkpoint
+    per round; the string state applies each round as a narrow replace
+    and checkpoints one short row per doc), model-store persistence
+    under ``tag_name`` (mtime-keyed, so 3- and 8-round models never
+    collide), and the top-50 vocabulary readout.  A warm replay (store
+    hit) folds ALL stored rounds into one stacked-replace projection —
+    a single job with the readout's pair-count exchange as its only
+    shuffle."""
     from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
     from eecs485_p4_mapreduce_spark.functions.modelstore import (
         load_model,
@@ -794,16 +878,13 @@ def _bpe_train_readout(
     tag = loader_tag(tag_name, (sf_dir, load_table))
     merges = load_model(spark, tag, sf_dir, table="documents")
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
-    ).localCheckpoint()
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    st = _bpe_string_frame(docs)
     if merges is None:
+        st = st.localCheckpoint()
         merges = []
         for i in range(rounds):
             top1 = (
-                s.withColumn("nxt", F.lead("tok").over(w))
-                .filter(F.col("nxt").isNotNull())
+                _bpe_pairs(st)
                 .groupBy("tok", "nxt")
                 .agg(F.count("*").alias("cnt"))
                 .orderBy(F.desc("cnt"), "tok", "nxt")
@@ -812,7 +893,11 @@ def _bpe_train_readout(
             )
             if top1:
                 merges.append((i, top1[0]["tok"], top1[0]["nxt"]))
-                s = _bpe_apply_pair(s, top1[0]["tok"], top1[0]["nxt"])
+                st = st.select(
+                    _bpe_apply_pair_str(
+                        F.col("s"), top1[0]["tok"], top1[0]["nxt"]
+                    ).alias("s")
+                ).localCheckpoint()
         store_model(
             spark,
             tag,
@@ -822,10 +907,13 @@ def _bpe_train_readout(
             table="documents",
         )
     else:
+        s_col = F.col("s")
         for _, pa, pb in merges:
-            s = _bpe_apply_pair(s, pa, pb)
+            s_col = _bpe_apply_pair_str(s_col, pa, pb)
+        st = st.select(s_col.alias("s"))
     return (
-        s.groupBy("tok")
+        _bpe_tokens(st)
+        .groupBy("tok")
         .agg(F.count("*").cast("bigint").alias("n"))
         .filter(F.col("n") >= 5)
         .select(
@@ -1621,27 +1709,26 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/modelstore.py (content-addressed by corpus mtime, atomic
     publish, cross-application — the kmeans/PQ treatment), so a store
     hit skips the pair-count training scan entirely; a miss collects
-    the bounded 3-row table and publishes it.  Each apply pass is pure
-    per-doc window machinery against constant pair keys — the shared
-    `_bpe_apply_pair` kernel (match/run-group/parity/consume) — with
-    NO join, subquery, or broadcast in the pass, and the stream
-    localCheckpointed between passes so pass i+1 never replays pass i.
-    The oracle replays selection AND all three applications in one
-    monolithic statement."""
+    the bounded 3-row table and publishes it.  The three apply passes
+    stack as one narrow projection over the per-doc delimited string
+    (`_bpe_apply_pair_str`, round 13 — the window-kernel spelling cost
+    one exchange + four sorts + a full-stream localCheckpoint PER PASS)
+    and the before/after token counts are per-ROW array sizes off the
+    same projection, so the whole encode is one job whose only exchange
+    is the final per-source aggregate: no before/after join at all.
+    Docs with zero tokens are excluded, matching the oracle's inner
+    join of the two exploded-stream groupings (an empty doc has no row
+    in either).  The oracle replays selection AND all three
+    applications in one monolithic statement."""
     from eecs485_p4_mapreduce_spark.functions.kmeansfn import loader_tag
     from eecs485_p4_mapreduce_spark.functions.modelstore import load_or_train
 
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.select(
-        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "tok")
-    ).localCheckpoint()
-    before = s.groupBy("doc_id", "source").agg(F.count("*").alias("n0"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    st = _bpe_string_frame(docs, "source").localCheckpoint()
 
     def train() -> list[tuple]:
         rows = (
-            s.withColumn("nxt", F.lead("tok").over(w))
-            .filter(F.col("nxt").isNotNull())
+            _bpe_pairs(st)
             .groupBy("tok", "nxt")
             .agg(F.count("*").alias("cnt"))
             .orderBy(F.desc("cnt"), "tok", "nxt")
@@ -1658,11 +1745,16 @@ def token_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         train,
         table="documents",
     )
+    s_col = F.col("s")
     for _, pa, pb in merge_table:
-        s = _bpe_apply_pair(s, pa, pb, carry=("source",))
-    after = s.groupBy("doc_id").agg(F.count("*").alias("n3"))
+        s_col = _bpe_apply_pair_str(s_col, pa, pb)
+
+    def ntok(col) -> Column:
+        return F.size(F.filter(F.split(col, "\n"), lambda t: t != ""))
+
     return (
-        before.join(after, "doc_id")
+        st.select("source", ntok(F.col("s")).alias("n0"), ntok(s_col).alias("n3"))
+        .filter(F.col("n0") >= 1)
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

@@ -2012,3 +2012,70 @@ def test_token_budget_allocators_zero_token_source(spark, tmp_path):
         epochs_idx = {"mix_epoch_token_budget": 3,
                       "mix_unimax_waterfill": 5}[name]
         assert drows["empty"][epochs_idx] is None, name
+
+
+def test_bpe_string_kernel_matches_window_kernel(spark):
+    """Round-13 optimization proof: the narrow string-replace merge
+    kernel (`_bpe_apply_pair_str`, zero exchanges/sorts per round) must
+    produce byte-identical per-doc token streams to the proven window
+    kernel (`_bpe_apply_pair`, the oracle-twinned reference) under
+    adversarial merge sequences: runs of the repeated pair (parity
+    rule), back-to-back occurrences (resume-after-replacement rule),
+    hierarchical merges whose pair tokens already CONTAIN spaces, and
+    tokens that are substrings of their neighbors (delimiter
+    anchoring)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from eecs485_p4_mapreduce_spark.functions.textfn import tokens
+    from eecs485_p4_mapreduce_spark.operators.textstats import (
+        _bpe_apply_pair,
+        _bpe_apply_pair_str,
+        _bpe_string_frame,
+    )
+
+    texts = [
+        "a a a",               # odd run: merge 0-1, keep the tail
+        "a a a a",             # even run: two merges
+        "a a a a a a a",       # long odd run
+        "x y x y x y",         # back-to-back non-overlapping merges
+        "x y y x x y x",       # mixed adjacencies
+        "ab b a ab b",         # substring-of-neighbor tokens
+        "x y x y y",           # hierarchical: round 2 merges 'x y' 'x y'
+        "q",                   # single token: no pair ever
+        "",                    # empty doc
+        "y x y x y",           # pair starts mid-doc
+    ]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ]
+    )
+    # merge sequence: repeated-token pair, ordinary pair, then a round-2
+    # pair whose sides already contain spaces, then a substring pair
+    seq = [("a", "a"), ("x", "y"), ("x y", "x y"), ("ab", "b"), ("x y x y", "y")]
+
+    ref = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "tok")
+    ).localCheckpoint()
+    for pa, pb in seq:
+        ref = _bpe_apply_pair(ref, pa, pb)
+    want = {i: [] for i in range(len(texts))}
+    for r in ref.orderBy("doc_id", "pos").collect():
+        want[r["doc_id"]].append(r["tok"])
+
+    st = _bpe_string_frame(docs, "doc_id")
+    s_col = F.col("s")
+    for pa, pb in seq:
+        s_col = _bpe_apply_pair_str(s_col, pa, pb)
+    got_rows = st.select(
+        "doc_id",
+        F.filter(F.split(s_col, "\n"), lambda t: t != "").alias("toks"),
+    ).collect()
+    got = {r["doc_id"]: list(r["toks"]) for r in got_rows}
+
+    assert got == want
+    # spot-check the parity rule survived both kernels identically
+    assert want[0] == ["a a", "a"]
+    assert want[1] == ["a a", "a a"]
