@@ -316,13 +316,32 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc size.  Output carries md5(new_text), so result width stays
     constant regardless of doc length."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.col("tok")
-    for k in range(1, _SPAN):
-        gram = F.concat(gram, F.lit(" "), F.lead("tok", k).over(w))
-    sp = toks.select("doc_id", "pos", F.md5(gram).alias("h")).filter(
-        F.col("h").isNotNull()
+    # span hashes come straight off the token ARRAY (slice from the
+    # attribute after a constant-sequence explode — the CLAUDE.md
+    # generate rule), not off a lead-chain window: the window spelling
+    # paid a full exchange + sort of the exploded token stream just to
+    # see the next SPAN-1 tokens that already sit in the same array.
+    # Conditional keyed repartition (minhash_banded pattern) keeps the
+    # md5-per-position work off the compact scan's single core.
+    t0 = docs.select("doc_id", tokens("text").alias("tk"))
+    target = spark.sparkContext.defaultParallelism
+    if t0.rdd.getNumPartitions() < target:
+        t0 = t0.repartition(target, "doc_id")
+    toks = t0.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
+    sp = (
+        t0.filter(F.size("tk") >= _SPAN)
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(0), F.size("tk") - _SPAN)).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"md5(array_join(slice(tk, pos + 1, {_SPAN}), ' '))").alias(
+                "h"
+            ),
+        )
     )
     dup = (
         sp.groupBy("h")

@@ -416,8 +416,17 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, only 16-byte fingerprints and (band, value) keys do."""
     e = _phash_exprs("spark")
     media = with_payload(load_table(spark, sf_dir, "documents"))
+    base = media.select("doc_id", F.md5("payload").alias("dig"))
+    # 64 md5 calls per doc follow — the CLAUDE.md single-split rule: a
+    # compact one-file scan would run the whole pixel stage on one core
+    # (measured 2.1-3.0 s -> 0.5-0.8 s at sf0.1).  Conditional + keyed
+    # (the minhash_banded pattern): a wide production scan never pays
+    # the extra exchange, and the deterministic key is retry-safe.
+    target = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, "doc_id")
     ph = (
-        media.select("doc_id", F.md5("payload").alias("dig"))
+        base
         .withColumn("px", F.expr(e["pixels"]))
         .withColumn("s", F.expr(e["psum"]))
         .withColumn("bits", F.expr(e["bits"]))

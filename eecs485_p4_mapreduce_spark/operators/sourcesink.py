@@ -436,7 +436,10 @@ def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFra
         while _time.time() < deadline:
             if spark.table(name).count() >= n_rows:
                 break
-            _time.sleep(0.5)
+            # fine-grained poll: the drain takes ~5 back-to-back
+            # micro-batches, so a coarse 0.5 s sleep billed up to half a
+            # second of pure idle tail to every bench run
+            _time.sleep(0.05)
     finally:
         q.stop()
         q.awaitTermination()
