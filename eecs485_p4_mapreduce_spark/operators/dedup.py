@@ -453,6 +453,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor) on the candidate set.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # md5 per TOKEN follows — the CLAUDE.md single-split rule: keep the
+    # hash stage off a compact scan's one core.  Keyed on doc_id, the
+    # repartition ALSO satisfies the fingerprint groupBy's required
+    # distribution, so the aggregate's own exchange disappears with it
+    # (minhash_banded conditional pattern; wide scans never pay it).
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
     ex = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("t"))
     hint = ex.select("doc_id", F.expr(_hex_int_sql("spark", "md5(t)", 1)).alias("h1"))
     ones = hint.groupBy("doc_id").agg(
@@ -545,6 +553,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise inline the tokenization into every one of the ~4*|doc|
     # element_at references (re-splitting the text thousands of times per
     # document) and again into each downstream branch.
+    # Conditional keyed repartition first (minhash_banded pattern): the
+    # 4-gram transform is ~4 concats per token and would otherwise run
+    # on the compact scan's single core before the checkpoint.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
     ng = (
         docs.withColumn("toks", F.expr(_TOK_SPARK))
         .withColumn("ng", F.expr(_NG_SPARK))
@@ -1162,6 +1176,12 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eecs485_p4_mapreduce_spark.functions.textfn import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # Conditional keyed repartition (minhash_banded pattern): the 3-gram
+    # transform + array_distinct below is the checkpoint's whole cost
+    # and would otherwise run on the compact scan's single core.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
     t0 = (
         docs.select("doc_id", tokens("text").alias("w"))
         .filter(F.size("w") >= 3)
