@@ -168,11 +168,29 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   100 TB move for this family (BENCHNOTES).
 
 
+def _wide_oe(oe: DataFrame) -> DataFrame:
+    """Conditional keyed repartition of the oriented-edge frame before a
+    wedge/triangle self-join (the minhash_banded pattern, at the JOIN
+    level): the published edge parquet is one compact split, and the
+    self-joins broadcast one side — so the stream side's task count IS
+    the edge scan's split count, and the whole wedge fan-out (6.6M rows
+    from 107k edges at sf0.1) plus its map-side partial aggregation was
+    produced on as many cores as there were plan branches (measured: a
+    3-task union stage doing 4.8s of enumeration).  Spreading the 107k
+    edge rows first is ~3MB of shuffle for a >10x wider produce stage;
+    a wide production scan never pays it."""
+    target = oe.sparkSession.sparkContext.defaultParallelism
+    if oe.rdd.getNumPartitions() < target:
+        oe = oe.repartition(target, "lo", "hi")
+    return oe
+
+
 def _oriented_wedges(oe: DataFrame) -> DataFrame:
     """Every wedge {x, y}-through-some-middle exactly once, as id-
     canonical pairs ``(u, w)`` with ``u < w`` — the same multiset the
     both-directions ``adj JOIN adj ON a1.v = a2.u WHERE a1.u < a2.v``
     enumeration produces, at i^2+io+o^2 join volume per middle."""
+    oe = _wide_oe(oe)
     a, b = oe.alias("a"), oe.alias("b")
     ka_hi = F.struct(F.col("a.dhi"), F.col("a.hi"))
     kb_hi = F.struct(F.col("b.dhi"), F.col("b.hi"))
@@ -244,6 +262,7 @@ def _triangles_from_oriented(oe: DataFrame) -> DataFrame:
     one oriented-edge probe — sum(out-degree^2) total wedge work.
     Split from the corpus wrapper so the property test can drive it
     over arbitrary generated edge sets."""
+    oe = _wide_oe(oe)
     ab, ac, bc = oe.alias("ab"), oe.alias("ac"), oe.alias("bc")
     return (
         ab.join(ac, F.col("ac.lo") == F.col("ab.lo"))
@@ -1359,7 +1378,7 @@ def graph_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     edges = lsh_candidate_edges(spark, sf_dir)
-    oe = lsh_oriented_edges(spark, sf_dir)
+    oe = _wide_oe(lsh_oriented_edges(spark, sf_dir))
     a, b = oe.alias("a"), oe.alias("b")
     ka_hi = F.struct(F.col("a.dhi"), F.col("a.hi"))
     kb_hi = F.struct(F.col("b.dhi"), F.col("b.hi"))
