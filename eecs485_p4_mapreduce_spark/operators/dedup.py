@@ -736,7 +736,6 @@ def _cc_iteration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-        .distinct()
         .localCheckpoint()
     )
     nodes = edges.select(F.col("s").alias("node")).distinct()
@@ -805,30 +804,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_jaccard") >= _CLUSTER_TAU
     ).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # no .distinct(): pairs are already distinct with doc_a < doc_b, so
+    # the two reversed branches cannot collide — the dedup exchange the
+    # old spelling paid removed nothing
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-        .distinct()
         .localCheckpoint()
     )
     # nodes restricted to the pair graph; isolated docs join back at the end
     nodes = edges.select(F.col("s").alias("node")).distinct()
     labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint()
     max_rounds = 30
+    # convergence via the monotone invariant: min-label propagation only
+    # ever DECREASES labels, so sum(lbl) is unchanged iff no label moved
+    # — one single-row aggregate per round on the already-materialized
+    # checkpoint, instead of a labels⋈labels diff count every other
+    # round (and it detects the fixpoint one round sooner).  doc_id sums
+    # stay exact in decimal(38,0) at any corpus size.
+    prev_sum = None
     for it in range(max_rounds):
         new_labels = _cc_step(edges, labels).localCheckpoint()
-        converged = False
-        if it % 2 == 1 or it == max_rounds - 1:  # check every other round
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.expr("n.lbl <> o.lbl"))
-                .count()
-            )
-            converged = changed == 0
+        cur_sum = new_labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if converged:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError("dedup_clusters: label propagation did not converge")
     member = labels  # (node=doc_id, lbl=cluster)
