@@ -649,7 +649,11 @@ def mix_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores token occurrences scan-side, and the per-doc sum is a
     map-side-combinable doc_id aggregate; nothing grows with the
     vocabulary."""
-    docs = load_table(spark, sf_dir, "documents")
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
+
+    # tok (explode + md5 per token) is replayed by ct, cs AND the
+    # scoring join — spread the scan so no replay runs on one core
+    docs = widen_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         "doc_id",
         "lang",

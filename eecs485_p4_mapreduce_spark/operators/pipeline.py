@@ -618,9 +618,15 @@ def pipeline_decontam_mix_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NGRAM,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
-    )
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
+
+    # the DSIR token stream (explode + md5 per token over the clean
+    # pool) is replayed by ct, cs and the scoring join; spreading the
+    # scan here keeps every replay wide (clean inherits the
+    # partitioning through the broadcast anti-join)
+    docs = widen_scan(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    ).select("doc_id", "lang", "text")
     bench = docs.filter(F.col("doc_id").isin(*_BENCH_IDS)).select(
         F.slice(tokens("text"), 5, 16).alias("tk")
     )

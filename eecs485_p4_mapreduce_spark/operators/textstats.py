@@ -438,7 +438,12 @@ def quality_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-aggregates plus two equi-joins, with frequency floors to cap
     vocab (not needed at test scale).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
+
+    # the bigram stream is replayed by THREE consumers (c2, c1, and the
+    # scoring join) — without the keyed spread each replay regenerates
+    # every bigram on the compact scan's one core
+    docs = widen_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = docs.select("doc_id", tokens("text").alias("toks"))
     bg = tk.select(
         "doc_id",
@@ -1456,7 +1461,11 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bitwise stable.  Per-bucket means sum the already-rounded per-doc
     scores in decimal.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
+
+    # same three-consumer bigram replay as quality_bigram_surprisal —
+    # spread the scan before the per-token transform
+    docs = widen_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = docs.select("doc_id", tokens("text").alias("toks"))
     bg = tk.select(
         "doc_id",

@@ -76,6 +76,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def widen_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Conditional keyed repartition before a HEAVY scan-side projection
+    (the minhash_banded pattern, factored): a compact single-split scan
+    otherwise serializes per-row md5/shingle/n-gram work onto one core —
+    and when several plan branches replay the same projection, onto one
+    core PER BRANCH.  A wide production scan never pays the exchange
+    (conditional on scan partitions < defaultParallelism); the
+    deterministic key keeps retries safe.  Call it on the bare scan
+    frame only — `.rdd` on a frame with joins above it would force AQE
+    stage materialization at plan time."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, *keys)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` queries mirror the
     DuckDB oracle's pre-registered views."""
