@@ -644,7 +644,12 @@ def quality_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back onto the gram stream, so flagging costs no second
     corpus shuffle on text.  At 100 TB the only wide exchange carries
     short gram keys, never document bodies."""
-    docs = load_table(spark, sf_dir, "documents")
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
+
+    # the 5-gram stream is replayed by BOTH consumers (df mining and
+    # the flagging join) — spread the compact scan so neither replay
+    # regenerates every gram on one core
+    docs = widen_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = docs.select("doc_id", "source", tokens("text").alias("toks")).filter(
         F.size("toks") >= 5
     )

@@ -264,7 +264,12 @@ def pipeline_rag_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on (doc_id, chunk, dim); the hyperplane grid is a 64-row
     broadcast; nothing document-sized ever shuffles.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
+
+    # the chunk explode fans each token out ~2x and hashes it with two
+    # md5 expressions before the first exchange — spread the compact
+    # scan so that stage runs wide
+    docs = widen_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     t = docs.select("doc_id", tokens("text").alias("tk"))
     ch = t.select(
         "doc_id",

@@ -1085,7 +1085,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself across documents).  Shuffle keys are 3-gram strings and doc
     ids; the per-doc distinct keeps internal repeats from inflating
     document frequency."""
-    docs = load_table(spark, sf_dir, "documents")
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
+
+    # the 3-gram stream is replayed by the df aggregate AND the marking
+    # join — spread the compact scan first
+    docs = widen_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tk = docs.select("doc_id", "lang", tokens("text").alias("toks")).filter(
         F.size("toks") >= 3
     )
