@@ -55,7 +55,12 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(raw)
 
 
-def run_to_completion(stream_df: DataFrame, *, mode: str = "complete") -> DataFrame:
+def run_to_completion(
+    stream_df: DataFrame,
+    *,
+    mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a streaming aggregation to completion (availableNow) into a
     memory sink; return the final table as a batch DataFrame.
 
@@ -67,17 +72,23 @@ def run_to_completion(stream_df: DataFrame, *, mode: str = "complete") -> DataFr
     3.5s at 8 partitions).  At cluster scale this knob goes UP with the
     key cardinality; SPARK_GRAFT_STREAM_SHUFFLE overrides.  The batch
     conf is restored afterward, and results are partition-count
-    invariant (hash state partitioning only shards keys)."""
+    invariant (hash state partitioning only shards keys).
+
+    ``state_partitions`` is the per-query width for queries whose state
+    layout multiplies the per-partition commit cost (a stream-stream
+    join store commits FOUR sub-stores per partition per batch, so its
+    file count is 4 x width x batches) — the operator env var still
+    wins, so one cluster-side setting scales every query together."""
     import os
 
     name = f"sg_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
-    )
+    width = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if width is None:
+        width = str(state_partitions) if state_partitions is not None else "8"
+    spark.conf.set("spark.sql.shuffle.partitions", width)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -338,7 +349,11 @@ def streaming_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("click_ts") < F.col("purchase_ts")),
         "inner",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
-    return run_to_completion(joined, mode="append")
+    # stream-stream join state commits four sub-stores per partition
+    # per batch - width 2 quarters the commit-file count at bench
+    # scale (measured 3.6 -> 2.5 s full outer, 4.9 -> 3.8 s chained);
+    # SPARK_GRAFT_STREAM_SHUFFLE scales it back up on a cluster
+    return run_to_completion(joined, mode="append", state_partitions=2)
 
 
 @query(
@@ -1068,7 +1083,11 @@ def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") < F.col("purchase_ts")),
         "leftOuter",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
-    return run_to_completion(joined, mode="append")
+    # stream-stream join state commits four sub-stores per partition
+    # per batch - width 2 quarters the commit-file count at bench
+    # scale (measured 3.6 -> 2.5 s full outer, 4.9 -> 3.8 s chained);
+    # SPARK_GRAFT_STREAM_SHUFFLE scales it back up on a cluster
+    return run_to_completion(joined, mode="append", state_partitions=2)
 
 
 @query(
@@ -1148,7 +1167,11 @@ def streaming_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_ts",
         )
     )
-    return run_to_completion(joined, mode="append")
+    # stream-stream join state commits four sub-stores per partition
+    # per batch - width 2 quarters the commit-file count at bench
+    # scale (measured 3.6 -> 2.5 s full outer, 4.9 -> 3.8 s chained);
+    # SPARK_GRAFT_STREAM_SHUFFLE scales it back up on a cluster
+    return run_to_completion(joined, mode="append", state_partitions=2)
 
 
 @query(
@@ -1209,7 +1232,11 @@ def streaming_chained_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clicks",
         "n_purchases",
     )
-    return run_to_completion(joined, mode="append")
+    # stream-stream join state commits four sub-stores per partition
+    # per batch - width 2 quarters the commit-file count at bench
+    # scale (measured 3.6 -> 2.5 s full outer, 4.9 -> 3.8 s chained);
+    # SPARK_GRAFT_STREAM_SHUFFLE scales it back up on a cluster
+    return run_to_completion(joined, mode="append", state_partitions=2)
 
 
 @query(
