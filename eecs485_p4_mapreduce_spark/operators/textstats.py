@@ -2648,8 +2648,11 @@ def preference_pairs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         hu_ratio_signed,
     )
     from eecs485_p4_mapreduce_spark.functions.ranking import with_global_rank
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
 
-    docs = load_table(spark, sf_dir, "documents")
+    # feat re-tokenizes the text for three feature columns in one
+    # projection — spread the compact scan so it runs wide
+    docs = widen_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens("text")
     stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     feat = docs.select(
