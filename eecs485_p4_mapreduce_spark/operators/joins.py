@@ -660,9 +660,13 @@ def graph_temporal_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         us.alias("us"),
         F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0).alias("new_session"),
     ).withColumn("sid", F.sum("new_session").over(wrun).cast("bigint"))
+    # referenced by both self-join sides of the contact enumeration AND
+    # both hops — without the pin the two-window sessionization chain
+    # replays SIXTEEN times (measured: 16 parquet scans / 32 Window
+    # nodes in the unpinned plan, zero ReusedExchange)
     iv = sess.groupBy("user_id", "sid").agg(
         F.min("us").alias("s_us"), F.max("us").alias("e_us")
-    )
+    ).localCheckpoint()
     bucketed = iv.select(
         "user_id",
         "s_us",
@@ -690,6 +694,9 @@ def graph_temporal_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("u", "v", F.greatest("sa", "sb").alias("t"))
         .distinct()
+        # h1 AND h2 both read the contact graph — pin it so the bucket
+        # join + overlap verify runs once
+        .localCheckpoint()
     )
     h1 = (
         contacts.filter((F.col("u") < 10) & (F.col("v") >= 10))
