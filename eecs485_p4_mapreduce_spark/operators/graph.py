@@ -178,19 +178,30 @@ def _wide_oe(oe: DataFrame) -> DataFrame:
     produced on as many cores as there were plan branches (measured: a
     3-task union stage doing 4.8s of enumeration).  Spreading the 107k
     edge rows first is ~3MB of shuffle for a >10x wider produce stage;
-    a wide production scan never pays it."""
+    a wide production scan never pays it.
+
+    Pay it ONLY where the consumer AGGREGATES the wedge stream (the
+    linkpred groupBys: map-side partial aggregation from 32 producer
+    partitions beats 3 — measured adamic_adar 4.2 -> 2.0 s warm,
+    common_neighbors 2.7 -> 1.6 s in one session).  Where the consumer
+    re-shuffles raw wedge rows anyway (the centrality DISTINCT's own
+    128-way repartition, the triangle closing-edge probe) the extra
+    exchange only adds shuffle machinery — measured centrality 3.1 ->
+    4.2 s WITH the spread — so those paths pass widen=False."""
     target = oe.sparkSession.sparkContext.defaultParallelism
     if oe.rdd.getNumPartitions() < target:
         oe = oe.repartition(target, "lo", "hi")
     return oe
 
 
-def _oriented_wedges(oe: DataFrame) -> DataFrame:
+def _oriented_wedges(oe: DataFrame, widen: bool = True) -> DataFrame:
     """Every wedge {x, y}-through-some-middle exactly once, as id-
     canonical pairs ``(u, w)`` with ``u < w`` — the same multiset the
     both-directions ``adj JOIN adj ON a1.v = a2.u WHERE a1.u < a2.v``
-    enumeration produces, at i^2+io+o^2 join volume per middle."""
-    oe = _wide_oe(oe)
+    enumeration produces, at i^2+io+o^2 join volume per middle.
+    ``widen`` per the :func:`_wide_oe` decision rule."""
+    if widen:
+        oe = _wide_oe(oe)
     a, b = oe.alias("a"), oe.alias("b")
     ka_hi = F.struct(F.col("a.dhi"), F.col("a.hi"))
     kb_hi = F.struct(F.col("b.dhi"), F.col("b.hi"))
@@ -240,8 +251,11 @@ def _oriented_wedge_pairs_distinct(oe: DataFrame) -> DataFrame:
     ANY heap size."""
     spark = oe.sparkSession
     n = 4 * spark.sparkContext.defaultParallelism
+    # widen=False: the explicit repartition below re-shuffles every raw
+    # wedge row regardless, so a wide produce stage only adds an
+    # exchange (measured 3.1 -> 4.2 s warm WITH the spread)
     return (
-        _oriented_wedges(oe)
+        _oriented_wedges(oe, widen=False)
         .repartition(n, "u", "w")
         .dropDuplicates()
     )
@@ -261,8 +275,9 @@ def _triangles_from_oriented(oe: DataFrame) -> DataFrame:
     closure lists): out-out wedges at the key-minimum vertex, closed by
     one oriented-edge probe — sum(out-degree^2) total wedge work.
     Split from the corpus wrapper so the property test can drive it
-    over arbitrary generated edge sets."""
-    oe = _wide_oe(oe)
+    over arbitrary generated edge sets.  No _wide_oe here: the closing
+    probe re-joins raw rows rather than aggregating them, and the A/B
+    measured the spread slightly NEGATIVE (1.13 -> 1.24 s warm)."""
     ab, ac, bc = oe.alias("ab"), oe.alias("ac"), oe.alias("bc")
     return (
         ab.join(ac, F.col("ac.lo") == F.col("ab.lo"))
