@@ -343,6 +343,15 @@ def main() -> None:
         "excluded": BENCH_EXCLUDE,
         "detail_file": "BENCH_DETAIL.json",
         "sf": sf,
+        # Scaling observability (round-13 verdict item 2): the driver's
+        # 8-vs-32-core probe needs artifact-level proof that
+        # $SPARK_GRAFT_CPUS actually reached the session — these echo the
+        # EFFECTIVE master / parallelism / shuffle width so a flat scaling
+        # ratio is distinguishable from an ignored env var.  Additive keys
+        # only; every pre-existing key stays byte-stable.
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
     }
     if n_runs > 1:
         # median over the WARM runs only (the first run is the cold

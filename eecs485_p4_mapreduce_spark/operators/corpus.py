@@ -321,12 +321,11 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generate rule), not off a lead-chain window: the window spelling
     # paid a full exchange + sort of the exploded token stream just to
     # see the next SPAN-1 tokens that already sit in the same array.
-    # Conditional keyed repartition (minhash_banded pattern) keeps the
+    # Conditional keyed repartition (widen_scan) keeps the
     # md5-per-position work off the compact scan's single core.
-    t0 = docs.select("doc_id", tokens("text").alias("tk"))
-    target = spark.sparkContext.defaultParallelism
-    if t0.rdd.getNumPartitions() < target:
-        t0 = t0.repartition(target, "doc_id")
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
+
+    t0 = widen_scan(docs.select("doc_id", tokens("text").alias("tk")), "doc_id")
     toks = t0.select("doc_id", F.posexplode("tk").alias("pos", "tok"))
     sp = (
         t0.filter(F.size("tk") >= _SPAN)

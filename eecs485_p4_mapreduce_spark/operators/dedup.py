@@ -31,7 +31,7 @@ from eecs485_p4_mapreduce_spark.functions.numeric import hu_ratio
 from eecs485_p4_mapreduce_spark.functions.memo import LRU, mtime_token
 from eecs485_p4_mapreduce_spark.functions.textfn import DUCK_TOKENS
 from eecs485_p4_mapreduce_spark.plans.registry import query
-from eecs485_p4_mapreduce_spark.sources import load_table
+from eecs485_p4_mapreduce_spark.sources import load_table, widen_scan
 
 # ---------------------------------------------------------------- exact
 
@@ -457,10 +457,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash stage off a compact scan's one core.  Keyed on doc_id, the
     # repartition ALSO satisfies the fingerprint groupBy's required
     # distribution, so the aggregate's own exchange disappears with it
-    # (minhash_banded conditional pattern; wide scans never pay it).
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, "doc_id")
+    # (widen_scan decision rule; wide scans never pay it).
+    docs = widen_scan(docs, "doc_id")
     ex = docs.select("doc_id", F.explode(F.expr(_TOK_SPARK)).alias("t"))
     hint = ex.select("doc_id", F.expr(_hex_int_sql("spark", "md5(t)", 1)).alias("h1"))
     ones = hint.groupBy("doc_id").agg(
@@ -553,12 +551,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise inline the tokenization into every one of the ~4*|doc|
     # element_at references (re-splitting the text thousands of times per
     # document) and again into each downstream branch.
-    # Conditional keyed repartition first (minhash_banded pattern): the
-    # 4-gram transform is ~4 concats per token and would otherwise run
-    # on the compact scan's single core before the checkpoint.
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, "doc_id")
+    # Conditional keyed repartition first (widen_scan): the 4-gram
+    # transform is ~4 concats per token and would otherwise run on the
+    # compact scan's single core before the checkpoint.
+    docs = widen_scan(docs, "doc_id")
     ng = (
         docs.withColumn("toks", F.expr(_TOK_SPARK))
         .withColumn("ng", F.expr(_NG_SPARK))
@@ -829,7 +825,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("lbl").cast("decimal(38,0)"))
         ).collect()[0][0]
         labels = new_labels
-        if cur_sum == prev_sum:
+        # Empty pair graph: sum over zero rows is NULL — converged by
+        # definition (no labels to move), handled EXPLICITLY rather than
+        # via None == None against the initial sentinel (round-13
+        # ADVICE: the monotone-decrease invariant doesn't cover NULL).
+        if cur_sum is None or cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     else:
@@ -1179,12 +1179,10 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from eecs485_p4_mapreduce_spark.functions.textfn import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    # Conditional keyed repartition (minhash_banded pattern): the 3-gram
-    # transform + array_distinct below is the checkpoint's whole cost
-    # and would otherwise run on the compact scan's single core.
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, "doc_id")
+    # Conditional keyed repartition (widen_scan): the 3-gram transform +
+    # array_distinct below is the checkpoint's whole cost and would
+    # otherwise run on the compact scan's single core.
+    docs = widen_scan(docs, "doc_id")
     t0 = (
         docs.select("doc_id", tokens("text").alias("w"))
         .filter(F.size("w") >= 3)

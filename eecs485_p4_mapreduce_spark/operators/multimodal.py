@@ -420,11 +420,11 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 64 md5 calls per doc follow — the CLAUDE.md single-split rule: a
     # compact one-file scan would run the whole pixel stage on one core
     # (measured 2.1-3.0 s -> 0.5-0.8 s at sf0.1).  Conditional + keyed
-    # (the minhash_banded pattern): a wide production scan never pays
-    # the extra exchange, and the deterministic key is retry-safe.
-    target = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target, "doc_id")
+    # (widen_scan): a wide production scan never pays the extra
+    # exchange, and the deterministic key is retry-safe.
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
+
+    base = widen_scan(base, "doc_id")
     ph = (
         base
         .withColumn("px", F.expr(e["pixels"]))

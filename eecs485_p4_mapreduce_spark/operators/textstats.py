@@ -700,15 +700,18 @@ def _bpe_apply_pair_str(s_col, pa: str, pb: str) -> Column:
 
 def _bpe_string_frame(docs: DataFrame, *carry: str) -> DataFrame:
     """The (``*carry``, s) per-doc string state the string-replace BPE
-    loop iterates on, repartitioned to session parallelism off the
-    single-split documents scan (the CLAUDE.md single-split rule: one
-    compact parquet file = one task, and every per-round pair count and
-    the final readout would otherwise tokenize the whole corpus on one
-    core).  Width is defaultParallelism-derived, never a constant."""
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.select(
+    loop iterates on, widened off the single-split documents scan (the
+    CLAUDE.md single-split rule: one compact parquet file = one task,
+    and every per-round pair count and the final readout would
+    otherwise tokenize the whole corpus on one core).  Conditional +
+    keyed via ``widen_scan`` (round-13 ADVICE: an already-wide
+    production scan must not pay a keyless full exchange of document
+    text per BPE query)."""
+    from eecs485_p4_mapreduce_spark.sources import widen_scan
+
+    return widen_scan(docs, "doc_id").select(
         *carry, _bpe_doc_string(tokens("text")).alias("s")
-    ).repartition(n)
+    )
 
 
 def _bpe_tokens(st: DataFrame, *carry: str) -> DataFrame:

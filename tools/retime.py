@@ -71,7 +71,11 @@ def main() -> None:
             print(f"!! unknown query: {name}")
             continue
         rs = [run_once(name) for _ in range(args.runs)]
-        med = sorted(rs)[len(rs) // 2]
+        # statistics.median averages the middle pair on even --runs;
+        # the old upper-middle pick biased even-run medians upward.
+        import statistics
+
+        med = statistics.median(rs)
         print(
             f"{name:45s} med={med:7.3f}  runs=" + " ".join(f"{r:.3f}" for r in rs),
             flush=True,
